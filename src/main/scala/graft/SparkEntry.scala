@@ -1,13 +1,251 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.assemble.DocAssembler
+import graft.catalog.Catalog
+import graft.schema.SchemaDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` for the correctness
+  * gate. Column names are aligned between both sides (the driver sorts
+  * columns by name before hashing).
+  */
 object SparkEntry {
+
+  private def loader(s: SparkSession, dir: String): String => DataFrame =
+    Tables.load(s, dir)
+
+  private def assembled(s: SparkSession, dir: String, fixture: String): DataFrame =
+    DocAssembler.assemble(SchemaDef.parseNodes(fixture), loader(s, dir), Catalog.testData)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    assembled(spark, "/root/testdata/sf0.001", Fixtures.flagship)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- P1 projection + P5 range predicate --------------------------------
+    "q_project" -> ((s, dir) =>
+      loader(s, dir)("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))),
+    "q_range" -> ((s, dir) =>
+      loader(s, dir)("events")
+        .filter(col("value").between(50.0, 150.0) && col("ts") >= lit("2024-01-20"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))),
+    // ---- P3 equality filter set (OR of ANDs, querybuilder.py:100-132) ------
+    "q_filter_or" -> ((s, dir) =>
+      loader(s, dir)("orders")
+        .filter(
+          (col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT") ||
+            (col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0)
+        )
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))),
+    // ---- P2 JSON path projection via the schema surface --------------------
+    "q_json_path" -> ((s, dir) =>
+      assembled(s, dir, Fixtures.jsonPath)
+        .select(col("_id"), col("event_id"), col("event_type"), col("props_k"))),
+    // ---- A1/A2 child aggregation (collect_list over groupBy fk) ------------
+    "q_child_agg" -> ((s, dir) =>
+      loader(s, dir)("lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"),
+          concat_ws(",", sort_array(collect_list(col("l_linenumber"))).cast("array<string>"))
+            .as("linenumbers")
+        )),
+    // ---- A8 count ----------------------------------------------------------
+    "q_count" -> ((s, dir) =>
+      loader(s, dir)("events").agg(count(lit(1)).as("n_events"))),
+    // ---- classic agg (sum over group keys) ---------------------------------
+    "q1_agg" -> ((s, dir) =>
+      loader(s, dir)("lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows")
+        )),
+    // ---- J2 one_to_one chain (customer→nation→region) ----------------------
+    "q_join_chain" -> ((s, dir) =>
+      assembled(s, dir, Fixtures.oneToOneChain)
+        .select(
+          col("_id"),
+          col("c_name"),
+          col("nation.n_name").as("n_name"),
+          col("nation.region.r_name").as("r_name")
+        )),
+    // ---- J4 many_to_many through table -------------------------------------
+    "q_through" -> ((s, dir) =>
+      assembled(s, dir, Fixtures.through)
+        .select(
+          col("p_partkey"),
+          size(col("suppliers")).cast("long").as("n_suppliers"),
+          concat_ws(
+            ",",
+            transform(col("suppliers"), x => x("s_suppkey").cast("string"))
+          ).as("supp_keys")
+        )),
+    // ---- one_to_many scalar variant ----------------------------------------
+    "q_scalar_array" -> ((s, dir) =>
+      assembled(s, dir, Fixtures.scalarArray)
+        .select(
+          col("_id"),
+          col("o_orderkey"),
+          concat_ws(",", col("partkeys").cast("array<string>")).as("partkeys")
+        )),
+    // ---- full document assembly (flagship) → JSON --------------------------
+    "q_doc_flagship" -> ((s, dir) => {
+      val df = assembled(s, dir, Fixtures.flagship)
+      df.select(
+        col("_id"),
+        to_json(
+          struct(
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("lineitems"), col("customer")
+          )
+        ).as("doc")
+      )
+    }),
+    // ---- A6/A7 `_meta` lineage ---------------------------------------------
+    "q_meta_flagship" -> ((s, dir) =>
+      assembled(s, dir, Fixtures.flagship)
+        .select(col("_id"), to_json(col("_meta")).as("meta"))),
+    // ---- composite-PK `_id` ------------------------------------------------
+    "q_composite_pk" -> ((s, dir) =>
+      assembled(s, dir, Fixtures.compositePk)
+        .select(col("_id"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+    // ---- T1/T2/T3 transforms (replace → rename → concat) -------------------
+    "q_transform" -> ((s, dir) =>
+      assembled(s, dir, Fixtures.transforms)
+        .select(col("_id"), col("order_id"), col("o_orderstatus"), col("order_tag"))),
+    // ---- dedup: exact (hash groupBy) ---------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      loader(s, dir)("documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))),
+    // ---- text analysis: token count + quality ratios -----------------------
+    "q_text_tokens" -> ((s, dir) =>
+      loader(s, dir)("documents")
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")
+        )),
+    "q_text_quality" -> ((s, dir) =>
+      loader(s, dir)("documents")
+        .filter(length(col("text")) > 0)
+        .select(
+          col("doc_id"),
+          round(lit(100.0) * length(col("text")) / size(split(trim(col("text")), "\\s+")))
+            .cast("long").as("mean_wlen_c"),
+          round(
+            lit(1000.0) * (length(col("text")) - length(translate(col("text"), " ", ""))) /
+              length(col("text"))
+          ).cast("long").as("space_ratio_c")
+        ))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    "q_range" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE value BETWEEN 50.0 AND 150.0 AND ts >= TIMESTAMP '2024-01-20'""",
+    "q_filter_or" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+         WHERE (o_orderstatus = 'O' AND o_orderpriority = '1-URGENT')
+            OR (o_orderstatus = 'F' AND o_totalprice > 200000.0)""",
+    "q_json_path" ->
+      """SELECT CAST(event_id AS VARCHAR) AS _id, event_id, event_type,
+                json_extract_string(props, '$.k') AS props_k
+         FROM events""",
+    "q_child_agg" ->
+      """SELECT l_orderkey,
+                count(*) AS n_items,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                array_to_string(list(CAST(l_linenumber AS VARCHAR) ORDER BY l_linenumber), ',') AS linenumbers
+         FROM lineitem GROUP BY l_orderkey""",
+    "q_count" -> "SELECT count(*) AS n_events FROM events",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_join_chain" ->
+      """SELECT CAST(c.c_custkey AS VARCHAR) AS _id, c.c_name, n.n_name, r.r_name
+         FROM customer c
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""",
+    "q_through" ->
+      """WITH sup AS (
+           SELECT l.l_partkey AS pk,
+                  list(CAST(s.s_suppkey AS VARCHAR) ORDER BY s.s_suppkey, s.s_name) AS sks
+           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY l.l_partkey)
+         SELECT p.p_partkey,
+                COALESCE(len(sup.sks), 0) AS n_suppliers,
+                COALESCE(array_to_string(sup.sks, ','), '') AS supp_keys
+         FROM part p LEFT JOIN sup ON sup.pk = p.p_partkey""",
+    "q_scalar_array" ->
+      """WITH pk AS (
+           SELECT l_orderkey, list(CAST(l_partkey AS VARCHAR) ORDER BY l_partkey) AS pks
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT CAST(o.o_orderkey AS VARCHAR) AS _id, o.o_orderkey,
+                COALESCE(array_to_string(pk.pks, ','), '') AS partkeys
+         FROM orders o LEFT JOIN pk ON pk.l_orderkey = o.o_orderkey""",
+    "q_doc_flagship" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+                  list(json_object('l_linenumber', l_linenumber, 'l_quantity', l_quantity,
+                                   'l_extendedprice', l_extendedprice, 'l_returnflag', l_returnflag)
+                       ORDER BY l_linenumber, l_quantity, l_extendedprice, l_returnflag) AS items
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT CAST(o.o_orderkey AS VARCHAR) AS _id,
+                CAST(json_object('o_orderkey', o.o_orderkey, 'o_custkey', o.o_custkey,
+                            'o_orderstatus', o.o_orderstatus, 'o_totalprice', o.o_totalprice,
+                            'lineitems', COALESCE(to_json(li.items), '[]'::JSON),
+                            'customer', json_object('c_name', c.c_name, 'c_mktsegment', c.c_mktsegment))
+                     AS VARCHAR) AS doc
+         FROM orders o
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN li ON li.l_orderkey = o.o_orderkey""",
+    "q_meta_flagship" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+                  list(DISTINCT CAST(l_linenumber AS VARCHAR) ORDER BY CAST(l_linenumber AS VARCHAR)) AS lns
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT CAST(o.o_orderkey AS VARCHAR) AS _id,
+                CAST(CASE WHEN li.lns IS NULL THEN
+                  json_object('orders', json_object('o_orderkey', [CAST(o.o_orderkey AS VARCHAR)]),
+                              'customer', json_object('c_custkey', [CAST(c.c_custkey AS VARCHAR)]))
+                ELSE
+                  json_object('orders', json_object('o_orderkey', [CAST(o.o_orderkey AS VARCHAR)]),
+                              'lineitem', json_object('l_orderkey', [CAST(o.o_orderkey AS VARCHAR)],
+                                                      'l_linenumber', li.lns),
+                              'customer', json_object('c_custkey', [CAST(c.c_custkey AS VARCHAR)]))
+                END AS VARCHAR) AS meta
+         FROM orders o
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN li ON li.l_orderkey = o.o_orderkey""",
+    "q_composite_pk" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS _id,
+                l_orderkey, l_linenumber, l_quantity
+         FROM lineitem""",
+    "q_transform" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+                o_orderkey AS order_id,
+                replace(o_orderstatus, 'O', 'X') AS o_orderstatus,
+                CAST(o_orderkey AS VARCHAR) || '-' || replace(o_orderstatus, 'O', 'X') AS order_tag
+         FROM orders""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY md5(text)""",
+    "q_text_tokens" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+         FROM documents""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+                CAST(round(100.0 * length(text) / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS mean_wlen_c,
+                CAST(round(1000.0 * (length(text) - length(replace(text, ' ', ''))) / length(text)) AS BIGINT) AS space_ratio_c
+         FROM documents WHERE length(text) > 0"""
+  )
 }

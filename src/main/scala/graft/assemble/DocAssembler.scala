@@ -1,0 +1,385 @@
+package graft.assemble
+
+import graft.catalog.{Catalog, JoinSpec}
+import graft.schema._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Compiles a schema [[Node]] tree into ONE DataFrame plan that denormalizes
+  * the root table and its related tables into nested documents.
+  *
+  * Reference semantics: `pgsync/querybuilder.py:999-1023` (`build_queries`
+  * post-order dispatch to `_root` / `_through` / `_non_through` /
+  * `_children`), which emits a single SQL statement of LEFT OUTER LATERAL
+  * joins + `JSON_AGG` / `JSON_BUILD_OBJECT`. The Spark-first re-expression:
+  *
+  *   - child one_to_many  → `child.groupBy(fk).agg(collect_list(struct(...)))`
+  *     then `parent.join(agg, fk, "left_outer")` — no LATERAL needed
+  *     (`querybuilder.py:843-997` `_non_through`).
+  *   - many_to_many through → `through.join(child).groupBy(parentFk).agg(...)`
+  *     (`querybuilder.py:584-841` `_through`), through-table PKs folded into
+  *     lineage exactly as `_get_child_keys` does (`querybuilder.py:364-386`).
+  *   - one_to_one → plain left join with a `struct` column.
+  *   - `_id` = PK values joined with `|` (`pgsync/sync.py:527-535`,
+  *     delimiter `constants.py:205`).
+  *   - `_meta` = {table → {pk → sorted distinct values}}
+  *     (`pgsync/transform.py:230-288`), built here with pure higher-order
+  *     expressions (no UDF) from a flat lineage array carried through the
+  *     aggregations.
+  *
+  * Scale notes: the whole tree is one Catalyst plan, so predicate pushdown /
+  * column pruning reach the parquet scans; each one_to_many child costs one
+  * shuffle (the groupBy) whose key is also the join key, so the subsequent
+  * join reuses the exchange; child aggregation is map-side-combinable; small
+  * one_to_one dimensions are broadcast by AQE. Arrays are sorted
+  * (`sort_array`) to make output deterministic — the reference leaves order
+  * unspecified and its tests sort before comparing
+  * (`tests/testing_utils.py:52-68`).
+  */
+object DocAssembler {
+
+  val IdColumn = "_id"
+  val MetaColumn = "_meta"
+  private val LineageCol = "__lineage"
+  val IdDelimiter = "|" // constants.py:205
+
+  /** A compiled child: DataFrame holding ONLY `keyCols` + `label` +
+    * `lineageCol`, to be left-joined to the parent on
+    * `parentCols(i) == keyCols(i)`.
+    */
+  private final case class ChildPlan(
+      df: DataFrame,
+      keyCols: Seq[String],
+      parentCols: Seq[String],
+      label: String,
+      lineageCol: String,
+      isMany: Boolean
+  )
+
+  /** Assemble the document DataFrame for `root`'s tree: `_id`, doc fields,
+    * child labels, `_meta`. `load` maps table name → DataFrame.
+    */
+  def assemble(
+      root: Node,
+      load: String => DataFrame,
+      catalog: Catalog
+  ): DataFrame = {
+    val pks = primaryKeys(root, catalog)
+    val pkKeep = pks.map(p => p -> s"__pk_$p")
+    val built = buildNode(root, load, catalog, extraKeep = pkKeep)
+    val idCol =
+      concat_ws(IdDelimiter, pkKeep.map { case (_, o) => col(o).cast(StringType) }: _*)
+        .as(IdColumn)
+    built.df.select(
+      idCol +: built.fieldNames.map(col) :+ squashMeta(col(LineageCol)).as(MetaColumn): _*
+    )
+  }
+
+  /** Documents as (`_id`, JSON string) — the shape the search sink indexes
+    * (`pgsync/sync.py:1556-1579`).
+    */
+  def assembleJson(
+      root: Node,
+      load: String => DataFrame,
+      catalog: Catalog
+  ): DataFrame = {
+    val df = assemble(root, load, catalog)
+    val payload = df.columns.filterNot(_ == IdColumn).map(col)
+    df.select(col(IdColumn), to_json(struct(payload: _*)).as("doc"))
+  }
+
+  def primaryKeys(node: Node, catalog: Catalog): Seq[String] =
+    if (node.primaryKeyOverride.nonEmpty) node.primaryKeyOverride
+    else catalog.primaryKeys(node.table)
+
+  /** Compiled node: DataFrame + ordered top-level doc field names. The frame
+    * holds the doc fields, one column per child label, `__lineage`, and the
+    * requested `extraKeep` (base column → output name) passthroughs.
+    */
+  private final case class Built(df: DataFrame, fieldNames: Seq[String])
+
+  private def buildNode(
+      node: Node,
+      load: String => DataFrame,
+      catalog: Catalog,
+      extraKeep: Seq[(String, String)]
+  ): Built = {
+    val base = load(node.table)
+    val pks = primaryKeys(node, catalog)
+
+    // Configured columns, or every base column (node.py:141-162).
+    val colRefs =
+      if (node.columns.nonEmpty) node.columns
+      else base.columns.toSeq.map(ColumnRef(_))
+
+    // Child join specs resolved at build time (querybuilder.py:161-296
+    // semantics: explicit hint wins, else catalog FK metadata, both
+    // directions).
+    val childSpecs: Seq[(Node, JoinSpec, Option[(String, JoinSpec)])] =
+      node.children.map { c =>
+        val rel = c.relationship.get
+        rel.throughTables.headOption match {
+          case Some(through) =>
+            // parent—through leg + through—child leg (querybuilder.py:298-324).
+            val parentLeg = rel.foreignKey
+              .map(fk => JoinSpec(fk.parent, fk.child))
+              .getOrElse(catalog.resolveJoin(node.table, through))
+            val childLeg = catalog.resolveJoin(through, c.table)
+            (c, parentLeg, Some((through, childLeg)))
+          case None =>
+            val spec = rel.foreignKey
+              .map(fk => JoinSpec(fk.parent, fk.child))
+              .getOrElse(catalog.resolveJoin(node.table, c.table))
+            (c, spec, None)
+        }
+      }
+
+    // Column pruning: only the base columns actually needed, so the pruned
+    // schema reaches the parquet scan.
+    val needed = (colRefs.map(_.base) ++ pks ++ extraKeep.map(_._1) ++
+      childSpecs.flatMap(_._2.parentColumns)).distinct
+    var df = base.select(needed.map(col): _*)
+
+    // Doc fields with JSON-path projection (node.py:200-303), then the
+    // node-level transforms replace → rename → concat (transform.py:211-216)
+    // as pure column rewrites.
+    var fields: Seq[(String, Column)] = colRefs.map { cr =>
+      val c =
+        if (cr.hasPath) get_json_object(col(cr.base), cr.jsonPath)
+        else col(cr.base)
+      cr.alias -> c
+    }
+    fields = applyTransforms(node.transform, fields)
+
+    // Own lineage entries: one per PK column (querybuilder.py:364-386).
+    val ownLineage = array(pks.map { p =>
+      struct(
+        lit(node.table).as("table"),
+        lit(p).as("pk"),
+        col(p).cast(StringType).as("value")
+      )
+    }: _*)
+
+    // Attach children.
+    var lineageExprs: Seq[Column] = Seq(ownLineage)
+    var childValueCols: Seq[(String, Column)] = Nil
+    childSpecs.zipWithIndex.foreach { case ((childNode, spec, throughInfo), i) =>
+      val plan = throughInfo match {
+        case Some((through, childLeg)) =>
+          buildThroughChild(childNode, through, spec, childLeg, load, catalog, i)
+        case None =>
+          buildDirectChild(childNode, spec, load, catalog, i)
+      }
+      val cond = plan.parentCols
+        .zip(plan.keyCols)
+        .map { case (p, k) => df(p) === plan.df(k) }
+        .reduce { (a, b) =>
+          // Self-referencing tables join on OR (querybuilder.py:575-577).
+          if (childNode.table == node.table && throughInfo.isEmpty) a || b else a && b
+        }
+      df = df.join(plan.df, cond, "left_outer").drop(plan.keyCols: _*)
+      val value =
+        if (plan.isMany)
+          coalesce(col(plan.label), array().cast(df.schema(plan.label).dataType))
+        else col(plan.label)
+      childValueCols = childValueCols :+ (plan.label -> value)
+      lineageExprs = lineageExprs :+ coalesce(
+        col(plan.lineageCol),
+        array().cast(df.schema(plan.lineageCol).dataType)
+      )
+    }
+
+    val outCols =
+      fields.map { case (n, c) => c.as(n) } ++
+        childValueCols.map { case (n, c) => c.as(n) } :+
+        concat(lineageExprs: _*).as(LineageCol)
+    val keepExprs = extraKeep.map { case (b, o) => col(b).as(o) }
+    val out = df.select(outCols ++ keepExprs: _*)
+    Built(out, fields.map(_._1) ++ childValueCols.map(_._1))
+  }
+
+  /** Non-through child (`querybuilder.py:843-997`): aggregate (one_to_many)
+    * or project (one_to_one) the child, keyed by its FK columns.
+    */
+  private def buildDirectChild(
+      child: Node,
+      spec: JoinSpec,
+      load: String => DataFrame,
+      catalog: Catalog,
+      idx: Int
+  ): ChildPlan = {
+    val keyNames = spec.childColumns.indices.map(i => s"__k${idx}_$i")
+    val built =
+      buildNode(child, load, catalog, extraKeep = spec.childColumns.zip(keyNames))
+    finishChild(child, built, keyNames, spec.parentColumns, s"__lineage_c$idx")
+  }
+
+  /** Through child (`querybuilder.py:584-841`): join child to the through
+    * table on the child leg, aggregate grouped by the through table's
+    * parent-side FK columns; through-table PKs join the lineage
+    * (`querybuilder.py:764-783`).
+    */
+  private def buildThroughChild(
+      child: Node,
+      through: String,
+      parentLeg: JoinSpec,
+      childLeg: JoinSpec,
+      load: String => DataFrame,
+      catalog: Catalog,
+      idx: Int
+  ): ChildPlan = {
+    val cNames = childLeg.childColumns.indices.map(i => s"__c${idx}_$i")
+    val built =
+      buildNode(child, load, catalog, extraKeep = childLeg.childColumns.zip(cNames))
+
+    val throughPks = catalog.primaryKeys(through)
+    val keyNames = parentLeg.childColumns.indices.map(i => s"__k${idx}_$i")
+    val keyExprs = parentLeg.childColumns.zip(keyNames).map { case (b, o) => col(b).as(o) }
+    val passCols = (childLeg.parentColumns ++ throughPks).distinct
+    val t = load(through).select(keyExprs ++ passCols.map(col): _*)
+
+    val throughLineage = array(throughPks.map { p =>
+      struct(
+        lit(through).as("table"),
+        lit(p).as("pk"),
+        col(p).cast(StringType).as("value")
+      )
+    }: _*)
+
+    val joined = t
+      .join(
+        built.df,
+        childLeg.parentColumns.zip(cNames).map { case (a, b) => t(a) === built.df(b) }
+          .reduce(_ && _)
+      )
+      .withColumn("__through_lineage", throughLineage)
+
+    finishChild(
+      child,
+      Built(joined, built.fieldNames),
+      keyNames,
+      parentLeg.parentColumns,
+      s"__lineage_c$idx",
+      extraLineage = Some(col("__through_lineage"))
+    )
+  }
+
+  /** Shared tail: shape the child value per (type, variant) and aggregate
+    * one_to_many groups. Output frame holds ONLY keys + label + lineage, so
+    * self-referencing joins cannot collide on column names.
+    */
+  private def finishChild(
+      child: Node,
+      built: Built,
+      keyNames: Seq[String],
+      parentCols: Seq[String],
+      lineageName: String,
+      extraLineage: Option[Column] = None
+  ): ChildPlan = {
+    val rel = child.relationship.get
+    val docValue: Column = rel.variant match {
+      case Variant.Scalar =>
+        // scalar variant: bare value of the (single) configured column
+        // (querybuilder.py:936-961 scalar branch).
+        col(
+          built.fieldNames.headOption.getOrElse(
+            throw SchemaError(s"scalar variant requires a column on '${child.table}'")
+          )
+        )
+      case Variant.Object =>
+        struct(built.fieldNames.map(col): _*)
+    }
+    val rowLineage = extraLineage match {
+      case Some(extra) => concat(col(LineageCol), extra)
+      case None        => col(LineageCol)
+    }
+
+    rel.relType match {
+      case RelType.OneToOne =>
+        val out = built.df.select(
+          keyNames.map(col) ++ Seq(docValue.as(child.label), rowLineage.as(lineageName)): _*
+        )
+        ChildPlan(out, keyNames, parentCols, child.label, lineageName, isMany = false)
+      case RelType.OneToMany =>
+        val out = built.df
+          .groupBy(keyNames.map(col): _*)
+          .agg(
+            sort_array(collect_list(docValue)).as(child.label),
+            flatten(collect_list(rowLineage)).as(lineageName)
+          )
+        ChildPlan(out, keyNames, parentCols, child.label, lineageName, isMany = true)
+    }
+  }
+
+  /** Node-level transforms as column rewrites: replace → rename → concat
+    * (`pgsync/transform.py:211-216`; order documented in reference
+    * README.md:249). No UDFs — `regexp_replace` / alias change / `concat_ws`.
+    */
+  private[graft] def applyTransforms(
+      t: TransformSpec,
+      fields: Seq[(String, Column)]
+  ): Seq[(String, Column)] = {
+    if (t.isEmpty) return fields
+    // replace: substring find/replace per field (transform.py:114-209).
+    var out = fields.map { case (n, c) =>
+      t.replace.get(n) match {
+        case Some(subs) =>
+          val replaced = subs.foldLeft(c) { case (cc, (from, to)) =>
+            regexp_replace(
+              cc,
+              java.util.regex.Pattern.quote(from),
+              java.util.regex.Matcher.quoteReplacement(to)
+            )
+          }
+          n -> replaced
+        case None => n -> c
+      }
+    }
+    // rename (transform.py:18-64).
+    out = out.map { case (n, c) => t.rename.getOrElse(n, n) -> c }
+    // concat: destination = delimiter-join; missing keys keep the literal
+    // name, nulls dropped by concat_ws (transform.py:66-112).
+    t.concat.foreach { spec =>
+      val parts = spec.columns.map { cn =>
+        out.find(_._1 == cn).map(_._2.cast(StringType)).getOrElse(lit(cn))
+      }
+      out = out :+ (spec.destination -> concat_ws(spec.delimiter, parts: _*))
+    }
+    out
+  }
+
+  /** `_meta` squash (`pgsync/transform.py:230-288`): flatten the lineage
+    * array into {table → {pk → sorted distinct values}} using only
+    * higher-order expressions — per-row, no extra shuffle, no UDF.
+    */
+  private[graft] def squashMeta(lineage: Column): Column = {
+    val tables = array_distinct(transform(lineage, x => x("table")))
+    map_from_entries(
+      transform(
+        tables,
+        t => {
+          val forTable = filter(lineage, x => x("table") === t)
+          val pks = array_distinct(transform(forTable, x => x("pk")))
+          struct(
+            t,
+            map_from_entries(
+              transform(
+                pks,
+                p =>
+                  struct(
+                    p,
+                    sort_array(
+                      array_distinct(
+                        transform(filter(forTable, x => x("pk") === p), x => x("value"))
+                      )
+                    )
+                  )
+              )
+            )
+          )
+        }
+      )
+    )
+  }
+}

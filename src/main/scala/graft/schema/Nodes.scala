@@ -1,0 +1,260 @@
+package graft.schema
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.jdk.CollectionConverters._
+
+/** The user-facing schema tree: a root table plus related tables, each with
+  * columns, a label, a relationship, and optional transforms. This is the
+  * same declarative surface as the reference's schema JSON
+  * (`pgsync/node.py:128-356` Node dataclass, `node.py:359-451` Tree.build;
+  * legal attributes `pgsync/constants.py:34-52`), re-expressed as a Scala ADT
+  * and compiled — by [[graft.assemble.DocAssembler]] — into a single
+  * DataFrame plan instead of a SQLAlchemy expression tree.
+  */
+
+sealed trait RelType
+object RelType {
+  case object OneToOne extends RelType
+  case object OneToMany extends RelType
+  def parse(s: String): RelType = s.toLowerCase match {
+    case "one_to_one"  => OneToOne
+    case "one_to_many" => OneToMany
+    case other         => throw SchemaError(s"Relationship type invalid: '$other'")
+  }
+}
+
+sealed trait Variant
+object Variant {
+  case object Scalar extends Variant
+  case object Object extends Variant
+  def parse(s: String): Variant = s.toLowerCase match {
+    case "scalar" => Scalar
+    case "object" => Object
+    case other    => throw SchemaError(s"Relationship variant invalid: '$other'")
+  }
+}
+
+final case class ForeignKeyHint(parent: Seq[String], child: Seq[String])
+
+/** `type ∈ {one_to_one, one_to_many}`, `variant ∈ {scalar, object}`, at most
+  * one through table (`pgsync/node.py:108-111`), optional explicit FK hint
+  * (`pgsync/node.py:79-124`).
+  */
+final case class Relationship(
+    relType: RelType,
+    variant: Variant = Variant.Object,
+    throughTables: Seq[String] = Nil,
+    foreignKey: Option[ForeignKeyHint] = None
+) {
+  if (throughTables.length > 1)
+    throw SchemaError(s"Multiple through tables: $throughTables")
+}
+
+/** One `concat` spec: new field = delimiter-join of column values
+  * (`pgsync/transform.py:66-112`).
+  */
+final case class ConcatSpec(
+    columns: Seq[String],
+    destination: String,
+    delimiter: String = ""
+)
+
+/** Node-level transforms, applied root-down after assembly in the order
+  * replace → rename → concat (`pgsync/transform.py:211-216`).
+  * `mapping` only contributes to the search-index bootstrap, never to data.
+  * `move` is declared-but-unimplemented in the reference
+  * (`pgsync/constants.py:166,173`; no handler in transform.py) — we reject it
+  * loudly rather than silently ignore.
+  */
+final case class TransformSpec(
+    rename: Map[String, String] = Map.empty,
+    concat: Seq[ConcatSpec] = Nil,
+    replace: Map[String, Map[String, String]] = Map.empty,
+    mapping: Map[String, String] = Map.empty
+) {
+  def isEmpty: Boolean = rename.isEmpty && concat.isEmpty && replace.isEmpty
+}
+
+/** A column reference, possibly with JSON-path extraction operators
+  * (`->`, `->>`, `#>`, `#>>` — `pgsync/constants.py:75-80`, parsed at
+  * `pgsync/node.py:200-303`). `"doc#>{a,b,c}->4"` projects `doc.a.b.c[4]`
+  * with the synthesized alias `doc_a_b_c_4` (alias synthesis
+  * `node.py:286-295`). We translate the path once at compile time into a
+  * `get_json_object` JSONPath — the same strategy the reference uses for its
+  * MySQL dialect (`node.py:208-275`) — so execution is a single codegen'd
+  * expression.
+  */
+final case class ColumnRef(raw: String) {
+  private val opSplit = "(->>|->|#>>|#>)".r
+
+  /** (base column, path steps); steps are raw strings — numeric = array idx. */
+  val (base: String, steps: Seq[String]) = {
+    val tokens = opSplit.split(raw).map(_.trim).filter(_.nonEmpty)
+    if (tokens.length <= 1) (raw.trim, Nil)
+    else {
+      val b = tokens.head
+      val st = tokens.tail.toSeq.flatMap { t =>
+        if (t.startsWith("{") && t.endsWith("}"))
+          t.substring(1, t.length - 1).split(",").map(_.trim).toSeq
+        else Seq(t.stripPrefix("'").stripSuffix("'"))
+      }
+      (b, st)
+    }
+  }
+
+  def hasPath: Boolean = steps.nonEmpty
+
+  /** JSONPath for Spark's `get_json_object`, e.g. `$.a.b[4]`. */
+  def jsonPath: String =
+    "$" + steps.map { s =>
+      if (s.forall(_.isDigit)) s"[$s]" else s".$s"
+    }.mkString
+
+  /** Output alias: `doc_a_b_4` for `doc->a->b->4` (node.py:286-295). */
+  def alias: String =
+    if (!hasPath) base else (base +: steps).mkString("_")
+}
+
+/** One node of the schema tree. `label` defaults to the table name
+  * (`pgsync/node.py:166-170`); `columns` empty ⇒ all columns
+  * (`node.py:141-162`).
+  */
+final case class Node(
+    table: String,
+    label: String,
+    columns: Seq[ColumnRef],
+    relationship: Option[Relationship],
+    transform: TransformSpec,
+    children: Seq[Node],
+    primaryKeyOverride: Seq[String] = Nil
+) {
+  def isRoot: Boolean = relationship.isEmpty
+
+  /** Post-order traversal (children before parents), the compile order used
+    * by the reference (`pgsync/node.py:345-356`).
+    */
+  def postOrder: Seq[Node] = children.flatMap(_.postOrder) :+ this
+}
+
+final case class SchemaError(msg: String) extends RuntimeException(msg)
+
+/** Top-level schema document: `database`, `index`, `nodes`, plus passthrough
+  * search-index settings (`pgsync/sync.py:114-121`).
+  */
+final case class SchemaDef(
+    database: String,
+    index: String,
+    root: Node,
+    routing: Option[String] = None,
+    pipeline: Option[String] = None
+)
+
+object SchemaDef {
+  private val mapper = new ObjectMapper()
+
+  private val legalNodeKeys = Set(
+    "table", "schema", "label", "columns", "children", "relationship",
+    "transform", "primary_key", "base_tables"
+  )
+
+  def parse(json: String): SchemaDef = {
+    val n = mapper.readTree(json)
+    SchemaDef(
+      database = opt(n, "database").getOrElse(""),
+      index = opt(n, "index").getOrElse(""),
+      root = parseNode(n.get("nodes"), isRoot = true),
+      routing = opt(n, "routing"),
+      pipeline = opt(n, "pipeline")
+    )
+  }
+
+  /** Parse just a node tree (no database/index wrapper). */
+  def parseNodes(json: String): Node =
+    parseNode(mapper.readTree(json), isRoot = true)
+
+  private def opt(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+
+  private def parseNode(n: JsonNode, isRoot: Boolean): Node = {
+    if (n == null) throw SchemaError("missing 'nodes'")
+    n.fieldNames.asScala.foreach { k =>
+      if (!legalNodeKeys.contains(k))
+        throw SchemaError(s"Node attribute '$k' is invalid") // node.py:307-314
+    }
+    val table =
+      opt(n, "table").getOrElse(throw SchemaError("node missing 'table'"))
+    val rel = Option(n.get("relationship")).map(parseRel)
+    if (!isRoot && rel.isEmpty)
+      throw SchemaError(s"Relationship missing for non-root node '$table'") // node.py:321-331
+    val cols = Option(n.get("columns")).toSeq
+      .flatMap(_.elements.asScala)
+      .map(c => ColumnRef(c.asText))
+    val children = Option(n.get("children")).toSeq
+      .flatMap(_.elements.asScala)
+      .map(c => parseNode(c, isRoot = false))
+    val pkOverride = Option(n.get("primary_key")).toSeq
+      .flatMap(_.elements.asScala)
+      .map(_.asText)
+    Node(
+      table = table,
+      label = opt(n, "label").getOrElse(table),
+      columns = cols,
+      relationship = rel,
+      transform = Option(n.get("transform")).map(parseTransform).getOrElse(TransformSpec()),
+      children = children,
+      primaryKeyOverride = pkOverride
+    )
+  }
+
+  private def parseRel(n: JsonNode): Relationship = {
+    n.fieldNames.asScala.foreach { k =>
+      if (!Set("type", "variant", "through_tables", "foreign_key").contains(k))
+        throw SchemaError(s"Relationship attribute '$k' is invalid") // node.py:84-93
+    }
+    Relationship(
+      relType = RelType.parse(
+        opt(n, "type").getOrElse(throw SchemaError("relationship missing 'type'"))
+      ),
+      variant = opt(n, "variant").map(Variant.parse).getOrElse(Variant.Object),
+      throughTables = Option(n.get("through_tables")).toSeq
+        .flatMap(_.elements.asScala)
+        .map(_.asText),
+      foreignKey = Option(n.get("foreign_key")).map { fk =>
+        ForeignKeyHint(
+          parent = Option(fk.get("parent")).toSeq.flatMap(_.elements.asScala).map(_.asText),
+          child = Option(fk.get("child")).toSeq.flatMap(_.elements.asScala).map(_.asText)
+        )
+      }
+    )
+  }
+
+  private def parseTransform(n: JsonNode): TransformSpec = {
+    if (n.has("move"))
+      throw SchemaError("transform 'move' is declared but unimplemented in the reference; unsupported")
+    val rename = Option(n.get("rename")).map { r =>
+      r.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
+    val concat = Option(n.get("concat")).toSeq.flatMap { c =>
+      val specs = if (c.isArray) c.elements.asScala.toSeq else Seq(c)
+      specs.map { s =>
+        ConcatSpec(
+          columns = Option(s.get("columns")).toSeq.flatMap(_.elements.asScala).map(_.asText),
+          destination = opt(s, "destination").getOrElse(throw SchemaError("concat missing 'destination'")),
+          delimiter = opt(s, "delimiter").getOrElse("")
+        )
+      }
+    }
+    val replace = Option(n.get("replace")).map { r =>
+      r.properties.asScala.map { e =>
+        e.getKey -> e.getValue.properties.asScala
+          .map(p => p.getKey -> p.getValue.asText)
+          .toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, String]])
+    val mapping = Option(n.get("mapping")).map { m =>
+      m.properties.asScala.map(e => e.getKey -> e.getValue.toString).toMap
+    }.getOrElse(Map.empty[String, String])
+    TransformSpec(rename, concat, replace, mapping)
+  }
+}

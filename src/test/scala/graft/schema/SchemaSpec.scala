@@ -1,0 +1,113 @@
+package graft.schema
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema-tree parsing + validation, mirroring the reference's error cases
+  * (`pgsync/node.py:298-331`, `tests/test_node.py`).
+  */
+class SchemaSpec extends AnyFunSuite {
+
+  test("parses a nested tree with relationships") {
+    val root = SchemaDef.parseNodes(
+      """{
+        "table": "book", "columns": ["isbn", "title"],
+        "children": [
+          {"table": "publisher", "label": "pub", "columns": ["name"],
+           "relationship": {"type": "one_to_one", "variant": "object",
+                            "foreign_key": {"parent": ["publisher_id"], "child": ["id"]}}},
+          {"table": "author", "columns": ["name"],
+           "relationship": {"type": "one_to_many", "variant": "object",
+                            "through_tables": ["book_author"]}}
+        ]}"""
+    )
+    assert(root.table == "book")
+    assert(root.isRoot)
+    assert(root.children.map(_.label) == Seq("pub", "author"))
+    val pub = root.children.head
+    assert(pub.relationship.get.relType == RelType.OneToOne)
+    assert(pub.relationship.get.foreignKey.get == ForeignKeyHint(Seq("publisher_id"), Seq("id")))
+    val author = root.children(1)
+    assert(author.relationship.get.relType == RelType.OneToMany)
+    assert(author.relationship.get.throughTables == Seq("book_author"))
+    assert(root.postOrder.map(_.table) == Seq("publisher", "author", "book"))
+  }
+
+  test("non-root node without relationship is rejected (node.py:321-331)") {
+    val e = intercept[SchemaError] {
+      SchemaDef.parseNodes(
+        """{"table": "a", "children": [{"table": "b"}]}"""
+      )
+    }
+    assert(e.msg.contains("Relationship missing"))
+  }
+
+  test("unknown node attribute is rejected (node.py:307-314)") {
+    val e = intercept[SchemaError] {
+      SchemaDef.parseNodes("""{"table": "a", "bogus": 1}""")
+    }
+    assert(e.msg.contains("invalid"))
+  }
+
+  test("more than one through table is rejected (node.py:108-111)") {
+    val e = intercept[SchemaError] {
+      SchemaDef.parseNodes(
+        """{"table": "a", "children": [
+             {"table": "b", "relationship":
+               {"type": "one_to_many", "through_tables": ["x", "y"]}}]}"""
+      )
+    }
+    assert(e.msg.contains("through"))
+  }
+
+  test("invalid relationship type/variant rejected (node.py:79-124)") {
+    intercept[SchemaError] {
+      SchemaDef.parseNodes(
+        """{"table": "a", "children": [
+             {"table": "b", "relationship": {"type": "many_to_many"}}]}"""
+      )
+    }
+    intercept[SchemaError] {
+      SchemaDef.parseNodes(
+        """{"table": "a", "children": [
+             {"table": "b", "relationship": {"type": "one_to_one", "variant": "weird"}}]}"""
+      )
+    }
+  }
+
+  test("transform move is rejected as unimplemented (constants.py:166,173)") {
+    val e = intercept[SchemaError] {
+      SchemaDef.parseNodes(
+        """{"table": "a", "transform": {"move": {"x": "y"}}}"""
+      )
+    }
+    assert(e.msg.contains("move"))
+  }
+
+  test("JSON path column refs parse PG operators (node.py:200-303)") {
+    assert(ColumnRef("plain").base == "plain")
+    assert(!ColumnRef("plain").hasPath)
+
+    val c1 = ColumnRef("doc->firstname")
+    assert(c1.base == "doc" && c1.jsonPath == "$.firstname" && c1.alias == "doc_firstname")
+
+    val c2 = ColumnRef("doc#>{a,b,c}->4")
+    assert(c2.base == "doc")
+    assert(c2.jsonPath == "$.a.b.c[4]")
+    assert(c2.alias == "doc_a_b_c_4")
+
+    val c3 = ColumnRef("doc->>x")
+    assert(c3.jsonPath == "$.x")
+
+    val c4 = ColumnRef("doc->x->0->y")
+    assert(c4.jsonPath == "$.x[0].y")
+  }
+
+  test("full schema document parses database/index wrapper (sync.py:114-121)") {
+    val d = SchemaDef.parse(
+      """{"database": "db", "index": "idx", "routing": "r",
+         "nodes": {"table": "t"}}"""
+    )
+    assert(d.database == "db" && d.index == "idx" && d.routing.contains("r"))
+    assert(d.root.table == "t")
+  }
+}
