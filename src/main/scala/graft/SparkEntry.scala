@@ -2,6 +2,7 @@ package graft
 
 import graft.assemble.DocAssembler
 import graft.catalog.Catalog
+import graft.cdc.{IncrementalEngine, Lineage}
 import graft.schema.SchemaDef
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -120,6 +121,39 @@ object SparkEntry {
     "q_transform" -> ((s, dir) =>
       assembled(s, dir, Fixtures.transforms)
         .select(col("_id"), col("order_id"), col("o_orderstatus"), col("order_tag"))),
+    // ---- CDC: root-table changes → recompute-and-diff ops (C1-C3, J5/C6) ---
+    "q_cdc_root" -> ((s, dir) => {
+      val load = loader(s, dir)
+      val n = load("orders").agg(count(lit(1)).as("__n"))
+      val key = pmod(col("event_id") * 7, col("__n") * 2)
+      val payload = to_json(struct(key.as("o_orderkey")))
+      val changes = load("events")
+        .crossJoin(n)
+        .select(
+          when(col("event_type") === "error", lit("DELETE")).otherwise(lit("INSERT")).as("tg_op"),
+          lit("orders").as("tbl"),
+          when(col("event_type") === "error", payload).as("old"),
+          when(col("event_type") =!= "error", payload).as("new"),
+          col("event_id").as("txid")
+        )
+      new IncrementalEngine(SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
+        .process(changes, Lineage.empty(s))
+    }),
+    // ---- CDC: child changes → FK walk-up to affected roots (sync.py:1054-1167)
+    "q_cdc_child" -> ((s, dir) => {
+      val load = loader(s, dir)
+      val changes = load("lineitem")
+        .filter(pmod(col("l_partkey"), lit(50)) === 0)
+        .select(
+          lit("UPDATE").as("tg_op"),
+          lit("lineitem").as("tbl"),
+          lit(null).cast("string").as("old"),
+          to_json(struct(col("l_orderkey"), col("l_linenumber"))).as("new"),
+          col("l_orderkey").as("txid")
+        )
+      new IncrementalEngine(SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
+        .process(changes, Lineage.empty(s))
+    }),
     // ---- dedup: exact (hash groupBy) ---------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       loader(s, dir)("documents")
@@ -236,6 +270,63 @@ object SparkEntry {
                 replace(o_orderstatus, 'O', 'X') AS o_orderstatus,
                 CAST(o_orderkey AS VARCHAR) || '-' || replace(o_orderstatus, 'O', 'X') AS order_tag
          FROM orders""",
+    "q_cdc_root" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders),
+         keys AS (SELECT DISTINCT (event_id * 7) % (2 * (SELECT c FROM n)) AS key FROM events),
+         li AS (
+           SELECT l_orderkey,
+                  list(json_object('l_linenumber', l_linenumber, 'l_quantity', l_quantity,
+                                   'l_extendedprice', l_extendedprice, 'l_returnflag', l_returnflag)
+                       ORDER BY l_linenumber, l_quantity, l_extendedprice, l_returnflag) AS items,
+                  list(DISTINCT CAST(l_linenumber AS VARCHAR) ORDER BY CAST(l_linenumber AS VARCHAR)) AS lns
+           FROM lineitem GROUP BY l_orderkey),
+         docs AS (
+           SELECT o.o_orderkey,
+                  CAST(o.o_orderkey AS VARCHAR) AS _id,
+                  CAST(json_object('o_orderkey', o.o_orderkey, 'o_custkey', o.o_custkey,
+                              'o_orderstatus', o.o_orderstatus, 'o_totalprice', o.o_totalprice,
+                              'lineitems', COALESCE(to_json(li.items), '[]'::JSON),
+                              'customer', json_object('c_name', c.c_name, 'c_mktsegment', c.c_mktsegment),
+                              '_meta', CASE WHEN li.lns IS NULL THEN
+                                json_object('orders', json_object('o_orderkey', [CAST(o.o_orderkey AS VARCHAR)]),
+                                            'customer', json_object('c_custkey', [CAST(c.c_custkey AS VARCHAR)]))
+                              ELSE
+                                json_object('orders', json_object('o_orderkey', [CAST(o.o_orderkey AS VARCHAR)]),
+                                            'lineitem', json_object('l_orderkey', [CAST(o.o_orderkey AS VARCHAR)],
+                                                                    'l_linenumber', li.lns),
+                                            'customer', json_object('c_custkey', [CAST(c.c_custkey AS VARCHAR)]))
+                              END) AS VARCHAR) AS doc
+           FROM orders o
+           LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+         SELECT CASE WHEN d._id IS NULL THEN 'delete' ELSE 'index' END AS op,
+                CAST(keys.key AS VARCHAR) AS _id,
+                d.doc
+         FROM keys LEFT JOIN docs d ON d.o_orderkey = keys.key""",
+    "q_cdc_child" ->
+      """WITH affected AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey % 50 = 0),
+         li AS (
+           SELECT l_orderkey,
+                  list(json_object('l_linenumber', l_linenumber, 'l_quantity', l_quantity,
+                                   'l_extendedprice', l_extendedprice, 'l_returnflag', l_returnflag)
+                       ORDER BY l_linenumber, l_quantity, l_extendedprice, l_returnflag) AS items,
+                  list(DISTINCT CAST(l_linenumber AS VARCHAR) ORDER BY CAST(l_linenumber AS VARCHAR)) AS lns
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT 'index' AS op,
+                CAST(o.o_orderkey AS VARCHAR) AS _id,
+                CAST(json_object('o_orderkey', o.o_orderkey, 'o_custkey', o.o_custkey,
+                            'o_orderstatus', o.o_orderstatus, 'o_totalprice', o.o_totalprice,
+                            'lineitems', COALESCE(to_json(li.items), '[]'::JSON),
+                            'customer', json_object('c_name', c.c_name, 'c_mktsegment', c.c_mktsegment),
+                            '_meta', json_object('orders', json_object('o_orderkey', [CAST(o.o_orderkey AS VARCHAR)]),
+                                                 'lineitem', json_object('l_orderkey', [CAST(o.o_orderkey AS VARCHAR)],
+                                                                         'l_linenumber', li.lns),
+                                                 'customer', json_object('c_custkey', [CAST(c.c_custkey AS VARCHAR)]))
+                            ) AS VARCHAR) AS doc
+         FROM affected a
+         JOIN orders o ON o.o_orderkey = a.l_orderkey
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN li ON li.l_orderkey = o.o_orderkey""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text)""",

@@ -1,0 +1,219 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.assemble.DocAssembler
+import graft.catalog.{Catalog, ForeignKey, TableMeta}
+import graft.schema.SchemaDef
+import graft.sinks.MaterializedIndex
+import graft.streaming.StreamSync
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incremental-maintenance semantics, mirroring the reference's op-handler
+  * suite (`tests/test_sync.py`, `tests/test_sync_nested_children.py`): after
+  * any change batch, the materialized index must equal a fresh full
+  * re-assembly of the current source state, and deletes/PK-changes must
+  * remove old `_id`s (`pgsync/sync.py:1194-1225, 1254-1343`).
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cat = Catalog(
+    Map(
+      "book" -> TableMeta("book", Seq("id")),
+      "author" -> TableMeta("author", Seq("id")),
+      "book_author" -> TableMeta(
+        "book_author", Seq("id"),
+        Seq(
+          ForeignKey("book_author", Seq("book_id"), "book", Seq("id")),
+          ForeignKey("book_author", Seq("author_id"), "author", Seq("id"))
+        )
+      )
+    )
+  )
+
+  private val schema = SchemaDef.parseNodes(
+    """{"table": "book", "columns": ["id", "title"],
+        "children": [{"table": "author", "label": "authors", "columns": ["name"],
+          "relationship": {"type": "one_to_many", "variant": "object",
+                           "through_tables": ["book_author"]}}]}"""
+  )
+
+  // mutable source state: the "database"
+  private var tables: Map[String, DataFrame] = _
+
+  private def load(t: String): DataFrame = tables(t)
+
+  private def reset(): Unit =
+    tables = Map(
+      "book" -> Seq((1L, "T1"), (2L, "T2")).toDF("id", "title"),
+      "author" -> Seq((100L, "A1"), (200L, "A2")).toDF("id", "name"),
+      "book_author" -> Seq((1000L, 1L, 100L), (1001L, 1L, 200L)).toDF("id", "book_id", "author_id")
+    )
+
+  private def newSync(): (StreamSync, MaterializedIndex) = {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val state = new MaterializedIndex(spark, dir)
+    val sync = new StreamSync(schema, cat, load, state)
+    sync.snapshot()
+    (sync, state)
+  }
+
+  private def indexAsMap(state: MaterializedIndex): Map[String, String] =
+    state.docs.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def fullRecompute(): Map[String, String] = {
+    val structured = DocAssembler.assemble(schema, load, cat)
+    val payload = structured.columns.filterNot(_ == "_id").map(col)
+    structured
+      .select(col("_id"), to_json(struct(payload: _*)).as("doc"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+  }
+
+  private def ch(op: String, t: String, oldJ: String, newJ: String, tx: Long = 1L): DataFrame =
+    Changes.of(spark, Seq((op, t, oldJ, newJ, tx)))
+
+  test("snapshot materializes docs + lineage") {
+    reset()
+    val (_, state) = newSync()
+    val docs = indexAsMap(state)
+    assert(docs.keySet == Set("1", "2"))
+    assert(docs("1").contains("\"authors\":[{\"name\":\"A1\"},{\"name\":\"A2\"}]"))
+    assert(docs("2").contains("\"authors\":[]"))
+    val lin = state.lineage.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(lin.contains(("1", "author", "id", "100")))
+    assert(lin.contains(("1", "book_author", "id", "1001")))
+  }
+
+  test("INSERT of through+child rows updates the affected root only") {
+    reset()
+    val (sync, state) = newSync()
+    // the DB gains: author 200 linked to book 2
+    tables += "book_author" ->
+      Seq((1000L, 1L, 100L), (1001L, 1L, 200L), (1002L, 2L, 200L)).toDF("id", "book_id", "author_id")
+    sync.applyBatch(
+      ch(Changes.Insert, "book_author", null, """{"id": 1002, "book_id": 2, "author_id": 200}""")
+    )
+    val docs = indexAsMap(state)
+    assert(docs("2").contains("\"authors\":[{\"name\":\"A2\"}]"))
+    assert(docs == fullRecompute())
+  }
+
+  test("root DELETE removes the doc (sync.py:1254-1306)") {
+    reset()
+    val (sync, state) = newSync()
+    tables += "book" -> Seq((2L, "T2")).toDF("id", "title")
+    sync.applyBatch(ch(Changes.Delete, "book", """{"id": 1, "title": "T1"}""", null))
+    val docs = indexAsMap(state)
+    assert(docs.keySet == Set("2"))
+    assert(docs == fullRecompute())
+  }
+
+  test("root PK-change UPDATE deletes old _id and indexes new (sync.py:1194-1225)") {
+    reset()
+    val (sync, state) = newSync()
+    tables += "book" -> Seq((5L, "T1"), (2L, "T2")).toDF("id", "title")
+    // book_author still points at book 1 → book 5 has no authors
+    sync.applyBatch(
+      ch(Changes.Update, "book", """{"id": 1, "title": "T1"}""", """{"id": 5, "title": "T1"}""")
+    )
+    val docs = indexAsMap(state)
+    assert(docs.keySet == Set("5", "2"))
+    assert(docs == fullRecompute())
+  }
+
+  test("child UPDATE resolves roots through lineage (replaces ES _meta search, sync.py:835-1052)") {
+    reset()
+    val (sync, state) = newSync()
+    tables += "author" -> Seq((100L, "A1x"), (200L, "A2")).toDF("id", "name")
+    sync.applyBatch(
+      ch(Changes.Update, "author", """{"id": 100, "name": "A1"}""", """{"id": 100, "name": "A1x"}""")
+    )
+    val docs = indexAsMap(state)
+    assert(docs("1").contains("A1x"))
+    assert(docs == fullRecompute())
+  }
+
+  test("child FK-change UPDATE re-assembles both old and new roots") {
+    reset()
+    val (sync, state) = newSync()
+    // link 1001 moves from book 1 to book 2
+    tables += "book_author" ->
+      Seq((1000L, 1L, 100L), (1001L, 2L, 200L)).toDF("id", "book_id", "author_id")
+    sync.applyBatch(
+      ch(
+        Changes.Update,
+        "book_author",
+        """{"id": 1001, "book_id": 1, "author_id": 200}""",
+        """{"id": 1001, "book_id": 2, "author_id": 200}"""
+      )
+    )
+    val docs = indexAsMap(state)
+    assert(docs("1").contains("\"authors\":[{\"name\":\"A1\"}]"))
+    assert(docs("2").contains("\"authors\":[{\"name\":\"A2\"}]"))
+    assert(docs == fullRecompute())
+  }
+
+  test("TRUNCATE of child table clears nested arrays everywhere (sync.py:1308-1343)") {
+    reset()
+    val (sync, state) = newSync()
+    tables += "book_author" ->
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tables("book_author").schema
+      )
+    sync.applyBatch(ch(Changes.Truncate, "book_author", null, null))
+    val docs = indexAsMap(state)
+    assert(docs("1").contains("\"authors\":[]"))
+    assert(docs == fullRecompute())
+  }
+
+  test("random change sequences: incremental == full recompute (idempotence invariant)") {
+    reset()
+    val (sync, state) = newSync()
+    val rnd = new scala.util.Random(42)
+    var nextBookId = 10L
+    var nextLinkId = 2000L
+    for (step <- 1 to 5) {
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String, Long)]
+      // randomly insert a book
+      if (rnd.nextBoolean()) {
+        val id = nextBookId; nextBookId += 1
+        val cur = tables("book").collect().map(r => (r.getLong(0), r.getString(1)))
+        tables += "book" -> (cur :+ (id, s"T$id")).toSeq.toDF("id", "title")
+        batch += ((Changes.Insert, "book", null, s"""{"id": $id, "title": "T$id"}""", step.toLong))
+      }
+      // randomly link a random author to a random book
+      if (rnd.nextBoolean()) {
+        val books = tables("book").collect().map(_.getLong(0))
+        if (books.nonEmpty) {
+          val b = books(rnd.nextInt(books.length))
+          val a = if (rnd.nextBoolean()) 100L else 200L
+          val id = nextLinkId; nextLinkId += 1
+          val cur = tables("book_author").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          tables += "book_author" -> (cur :+ (id, b, a)).toSeq.toDF("id", "book_id", "author_id")
+          batch += ((Changes.Insert, "book_author", null,
+            s"""{"id": $id, "book_id": $b, "author_id": $a}""", step.toLong))
+        }
+      }
+      // randomly delete a book
+      if (rnd.nextInt(3) == 0) {
+        val books = tables("book").collect().map(_.getLong(0))
+        if (books.length > 1) {
+          val b = books(rnd.nextInt(books.length))
+          val cur = tables("book").collect().map(r => (r.getLong(0), r.getString(1)))
+          tables += "book" -> cur.filterNot(_._1 == b).toSeq.toDF("id", "title")
+          batch += ((Changes.Delete, "book", s"""{"id": $b, "title": "x"}""", null, step.toLong))
+        }
+      }
+      if (batch.nonEmpty) {
+        sync.applyBatch(Changes.of(spark, batch.toSeq))
+        assert(indexAsMap(state) == fullRecompute(), s"divergence at step $step")
+      }
+    }
+  }
+}
