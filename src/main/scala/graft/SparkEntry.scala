@@ -1,8 +1,12 @@
 package graft
 
+import graft.ann.Ann
 import graft.assemble.DocAssembler
 import graft.catalog.Catalog
 import graft.cdc.{IncrementalEngine, Lineage}
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => TF}
+import graft.multimodal.Multimodal
 import graft.schema.SchemaDef
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -171,12 +175,50 @@ object SparkEntry {
         .filter(length(col("text")) > 0)
         .select(
           col("doc_id"),
-          round(lit(100.0) * length(col("text")) / size(split(trim(col("text")), "\\s+")))
-            .cast("long").as("mean_wlen_c"),
-          round(
-            lit(1000.0) * (length(col("text")) - length(translate(col("text"), " ", ""))) /
-              length(col("text"))
-          ).cast("long").as("space_ratio_c")
+          TF.meanWordLenC(col("text")).as("mean_wlen_c"),
+          TF.spaceRatioC(col("text")).as("space_ratio_c")
+        )),
+    // ---- text analysis: language-ID + fingerprint --------------------------
+    "q_text_langid" -> ((s, dir) =>
+      loader(s, dir)("documents")
+        .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))),
+    "q_fingerprint" -> ((s, dir) =>
+      loader(s, dir)("documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fpr"))),
+    // ---- dedup: MinHash+LSH / SimHash (self-verified; no SQL oracle) -------
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.3)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(loader(s, dir)("documents"), "doc_id", "text", maxHamming = 8)),
+    // ---- dedup: exact n-gram Jaccard via inverted index --------------------
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.2)),
+    // ---- dedup: embedding cosine (exact pair scan, oracle-checked) ---------
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingCosineExact(loader(s, dir)("embeddings"), "vec_id", "embedding", 0.4)),
+    // ---- similarity search: brute-force top-k + IVF scale path -------------
+    "q_ann_topk" -> ((s, dir) => {
+      val e = loader(s, dir)("embeddings")
+      Ann.bruteForceTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = loader(s, dir)("embeddings")
+      Ann.ivfTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
+    }),
+    // ---- multimodal: binary columns + per-partition stub decode ------------
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal
+        .extractFeatures(
+          Multimodal.mediaFromDocuments(loader(s, dir)("documents"), "doc_id", "text"))
+        .toDF()
+        .select(
+          col("id"), col("kind"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("checksum"),
+          concat_ws(",", col("frames")).as("frames")
         ))
   )
 
@@ -337,6 +379,78 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(round(100.0 * length(text) / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS mean_wlen_c,
                 CAST(round(1000.0 * (length(text) - length(replace(text, ' ', ''))) / length(text)) AS BIGINT) AS space_ratio_c
-         FROM documents WHERE length(text) > 0"""
+         FROM documents WHERE length(text) > 0""",
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id,
+                 len(list_intersect(toks, ['the','a','and','of','to','in','is','it','you','that'])) AS s_en,
+                 len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','ich','zu'])) AS s_de,
+                 len(list_intersect(toks, ['le','la','les','et','un','une','est','je','de','pas'])) AS s_fr,
+                 len(list_intersect(toks, ['el','los','y','esta','una','es','que','no','por','como'])) AS s_es
+               FROM t)
+         SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+         FROM s""",
+    "q_fingerprint" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+                FROM t)
+         SELECT doc_id,
+                md5(array_to_string(list_sort(list_transform(shingles, x -> md5(x)))[1:8], '')) AS fpr
+         FROM sh""",
+    "q_dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+                FROM t WHERE len(toks) > 0),
+         sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         postings AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT i.id_a, i.id_b,
+                CAST(round(1000.0 * i.inter / (sa.n + sb.n - i.inter)) AS BIGINT) AS jaccard_milli
+         FROM inter i
+         JOIN sizes sa ON sa.doc_id = i.id_a
+         JOIN sizes sb ON sb.doc_id = i.id_b
+         WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.2""",
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                CAST(round(10000 * list_cosine_similarity(a.embedding, b.embedding)) AS BIGINT) AS cosine_e4
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+    "q_ann_topk" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(c.embedding, q.embedding) AS cos
+           FROM embeddings c
+           JOIN embeddings q ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    "q_multimodal" ->
+      """SELECT doc_id AS id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                CAST(strlen(text) % 640 AS BIGINT) AS width,
+                CAST(strlen(text) % 480 AS BIGINT) AS height,
+                CAST(list_sum(list_transform(string_split(substr(text, 1, 64), ''), x -> ord(x))) AS BIGINT) AS checksum,
+                array_to_string(list_transform(generate_series(0, 3), i -> (i * strlen(text)) // 4), ',') AS frames
+         FROM documents"""
   )
 }

@@ -1,0 +1,206 @@
+package graft.dedup
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora. Common design rules:
+  *
+  *   - never a pairwise cross join — candidates come from an inverted index
+  *     (shared shingle / LSH band / SimHash chunk), so cost is
+  *     O(candidate pairs), not O(n²);
+  *   - every map-side stage (shingling, hashing, signatures) is a pure
+  *     column expression inside whole-stage codegen;
+  *   - bucket-size caps guard against degenerate keys (boilerplate shingles)
+  *     skewing a single reducer — the dropped buckets are exactly the ones
+  *     that carry no discriminating signal;
+  *   - output is a canonical pair list (id_a < id_b) that downstream keeps /
+  *     connected-components logic can consume.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one shuffle on the 128-bit digest. At
+    * scale, prefer grouping on the digest (fixed 16 bytes) over raw text.
+    * Output: (h, keep_id = min id, n_dups).
+    */
+  def exact(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .groupBy(md5(col(text).cast("binary")).as("h"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Candidate pairs sharing an LSH key, capped per bucket. `keyed` must
+    * have columns (id, key); self-join per key with id_a < id_b.
+    */
+  private def bucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
+    val sized = keyed
+      .groupBy("key")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // pairs within a bucket, canonical order — explode twice stays linear in
+    // bucket size², bounded by maxBucket.
+    sized
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** MinHash + LSH near-duplicate detection (shingle → minhash → band →
+    * bucket-join → exact-Jaccard verify). `threshold` filters verified
+    * Jaccard similarity; k = bands × rowsPerBand.
+    * Output: (id_a, id_b, jaccard_milli).
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val sh = docs.select(
+      col(id).as("id"),
+      TF.wordShingles(col(text), shingleN).as("sh")
+    ).filter(size(col("sh")) > 0)
+    val sig = sh.select(
+      col("id"),
+      TF.lshBands(TF.minhashSignature(col("sh"), bands * rowsPerBand), bands, rowsPerBand)
+        .as("bands")
+    )
+    val keyed = sig.select(col("id"), posexplode(col("bands")))
+      .select(col("id"), concat_ws(":", col("pos"), col("col")).as("key"))
+    val candidates = bucketPairs(keyed, maxBucket)
+    // verify candidates with exact Jaccard over the shingle sets
+    val a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+    val b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard") * 1000).cast("long").as("jaccard_milli"))
+  }
+
+  /** SimHash near-dup: 64-bit signature, candidates share one of four
+    * 16-bit chunks (any pair within Hamming distance 3 must agree on ≥1
+    * chunk), verified by exact Hamming distance.
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhash(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val sig = docs.select(col(id).as("id"), TF.simhash64(col(text)).as("sig"))
+    val keyed = sig.select(
+      col("id"),
+      explode(array((0 until 4).map { c =>
+        concat_ws(":", lit(c), call_function("shiftright", col("sig"), lit(c * 16)).bitwiseAND(lit(0xffffL)))
+      }: _*)).as("key")
+    )
+    val candidates = bucketPairs(keyed, maxBucket)
+    val a = sig.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    val b = sig.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(col("id_a"), col("id_b"), TF.hamming64(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard via inverted index: explode shingles, self-join on
+    * the shingle, count shared per pair, derive |A∪B| from per-doc set
+    * sizes. No LSH approximation, no cross join.
+    * Output: (id_a, id_b, jaccard_milli).
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.2,
+      maxPostings: Int = 10000
+  ): DataFrame = {
+    val sh = docs
+      .select(col(id).as("id"), TF.wordShingles(col(text), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val postings = sh.select(col("id"), explode(col("sh")).as("s"))
+    // cap pathological postings lists (stopword-only shingles) — they
+    // contribute candidates, not signal, and skew one reducer
+    val rare = postings
+      .groupBy("s").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxPostings))
+    val inter = rare
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard") * 1000).cast("long").as("jaccard_milli"))
+  }
+
+  /** Embedding-cosine near-dup: random-hyperplane LSH buckets → exact cosine
+    * verify. `planes` controls bucket granularity (recall vs candidates).
+    * Output: (id_a, id_b, cosine_e4).
+    */
+  def embeddingCosine(
+      vecs: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      planes: Int = 8,
+      maxBucket: Int = 2000
+  ): DataFrame = {
+    val v = vecs.select(col(id).as("id"), col(vec).as("v"))
+    val keyed = v.select(
+      col("id"),
+      VF.packBits(VF.hyperplaneSignature(col("v"), planes)).cast("string").as("key")
+    )
+    val candidates = bucketPairs(keyed, maxBucket)
+    val a = v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a")
+    val b = v.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b")
+    candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(col("id_a"), col("id_b"), VF.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos") * 10000).cast("long").as("cosine_e4"))
+  }
+
+  /** Exhaustive pairwise cosine near-dup (no LSH) via a block-nested
+    * self-join — the exact oracle path; quadratic, use only for verification
+    * or small partitions.
+    */
+  def embeddingCosineExact(
+      vecs: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = vecs.select(col(id).as("id_a"), col(vec).as("v_a"))
+    val b = vecs.select(col(id).as("id_b"), col(vec).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), VF.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos") * 10000).cast("long").as("cosine_e4"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, all
+  * expressed as codegen-friendly column expressions (no UDFs): tokenization,
+  * shingling, MinHash signatures, SimHash, language-ID, quality ratios,
+  * document fingerprints.
+  *
+  * The reference has no text operators (pgsync delegates scalar compute to
+  * PostgreSQL — SURVEY.md §2.6); these extend the engine for the LLM-corpus
+  * use cases named in the north star. Everything here is derived from
+  * standard public techniques (MinHash/LSH per Broder '97; SimHash per
+  * Charikar '02) implemented directly on Spark SQL primitives.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (the "whitespace + BPE-ish regex" baseline). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles: `sliding(n)` over the token array,
+    * joined with single spaces. Pure higher-order expressions.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(t) - n, lit(0))),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))
+      )
+    )
+  }
+
+  /** MinHash signature: k permutation-free min-hashes h_i(S) =
+    * min_{s∈S} hash(s, i). Returns array<int> of length k.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => hash(s, lit(i))))
+    }: _*)
+
+  /** LSH band hashes over a MinHash signature: `bands` hashes of `rowsPerBand`
+    * consecutive signature entries each. Docs sharing any band hash are
+    * candidate near-duplicates.
+    */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      hash((0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** 64-bit SimHash over (frequency-weighted) tokens: per bit position,
+    * sum ±1 across token hashes, take the sign bit.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(63)),
+            i =>
+              when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L)
+                .otherwise(-1L)
+          ),
+          (a, b) => a + b
+        )
+    )
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) =>
+        acc + when(
+          element_at(counters, (i + 1).cast("int")) > 0L,
+          call_function("shiftleft", lit(1L), i)
+        ).otherwise(0L)
+    )
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** n-gram-heuristic language ID: score each profile by stopword hits,
+    * return the argmax (first wins ties). Deterministic, dictionary-driven.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])] = defaultProfiles): Column = {
+    val toks = tokens(text)
+    val scores = profiles.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    scores.foldRight(lit("und"): Column) { case ((lang, score), rest) =>
+      val isMax = scores.map(_._2).map(score >= _).reduce(_ && _)
+      when(isMax && score > 0, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Common-stopword profiles (public lists, truncated to 10/lang). */
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "je", "de", "pas"),
+    "es" -> Seq("el", "los", "y", "esta", "una", "es", "que", "no", "por", "como")
+  )
+
+  /** Quality ratios used for corpus filtering: mean word length ×100 and
+    * whitespace ratio ×1000, as integers for deterministic comparison.
+    */
+  def meanWordLenC(text: Column): Column =
+    round(lit(100.0) * length(text) / size(tokens(text))).cast("long")
+
+  def spaceRatioC(text: Column): Column =
+    round(
+      lit(1000.0) * (length(text) - length(translate(text, " ", ""))) / length(text)
+    ).cast("long")
+
+  /** Stopword ratio ×1000 (English profile by default). */
+  def stopwordRatioC(text: Column, stopwords: Seq[String] = defaultProfiles.head._2): Column = {
+    val toks = tokens(text)
+    round(
+      lit(1000.0) * size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*))) /
+        size(toks)
+    ).cast("long")
+  }
+
+  /** Document fingerprint (winnowing-lite): md5 of the 8 lexicographically
+    * smallest md5'd shingles — stable under shingle reordering, portable
+    * across engines (md5 everywhere).
+    */
+  def fingerprint(text: Column, n: Int = 3): Column = {
+    val hashed = array_sort(transform(wordShingles(text, n), s => md5(s.cast("binary"))))
+    md5(concat_ws("", slice(hashed, 1, 8)).cast("binary"))
+  }
+
+  /** 64-bit fast fingerprint for the hot path (xxhash64 of the same min-8
+    * construction) — same semantics, no md5 cost.
+    */
+  def fingerprint64(text: Column, n: Int = 3): Column =
+    xxhash64(concat_ws("", slice(array_sort(transform(wordShingles(text, n), s => xxhash64(s).cast("string"))), 1, 8)))
+}

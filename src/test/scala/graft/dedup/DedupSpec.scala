@@ -1,0 +1,88 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+
+/** Dedup + ANN semantics on planted duplicates: LSH candidates must contain
+  * the true near-dups (recall), verification must match exact measures.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (5L, "unrelated text mentioning streaming watermarks and checkpoints only")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    val dupGroup = out.find(_.getAs[Long]("n_dups") == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getAs[Long]("keep_id") == 1L)
+    assert(out.length == 4) // 5 docs, one pair collapsed
+  }
+
+  test("minhash LSH finds planted near-duplicates and the exact dup") {
+    val pairs = Dedup
+      .minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("minhash jaccard matches exact ngram jaccard for surviving pairs") {
+    val mh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ex = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every LSH-found pair's verified jaccard equals the inverted-index exact value
+    mh.foreach { case (pair, jac) => assert(ex(pair) == jac, s"pair $pair") }
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
+    val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 4L)) == 0L)
+    assert(pairs.get((1L, 2L)).forall(_ <= 12L))
+    assert(!pairs.contains((3L, 5L)))
+  }
+
+  test("embedding LSH near-dup has full recall vs exact at moderate planes") {
+    val vecs = (0 until 40).map { i =>
+      val base = Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat)
+      (i.toLong, base)
+    } ++ Seq((100L, Array.tabulate(16)(j => math.sin(17 + j).toFloat + 0.001f))) // near-dup of id 1
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingCosineExact(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosine(df, "vec_id", "embedding", 0.95, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 100L)))
+    // LSH with few planes must still catch the ~identical pair
+    assert(lsh.contains((1L, 100L)))
+    assert(lsh.subsetOf(exact)) // verification step removes false positives
+  }
+
+  test("IVF and LSH ANN recall vs brute force on clustered vectors") {
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 5 + j) + 0.01 * math.sin(i * 13 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 2)
+    val bf = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5,
+        nlists = 6, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // clustered data: probing half the cells should recover most true neighbors
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+}

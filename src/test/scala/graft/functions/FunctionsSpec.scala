@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles produces distinct n-grams, short texts degrade gracefully") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "a b c a b c")).toDF("id", "t")
+    val out = df.select(col("id"), TextFunctions.wordShingles(col("t"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq("a b")) // shorter than n: the whole text
+    assert(out(3L).toSet == Set("a b c", "b c a", "c a b")) // distinct
+  }
+
+  test("langId picks profile with most stopword hits, 'und' when none") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht mit der katze und ich"),
+      (3L, "xyzzy qwerty asdf")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextFunctions.langId(col("t")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("fingerprint is stable under shingle order and distinct across content") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextFunctions.fingerprint(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("simhash of identical text identical; small edits → small hamming") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "one two three four five six seven eight nine eleven")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextFunctions.simhash64(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(java.lang.Long.bitCount(out(1L) ^ out(3L)) <= 16)
+  }
+
+  test("vector cosine: orthogonal → 0, identical → 1") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 2.0f), Array(1.0f, 2.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L)) < 1e-12)
+    assert(math.abs(out(2L) - 1.0) < 1e-12)
+  }
+
+  test("multimodal stub pipeline: per-partition decoder, deterministic features") {
+    val docs = Seq((0L, "abcd"), (1L, ""), (2L, "x" * 1000)).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
+    assert(media.schema("content").dataType.typeName == "binary")
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.id -> f).toMap
+    assert(out(0L).kind == "image" && out(1L).kind == "audio" && out(2L).kind == "video")
+    assert(out(0L).n_bytes == 4 && out(0L).checksum == "abcd".map(_.toLong).sum)
+    assert(out(1L).n_bytes == 0 && out(1L).frames == Seq(0L, 0L, 0L, 0L))
+    assert(out(2L).width == 1000 % 640 && out(2L).height == 1000 % 480)
+    assert(out(2L).frames == Seq(0L, 250L, 500L, 750L))
+  }
+}
