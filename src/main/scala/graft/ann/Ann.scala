@@ -111,17 +111,18 @@ object Ann {
       qid: String,
       qvec: String,
       k: Int,
-      planes: Int = 6
+      planes: Int = 6,
+      dim: Int = 64
   ): DataFrame = {
     val bucketed = corpus.select(
       col(id).as("neighbor_id"),
       col(vec).as("v"),
-      VF.packBits(VF.hyperplaneSignature(col(vec), planes)).as("bucket")
+      VF.hyperplaneBucket(col(vec), planes, dim).as("bucket")
     )
     val q = queries.select(
       col(qid).as("qid"),
       col(qvec).as("qv"),
-      VF.packBits(VF.hyperplaneSignature(col(qvec), planes)).as("bucket")
+      VF.hyperplaneBucket(col(qvec), planes, dim).as("bucket")
     )
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
     bucketed

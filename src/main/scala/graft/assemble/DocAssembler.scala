@@ -165,9 +165,18 @@ object DocAssembler {
     var lineageExprs: Seq[Column] = Seq(ownLineage)
     var childValueCols: Seq[(String, Column)] = Nil
     childSpecs.zipWithIndex.foreach { case ((childNode, spec, throughInfo), i) =>
+      // Self-referencing one_to_many joins on OR of the FK legs
+      // (querybuilder.py:575-577). The groupBy-then-join translation is
+      // wrong there (grouping key ≠ join key), so matches are resolved
+      // against the parent first, then aggregated per parent PK.
+      val selfRefMany = childNode.table == node.table && throughInfo.isEmpty &&
+        childNode.relationship.get.relType == RelType.OneToMany &&
+        spec.parentColumns.length > 1
       val plan = throughInfo match {
         case Some((through, childLeg)) =>
           buildThroughChild(childNode, through, spec, childLeg, load, catalog, i)
+        case None if selfRefMany =>
+          buildSelfRefChild(childNode, spec, df, pks, load, catalog, i)
         case None =>
           buildDirectChild(childNode, spec, load, catalog, i)
       }
@@ -175,8 +184,10 @@ object DocAssembler {
         .zip(plan.keyCols)
         .map { case (p, k) => df(p) === plan.df(k) }
         .reduce { (a, b) =>
-          // Self-referencing tables join on OR (querybuilder.py:575-577).
-          if (childNode.table == node.table && throughInfo.isEmpty) a || b else a && b
+          // one_to_one self-reference keeps the reference's OR-join row
+          // semantics (row per match, like the SQL join it compiles to).
+          if (childNode.table == node.table && throughInfo.isEmpty && !selfRefMany) a || b
+          else a && b
         }
       df = df.join(plan.df, cond, "left_outer").drop(plan.keyCols: _*)
       val value =
@@ -213,6 +224,55 @@ object DocAssembler {
     val built =
       buildNode(child, load, catalog, extraKeep = spec.childColumns.zip(keyNames))
     finishChild(child, built, keyNames, spec.parentColumns, s"__lineage_c$idx")
+  }
+
+  /** Self-referencing one_to_many child (`querybuilder.py:575-577` OR
+    * semantics): resolve (parent pk, child row) matches as a UNION of one
+    * equi-join per FK leg (deduplicated — a row matching several legs
+    * appears once, as in the SQL OR), then aggregate per parent PK. The
+    * resulting plan joins back to the parent on its PK with plain equality.
+    */
+  private def buildSelfRefChild(
+      child: Node,
+      spec: JoinSpec,
+      parentDf: DataFrame,
+      parentPks: Seq[String],
+      load: String => DataFrame,
+      catalog: Catalog,
+      idx: Int
+  ): ChildPlan = {
+    val childPks = primaryKeys(child, catalog)
+    val pkNames = childPks.indices.map(i => s"__cpk${idx}_$i")
+    val legNames = spec.childColumns.indices.map(i => s"__leg${idx}_$i")
+    val built = buildNode(
+      child,
+      load,
+      catalog,
+      extraKeep = spec.childColumns.zip(legNames) ++ childPks.zip(pkNames)
+    )
+    val keyNames = parentPks.indices.map(i => s"__k${idx}_$i")
+    val docCol = struct(built.fieldNames.map(col): _*)
+    // equi-join per leg, then union + dedup on (parent pk, child pk)
+    val matches = spec.parentColumns.zip(legNames).map { case (pCol, legName) =>
+      parentDf
+        .select(parentPks.zip(keyNames).map { case (p, k) => col(p).as(k) } :+ col(pCol).as("__pv"): _*)
+        .join(built.df, col("__pv") === built.df(legName))
+        .select(keyNames.map(col) ++ pkNames.map(col) :+ docCol.as("__doc") :+ col(LineageCol).as("__lin"): _*)
+    }.reduce(_ unionAll _).dropDuplicates(keyNames ++ pkNames)
+
+    val lineageName = s"__lineage_c$idx"
+    val rel = child.relationship.get
+    val value = rel.variant match {
+      case Variant.Scalar => col("__doc")(built.fieldNames.head)
+      case Variant.Object => col("__doc")
+    }
+    val out = matches
+      .groupBy(keyNames.map(col): _*)
+      .agg(
+        sort_array(collect_list(value)).as(child.label),
+        flatten(collect_list(col("__lin"))).as(lineageName)
+      )
+    ChildPlan(out, keyNames, parentPks, child.label, lineageName, isMany = true)
   }
 
   /** Through child (`querybuilder.py:584-841`): join child to the through

@@ -49,4 +49,34 @@ object Changes {
     */
   def validateOps(ops: Iterable[String]): Unit =
     ops.find(!ValidOps.contains(_)).foreach(op => throw InvalidTgOpError(op))
+
+  /** P8 schema filter: drop payloads for tables outside the tree
+    * (`sync.py:622-623, 2040-2042`).
+    */
+  def schemaFilter(changes: DataFrame, tables: Set[String]): DataFrame =
+    changes.filter(org.apache.spark.sql.functions.col("tbl").isin(tables.toSeq: _*))
+
+  /** P9 changed-column guard: skip UPDATEs where no tracked column changed —
+    * the trigger-side no-op suppression (`pgsync/trigger.py:58-71`).
+    */
+  def changedColumnGuard(changes: DataFrame, tracked: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val unchanged = tracked
+      .map { case (table, cols) =>
+        col("tbl") === table && col("tg_op") === Update &&
+        cols
+          .map(c => get_json_object(col("old"), s"$$.$c") <=> get_json_object(col("new"), s"$$.$c"))
+          .reduce(_ && _)
+      }
+      .reduce(_ || _)
+    changes.filter(!unchanged)
+  }
+
+  /** File-shaped streaming change feed: JSON-lines files appearing in `dir`
+    * (the test/replay stand-in for the reference's WAL slot / binlog /
+    * NOTIFY sources, `pgsync/base.py:696-849`, `sync.py:653-827`; a Kafka
+    * source drops in identically).
+    */
+  def fileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).json(dir)
 }

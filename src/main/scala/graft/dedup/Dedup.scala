@@ -60,16 +60,24 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000
   ): DataFrame = {
+    val k = bands * rowsPerBand
     val sh = docs.select(
       col(id).as("id"),
       TF.wordShingles(col(text), shingleN).as("sh")
     ).filter(size(col("sh")) > 0)
-    val sig = sh.select(
-      col("id"),
-      TF.lshBands(TF.minhashSignature(col("sh"), bands * rowsPerBand), bands, rowsPerBand)
-        .as("bands")
-    )
-    val keyed = sig.select(col("id"), posexplode(col("bands")))
+    // signature via explode + k codegen'd min-aggregates (map-side
+    // combinable, one shuffle keyed by id) — the scalar HOF formulation
+    // evaluates interpreted and is orders of magnitude slower.
+    val hashed = sh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id") +: (0 until k).map(i => hash(col("s"), lit(i)).as(s"h$i")): _*)
+    val sig = hashed
+      .groupBy("id")
+      .agg(min(col("h0")).as("m0"), (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val bandCols = (0 until bands).map { b =>
+      hash((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    val keyed = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .select(col("id"), concat_ws(":", col("pos"), col("col")).as("key"))
     val candidates = bucketPairs(keyed, maxBucket)
     // verify candidates with exact Jaccard over the shingle sets
@@ -93,6 +101,28 @@ object Dedup {
     * chunk), verified by exact Hamming distance.
     * Output: (id_a, id_b, hamming).
     */
+  /** 64-bit SimHash signatures via explode + 64 codegen'd sum-aggregates
+    * (one shuffle keyed by id; the scalar HOF formulation is interpreted).
+    */
+  def simhashSignatures(docs: DataFrame, id: String, text: String): DataFrame = {
+    val h = docs
+      .select(col(id).as("id"), explode(TF.tokens(col(text))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val counters = h
+      .groupBy("id")
+      .agg(
+        sum(shiftright(col("h"), 0).bitwiseAND(1L) * 2 - 1).as("c0"),
+        (1 until 64).map(i => sum(shiftright(col("h"), i).bitwiseAND(1L) * 2 - 1).as(s"c$i")): _*
+      )
+    counters.select(
+      col("id"),
+      (0 until 64)
+        .map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+        .as("sig")
+    )
+  }
+
   def simhash(
       docs: DataFrame,
       id: String,
@@ -100,7 +130,7 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 1000
   ): DataFrame = {
-    val sig = docs.select(col(id).as("id"), TF.simhash64(col(text)).as("sig"))
+    val sig = simhashSignatures(docs, id, text)
     val keyed = sig.select(
       col("id"),
       explode(array((0 until 4).map { c =>
@@ -168,12 +198,13 @@ object Dedup {
       vec: String,
       threshold: Double,
       planes: Int = 8,
+      dim: Int = 64,
       maxBucket: Int = 2000
   ): DataFrame = {
     val v = vecs.select(col(id).as("id"), col(vec).as("v"))
     val keyed = v.select(
       col("id"),
-      VF.packBits(VF.hyperplaneSignature(col("v"), planes)).cast("string").as("key")
+      VF.hyperplaneBucket(col("v"), planes, dim).cast("string").as("key")
     )
     val candidates = bucketPairs(keyed, maxBucket)
     val a = v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a")

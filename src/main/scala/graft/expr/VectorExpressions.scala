@@ -1,0 +1,116 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for vector math over `array<float>` /
+  * `array<double>` columns, with `doGenCode` emitting a tight primitive
+  * loop.
+  *
+  * Rationale: Spark's higher-order functions (`aggregate`/`zip_with`) are
+  * evaluated interpreted, with per-element boxing and intermediate array
+  * allocation — measured ~50-100× slower than this codegen loop on 64-dim
+  * embeddings (see BENCH history). A pairwise dedup scan at 100 TB lives or
+  * dies on this constant factor. Preference order per the build guidelines:
+  * compose built-ins where they stay in codegen; drop to a native
+  * `Expression` exactly here, where they don't.
+  */
+sealed trait VectorOp
+object VectorOp {
+  case object Dot extends VectorOp
+  case object Cosine extends VectorOp
+  case object L2Sq extends VectorOp
+}
+
+case class VectorBinaryOp(left: Expression, right: Expression, op: VectorOp)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}"
+      )
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var l2 = 0.0
+    var i = 0
+    while (i < n) {
+      val xv: Double = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv: Double = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      op match {
+        case VectorOp.Dot => dot += xv * yv
+        case VectorOp.Cosine =>
+          dot += xv * yv; na += xv * xv; nb += yv * yv
+        case VectorOp.L2Sq => l2 += (xv - yv) * (xv - yv)
+      }
+      i += 1
+    }
+    op match {
+      case VectorOp.Dot    => dot
+      case VectorOp.Cosine => dot / (math.sqrt(na) * math.sqrt(nb))
+      case VectorOp.L2Sq   => l2
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val body = op match {
+          case VectorOp.Dot    => s"$dot += $xv * $yv;"
+          case VectorOp.Cosine => s"$dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;"
+          case VectorOp.L2Sq   => s"$dot += ($xv - $yv) * ($xv - $yv);"
+        }
+        val result = op match {
+          case VectorOp.Cosine => s"$dot / (Math.sqrt($na) * Math.sqrt($nb))"
+          case _               => dot
+        }
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.$lGet($i);
+           |  double $yv = (double) $b.$rGet($i);
+           |  $body
+           |}
+           |${ev.value} = $result;
+           |""".stripMargin
+      }
+    )
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}

@@ -1,63 +1,52 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import graft.expr.{VectorBinaryOp, VectorOp}
+import org.apache.spark.sql.{Column, GraftColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-/** Vector math over embedding columns (`array<float>` / `array<double>`),
-  * expressed as higher-order column expressions — stays inside whole-stage
-  * codegen, no UDF boundary, no driver collect.
+/** Vector math over embedding columns (`array<float>` / `array<double>`).
+  *
+  * Backed by the native codegen expression [[graft.expr.VectorBinaryOp]] —
+  * Spark's higher-order functions would evaluate these interpreted with
+  * per-element boxing (measured ~50-100× slower at 64 dims; see BENCH
+  * history), which dominates any pairwise scan.
   */
 object VectorFunctions {
 
-  /** Dot product in double precision (cast first so accumulation order and
-    * width match external engines).
-    */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0),
-      (acc, v) => acc + v
+  private def binOp(a: Column, b: Column, op: VectorOp): Column =
+    ExpressionUtils.column(
+      VectorBinaryOp(ExpressionUtils.expression(a), ExpressionUtils.expression(b), op)
     )
+
+  /** Dot product, accumulated in double. */
+  def dot(a: Column, b: Column): Column = binOp(a, b, VectorOp.Dot)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in [-1, 1] (single fused pass). */
+  def cosine(a: Column, b: Column): Column = binOp(a, b, VectorOp.Cosine)
 
   /** Squared L2 distance. */
-  def l2Sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+  def l2Sq(a: Column, b: Column): Column = binOp(a, b, VectorOp.L2Sq)
 
-  /** Random-hyperplane LSH signature for cosine similarity: `planes` sign
-    * bits, plane components derived deterministically from `hash(p, j)` —
-    * no stored model, identical across executors.
+  /** Deterministic pseudo-random hyperplane for LSH: `dim` components in
+    * [-1, 1), derived from an LCG-style mix of (plane, component) — stable
+    * across executors and runs with no stored model.
     */
-  def hyperplaneSignature(vec: Column, planes: Int): Column =
-    array((0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(
-          vec.cast("array<double>"),
-          transform(
-            sequence(lit(0), size(vec) - 1),
-            j => (pmod(hash(lit(p), j), lit(2001)) - 1000).cast("double") / 1000.0
-          ),
-          (x, w) => x * w
-        ),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-      when(proj >= 0, lit(1)).otherwise(lit(0))
-    }: _*)
+  private def plane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      val mixed = (p.toLong * 2654435761L + j.toLong * 40503L + 12345L) & 0x7fffffffL
+      (mixed % 2001L - 1000L) / 1000.0
+    }
 
-  /** Pack a sign-bit array into a single bucket id. */
-  def packBits(bits: Column): Column =
-    aggregate(
-      bits,
-      lit(0L),
-      (acc, b) => acc * 2 + b
-    )
+  /** Random-hyperplane LSH bucket id for cosine similarity: `planes` sign
+    * bits packed into a long. Plane matrices are plan-time literals, so each
+    * bit is one codegen'd dot product.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes)
+      .map { p =>
+        when(dot(vec, typedlit(plane(p, dim))) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
 }

@@ -1,0 +1,80 @@
+package graft.sinks
+
+import graft.schema.{Node, RelType, TransformSpec, Variant}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Search-index sink surface: bulk-operation formatting and index-mapping
+  * bootstrap, mirroring the reference's ES/OpenSearch client
+  * (`pgsync/search_client.py`) without requiring a live cluster.
+  *
+  * - [[bulkActions]] renders op rows (`op`, `_id`, `doc`) into the
+  *   newline-delimited `_bulk` wire format (`search_client.py:100-212`
+  *   builds the same action dicts; chunking 5 000 docs / 100 MB becomes
+  *   partition granularity here — `foreachPartition` + an HTTP client is
+  *   the production write path, one bulk request per partition chunk).
+  * - [[writeBulkFiles]] persists the rendered actions — a test/replay sink.
+  * - [[buildMapping]] derives the index mapping from the node tree +
+  *   per-node `transform.mapping` overrides (`search_client.py:304-354`
+  *   `_build_mapping`): one_to_many/object children become `nested`.
+  */
+object SearchSink {
+
+  /** Render ops into `_bulk` action lines: a metadata line per op, a source
+    * line for index ops (`search_client.py:161-189` equivalents).
+    */
+  def bulkActions(ops: DataFrame, index: String, routing: Option[String] = None): DataFrame = {
+    val meta = struct(
+      struct(
+        lit(index).as("_index"),
+        col("_id"),
+        routing.map(r => get_json_object(col("doc"), s"$$.$r")).getOrElse(lit(null).cast("string")).as("routing")
+      ).as("action")
+    )
+    ops.select(
+      when(col("op") === "delete", concat(lit("""{"delete":"""), to_json(meta("action")), lit("}")))
+        .otherwise(
+          concat(
+            lit("""{"index":"""), to_json(meta("action")), lit("}"), lit("\n"), col("doc")
+          )
+        )
+        .as("action")
+    )
+  }
+
+  /** Test sink: bulk actions as text files, one per partition — the shape a
+    * `foreachPartition` HTTP bulk writer consumes.
+    */
+  def writeBulkFiles(ops: DataFrame, index: String, outDir: String): Unit =
+    bulkActions(ops, index).write.mode("overwrite").text(outDir)
+
+  /** Search-index mapping derivation (`_build_mapping`,
+    * `search_client.py:304-354`): walk the tree; leaves get a type from the
+    * node's `transform.mapping` override or stay dynamic; one_to_many object
+    * children are `nested`, one_to_one object children are `object`.
+    * Returns the JSON mapping body.
+    */
+  def buildMapping(root: Node, routing: Option[String] = None): String = {
+    def props(node: Node): String = {
+      val fieldMappings = node.transform.mapping.map { case (field, spec) =>
+        s""""$field": $spec"""
+      }
+      val childMappings = node.children.flatMap { c =>
+        val rel = c.relationship.get
+        (rel.relType, rel.variant) match {
+          case (_, Variant.Scalar) =>
+            // scalar arrays/values: mapped by override or dynamic
+            c.transform.mapping.get(c.label).map(spec => s""""${c.label}": $spec""")
+          case (RelType.OneToMany, Variant.Object) =>
+            Some(s""""${c.label}": {"type": "nested", "properties": {${props(c)}}}""")
+          case (RelType.OneToOne, Variant.Object) =>
+            Some(s""""${c.label}": {"properties": {${props(c)}}}""")
+        }
+      }
+      (fieldMappings ++ childMappings).mkString(", ")
+    }
+    val routingPart =
+      routing.map(r => s""", "_routing": {"required": true}""").getOrElse("")
+    s"""{"mappings": {"properties": {${props(root)}}$routingPart}}"""
+  }
+}

@@ -1,0 +1,57 @@
+package graft.transform
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+
+/** Per-document plugin surface, mirroring the reference's
+  * `Plugin.transform(doc, _id, _index) -> dict` ABC
+  * (`pgsync/plugin.py:15-21`): arbitrary rewrites chained in configuration
+  * order (`plugin.py:52-54`), where a falsy return drops the document
+  * (`plugin.py:102-103`, applied at `sync.py:1571-1574`).
+  *
+  * Spark shape: a `Row => Option[Row]` applied via one `flatMap` over the
+  * whole chain (single pass, no per-plugin materialization). Heavyweight
+  * plugins (the reference's `plugins/openai_plugin.py` /
+  * `sentence_transformer_plugin.py` hold remote clients / models) should
+  * extend [[PartitionDocTransform]] instead, which gives per-partition
+  * lazy initialization — the `mapPartitions` idiom, not per-row setup.
+  */
+trait DocTransform extends Serializable {
+
+  /** Plugin name (the reference discovers/filters plugins by name,
+    * `plugin.py:56-91`).
+    */
+  def name: String
+
+  /** Rewrite one document; `None` drops it. */
+  def apply(doc: Row): Option[Row]
+}
+
+/** Plugin with a per-partition lifecycle: `open()` once per partition before
+  * rows stream through (load the model, connect the client).
+  */
+trait PartitionDocTransform extends DocTransform {
+  def open(): Unit
+}
+
+object Plugins {
+
+  /** Apply a configuration-ordered plugin chain in one pass. The schema must
+    * be unchanged by the plugins (the reference mutates dicts freely; the
+    * relational equivalent is schema-preserving rewrites — schema-changing
+    * logic belongs in column expressions before this stage).
+    */
+  def apply(docs: DataFrame, chain: Seq[DocTransform]): DataFrame = {
+    if (chain.isEmpty) return docs
+    val enc = org.apache.spark.sql.Encoders.row(docs.schema)
+    val ds: Dataset[Row] = docs.mapPartitions { rows =>
+      chain.foreach {
+        case p: PartitionDocTransform => p.open()
+        case _                        =>
+      }
+      rows.flatMap { row =>
+        chain.foldLeft(Option(row)) { (acc, plugin) => acc.flatMap(plugin.apply) }
+      }
+    }(enc)
+    ds.toDF()
+  }
+}

@@ -176,6 +176,37 @@ class AssemblerSpec extends SparkSpec {
     assert(m.keySet == Set("book", "publisher", "author", "book_author"))
   }
 
+  test("self-referencing table joins on OR of FK columns (querybuilder.py:575-577)") {
+    // person with buyer/seller self-FKs, like the reference's book test fixture
+    val person = Seq((1L, "P1", 2L, 3L), (2L, "P2", 1L, 1L), (3L, "P3", 1L, 2L))
+      .toDF("id", "name", "buyer_id", "seller_id")
+    val cat3 = Catalog(
+      Map(
+        "person" -> TableMeta(
+          "person", Seq("id"),
+          Seq(ForeignKey("person", Seq("buyer_id"), "person", Seq("id")))
+        )
+      )
+    )
+    val d = DocAssembler
+      .assemble(
+        SchemaDef.parseNodes(
+          """{"table": "person", "columns": ["name"],
+              "children": [{"table": "person", "label": "counterparties", "columns": ["name"],
+                "relationship": {"type": "one_to_many", "variant": "object",
+                  "foreign_key": {"parent": ["buyer_id", "seller_id"], "child": ["id", "id"]}}}]}"""
+        ),
+        _ => person,
+        cat3
+      )
+      .collect()
+      .map(r => r.getString(r.fieldIndex("_id")) -> r)
+      .toMap
+    // P1 buys from 2 and sells to 3 → OR condition matches persons 2 and 3
+    val cp1 = d("1").getSeq[org.apache.spark.sql.Row](d("1").fieldIndex("counterparties"))
+    assert(cp1.map(_.getAs[String]("name")).toSet == Set("P2", "P3"))
+  }
+
   test("composite PK _id joins values with | (sync.py:527-535)") {
     val cat2 = Catalog(Map("t" -> TableMeta("t", Seq("a", "b"))))
     val df = Seq((1L, "x", 9.0)).toDF("a", "b", "v")

@@ -61,7 +61,7 @@ class DedupSpec extends SparkSpec {
     val df = vecs.toDF("vec_id", "embedding")
     val exact = Dedup.embeddingCosineExact(df, "vec_id", "embedding", 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.embeddingCosine(df, "vec_id", "embedding", 0.95, planes = 4)
+    val lsh = Dedup.embeddingCosine(df, "vec_id", "embedding", 0.95, planes = 4, dim = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.contains((1L, 100L)))
     // LSH with few planes must still catch the ~identical pair

@@ -1,0 +1,74 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.cdc.Changes
+import graft.schema.SchemaDef
+import graft.transform.{DocTransform, Plugins}
+import org.apache.spark.sql.Row
+
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bulkActions renders ES _bulk wire format for index and delete ops") {
+    val ops = Seq(
+      ("index", "1", """{"a":1}"""),
+      ("delete", "2", null)
+    ).toDF("op", "_id", "doc")
+    val lines = SearchSink.bulkActions(ops, "myindex").collect().map(_.getString(0))
+    assert(lines.exists(l =>
+      l.startsWith("""{"index":{"_index":"myindex","_id":"1"}""") && l.endsWith("""{"a":1}""")
+    ))
+    assert(lines.exists(l => l.startsWith("""{"delete":{"_index":"myindex","_id":"2"""")))
+  }
+
+  test("buildMapping derives nested/object mapping from tree + overrides (search_client.py:304-354)") {
+    val root = SchemaDef.parseNodes(
+      """{"table": "book", "columns": ["isbn"],
+          "transform": {"mapping": {"isbn": {"type": "keyword"}}},
+          "children": [
+            {"table": "publisher", "columns": ["name"],
+             "relationship": {"type": "one_to_one", "variant": "object"}},
+            {"table": "author", "label": "authors", "columns": ["name"],
+             "relationship": {"type": "one_to_many", "variant": "object",
+                              "through_tables": ["book_author"]},
+             "transform": {"mapping": {"name": {"type": "text"}}}}]}"""
+    )
+    val m = SearchSink.buildMapping(root)
+    assert(m.contains(""""isbn": {"type":"keyword"}"""))
+    assert(m.contains(""""authors": {"type": "nested""""))
+    assert(m.contains(""""publisher": {"properties""""))
+    assert(m.contains(""""name": {"type":"text"}"""))
+  }
+
+  test("plugin chain: rewrite + drop in config order (plugin.py:102-103)") {
+    val docs = Seq((1L, "keep"), (2L, "drop"), (3L, "keep")).toDF("id", "status")
+    val upper = new DocTransform {
+      val name = "upper"
+      def apply(doc: Row): Option[Row] =
+        Some(Row(doc.getLong(0), doc.getString(1).toUpperCase))
+    }
+    val dropper = new DocTransform {
+      val name = "dropper"
+      def apply(doc: Row): Option[Row] =
+        if (doc.getString(1) == "DROP") None else Some(doc)
+    }
+    val out = Plugins(docs, Seq(upper, dropper)).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == Set((1L, "KEEP"), (3L, "KEEP")))
+  }
+
+  test("P8 schema filter and P9 changed-column guard") {
+    val ch = Changes.of(
+      spark,
+      Seq(
+        ("UPDATE", "book", """{"id":1,"title":"a"}""", """{"id":1,"title":"a"}""", 1L), // no-op
+        ("UPDATE", "book", """{"id":2,"title":"a"}""", """{"id":2,"title":"b"}""", 2L), // real
+        ("INSERT", "other", null, """{"id":9}""", 3L) // wrong table
+      )
+    )
+    val filtered = Changes.schemaFilter(ch, Set("book"))
+    assert(filtered.count() == 2)
+    val guarded = Changes.changedColumnGuard(filtered, Map("book" -> Seq("title")))
+    val rows = guarded.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("txid") == 2L)
+  }
+}
