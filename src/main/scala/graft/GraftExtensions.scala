@@ -1,0 +1,53 @@
+package graft
+
+import graft.expr.{SquashMeta, VectorBinaryOp, VectorOp}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` installer: exposes the engine's native
+  * expressions to the SQL surface, so
+  * `spark.sql("SELECT vec_cosine(a, b) ...")` works next to the Scala API.
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_dot"),
+        info("vec_dot", "vec_dot(a, b) - double dot product of two float/double arrays"),
+        (args: Seq[Expression]) => VectorBinaryOp(args(0), args(1), VectorOp.Dot)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_cosine"),
+        info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
+        (args: Seq[Expression]) => VectorBinaryOp(args(0), args(1), VectorOp.Cosine)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_l2sq"),
+        info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance of two float/double arrays"),
+        (args: Seq[Expression]) => VectorBinaryOp(args(0), args(1), VectorOp.L2Sq)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("squash_meta"),
+        info(
+          "squash_meta",
+          "squash_meta(lineage) - fold array<struct<table,pk,value>> into {table→{pk→sorted distinct values}}"
+        ),
+        (args: Seq[Expression]) => SquashMeta(args(0))
+      )
+    )
+  }
+}

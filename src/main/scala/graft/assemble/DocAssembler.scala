@@ -410,36 +410,12 @@ object DocAssembler {
   }
 
   /** `_meta` squash (`pgsync/transform.py:230-288`): flatten the lineage
-    * array into {table → {pk → sorted distinct values}} using only
-    * higher-order expressions — per-row, no extra shuffle, no UDF.
+    * array into {table → {pk → sorted distinct values}} — single-pass native
+    * expression ([[graft.expr.SquashMeta]]); per-row, no extra shuffle, no
+    * UDF boundary.
     */
-  private[graft] def squashMeta(lineage: Column): Column = {
-    val tables = array_distinct(transform(lineage, x => x("table")))
-    map_from_entries(
-      transform(
-        tables,
-        t => {
-          val forTable = filter(lineage, x => x("table") === t)
-          val pks = array_distinct(transform(forTable, x => x("pk")))
-          struct(
-            t,
-            map_from_entries(
-              transform(
-                pks,
-                p =>
-                  struct(
-                    p,
-                    sort_array(
-                      array_distinct(
-                        transform(filter(forTable, x => x("pk") === p), x => x("value"))
-                      )
-                    )
-                  )
-              )
-            )
-          )
-        }
-      )
+  private[graft] def squashMeta(lineage: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.SquashMeta(org.apache.spark.sql.GraftColumnBridge.expression(lineage))
     )
-  }
 }

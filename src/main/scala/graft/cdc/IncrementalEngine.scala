@@ -104,9 +104,14 @@ final class IncrementalEngine(
   /** Affected root `_id`s for a batch of changes (columns per
     * [[Changes.schema]]), given the current lineage side-table.
     */
-  def affectedRoots(changes: DataFrame, lineage: DataFrame): DataFrame = {
-    val spark = changes.sparkSession
+  def affectedRoots(rawChanges: DataFrame, lineage: DataFrame): DataFrame = {
+    val spark = rawChanges.sparkSession
     import spark.implicits._
+
+    // The batch is referenced by many resolution branches (root ids, lineage
+    // keys per (table, pk), one walk-up per chain) — cache it once instead
+    // of recomputing the feed per branch.
+    val changes = rawChanges.cache()
 
     var parts = Vector.empty[DataFrame]
 

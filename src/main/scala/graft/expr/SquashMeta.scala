@@ -1,0 +1,70 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** `_meta` lineage squash (`pgsync/transform.py:230-288`): flatten an
+  * array<struct<table,pk,value>> into {table → {pk → sorted distinct
+  * values}} in ONE pass.
+  *
+  * The pure-HOF formulation (nested `transform`/`filter`/`array_distinct`)
+  * is O(T·P·N) interpreted passes over the lineage array and showed up as
+  * the dominant cost of `_meta` materialization in BENCH; this expression is
+  * a single O(N log N) traversal. Insertion order of tables/pks is
+  * preserved (matching the reference's dict construction order); values are
+  * sorted distinct (`transform.py:287`).
+  */
+case class SquashMeta(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  private implicit val utf8Ord: Ordering[UTF8String] = (a, b) => a.compareTo(b)
+
+  override def dataType: DataType =
+    MapType(StringType, MapType(StringType, ArrayType(StringType)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // table → pk → sorted distinct values; LinkedHashMap preserves first-seen
+    // order like the reference's dict building.
+    val tables = mutable.LinkedHashMap.empty[UTF8String, mutable.LinkedHashMap[UTF8String, mutable.TreeSet[UTF8String]]]
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 3)
+        val table = row.getUTF8String(0)
+        val pk = row.getUTF8String(1)
+        val value = row.getUTF8String(2)
+        if (table != null && pk != null && value != null) {
+          val pks = tables.getOrElseUpdate(table.clone(), mutable.LinkedHashMap.empty)
+          pks.getOrElseUpdate(pk.clone(), mutable.TreeSet.empty[UTF8String]).add(value.clone())
+        }
+      }
+      i += 1
+    }
+    val tKeys = new Array[Any](tables.size)
+    val tVals = new Array[Any](tables.size)
+    var ti = 0
+    tables.foreach { case (t, pks) =>
+      val pKeys = new Array[Any](pks.size)
+      val pVals = new Array[Any](pks.size)
+      var pi = 0
+      pks.foreach { case (p, vs) =>
+        pKeys(pi) = p
+        pVals(pi) = new GenericArrayData(vs.toArray[Any])
+        pi += 1
+      }
+      tKeys(ti) = t
+      tVals(ti) = new ArrayBasedMapData(new GenericArrayData(pKeys), new GenericArrayData(pVals))
+      ti += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(tKeys), new GenericArrayData(tVals))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -62,6 +62,25 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(out(2L) - 1.0) < 1e-12)
   }
 
+  test("SQL surface: vec_cosine / vec_dot / squash_meta registered via SparkSessionExtensions") {
+    Seq((1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("id", "a", "b")
+      .createOrReplaceTempView("v")
+    val cos = spark.sql("SELECT vec_cosine(a, b) AS c, vec_dot(a, b) AS d FROM v").collect().head
+    assert(math.abs(cos.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(cos.getDouble(1) - 5.0) < 1e-12)
+    val m = spark
+      .sql(
+        """SELECT squash_meta(array(
+             named_struct('table', 't1', 'pk', 'id', 'value', '2'),
+             named_struct('table', 't1', 'pk', 'id', 'value', '1'),
+             named_struct('table', 't1', 'pk', 'id', 'value', '2'))) AS m"""
+      )
+      .collect()
+      .head
+      .getAs[scala.collection.Map[String, scala.collection.Map[String, scala.collection.Seq[String]]]]("m")
+    assert(m("t1")("id").toSeq == Seq("1", "2"))
+  }
+
   test("multimodal stub pipeline: per-partition decoder, deterministic features") {
     val docs = Seq((0L, "abcd"), (1L, ""), (2L, "x" * 1000)).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
