@@ -1,0 +1,71 @@
+package graft
+
+import graft.assemble.DocAssembler
+import graft.catalog.Catalog
+import graft.cdc.{IncrementalEngine, Lineage}
+import graft.schema.SchemaDef
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations we rely on for 100 TB scale
+  * must actually appear in the executed plan — column pruning reaching the
+  * parquet scan, predicate pushdown, broadcast joins for the small sides,
+  * whole-stage codegen spans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def fmt(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+  test("column pruning reaches the parquet scan in document assembly") {
+    val df = DocAssembler.assemble(
+      SchemaDef.parseNodes(Fixtures.flagship),
+      Tables.load(spark, sf),
+      Catalog.testData
+    )
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val liScan = scans.find(_.contains("lineitem.parquet")).get
+    // only the configured + join-key columns, not all 11 lineitem columns
+    assert(liScan.contains("l_linenumber") && liScan.contains("l_orderkey"))
+    assert(!liScan.contains("l_shipdate") && !liScan.contains("l_suppkey"))
+    val custScan = scans.find(_.contains("customer.parquet")).get
+    assert(!custScan.contains("c_acctbal") && !custScan.contains("c_nationkey"))
+  }
+
+  test("filter pushdown appears as PushedFilters in the scan") {
+    val s = fmt(SparkEntry.queries("q_filter_or")(spark, sf))
+    assert(s.contains("PushedFilters") && s.contains("Or(And("))
+  }
+
+  test("incremental reassembly broadcasts the affected-id set (semi-join on root scan)") {
+    val load = Tables.load(spark, sf) _
+    val engine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
+    val changes = graft.cdc.Changes.of(
+      spark,
+      Seq(("INSERT", "orders", null, """{"o_orderkey": 1}""", 1L))
+    )
+    val p = plan(engine.process(changes, Lineage.empty(spark)))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("one_to_many child agg keeps map-side partial aggregation") {
+    val p = plan(SparkEntry.queries("q_child_agg")(spark, sf))
+    // partial + final HashAggregate pair around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange hashpartitioning(l_orderkey"))
+  }
+
+  test("vector operators compile to the native expression, not interpreted HOFs") {
+    val s = plan(SparkEntry.queries("q_dedup_embed")(spark, sf))
+    assert(s.toLowerCase.contains("vectorbinaryop(")) // graft.expr.VectorBinaryOp
+    assert(!s.contains("zip_with") && !s.contains("BatchEvalPython")) // no HOF/UDF fallback
+    // embeddings scan is pruned to the two needed columns
+    assert(s.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+  }
+}
