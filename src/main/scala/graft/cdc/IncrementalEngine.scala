@@ -113,23 +113,37 @@ final class IncrementalEngine(
     // of recomputing the feed per branch.
     val changes = rawChanges.cache()
 
+    // One small job up front: which tables (and truncates) does this batch
+    // actually touch? Branches for untouched tables are pruned from the
+    // plan entirely — a batch rarely spans the whole tree, and each avoided
+    // branch is an avoided scan+shuffle.
+    val touched: Map[(String, Boolean), Long] = changes
+      .groupBy(col("tbl"), (col("tg_op") === Changes.Truncate).as("tr"))
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2))
+      .toMap
+    def touches(table: String): Boolean = touched.contains((table, false))
+
     var parts = Vector.empty[DataFrame]
 
     // 1. Root-table changes: pk values straight from the payloads (old
     //    covers DELETE and the old half of a PK-change UPDATE).
-    val rootCh = changes.filter(col("tbl") === root.table && col("tg_op") =!= Changes.Truncate)
-    for (payload <- Seq(col("new"), col("old"))) {
-      val vals = jsonVals(payload, rootPks)
-      val allPresent = vals.map(_.isNotNull).reduce(_ && _)
-      parts :+= rootCh
-        .select(when(allPresent, concat_ws(DocAssembler.IdDelimiter, vals: _*)).as("_id"))
-        .filter(col("_id").isNotNull)
+    if (touches(root.table)) {
+      val rootCh = changes.filter(col("tbl") === root.table && col("tg_op") =!= Changes.Truncate)
+      for (payload <- Seq(col("new"), col("old"))) {
+        val vals = jsonVals(payload, rootPks)
+        val allPresent = vals.map(_.isNotNull).reduce(_ && _)
+        parts :+= rootCh
+          .select(when(allPresent, concat_ws(DocAssembler.IdDelimiter, vals: _*)).as("_id"))
+          .filter(col("_id").isNotNull)
+      }
     }
 
     // 2. Lineage resolution: child/through pk values → root ids (replaces
     //    the reference's ES `_meta` terms search, sync.py:835-1052).
     val keyParts = for {
-      (t, pks) <- treePks if t != root.table
+      (t, pks) <- treePks if t != root.table && touches(t)
       pk <- pks
       payload <- Seq(col("new"), col("old"))
     } yield changes
@@ -144,7 +158,7 @@ final class IncrementalEngine(
     //    new half of an FK-change UPDATE) — sync.py:1054-1167 semantics as a
     //    broadcast join chain instead of per-payload queries.
     for {
-      (t, tableChains) <- chains.toSeq
+      (t, tableChains) <- chains.toSeq if touches(t)
       chain <- tableChains
     } {
       val head = chain.head
@@ -179,12 +193,7 @@ final class IncrementalEngine(
 
     // 4. TRUNCATE fan-out (sync.py:1308-1343): root truncate touches every
     //    doc; child truncate touches every doc whose lineage mentions it.
-    val truncated = changes
-      .filter(col("tg_op") === Changes.Truncate)
-      .select(col("tbl"))
-      .distinct()
-      .as[String]
-      .collect()
+    val truncated = touched.keys.collect { case (t, true) => t }
     truncated.foreach { t =>
       parts :+=
         (if (t == root.table) lineage.select(col("root_id").as("_id")).distinct()
@@ -201,11 +210,31 @@ final class IncrementalEngine(
       .getOrElse(spark.emptyDataset[String].toDF("_id"))
   }
 
+  /** Tables one FK hop from the root whose join columns ARE the root PKs
+    * (and every tree position of the table qualifies identically): their
+    * scans can be semi-joined on the affected ids directly. This pushes the
+    * affected-set filter BELOW the child `groupBy(fk).agg(collect_list)` —
+    * without it, the one_to_many aggregate materializes arrays for every
+    * group in the table before the root join prunes them, which is the
+    * difference between O(batch) and O(table) per micro-batch.
+    */
+  private val rootKeyedChildCols: Map[String, Seq[String]] =
+    chains.toSeq.flatMap { case (t, cs) =>
+      val rootKeyed = cs.map {
+        case hop :: Nil if hop.toTable == root.table && hop.toCols == rootPks =>
+          Some(hop.fromCols)
+        case _ => None
+      }
+      if (rootKeyed.forall(_.isDefined) && rootKeyed.flatten.distinct.size == 1)
+        Some(t -> rootKeyed.head.get)
+      else None
+    }.toMap
+
   /** Re-assemble the documents for the given affected root ids: the same
-    * single [[DocAssembler]] plan with the ROOT scan semi-joined to the id
-    * set; child scans stay full but shrink through the joins. Single-column
-    * PKs join natively (sargable, DPP-friendly on a partitioned layout);
-    * composite PKs fall back to the `_id` concat expression.
+    * single [[DocAssembler]] plan with the ROOT scan — and every root-keyed
+    * child scan — semi-joined to the id set. Single-column PKs join
+    * natively (sargable, DPP-friendly on a partitioned layout); composite
+    * PKs fall back to the `_id` concat expression.
     */
   def reassemble(affected: DataFrame): DataFrame = {
     val filteredLoad: String => DataFrame = t =>
@@ -218,7 +247,17 @@ final class IncrementalEngine(
             "left_semi"
           )
         else base.join(broadcast(affected), rootIdExpr === col("_id"), "left_semi")
-      } else load(t)
+      } else
+        rootKeyedChildCols.get(t) match {
+          case Some(fkCols) if rootPks.size == 1 && fkCols.size == 1 =>
+            val base = load(t)
+            base.join(
+              broadcast(affected.select(col("_id").cast(base.schema(fkCols.head).dataType).as(fkCols.head))),
+              Seq(fkCols.head),
+              "left_semi"
+            )
+          case _ => load(t)
+        }
     DocAssembler.assemble(root, filteredLoad, catalog)
   }
 

@@ -61,16 +61,32 @@ object Dedup {
       maxBucket: Int = 1000
   ): DataFrame = {
     val k = bands * rowsPerBand
+    // shingle sets feed three consumers (signature, verify-a, verify-b) —
+    // cache instead of recomputing the HOF shingling per consumer
     val sh = docs.select(
       col(id).as("id"),
       TF.wordShingles(col(text), shingleN).as("sh")
-    ).filter(size(col("sh")) > 0)
+    ).filter(size(col("sh")) > 0).cache()
     // signature via explode + k codegen'd min-aggregates (map-side
     // combinable, one shuffle keyed by id) — the scalar HOF formulation
-    // evaluates interpreted and is orders of magnitude slower.
+    // evaluates interpreted and is orders of magnitude slower. The shingle
+    // string is hashed ONCE (xxhash64); the k-hash family is derived by
+    // rotate-XOR bit mixing (overflow-free under ANSI mode), so family
+    // members cost two shifts and an xor instead of re-hashing the string
+    // bytes k times.
+    val familyConsts = {
+      val rnd = new java.util.Random(0x5eed)
+      Array.fill(k)(rnd.nextLong())
+    }
     val hashed = sh
       .select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id") +: (0 until k).map(i => hash(col("s"), lit(i)).as(s"h$i")): _*)
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col("id") +: (0 until k).map { i =>
+        val r = (i * 7) % 63 + 1
+        val rotated = call_function("shiftleft", col("h"), lit(r))
+          .bitwiseOR(call_function("shiftrightunsigned", col("h"), lit(64 - r)))
+        rotated.bitwiseXOR(lit(familyConsts(i))).as(s"h$i")
+      }: _*)
     val sig = hashed
       .groupBy("id")
       .agg(min(col("h0")).as("m0"), (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
@@ -163,6 +179,7 @@ object Dedup {
     val sh = docs
       .select(col(id).as("id"), TF.wordShingles(col(text), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      .cache() // reused by sizes + postings
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val postings = sh.select(col("id"), explode(col("sh")).as("s"))
     // cap pathological postings lists (stopword-only shingles) — they

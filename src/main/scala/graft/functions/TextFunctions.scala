@@ -19,18 +19,14 @@ object TextFunctions {
   /** Whitespace tokens (the "whitespace + BPE-ish regex" baseline). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles: `sliding(n)` over the token array,
-    * joined with single spaces. Pure higher-order expressions.
+  /** Distinct word n-gram shingles — native single-pass expression
+    * ([[graft.expr.WordShingles]]); the equivalent HOF chain evaluates
+    * interpreted and dominated the dedup pipelines.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(t) - n, lit(0))),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))
-      )
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.WordShingles(org.apache.spark.sql.GraftColumnBridge.expression(text), n)
     )
-  }
 
   /** MinHash signature: k permutation-free min-hashes h_i(S) =
     * min_{s∈S} hash(s, i). Returns array<int> of length k.
