@@ -207,6 +207,11 @@ object SparkEntry {
       Ann.ivfTopK(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
     }),
+    // ---- event analytics: tumbling windows + gap sessionization ------------
+    "q_events_window" -> ((s, dir) =>
+      graft.streaming.EventAnalytics.windowedCounts(loader(s, dir)("events"), "1 hour")),
+    "q_events_sessions" -> ((s, dir) =>
+      graft.streaming.EventAnalytics.sessionizeBatch(loader(s, dir)("events"), 3600L)),
     // ---- multimodal: binary columns + per-partition stub decode ------------
     "q_multimodal" -> ((s, dir) =>
       Multimodal
@@ -441,6 +446,31 @@ object SparkEntry {
                 CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
                 CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10""",
+    "q_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events
+         GROUP BY 1, 2""",
+    "q_events_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 3600
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sessions AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged)
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM sessions GROUP BY user_id, session_id""",
     "q_multimodal" ->
       """SELECT doc_id AS id,
                 CASE WHEN doc_id % 3 = 0 THEN 'image'

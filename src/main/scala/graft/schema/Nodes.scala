@@ -127,7 +127,8 @@ final case class Node(
     relationship: Option[Relationship],
     transform: TransformSpec,
     children: Seq[Node],
-    primaryKeyOverride: Seq[String] = Nil
+    primaryKeyOverride: Seq[String] = Nil,
+    baseTables: Seq[String] = Nil
 ) {
   def isRoot: Boolean = relationship.isEmpty
 
@@ -196,6 +197,11 @@ object SchemaDef {
     val pkOverride = Option(n.get("primary_key")).toSeq
       .flatMap(_.elements.asScala)
       .map(_.asText)
+    // view nodes declare the tables they are derived from (C9,
+    // sync.py:268-274); base-table change events remap to this node.
+    val baseTables = Option(n.get("base_tables")).toSeq
+      .flatMap(_.elements.asScala)
+      .map(_.asText)
     Node(
       table = table,
       label = opt(n, "label").getOrElse(table),
@@ -203,7 +209,8 @@ object SchemaDef {
       relationship = rel,
       transform = Option(n.get("transform")).map(parseTransform).getOrElse(TransformSpec()),
       children = children,
-      primaryKeyOverride = pkOverride
+      primaryKeyOverride = pkOverride,
+      baseTables = baseTables
     )
   }
 

@@ -1,0 +1,100 @@
+package graft
+
+import graft.catalog.{Catalog, ForeignKey, TableMeta}
+import graft.cdc.Changes
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The user-facing facade: construct-from-schema-document → snapshot →
+  * incremental, with P8 schema filtering and C9 base-table → view-node
+  * remapping (`pgsync/sync.py:1843-1852`).
+  */
+class GraftSyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cat = Catalog(
+    Map(
+      "order_summary" -> TableMeta("order_summary", Seq("id")), // a "view"
+      "item" -> TableMeta(
+        "item", Seq("id"),
+        Seq(ForeignKey("item", Seq("order_id"), "order_summary", Seq("id")))
+      )
+    )
+  )
+
+  // order_summary is a view over base tables orders_raw + totals
+  private val schemaJson =
+    """{
+      "database": "db", "index": "orders_idx",
+      "nodes": {
+        "table": "order_summary", "columns": ["id", "status"],
+        "base_tables": ["orders_raw", "totals"],
+        "children": [
+          {"table": "item", "label": "items", "columns": ["sku"],
+           "relationship": {"type": "one_to_many", "variant": "object"}}
+        ]
+      }
+    }"""
+
+  @volatile private var tables: Map[String, DataFrame] = _
+  private def load(t: String): DataFrame = tables(t)
+
+  test("snapshot + applyChanges with base-table remap and schema filter") {
+    tables = Map(
+      "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
+      "item" -> Seq((10L, 1L, "a")).toDF("id", "order_id", "sku")
+    )
+    val dir = Files.createTempDirectory("graft-sync").toString
+    val sync = GraftSync(spark, schemaJson, cat, load, dir)
+    assert(sync.schema.index == "orders_idx")
+    sync.snapshot()
+    assert(sync.state.docs.count() == 1)
+
+    // the "view" gains a row because its base table changed; the event
+    // arrives against the BASE table name and must remap to the view node.
+    tables += "order_summary" -> Seq((1L, "open"), (2L, "new")).toDF("id", "status")
+    val batch = Changes.of(
+      spark,
+      Seq(
+        (Changes.Insert, "orders_raw", null, """{"id": 2}""", 1L),
+        (Changes.Insert, "not_in_tree", null, """{"id": 99}""", 1L) // P8-dropped
+      )
+    )
+    sync.applyChanges(batch)
+    val docs = sync.state.docs.collect().map(r => r.getString(0)).toSet
+    assert(docs == Set("1", "2"))
+  }
+
+  test("indexMapping derives from the tree") {
+    tables = Map(
+      "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
+      "item" -> Seq.empty[(Long, Long, String)].toDF("id", "order_id", "sku")
+    )
+    val sync = GraftSync(
+      spark, schemaJson, cat, load,
+      Files.createTempDirectory("graft-sync2").toString
+    )
+    assert(sync.indexMapping.contains(""""items": {"type": "nested""""))
+  }
+
+  test("documents() applies plugin chain") {
+    tables = Map(
+      "order_summary" -> Seq((1L, "open"), (2L, "drop")).toDF("id", "status"),
+      "item" -> Seq.empty[(Long, Long, String)].toDF("id", "order_id", "sku")
+    )
+    val dropper = new graft.transform.DocTransform {
+      val name = "dropper"
+      def apply(doc: org.apache.spark.sql.Row): Option[org.apache.spark.sql.Row] =
+        if (doc.getAs[String]("status") == "drop") None else Some(doc)
+    }
+    val sync = GraftSync(
+      spark, schemaJson, cat, load,
+      Files.createTempDirectory("graft-sync3").toString,
+      plugins = Seq(dropper)
+    )
+    val ids = sync.documents().select(col("_id")).as[String].collect().toSet
+    assert(ids == Set("1"))
+  }
+}

@@ -75,4 +75,87 @@ class StreamingSpec extends SparkSpec {
     // checkpoint directory materialized offsets/commits (restart safety)
     assert(Files.exists(java.nio.file.Paths.get(s"$dir/checkpoint/offsets")))
   }
+
+  test("checkpoint restart: a stopped stream resumes without reprocessing (at-least-once + idempotent)") {
+    tables = Map(
+      "orders" -> Seq((1L, "open")).toDF("id", "status"),
+      "item" -> Seq.empty[(Long, Long, String)].toDF("id", "order_id", "sku")
+    )
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val feed = s"$dir/feed"
+    Files.createDirectories(java.nio.file.Paths.get(feed))
+    val state = new MaterializedIndex(spark, s"$dir/index")
+
+    def newSync() = new StreamSync(schema, cat, tables(_), state)
+    newSync().snapshot()
+
+    def writeFeedFile(n: Int, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$feed/batch$n.json"), lines.mkString("\n").getBytes)
+
+    // run 1: one change lands
+    tables += "orders" -> Seq((1L, "open"), (2L, "open")).toDF("id", "status")
+    writeFeedFile(1, Seq("""{"tg_op":"INSERT","tbl":"orders","old":null,"new":"{\"id\": 2}","txid":1}"""))
+    val q1 = newSync().start(Changes.fileStream(spark, feed), s"$dir/ckpt")
+    q1.processAllAvailable()
+    q1.stop()
+    assert(state.docs.count() == 2)
+    val v1 = state.currentVersion
+
+    // run 2: restart from the same checkpoint; only the NEW file is processed
+    tables += "orders" -> Seq((1L, "closed"), (2L, "open")).toDF("id", "status")
+    writeFeedFile(2, Seq("""{"tg_op":"UPDATE","tbl":"orders","old":"{\"id\": 1}","new":"{\"id\": 1}","txid":2}"""))
+    val q2 = newSync().start(Changes.fileStream(spark, feed), s"$dir/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    val docs = state.docs.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(docs("1").contains("closed"))
+    assert(docs.keySet == Set("1", "2"))
+    // exactly one additional version commit → batch 1 was not reprocessed
+    assert(state.currentVersion == v1 + 1)
+  }
+
+  test("streaming sessionization: gap in a later batch closes and emits the session") {
+    import EventAnalytics._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+
+    val stream = MemoryStream[EventIn]
+    val sessions = sessionize(stream.toDS(), gapSeconds = 3600)
+    val query = sessions.writeStream
+      .format("memory")
+      .queryName("closed_sessions")
+      .outputMode("append")
+      .start()
+
+    stream.addData(EventIn(7L, ts(0), 1.0), EventIn(7L, ts(10), 2.0))
+    query.processAllAvailable()
+    assert(spark.table("closed_sessions").count() == 0) // session still open
+
+    stream.addData(EventIn(7L, ts(7200), 5.0)) // jumps the gap
+    query.processAllAvailable()
+    val out = spark.table("closed_sessions").as[SessionOut].collect()
+    assert(out.length == 1)
+    assert(out.head.user_id == 7L && out.head.n_events == 2 && out.head.value_cents == 300L)
+    assert(out.head.start == ts(0) && out.head.end == ts(10))
+    query.stop()
+  }
+
+  test("streaming windowed counts with watermark produce append-mode results") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val events = stream.toDF().select(col("_1").as("ts"), col("_2").as("event_type"))
+    val query = EventAnalytics
+      .streamingWindowedCounts(events, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    stream.addData((t0, "click"), (t0, "click"))
+    query.processAllAvailable()
+    // advance watermark far past the first window to flush it
+    stream.addData((java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "view"))
+    query.processAllAvailable()
+    val rows = spark.table("win_counts").collect()
+    assert(rows.exists(r => r.getAs[Long]("n_events") == 2L))
+    query.stop()
+  }
 }
