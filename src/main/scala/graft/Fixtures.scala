@@ -70,6 +70,35 @@ object Fixtures {
       ]
     }"""
 
+  /** Deep nesting: one_to_many child that itself has a one_to_one child
+    * (book→authors→city analogue, FIXTURES.md topology 5).
+    */
+  val nested: String =
+    """{
+      "table": "orders",
+      "columns": ["o_orderkey", "o_orderstatus"],
+      "children": [
+        {"table": "lineitem", "label": "lineitems",
+         "columns": ["l_linenumber", "l_quantity"],
+         "relationship": {"type": "one_to_many", "variant": "object"},
+         "children": [
+           {"table": "part", "label": "part", "columns": ["p_name", "p_brand"],
+            "relationship": {"type": "one_to_one", "variant": "object"}}
+         ]}
+      ]
+    }"""
+
+  /** one_to_one scalar variant: bare customer name on the order doc. */
+  val scalarOne: String =
+    """{
+      "table": "orders",
+      "columns": ["o_orderkey"],
+      "children": [
+        {"table": "customer", "label": "customer_name", "columns": ["c_name"],
+         "relationship": {"type": "one_to_one", "variant": "scalar"}}
+      ]
+    }"""
+
   /** Root-only with transforms (replace → rename → concat,
     * `pgsync/transform.py:211-216`) — topology 1 + §A topology 8.
     */

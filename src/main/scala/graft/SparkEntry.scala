@@ -113,6 +113,18 @@ object SparkEntry {
         ).as("doc")
       )
     }),
+    // ---- deep nesting: one_to_many containing one_to_one -------------------
+    "q_doc_nested" -> ((s, dir) => {
+      val df = assembled(s, dir, Fixtures.nested)
+      df.select(
+        col("_id"),
+        to_json(struct(col("o_orderkey"), col("o_orderstatus"), col("lineitems"))).as("doc")
+      )
+    }),
+    // ---- one_to_one scalar variant -----------------------------------------
+    "q_scalar_one" -> ((s, dir) =>
+      assembled(s, dir, Fixtures.scalarOne)
+        .select(col("_id"), col("o_orderkey"), col("customer_name"))),
     // ---- A6/A7 `_meta` lineage ---------------------------------------------
     "q_meta_flagship" -> ((s, dir) =>
       assembled(s, dir, Fixtures.flagship)
@@ -289,6 +301,21 @@ object SparkEntry {
          FROM orders o
          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          LEFT JOIN li ON li.l_orderkey = o.o_orderkey""",
+    "q_doc_nested" ->
+      """WITH li AS (
+           SELECT l.l_orderkey,
+                  list(json_object('l_linenumber', l.l_linenumber, 'l_quantity', l.l_quantity,
+                                   'part', json_object('p_name', p.p_name, 'p_brand', p.p_brand))
+                       ORDER BY l.l_linenumber, l.l_quantity, p.p_name, p.p_brand) AS items
+           FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY l.l_orderkey)
+         SELECT CAST(o.o_orderkey AS VARCHAR) AS _id,
+                CAST(json_object('o_orderkey', o.o_orderkey, 'o_orderstatus', o.o_orderstatus,
+                            'lineitems', COALESCE(to_json(li.items), '[]'::JSON)) AS VARCHAR) AS doc
+         FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey""",
+    "q_scalar_one" ->
+      """SELECT CAST(o.o_orderkey AS VARCHAR) AS _id, o.o_orderkey, c.c_name AS customer_name
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
     "q_meta_flagship" ->
       """WITH li AS (
            SELECT l_orderkey,
