@@ -73,6 +73,72 @@ final case class Catalog(tables: Map[String, TableMeta]) {
 
 object Catalog {
 
+  /** Parse a catalog from a JSON document:
+    * `{"tables": {"t": {"primary_key": [...], "foreign_keys":
+    * [{"columns": [...], "parent_table": "p", "parent_columns": [...]}]}}}`
+    * — the declarative alternative to live introspection.
+    */
+  def fromJson(json: String): Catalog = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    import scala.jdk.CollectionConverters._
+    def strings(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+      Option(n).toSeq.flatMap(_.elements.asScala).map(_.asText)
+    val tables = Option(root.get("tables")).toSeq
+      .flatMap(_.properties.asScala)
+      .map { e =>
+        val name = e.getKey
+        val t = e.getValue
+        val fks = Option(t.get("foreign_keys")).toSeq
+          .flatMap(_.elements.asScala)
+          .map { fk =>
+            ForeignKey(
+              childTable = name,
+              childColumns = strings(fk.get("columns")),
+              parentTable = fk.get("parent_table").asText,
+              parentColumns = strings(fk.get("parent_columns"))
+            )
+          }
+        name -> TableMeta(name, strings(t.get("primary_key")), fks)
+      }
+      .toMap
+    Catalog(tables)
+  }
+
+  /** Introspect PK/FK metadata over JDBC — the analogue of the reference's
+    * SQLAlchemy reflection (`pgsync/base.py:306-345`) and `information_schema`
+    * constraint queries (`pgsync/view.py:232-331`). Runs once at startup on
+    * the driver; the result is a small broadcastable map.
+    */
+  def fromJdbc(url: String, tables: Seq[String]): Catalog = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData
+      val tableMetas = tables.map { t =>
+        val pks = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+        val rsPk = meta.getPrimaryKeys(null, null, t)
+        while (rsPk.next()) pks += rsPk.getShort("KEY_SEQ") -> rsPk.getString("COLUMN_NAME")
+        val fkCols = scala.collection.mutable.ArrayBuffer.empty[(String, Short, String, String)]
+        val rsFk = meta.getImportedKeys(null, null, t)
+        while (rsFk.next())
+          fkCols += ((rsFk.getString("FK_NAME"), rsFk.getShort("KEY_SEQ"),
+            rsFk.getString("FKCOLUMN_NAME"), rsFk.getString("PKTABLE_NAME") + ":" + rsFk.getString("PKCOLUMN_NAME")))
+        val fks = fkCols.groupBy(_._1).values.map { cols =>
+          val sorted = cols.sortBy(_._2)
+          val parentTable = sorted.head._4.split(":")(0)
+          ForeignKey(
+            childTable = t,
+            childColumns = sorted.map(_._3).toSeq,
+            parentTable = parentTable,
+            parentColumns = sorted.map(_._4.split(":")(1)).toSeq
+          )
+        }.toSeq
+        t -> TableMeta(t, pks.sortBy(_._1).map(_._2).toSeq, fks)
+      }.toMap
+      Catalog(tableMetas)
+    } finally conn.close()
+  }
+
   /** Catalog for the driver's TPC-H-ish test data (`/root/testdata/sf*`).
     * In production this would be loaded from config or JDBC metadata; the
     * shape is identical.

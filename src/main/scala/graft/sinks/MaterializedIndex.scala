@@ -58,6 +58,25 @@ final class MaterializedIndex(spark: SparkSession, dir: String) {
     write(v + 1, kept.unionAll(newDocs), newLineage)
   }
 
+  /** Drop versions older than the newest `keepLast` (checkpoint + commit-log
+    * hygiene for long-running streams; CURRENT is never dropped).
+    */
+  def vacuum(keepLast: Int = 2): Unit = {
+    val cur = currentVersion
+    val dir0 = Paths.get(dir)
+    if (cur < 0 || !Files.exists(dir0)) return
+    Files.list(dir0).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("v_")) {
+        val v = name.stripPrefix("v_").toLong
+        if (v <= cur - keepLast) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+      }
+    }
+  }
+
   private def write(v: Long, docsDf: DataFrame, lineageDf: DataFrame): Unit = {
     docsDf.write.mode(SaveMode.Overwrite).parquet(versionPath(v, "docs"))
     lineageDf.write.mode(SaveMode.Overwrite).parquet(versionPath(v, "lineage"))

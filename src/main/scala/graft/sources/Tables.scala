@@ -33,18 +33,31 @@ object Tables {
   }
 
   /** JDBC variant for a live database (production path; not used in tests).
-    * `partitionColumn`/`numPartitions` replace the reference's ctid-paged
-    * parallel snapshot.
+    * `partitionColumn` + bounds replace the reference's ctid-paged parallel
+    * snapshot (`bin/parallel_sync:132-208`): Spark issues `partitions`
+    * range-bounded queries in parallel, and its task scheduler replaces the
+    * hand-rolled worker pool.
     */
   def loadJdbc(
       spark: SparkSession,
       url: String,
-      partitions: Int = 32
-  )(table: String): DataFrame =
-    spark.read
+      partitions: Int = 32,
+      partitionColumns: Map[String, (String, Long, Long)] = Map.empty
+  )(table: String): DataFrame = {
+    val reader = spark.read
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)
-      .option("numPartitions", partitions)
-      .load()
+      .option("fetchsize", 10000) // reference QUERY_CHUNK_SIZE, settings.py:52
+    partitionColumns.get(table) match {
+      case Some((column, lower, upper)) =>
+        reader
+          .option("partitionColumn", column)
+          .option("lowerBound", lower)
+          .option("upperBound", upper)
+          .option("numPartitions", partitions)
+          .load()
+      case None => reader.load()
+    }
+  }
 }
