@@ -71,8 +71,21 @@ final class GraftSync(
     Changes.schemaFilter(remapped, treeTables)
   }
 
-  /** Apply one batch of changes to the materialized index. */
-  def applyChanges(batch: DataFrame): Unit = sync.applyBatch(prepare(batch))
+  /** Apply one batch of changes to the materialized index. Changes at or
+    * below the stored txid watermark are skipped (checkpoint parity,
+    * `pgsync/sync.py:1581-1656`); the watermark advances to the batch max.
+    */
+  def applyChanges(batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val fresh = state.checkpoint match {
+      case Some(ck) => batch.filter(col("txid") > ck)
+      case None     => batch
+    }
+    val prepared = prepare(fresh).cache()
+    sync.applyBatch(prepared)
+    val maxTx = prepared.agg(max(col("txid"))).collect().head
+    if (!maxTx.isNullAt(0)) state.saveCheckpoint(maxTx.getLong(0))
+  }
 
   /** Start continuous maintenance from a streaming change feed. */
   def stream(changes: DataFrame, checkpointDir: String): StreamingQuery =
@@ -92,4 +105,30 @@ object GraftSync {
       plugins: Seq[DocTransform] = Nil
   ): GraftSync =
     new GraftSync(spark, SchemaDef.parse(schemaJson), catalog, load, indexDir, plugins)
+
+  /** Load a config document holding ONE schema or an ARRAY of schemas (one
+    * per index — `pgsync/utils.py:204-300` `config_loader` yields one doc
+    * per index) and build a sync per index, each materialized under
+    * `baseDir/<index>`.
+    */
+  def fromConfig(
+      spark: SparkSession,
+      configJson: String,
+      catalog: Catalog,
+      load: String => DataFrame,
+      baseDir: String
+  ): Seq[GraftSync] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(configJson)
+    val docs =
+      if (root.isArray) {
+        import scala.jdk.CollectionConverters._
+        root.elements.asScala.map(_.toString).toSeq
+      } else Seq(configJson)
+    docs.map { json =>
+      val schema = SchemaDef.parse(json)
+      val name = if (schema.index.nonEmpty) schema.index else schema.root.table
+      new GraftSync(spark, schema, catalog, load, s"$baseDir/$name")
+    }
+  }
 }

@@ -22,6 +22,27 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 final class MaterializedIndex(spark: SparkSession, dir: String) {
 
   private val currentPtr = Paths.get(dir, "CURRENT")
+  private val checkpointPtr = Paths.get(dir, "CHECKPOINT")
+
+  /** Batch-mode transaction watermark (the reference's checkpoint file,
+    * `pgsync/sync.py:1581-1656`). Streaming runs use the Structured
+    * Streaming checkpoint instead; batch `applyChanges` callers can use this
+    * to skip already-applied txids. Replays are harmless either way —
+    * recompute-and-diff is idempotent (C3) — so the watermark is a work
+    * filter, not a correctness gate.
+    */
+  def checkpoint: Option[Long] =
+    if (Files.exists(checkpointPtr))
+      Some(new String(Files.readAllBytes(checkpointPtr)).trim.toLong)
+    else None
+
+  def saveCheckpoint(txid: Long): Unit =
+    Files.write(
+      checkpointPtr,
+      txid.toString.getBytes,
+      StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING
+    )
 
   private def versionPath(v: Long, what: String) = s"$dir/v_$v/$what"
 

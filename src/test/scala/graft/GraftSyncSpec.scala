@@ -67,6 +67,48 @@ class GraftSyncSpec extends SparkSpec {
     assert(docs == Set("1", "2"))
   }
 
+  test("txid checkpoint: replayed batches are filtered out (sync.py:1581-1656)") {
+    tables = Map(
+      "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
+      "item" -> Seq.empty[(Long, Long, String)].toDF("id", "order_id", "sku")
+    )
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val sync = GraftSync(spark, schemaJson, cat, load, dir)
+    sync.snapshot()
+    val v0 = sync.state.currentVersion
+
+    tables += "order_summary" -> Seq((1L, "open"), (2L, "new")).toDF("id", "status")
+    val batch = Changes.of(spark, Seq((Changes.Insert, "order_summary", null, """{"id": 2}""", 5L)))
+    sync.applyChanges(batch)
+    assert(sync.state.checkpoint.contains(5L))
+    val v1 = sync.state.currentVersion
+    assert(v1 == v0 + 1)
+
+    // replaying the same batch is a no-op (all txids <= watermark)
+    sync.applyChanges(batch)
+    assert(sync.state.currentVersion == v1)
+  }
+
+  test("fromConfig loads an array of schema docs, one sync per index") {
+    tables = Map(
+      "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
+      "item" -> Seq.empty[(Long, Long, String)].toDF("id", "order_id", "sku")
+    )
+    val base = Files.createTempDirectory("graft-multi").toString
+    val syncs = GraftSync.fromConfig(
+      spark,
+      s"""[
+        {"database": "db", "index": "idx_a", "nodes": {"table": "order_summary", "columns": ["id"]}},
+        {"database": "db", "index": "idx_b", "nodes": {"table": "item", "columns": ["id", "sku"]}}
+      ]""",
+      cat, load, base
+    )
+    assert(syncs.map(_.schema.index) == Seq("idx_a", "idx_b"))
+    syncs.foreach(_.snapshot())
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/idx_a/CURRENT")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/idx_b/CURRENT")))
+  }
+
   test("indexMapping derives from the tree") {
     tables = Map(
       "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
