@@ -35,7 +35,9 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // per-query caches must not skew the next timing
+      name -> dt
     }
     val qs = results
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -269,10 +269,12 @@ final class IncrementalEngine(
     val affected = affectedRoots(changes, lineage).cache()
     val structured = reassemble(affected)
     val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
+    // cached: feeds both the index ops and the delete anti-join — without
+    // this the whole re-assembly plan executes twice
     val docs = structured.select(
       col(DocAssembler.IdColumn),
       to_json(struct(payload: _*)).as("doc")
-    )
+    ).cache()
     val indexOps = docs.select(lit("index").as("op"), col("_id"), col("doc"))
     val deleteOps = affected
       .join(docs, Seq("_id"), "left_anti")
