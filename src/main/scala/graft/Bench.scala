@@ -43,8 +43,41 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // BASELINE.md metrics: snapshot docs/sec (flagship nested-doc assembly
+    // end-to-end) and incremental changes/sec at the reference's 5000-change
+    // batch shape (LOGICAL_SLOT_CHUNK_SIZE, settings.py:40).
+    import org.apache.spark.sql.functions._
+    import graft.assemble.DocAssembler
+    import graft.cdc.{IncrementalEngine, Lineage}
+    import graft.schema.SchemaDef
+    import graft.sources.Tables
+    val load = Tables.load(spark, sfDir) _
+    val t1 = System.nanoTime()
+    val nDocs = DocAssembler
+      .assembleJson(SchemaDef.parseNodes(Fixtures.flagship), load, graft.catalog.Catalog.testData)
+      .count()
+    val snapshotDocsSec = nDocs / ((System.nanoTime() - t1) / 1e9)
+    spark.catalog.clearCache()
+
+    val batch = load("orders")
+      .limit(5000)
+      .select(
+        lit("UPDATE").as("tg_op"), lit("orders").as("tbl"),
+        lit(null).cast("string").as("old"),
+        to_json(struct(col("o_orderkey"))).as("new"),
+        col("o_orderkey").as("txid")
+      )
+      .cache()
+    val nChanges = batch.count()
+    val engine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), graft.catalog.Catalog.testData, load)
+    val t2 = System.nanoTime()
+    engine.process(batch, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
+    val changesSec = nChanges / ((System.nanoTime() - t2) / 1e9)
+
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -234,6 +234,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos") * 10000).cast("long").as("cosine_e4"))
   }
 
+  /** Connected components over a near-duplicate pair list by min-label
+    * propagation: every document ends up labeled with the smallest id in its
+    * component — the canonical "keeper". Iterations are bounded by the
+    * component diameter (near-dup clusters are shallow in practice); each
+    * iteration is two shuffles on the pair list, never materializing the
+    * transitive closure.
+    * Input: (id_a, id_b); output: (id, keep_id).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .cache()
+    var labels = edges
+      .groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), first(col("u"))).as("keep_id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // propagate: my new label = min(my label, labels of my neighbors)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("keep_id")).as("n_keep"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left_outer")
+        .select(col("id"), least(col("keep_id"), coalesce(col("n_keep"), col("keep_id"))).as("keep_id"))
+        .cache()
+      val changed = next
+        .join(labels.withColumnRenamed("keep_id", "old_keep"), Seq("id"))
+        .filter(col("keep_id") =!= col("old_keep"))
+        .limit(1)
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exhaustive pairwise cosine near-dup (no LSH) via a block-nested
     * self-join — the exact oracle path; quadratic, use only for verification
     * or small partitions.

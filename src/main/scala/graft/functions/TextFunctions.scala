@@ -28,22 +28,9 @@ object TextFunctions {
       graft.expr.WordShingles(org.apache.spark.sql.GraftColumnBridge.expression(text), n)
     )
 
-  /** MinHash signature: k permutation-free min-hashes h_i(S) =
-    * min_{s∈S} hash(s, i). Returns array<int> of length k.
-    */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => hash(s, lit(i))))
-    }: _*)
-
-  /** LSH band hashes over a MinHash signature: `bands` hashes of `rowsPerBand`
-    * consecutive signature entries each. Docs sharing any band hash are
-    * candidate near-duplicates.
-    */
-  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      hash((0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1)): _*)
-    }: _*)
+  // MinHash signatures/bands live in graft.dedup.Dedup as DataFrame-level
+  // explode + aggregate stages (map-side combinable, codegen'd) — a scalar
+  // HOF formulation here would evaluate interpreted; see BENCH history.
 
   /** 64-bit SimHash over (frequency-weighted) tokens: per bit position,
     * sum ±1 across token hashes, take the sign bit.

@@ -69,6 +69,13 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact)) // verification step removes false positives
   }
 
+  test("connected components label every member with the component min (keep list)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("IVF and LSH ANN recall vs brute force on clustered vectors") {
     val vecs = (0 until 60).map { i =>
       val c = i % 3
