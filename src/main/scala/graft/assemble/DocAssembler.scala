@@ -113,6 +113,16 @@ object DocAssembler {
       if (node.columns.nonEmpty) node.columns
       else base.columns.toSeq.map(ColumnRef(_))
 
+    // Validation up front, with the reference's error shapes: unknown column
+    // (ColumnNotFoundError, node.py:298-302) and duplicate child labels.
+    val available = base.columns.toSet
+    colRefs.map(_.base).find(c => !available.contains(c)).foreach { c =>
+      throw SchemaError(s"Column '$c' not present on table '${node.table}'")
+    }
+    val dupLabels = node.children.groupBy(_.label).collect { case (l, cs) if cs.size > 1 => l }
+    if (dupLabels.nonEmpty)
+      throw SchemaError(s"Duplicate child labels on '${node.table}': ${dupLabels.mkString(", ")}")
+
     // Child join specs resolved at build time (querybuilder.py:161-296
     // semantics: explicit hint wins, else catalog FK metadata, both
     // directions).

@@ -207,6 +207,24 @@ class AssemblerSpec extends SparkSpec {
     assert(cp1.map(_.getAs[String]("name")).toSet == Set("P2", "P3"))
   }
 
+  test("unknown column and duplicate labels are rejected at build (node.py:298-302)") {
+    val e1 = intercept[graft.schema.SchemaError] {
+      docs("""{"table": "book", "columns": ["isbn", "nope"]}""")
+    }
+    assert(e1.msg.contains("'nope'") && e1.msg.contains("book"))
+    val e2 = intercept[graft.schema.SchemaError] {
+      docs(
+        """{"table": "book", "columns": ["isbn"],
+            "children": [
+              {"table": "publisher", "label": "x", "columns": ["name"],
+               "relationship": {"type": "one_to_one", "variant": "object"}},
+              {"table": "rating", "label": "x", "columns": ["value"],
+               "relationship": {"type": "one_to_one", "variant": "object"}}]}"""
+      )
+    }
+    assert(e2.msg.contains("Duplicate child labels"))
+  }
+
   test("composite PK _id joins values with | (sync.py:527-535)") {
     val cat2 = Catalog(Map("t" -> TableMeta("t", Seq("a", "b"))))
     val df = Seq((1L, "x", 9.0)).toDF("a", "b", "v")

@@ -76,6 +76,24 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("corpus-cleaning composition: near-dup pairs → components → keep-filtered corpus") {
+    import graft.functions.{TextFunctions => TF}
+    // exact + near dups planted; pipeline keeps one representative per component
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+    val keep = Dedup.connectedComponents(pairs)
+    val cleaned = docs
+      .join(keep, docs("doc_id") === keep("id"), "left_outer")
+      .filter(col("keep_id").isNull || col("keep_id") === col("doc_id"))
+      .select(
+        col("doc_id"),
+        TF.langId(col("text")).as("lang"),
+        TF.meanWordLenC(col("text")).as("quality")
+      )
+    val kept = cleaned.collect().map(_.getLong(0)).toSet
+    // docs 1,2,4 collapse to one component (keeper 1); 3 and 5 untouched
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   test("IVF and LSH ANN recall vs brute force on clustered vectors") {
     val vecs = (0 until 60).map { i =>
       val c = i % 3
