@@ -71,11 +71,19 @@ final class StreamSync(
 
   /** Start the stream: `changes` must be a streaming DataFrame with
     * [[Changes.schema]] columns. Checkpointing makes restarts resume from
-    * the last committed batch.
+    * the last committed batch. `trigger` sets the micro-batch cadence — the
+    * engine-native form of the reference's size-based batching
+    * (`LOGICAL_SLOT_CHUNK_SIZE` 5 000 / `REDIS_POLL_INTERVAL`,
+    * `settings.py:40,277`); None = as-fast-as-possible.
     */
-  def start(changes: DataFrame, checkpointDir: String): StreamingQuery =
-    changes.writeStream
+  def start(
+      changes: DataFrame,
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None
+  ): StreamingQuery = {
+    val writer = changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
-      .start()
+    trigger.fold(writer)(writer.trigger).start()
+  }
 }
