@@ -53,19 +53,13 @@ final class StreamSync(
     val lineage = state.lineage
     val affected = engine.affectedRoots(batch, lineage).cache()
     try {
-      val structured = engine.reassemble(affected)
+      val structured = engine.reassemble(affected).cache()
       val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
       val flat = structured
         .select(col(DocAssembler.IdColumn), to_json(struct(payload: _*)).as("doc"))
-        .cache()
-      val newLineage = lineage
-        .join(
-          broadcast(affected.select(col("_id").as("root_id"))),
-          Seq("root_id"),
-          "left_anti"
-        )
-        .unionAll(Lineage.fromDocs(structured))
-      state.commit(affected, flat, newLineage)
+      // only the re-assembled roots' rows: the index rewrites just the
+      // affected buckets and inherits the rest via its manifest
+      state.commit(affected, flat, Lineage.fromDocs(structured))
     } finally affected.unpersist()
   }
 
