@@ -72,6 +72,24 @@ object SparkEntry {
           sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows")
         )),
+    // ---- analytics: multi-join agg with broadcast dims ---------------------
+    "q_revenue_by_nation" -> ((s, dir) => {
+      val load = loader(s, dir)
+      load("orders")
+        .join(broadcast(load("customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(load("nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("revenue_cents")
+        )
+    }),
+    // ---- analytics: post-aggregation filter (HAVING) -----------------------
+    "q_having" -> ((s, dir) =>
+      loader(s, dir)("lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("total_qty"))
+        .filter(col("n_items") > 50)),
     // ---- J2 one_to_one chain (customer→nation→region) ----------------------
     "q_join_chain" -> ((s, dir) =>
       assembled(s, dir, Fixtures.oneToOneChain)
@@ -263,6 +281,16 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_revenue_by_nation" ->
+      """SELECT n.n_name, count(*) AS n_orders,
+                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name""",
+    "q_having" ->
+      """SELECT l_suppkey, count(*) AS n_items, sum(l_quantity) AS total_qty
+         FROM lineitem GROUP BY l_suppkey HAVING count(*) > 50""",
     "q_join_chain" ->
       """SELECT CAST(c.c_custkey AS VARCHAR) AS _id, c.c_name, n.n_name, r.r_name
          FROM customer c

@@ -6,8 +6,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.nio.charset.StandardCharsets
 
 /** Test/standalone sink: a bucketed, versioned parquet materialization of
   * the search index — current docs keyed by `_id` plus the lineage
@@ -26,8 +27,25 @@ import scala.jdk.CollectionConverters._
   */
 final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 64) {
 
-  private val currentPtr = Paths.get(dir, "CURRENT")
-  private val checkpointPtr = Paths.get(dir, "CHECKPOINT")
+  // All metadata IO goes through the Hadoop FileSystem API, so the index
+  // works on HDFS/S3A/local alike (a production deployment would likely use
+  // a table format here; the manifest design is the same idea).
+  private val fs: FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val currentPtr = new Path(dir, "CURRENT")
+  private val checkpointPtr = new Path(dir, "CHECKPOINT")
+
+  private def readText(p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeText(p: Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   private val docsSchema = StructType(
     Seq(StructField(DocAssembler.IdColumn, StringType), StructField("doc", StringType))
@@ -44,44 +62,33 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
     * filter, not a correctness gate.
     */
   def checkpoint: Option[Long] =
-    if (Files.exists(checkpointPtr))
-      Some(new String(Files.readAllBytes(checkpointPtr)).trim.toLong)
-    else None
+    if (fs.exists(checkpointPtr)) Some(readText(checkpointPtr).trim.toLong) else None
 
-  def saveCheckpoint(txid: Long): Unit =
-    Files.write(
-      checkpointPtr,
-      txid.toString.getBytes,
-      StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING
-    )
+  def saveCheckpoint(txid: Long): Unit = writeText(checkpointPtr, txid.toString)
 
   def currentVersion: Long =
-    if (Files.exists(currentPtr)) new String(Files.readAllBytes(currentPtr)).trim.toLong
-    else -1L
+    if (fs.exists(currentPtr)) readText(currentPtr).trim.toLong else -1L
 
   def exists: Boolean = currentVersion >= 0
 
   // ---- manifest: bucket → version that owns its current data ---------------
 
-  private def manifestPath(v: Long) = Paths.get(dir, s"v_$v", "manifest")
+  private def manifestPath(v: Long) = new Path(dir, s"v_$v/manifest")
 
   /** Lines `kind,bucket,version`. */
   private def readManifest(v: Long): Map[(String, Int), Long] =
-    if (!Files.exists(manifestPath(v))) Map.empty
+    if (!fs.exists(manifestPath(v))) Map.empty
     else
-      Files.readAllLines(manifestPath(v)).asScala.filter(_.nonEmpty).map { line =>
+      readText(manifestPath(v)).split("\n").filter(_.nonEmpty).map { line =>
         val Array(kind, b, ver) = line.split(",")
         (kind, b.toInt) -> ver.toLong
       }.toMap
 
   private def writeManifest(v: Long, m: Map[(String, Int), Long]): Unit = {
-    Files.createDirectories(manifestPath(v).getParent)
     val body = m.toSeq.sortBy(e => (e._1._1, e._1._2))
       .map { case ((kind, b), ver) => s"$kind,$b,$ver" }
       .mkString("\n")
-    Files.write(manifestPath(v), body.getBytes, StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING)
+    writeText(manifestPath(v), body)
   }
 
   private def bucketDir(kind: String, b: Int, v: Long) = s"$dir/v_$v/$kind/bucket=$b"
@@ -106,11 +113,10 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
     val out = s"$dir/v_$v/$kind"
     df.withColumn("bucket", bucketOf(col(idCol)))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out)
-    val written = Files.list(Paths.get(out)).iterator().asScala
-      .map(_.getFileName.toString)
+    fs.listStatus(new Path(out))
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("bucket=") => s.stripPrefix("bucket=").toInt }
       .toSet
-    written
   }
 
   /** Bootstrap from a full snapshot of structured docs (assemble() output:
@@ -171,11 +177,7 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
     flipCurrent(next)
   }
 
-  private def flipCurrent(v: Long): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    Files.write(currentPtr, v.toString.getBytes, StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING)
-  }
+  private def flipCurrent(v: Long): Unit = writeText(currentPtr, v.toString)
 
   /** Drop version directories that are older than the newest `keepLast` AND
     * not referenced by the CURRENT manifest (bucket inheritance keeps old
@@ -183,17 +185,15 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
     */
   def vacuum(keepLast: Int = 2): Unit = {
     val cur = currentVersion
-    val dir0 = Paths.get(dir)
-    if (cur < 0 || !Files.exists(dir0)) return
+    val root = new Path(dir)
+    if (cur < 0 || !fs.exists(root)) return
     val referenced = readManifest(cur).values.toSet + cur
-    Files.list(dir0).iterator().asScala.toSeq.foreach { p =>
-      val name = p.getFileName.toString
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
       if (name.startsWith("v_")) {
         val v = name.stripPrefix("v_").toLong
-        if (v <= cur - keepLast && !referenced.contains(v)) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-        }
+        if (v <= cur - keepLast && !referenced.contains(v))
+          fs.delete(st.getPath, true)
       }
     }
   }
