@@ -188,6 +188,18 @@ object SparkEntry {
       new IncrementalEngine(SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
         .process(changes, Lineage.empty(s))
     }),
+    // ---- U1 plugin surface: per-doc rewrite + drop chain -------------------
+    "q_plugin" -> ((s, dir) => {
+      val docs = assembled(s, dir,
+        """{"table": "orders", "columns": ["o_orderkey", "o_orderstatus"]}""")
+        .select(col("_id"), col("o_orderkey"), col("o_orderstatus"))
+      val dropper = new graft.transform.DocTransform {
+        val name = "mod-dropper" // plugin.py:102-103: falsy return drops the doc
+        def apply(doc: org.apache.spark.sql.Row): Option[org.apache.spark.sql.Row] =
+          if (doc.getAs[Long]("o_orderkey") % 10 == 0) None else Some(doc)
+      }
+      graft.transform.Plugins(docs, Seq(dropper))
+    }),
     // ---- dedup: exact (hash groupBy) ---------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       loader(s, dir)("documents")
@@ -429,6 +441,9 @@ object SparkEntry {
          JOIN orders o ON o.o_orderkey = a.l_orderkey
          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          LEFT JOIN li ON li.l_orderkey = o.o_orderkey""",
+    "q_plugin" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS _id, o_orderkey, o_orderstatus
+         FROM orders WHERE o_orderkey % 10 <> 0""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text)""",
