@@ -230,32 +230,60 @@ final class IncrementalEngine(
       else None
     }.toMap
 
+  /** Above this many affected ids, fall back from literal IN-set scan
+    * filters to broadcast semi-joins. Small sets profit from row-group
+    * pruning at the scan; large literal lists cost more in plan
+    * construction/optimization than the pruning returns (measured: a 7.5k-
+    * value In tripled the batch latency vs the broadcast join).
+    */
+  private val InSetThreshold = 1000
+
   /** Re-assemble the documents for the given affected root ids: the same
     * single [[DocAssembler]] plan with the ROOT scan — and every root-keyed
-    * child scan — semi-joined to the id set. Single-column PKs join
-    * natively (sargable, DPP-friendly on a partitioned layout); composite
-    * PKs fall back to the `_id` concat expression.
+    * child scan — restricted to the id set.
+    *
+    * For batch-sized id sets the restriction is a literal `isin` (Catalyst
+    * compiles it to `InSet` and pushes it INTO the parquet scan —
+    * `PushedFilters: [In(pk, …)]` — so row groups whose min/max exclude the
+    * ids are never read; asserted in PlanSpec). Oversized sets fall back to
+    * a broadcast semi-join. Composite PKs use the `_id` concat expression.
     */
   def reassemble(affected: DataFrame): DataFrame = {
+    val ids: Option[Array[String]] = {
+      val collected = affected.select(col("_id")).limit(InSetThreshold + 1).collect()
+      if (collected.length > InSetThreshold) None
+      else Some(collected.map(_.getString(0)))
+    }
+
+    def restrict(base: DataFrame, keyCol: String): DataFrame = {
+      val dt = base.schema(keyCol).dataType
+      ids match {
+        case Some(vals) =>
+          val lits: Seq[Any] = dt match {
+            case org.apache.spark.sql.types.LongType    => vals.map(_.toLong).toSeq
+            case org.apache.spark.sql.types.IntegerType => vals.map(_.toInt).toSeq
+            case org.apache.spark.sql.types.ShortType   => vals.map(_.toShort).toSeq
+            case _                                      => vals.toSeq
+          }
+          base.filter(col(keyCol).isin(lits: _*))
+        case None =>
+          base.join(
+            broadcast(affected.select(col("_id").cast(dt).as(keyCol))),
+            Seq(keyCol),
+            "left_semi"
+          )
+      }
+    }
+
     val filteredLoad: String => DataFrame = t =>
       if (t == root.table) {
         val base = load(t)
-        if (rootPks.size == 1)
-          base.join(
-            broadcast(affected.select(col("_id").cast(base.schema(rootPks.head).dataType).as(rootPks.head))),
-            Seq(rootPks.head),
-            "left_semi"
-          )
+        if (rootPks.size == 1) restrict(base, rootPks.head)
         else base.join(broadcast(affected), rootIdExpr === col("_id"), "left_semi")
       } else
         rootKeyedChildCols.get(t) match {
           case Some(fkCols) if rootPks.size == 1 && fkCols.size == 1 =>
-            val base = load(t)
-            base.join(
-              broadcast(affected.select(col("_id").cast(base.schema(fkCols.head).dataType).as(fkCols.head))),
-              Seq(fkCols.head),
-              "left_semi"
-            )
+            restrict(load(t), fkCols.head)
           case _ => load(t)
         }
     DocAssembler.assemble(root, filteredLoad, catalog)

@@ -42,7 +42,7 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("PushedFilters") && s.contains("Or(And("))
   }
 
-  test("incremental reassembly broadcasts the affected-id set (semi-join on root scan)") {
+  test("incremental reassembly pushes the affected-id set into the parquet scans") {
     val load = Tables.load(spark, sf) _
     val engine = new IncrementalEngine(
       SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
@@ -50,8 +50,12 @@ class PlanSpec extends SparkSpec {
       spark,
       Seq(("INSERT", "orders", null, """{"o_orderkey": 1}""", 1L))
     )
-    val p = plan(engine.process(changes, Lineage.empty(spark)))
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    val s = fmt(engine.process(changes, Lineage.empty(spark)))
+    // batch-sized id sets become pushed scan filters (row-group pruning) on
+    // BOTH the root scan and the root-keyed child scan (a 1-element In is
+    // simplified to EqualTo by the optimizer)
+    assert(s.contains("EqualTo(o_orderkey,1)") || s.contains("In(o_orderkey"))
+    assert(s.contains("EqualTo(l_orderkey,1)") || s.contains("In(l_orderkey"))
   }
 
   test("one_to_many child agg keeps map-side partial aggregation") {
