@@ -47,9 +47,43 @@ object Ann {
       )
   }
 
+  /** Lloyd iterations for coarse IVF centroids: assign each vector to its
+    * nearest centroid, replace centroids with per-cell mean vectors.
+    * Means via posexplode + per-position average — two shuffles per
+    * iteration, centroid set always broadcast-sized.
+    */
+  def refineCentroids(
+      v: DataFrame, // (cid, cv)
+      centroids: DataFrame, // (cell, centroid)
+      iterations: Int
+  ): DataFrame = {
+    var c = centroids
+    for (_ <- 0 until iterations) {
+      val wAssign = Window.partitionBy(col("cid")).orderBy(col("sim").desc, col("cell"))
+      val assigned = v
+        .crossJoin(broadcast(c))
+        .select(col("cid"), col("cv"), col("cell"), VF.cosine(col("cv"), col("centroid")).as("sim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+      c = assigned
+        .select(col("cell"), posexplode(col("cv").cast("array<double>")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x("m")
+          ).as("centroid")
+        )
+    }
+    c
+  }
+
   /** IVF (inverted-file) ANN: assign corpus vectors to `nlists` coarse
-    * centroids (deterministically sampled from the corpus), probe the
-    * `nprobe` nearest cells per query, exact-rank within the probed cells.
+    * centroids (deterministically seeded from the corpus, refined with
+    * `refine` Lloyd iterations), probe the `nprobe` nearest cells per query,
+    * exact-rank within the probed cells.
     * Output: (qid, neighbor_id, cosine_e4, rank).
     */
   def ivfTopK(
@@ -61,15 +95,14 @@ object Ann {
       qvec: String,
       k: Int,
       nlists: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      refine: Int = 1
   ): DataFrame = {
     val v = corpus.select(col(id).as("cid"), col(vec).as("cv"))
-    // deterministic coarse centroids: first nlists ids (a k-means refinement
-    // would slot in here; sampling keeps the operator self-contained)
-    val centroids = broadcast(
-      v.orderBy(col("cid")).limit(nlists)
-        .select(col("cid").as("cell"), col("cv").as("centroid"))
-    )
+    // deterministic seeds: first nlists ids, then Lloyd refinement
+    val seeds = v.orderBy(col("cid")).limit(nlists)
+      .select(col("cid").as("cell"), col("cv").as("centroid"))
+    val centroids = broadcast(refineCentroids(v, seeds, refine))
     val wAssign = Window.partitionBy(col("cid")).orderBy(col("sim").desc, col("cell"))
     val assigned = v
       .crossJoin(centroids)

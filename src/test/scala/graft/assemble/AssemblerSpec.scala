@@ -207,6 +207,22 @@ class AssemblerSpec extends SparkSpec {
     assert(cp1.map(_.getAs[String]("name")).toSet == Set("P2", "P3"))
   }
 
+  test("two children from the same table with different labels coexist") {
+    val d = docs(
+      """{"table": "book", "columns": ["isbn"],
+          "children": [
+            {"table": "author", "label": "authors", "columns": ["name"],
+             "relationship": {"type": "one_to_many", "variant": "object",
+                              "through_tables": ["book_author"]}},
+            {"table": "author", "label": "author_names", "columns": ["name"],
+             "relationship": {"type": "one_to_many", "variant": "scalar",
+                              "through_tables": ["book_author"]}}]}"""
+    )
+    val r = d("1")
+    assert(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("authors")).size == 2)
+    assert(r.getSeq[String](r.fieldIndex("author_names")) == Seq("A1", "A2"))
+  }
+
   test("unknown column and duplicate labels are rejected at build (node.py:298-302)") {
     val e1 = intercept[graft.schema.SchemaError] {
       docs("""{"table": "book", "columns": ["isbn", "nope"]}""")
