@@ -93,8 +93,9 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
 
   private def bucketDir(kind: String, b: Int, v: Long) = s"$dir/v_$v/$kind/bucket=$b"
 
-  private def read(kind: String, schema: StructType): DataFrame = {
-    val paths = readManifest(currentVersion).collect {
+  private def read(kind: String, schema: StructType, version: Long = -1L): DataFrame = {
+    val at = if (version >= 0) version else currentVersion
+    val paths = readManifest(at).collect {
       case ((k, b), v) if k == kind => bucketDir(kind, b, v)
     }.toSeq
     if (paths.isEmpty)
@@ -105,6 +106,9 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
   def docs: DataFrame = read("docs", docsSchema)
 
   def lineage: DataFrame = read("lineage", Lineage.schema)
+
+  /** Time travel: the document set as of an earlier (un-vacuumed) version. */
+  def docsAt(version: Long): DataFrame = read("docs", docsSchema, version)
 
   /** Write `df` partitioned by bucket under version `v`; returns the bucket
     * ids actually written (empty buckets produce no directory).
