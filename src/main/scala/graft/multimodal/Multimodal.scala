@@ -81,6 +81,32 @@ object Multimodal {
     }
   }
 
+  /** STUB embedding extraction: deterministic pseudo-embedding derived from
+    * the content bytes (a real pipeline loads an encoder per partition —
+    * the reference's heavyweight plugin pattern,
+    * `pgsync/plugins/sentence_transformer_plugin.py`). The output feeds the
+    * [[graft.ann.Ann]] / [[graft.dedup.Dedup]] operators unchanged, which is
+    * the point: multimodal content → embedding column → similarity/dedup is
+    * one composable pipeline.
+    */
+  def embedStub(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val decoder = new FakeDecoder
+      decoder.init() // real impl: load the encoder model once per partition
+      rows.map { r =>
+        // STUB: bytes → unit-scale pseudo-vector, deterministic in content
+        val seed = r.content.foldLeft(1469598103934665603L)((h, b) => (h ^ (b & 0xff)) * 1099511628211L)
+        val vec = Array.tabulate(dim) { i =>
+          val x = seed * (2 * i + 1) + i
+          ((x >>> 16) % 2001 - 1000) / 1000.0f
+        }
+        (r.id, vec)
+      }
+    }.toDF("id", "embedding")
+  }
+
   /** "Resize": in the stub, recompute metadata at a target scale — the real
     * version maps content → content; the plumbing (binary in, binary out,
     * codegen-opaque boundary kept narrow) is what matters.

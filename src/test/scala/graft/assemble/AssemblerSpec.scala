@@ -250,6 +250,32 @@ class AssemblerSpec extends SparkSpec {
     assert(out.head.getAs[String]("_id") == "1|x")
   }
 
+  test("empty root and empty child tables degrade gracefully") {
+    import org.apache.spark.sql.Row
+    val emptyBook = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], book.schema)
+    val emptyLinks = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], bookAuthor.schema)
+    val s = """{"table": "book", "columns": ["isbn"],
+        "children": [{"table": "author", "label": "authors", "columns": ["name"],
+          "relationship": {"type": "one_to_many", "variant": "object",
+                           "through_tables": ["book_author"]}}]}"""
+    // empty root → zero docs
+    val none = DocAssembler.assemble(
+      SchemaDef.parseNodes(s),
+      { case "book" => emptyBook; case t => load(t) },
+      cat
+    )
+    assert(none.count() == 0)
+    // empty through table → docs with empty arrays
+    val d = DocAssembler.assemble(
+      SchemaDef.parseNodes(s),
+      { case "book_author" => emptyLinks; case t => load(t) },
+      cat
+    ).collect().map(r => r.getString(r.fieldIndex("_id")) -> r).toMap
+    assert(d("1").getSeq[org.apache.spark.sql.Row](d("1").fieldIndex("authors")).isEmpty)
+  }
+
   test("resync idempotence: assembling twice yields identical documents") {
     val s = """{"table": "book", "columns": ["isbn"],
           "children": [{"table": "author", "label": "authors", "columns": ["name"],

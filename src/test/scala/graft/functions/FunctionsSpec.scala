@@ -81,6 +81,19 @@ class FunctionsSpec extends SparkSpec {
     assert(m("t1")("id").toSeq == Seq("1", "2"))
   }
 
+  test("multimodal → embedding → ANN composition runs end-to-end") {
+    val docs = (0L until 30L).map(i => (i, s"content item $i ${"x" * (i % 7).toInt}"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
+    val emb = Multimodal.embedStub(media, dim = 16)
+    // identical content → identical embedding (deterministic stub)
+    val dup = Multimodal.embedStub(media, dim = 16)
+    assert(emb.collect().map(_.toString).sorted.sameElements(dup.collect().map(_.toString).sorted))
+    val topk = graft.ann.Ann.bruteForceTopK(
+      emb, emb.filter(col("id") < 2), "id", "embedding", "id", "embedding", 3)
+    assert(topk.count() == 6) // 2 queries × top-3
+  }
+
   test("multimodal stub pipeline: per-partition decoder, deterministic features") {
     val docs = Seq((0L, "abcd"), (1L, ""), (2L, "x" * 1000)).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
