@@ -112,11 +112,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard") * 1000).cast("long").as("jaccard_milli"))
   }
 
-  /** SimHash near-dup: 64-bit signature, candidates share one of four
-    * 16-bit chunks (any pair within Hamming distance 3 must agree on ≥1
-    * chunk), verified by exact Hamming distance.
-    * Output: (id_a, id_b, hamming).
-    */
   /** 64-bit SimHash signatures via explode + 64 codegen'd sum-aggregates
     * (one shuffle keyed by id; the scalar HOF formulation is interpreted).
     */
@@ -139,6 +134,12 @@ object Dedup {
     )
   }
 
+  /** SimHash near-dup: 64-bit signature banded into `maxHamming + 1`
+    * chunks — by pigeonhole, any pair within the Hamming budget must agree
+    * on at least one chunk, so candidate recall is exact; candidates are
+    * then verified by exact Hamming distance.
+    * Output: (id_a, id_b, hamming).
+    */
   def simhash(
       docs: DataFrame,
       id: String,
@@ -147,10 +148,24 @@ object Dedup {
       maxBucket: Int = 1000
   ): DataFrame = {
     val sig = simhashSignatures(docs, id, text)
+    // ≥ maxHamming+1 chunks guarantees recall; cap at 16 (narrower chunks
+    // stop being selective and flood the candidate set). The chunks must
+    // PARTITION all 64 bits (uncovered bits would break the pigeonhole
+    // guarantee), so remainder bits are spread over the leading chunks.
+    val nChunks = math.max(1, math.min(16, maxHamming + 1))
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val chunks = (0 until nChunks).map { c =>
+      val len = base + (if (c < rem) 1 else 0)
+      val start = c * base + math.min(c, rem)
+      val mask = if (len == 64) -1L else (1L << len) - 1
+      (c, start, mask)
+    }
     val keyed = sig.select(
       col("id"),
-      explode(array((0 until 4).map { c =>
-        concat_ws(":", lit(c), call_function("shiftright", col("sig"), lit(c * 16)).bitwiseAND(lit(0xffffL)))
+      explode(array(chunks.map { case (c, start, mask) =>
+        concat_ws(":", lit(c),
+          call_function("shiftright", col("sig"), lit(start)).bitwiseAND(lit(mask)))
       }: _*)).as("key")
     )
     val candidates = bucketPairs(keyed, maxBucket)

@@ -69,6 +69,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact)) // verification step removes false positives
   }
 
+  test("simhash banding recall is exact vs exhaustive hamming pairs") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    for (budget <- Seq(3, 8, 12)) {
+      val exhaustive = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= budget
+      } yield (a, b)).toSet
+      val banded = Dedup.simhash(docs, "doc_id", "text", maxHamming = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == exhaustive, s"budget $budget")
+    }
+  }
+
   test("connected components label every member with the component min (keep list)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
     val labels = Dedup.connectedComponents(pairs)
