@@ -95,6 +95,9 @@ final class IncrementalEngine(
     tables(root).distinct.map(t => t -> catalog.primaryKeys(t))
   }
 
+  private var lastBatchCache: Option[DataFrame] = None
+  private var lastDocsCache: Option[DataFrame] = None
+
   private def rootIdExpr: Column =
     concat_ws(DocAssembler.IdDelimiter, rootPks.map(p => col(p).cast(StringType)): _*)
 
@@ -110,8 +113,12 @@ final class IncrementalEngine(
 
     // The batch is referenced by many resolution branches (root ids, lineage
     // keys per (table, pk), one walk-up per chain) — cache it once instead
-    // of recomputing the feed per branch.
+    // of recomputing the feed per branch. The previous batch's cache is
+    // released here, bounding a long-running stream to one live batch cache
+    // (micro-batches are sequential).
+    lastBatchCache.foreach(_.unpersist())
     val changes = rawChanges.cache()
+    lastBatchCache = Some(changes)
 
     // One small job up front: which tables (and truncates) does this batch
     // actually touch? Branches for untouched tables are pruned from the
@@ -298,11 +305,14 @@ final class IncrementalEngine(
     val structured = reassemble(affected)
     val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
     // cached: feeds both the index ops and the delete anti-join — without
-    // this the whole re-assembly plan executes twice
+    // this the whole re-assembly plan executes twice; previous batch's
+    // cache released (same bounded-lifetime discipline as the batch cache)
+    lastDocsCache.foreach(_.unpersist())
     val docs = structured.select(
       col(DocAssembler.IdColumn),
       to_json(struct(payload: _*)).as("doc")
     ).cache()
+    lastDocsCache = Some(docs)
     val indexOps = docs.select(lit("index").as("op"), col("_id"), col("doc"))
     val deleteOps = affected
       .join(docs, Seq("_id"), "left_anti")

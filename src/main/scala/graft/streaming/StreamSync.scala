@@ -52,15 +52,18 @@ final class StreamSync(
     if (batch.isEmpty) return
     val lineage = state.lineage
     val affected = engine.affectedRoots(batch, lineage).cache()
+    val structured = engine.reassemble(affected).cache()
     try {
-      val structured = engine.reassemble(affected).cache()
       val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
       val flat = structured
         .select(col(DocAssembler.IdColumn), to_json(struct(payload: _*)).as("doc"))
       // only the re-assembled roots' rows: the index rewrites just the
       // affected buckets and inherits the rest via its manifest
       state.commit(affected, flat, Lineage.fromDocs(structured))
-    } finally affected.unpersist()
+    } finally {
+      affected.unpersist()
+      structured.unpersist() // commit's writes are actions; safe to release
+    }
   }
 
   /** Start the stream: `changes` must be a streaming DataFrame with
