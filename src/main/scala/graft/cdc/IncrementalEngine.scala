@@ -149,6 +149,7 @@ final class IncrementalEngine(
 
     // 2. Lineage resolution: child/through pk values → root ids (replaces
     //    the reference's ES `_meta` terms search, sync.py:835-1052).
+    val keyTables = treePks.collect { case (t, _) if t != root.table && touches(t) => t }
     val keyParts = for {
       (t, pks) <- treePks if t != root.table && touches(t)
       pk <- pks
@@ -158,7 +159,11 @@ final class IncrementalEngine(
       .select(lit(t).as("tbl"), lit(pk).as("pk"), get_json_object(payload, s"$$.$pk").as("value"))
       .filter(col("value").isNotNull)
     keyParts.reduceOption(_ unionAll _).foreach { keys =>
-      parts :+= Lineage.resolve(lineage, keys.distinct()).select(col("root_id").as("_id"))
+      // pre-filter the (large) lineage side by the tables this batch touches
+      // — an ordinary pushed predicate, so a tbl-sorted/partitioned lineage
+      // layout prunes row groups before the join
+      val pruned = lineage.filter(col("tbl").isin(keyTables: _*))
+      parts :+= Lineage.resolve(pruned, keys.distinct()).select(col("root_id").as("_id"))
     }
 
     // 3. FK walk-up for rows not yet in any doc's lineage (inserts; also the
