@@ -50,7 +50,7 @@ final class GraftSync(
   }
 
   val state = new MaterializedIndex(spark, indexDir)
-  private val sync = new StreamSync(schema.root, catalog, load, state)
+  private val sync = new StreamSync(schema.root, catalog, load, state, plugins)
   val engine: IncrementalEngine = sync.engine
 
   /** Assemble the full document set (no side effects). */
@@ -82,9 +82,11 @@ final class GraftSync(
       case None     => batch
     }
     val prepared = prepare(fresh).cache()
-    sync.applyBatch(prepared)
-    val maxTx = prepared.agg(max(col("txid"))).collect().head
-    if (!maxTx.isNullAt(0)) state.saveCheckpoint(maxTx.getLong(0))
+    try {
+      sync.applyBatch(prepared)
+      val maxTx = prepared.agg(max(col("txid"))).collect().head
+      if (!maxTx.isNullAt(0)) state.saveCheckpoint(maxTx.getLong(0))
+    } finally prepared.unpersist()
   }
 
   /** Start continuous maintenance from a streaming change feed. */

@@ -59,15 +59,19 @@ object DocAssembler {
 
   /** Assemble the document DataFrame for `root`'s tree: `_id`, doc fields,
     * child labels, `_meta`. `load` maps table name → DataFrame.
+    * `rootScanFilter` restricts ONLY the root-position scan (used by the
+    * incremental engine) — a plain `load` override could not distinguish the
+    * root position from a self-referencing child scan of the same table.
     */
   def assemble(
       root: Node,
       load: String => DataFrame,
-      catalog: Catalog
+      catalog: Catalog,
+      rootScanFilter: DataFrame => DataFrame = identity
   ): DataFrame = {
     val pks = primaryKeys(root, catalog)
     val pkKeep = pks.map(p => p -> s"__pk_$p")
-    val built = buildNode(root, load, catalog, extraKeep = pkKeep)
+    val built = buildNode(root, load, catalog, extraKeep = pkKeep, scanFilter = rootScanFilter)
     val idCol =
       concat_ws(IdDelimiter, pkKeep.map { case (_, o) => col(o).cast(StringType) }: _*)
         .as(IdColumn)
@@ -103,9 +107,10 @@ object DocAssembler {
       node: Node,
       load: String => DataFrame,
       catalog: Catalog,
-      extraKeep: Seq[(String, String)]
+      extraKeep: Seq[(String, String)],
+      scanFilter: DataFrame => DataFrame = identity
   ): Built = {
-    val base = load(node.table)
+    val base = scanFilter(load(node.table))
     val pks = primaryKeys(node, catalog)
 
     // Configured columns, or every base column (node.py:141-162).

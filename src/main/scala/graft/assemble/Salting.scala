@@ -28,7 +28,9 @@ object Salting {
       salts: Int = 16
   ): DataFrame = {
     val phase1 = df
-      .withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      // per-ROW salt: a per-partition salt degenerates when the hot key's
+      // rows are co-located in few input partitions (sorted/clustered input)
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(collect_list(value).as("__partial"))
     phase1
@@ -45,7 +47,7 @@ object Salting {
       salts: Int = 16
   ): DataFrame = {
     val phase1 = df
-      .withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(value).as("__partial"))
     phase1

@@ -61,15 +61,17 @@ object Changes {
     */
   def changedColumnGuard(changes: DataFrame, tracked: Map[String, Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val unchanged = tracked
-      .map { case (table, cols) =>
+    val guards = tracked.collect {
+      case (table, cols) if cols.nonEmpty =>
         col("tbl") === table && col("tg_op") === Update &&
-        cols
-          .map(c => get_json_object(col("old"), s"$$.$c") <=> get_json_object(col("new"), s"$$.$c"))
-          .reduce(_ && _)
-      }
-      .reduce(_ || _)
-    changes.filter(!unchanged)
+          cols
+            .map(c => get_json_object(col("old"), s"$$.$c") <=> get_json_object(col("new"), s"$$.$c"))
+            .reduce(_ && _)
+    }
+    guards.reduceOption(_ || _) match {
+      case Some(unchanged) => changes.filter(!unchanged)
+      case None            => changes // nothing tracked ⇒ no-op
+    }
   }
 
   /** File-shaped streaming change feed: JSON-lines files appearing in `dir`

@@ -97,6 +97,7 @@ final class IncrementalEngine(
 
   private var lastBatchCache: Option[DataFrame] = None
   private var lastDocsCache: Option[DataFrame] = None
+  private var lastAffectedCache: Option[DataFrame] = None
 
   private def rootIdExpr: Column =
     concat_ws(DocAssembler.IdDelimiter, rootPks.map(p => col(p).cast(StringType)): _*)
@@ -287,18 +288,25 @@ final class IncrementalEngine(
       }
     }
 
+    // The root restriction is applied at the ROOT POSITION ONLY (via
+    // rootScanFilter) — restricting every load of root.table would also
+    // filter self-referencing child scans of the same table and drop their
+    // rows. Root-keyed child tables are restricted via load: their filter is
+    // correct at every tree position by construction (rootKeyedChildCols
+    // only admits tables whose every chain is the same root-keyed hop).
+    val rootRestrict: DataFrame => DataFrame = base =>
+      if (rootPks.size == 1) restrict(base, rootPks.head)
+      else base.join(broadcast(affected), rootIdExpr === col("_id"), "left_semi")
     val filteredLoad: String => DataFrame = t =>
-      if (t == root.table) {
-        val base = load(t)
-        if (rootPks.size == 1) restrict(base, rootPks.head)
-        else base.join(broadcast(affected), rootIdExpr === col("_id"), "left_semi")
-      } else
-        rootKeyedChildCols.get(t) match {
-          case Some(fkCols) if rootPks.size == 1 && fkCols.size == 1 =>
-            restrict(load(t), fkCols.head)
-          case _ => load(t)
-        }
-    DocAssembler.assemble(root, filteredLoad, catalog)
+      rootKeyedChildCols.get(t) match {
+        // t == root.table means a self-referencing child scan: the root
+        // position is handled by rootScanFilter, and the child scan must
+        // stay unfiltered (its rows belong to other roots' documents)
+        case Some(fkCols) if t != root.table && rootPks.size == 1 && fkCols.size == 1 =>
+          restrict(load(t), fkCols.head)
+        case _ => load(t)
+      }
+    DocAssembler.assemble(root, filteredLoad, catalog, rootScanFilter = rootRestrict)
   }
 
   /** Re-assemble affected docs and emit ops: (`op` index|delete, `_id`,
@@ -306,7 +314,9 @@ final class IncrementalEngine(
     * exists (covers root DELETE, PK-change old ids, TRUNCATE).
     */
   def process(changes: DataFrame, lineage: DataFrame): DataFrame = {
+    lastAffectedCache.foreach(_.unpersist())
     val affected = affectedRoots(changes, lineage).cache()
+    lastAffectedCache = Some(affected)
     val structured = reassemble(affected)
     val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
     // cached: feeds both the index ops and the delete anti-join — without

@@ -25,7 +25,9 @@ object WalText {
   final case class WalChange(tgOp: String, schema: String, table: String,
       old: Option[String], newTuple: Option[String], txid: Long)
 
-  private val TableLine = """table\s+([\w-]+)\.([\w-]+):\s+(INSERT|UPDATE|DELETE|TRUNCATE):\s*(.*)""".r
+  // the table part may be a comma-separated list — multi-table TRUNCATE
+  // emits e.g. `table public.a, public.b: TRUNCATE: (no flags)`
+  private val TableLine = """table\s+([\w\-.]+(?:,\s*[\w\-.]+)*):\s+(INSERT|UPDATE|DELETE|TRUNCATE):\s*(.*)""".r
   private val BeginLine = """BEGIN\s+(\d+)""".r
   private val CommitLine = """COMMIT\s+(\d+).*""".r
 
@@ -40,9 +42,14 @@ object WalText {
   def parse(lines: Iterator[String]): Iterator[WalChange] = {
     var txid = 0L
     lines.flatMap {
-      case BeginLine(x) => txid = x.toLong; None
-      case CommitLine(_) => None
-      case TableLine(schema, table, op, rest) =>
+      case BeginLine(x) => txid = x.toLong; Nil
+      case CommitLine(_) => Nil
+      case TableLine(tableList, op, rest) =>
+        val names = tableList.split(",").map(_.trim).toSeq.map { qualified =>
+          val dot = qualified.lastIndexOf('.')
+          if (dot >= 0) (qualified.substring(0, dot), qualified.substring(dot + 1))
+          else ("", qualified)
+        }
         val (oldPart, newPart) = op match {
           case "UPDATE" if rest.contains("old-key:") =>
             // old-key: <pairs> new-tuple: <pairs>
@@ -57,10 +64,12 @@ object WalText {
           case "DELETE"   => (Some(rest), None)
           case "TRUNCATE" => (None, None)
         }
-        Some(WalChange(op, schema, table,
-          oldPart.map(p => toJson(parsePairs(p))),
-          newPart.map(p => toJson(parsePairs(p))), txid))
-      case _ => None // heartbeats / messages / empty
+        names.map { case (schema, table) =>
+          WalChange(op, schema, table,
+            oldPart.map(p => toJson(parsePairs(p))),
+            newPart.map(p => toJson(parsePairs(p))), txid)
+        }
+      case _ => Nil // heartbeats / messages / empty
     }
   }
 

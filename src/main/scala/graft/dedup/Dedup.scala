@@ -147,11 +147,18 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 1000
   ): DataFrame = {
+    // ≥ maxHamming+1 chunks guarantees recall; the banding cap at 16 chunks
+    // means the guarantee only holds for budgets ≤ 15 — reject beyond that
+    // instead of silently losing candidates (≥16 differing bits can touch
+    // every chunk). Budgets that large are meaningless for 64-bit SimHash
+    // similarity anyway.
+    require(
+      maxHamming >= 0 && maxHamming <= 15,
+      s"simhash maxHamming must be in [0, 15] for exact candidate recall, got $maxHamming"
+    )
     val sig = simhashSignatures(docs, id, text)
-    // ≥ maxHamming+1 chunks guarantees recall; cap at 16 (narrower chunks
-    // stop being selective and flood the candidate set). The chunks must
-    // PARTITION all 64 bits (uncovered bits would break the pigeonhole
-    // guarantee), so remainder bits are spread over the leading chunks.
+    // The chunks must PARTITION all 64 bits (uncovered bits would break the
+    // pigeonhole guarantee), so remainder bits spread over leading chunks.
     val nChunks = math.max(1, math.min(16, maxHamming + 1))
     val base = 64 / nChunks
     val rem = 64 % nChunks

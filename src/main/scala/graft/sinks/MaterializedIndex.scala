@@ -184,14 +184,16 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
   private def flipCurrent(v: Long): Unit = writeText(currentPtr, v.toString)
 
   /** Drop version directories that are older than the newest `keepLast` AND
-    * not referenced by the CURRENT manifest (bucket inheritance keeps old
-    * versions alive as long as they own live buckets).
+    * not referenced by ANY kept version's manifest — bucket inheritance (and
+    * `docsAt` time travel over the kept versions) keeps old versions alive
+    * as long as a retained manifest points into them.
     */
   def vacuum(keepLast: Int = 2): Unit = {
     val cur = currentVersion
     val root = new Path(dir)
     if (cur < 0 || !fs.exists(root)) return
-    val referenced = readManifest(cur).values.toSet + cur
+    val keptVersions = (math.max(0L, cur - keepLast + 1) to cur)
+    val referenced = keptVersions.flatMap(v => readManifest(v).values).toSet ++ keptVersions
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("v_")) {

@@ -82,41 +82,60 @@ object EventAnalytics {
       value_cents: Long
   )
 
-  /** Streaming sessionization via `flatMapGroupsWithState`: per-user open
-    * session kept in the state store; a batch whose events jump the gap
-    * closes the previous session and emits it. State is one small record
-    * per active user — bounded, shuffle keyed by user only.
+  /** Streaming sessionization via `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT: per-user open session kept in the state store; a
+    * batch whose events jump the gap closes the previous session inline, and
+    * a user who simply goes quiet has their open session emitted — and their
+    * state evicted — once the watermark passes `last + gap`. State is one
+    * small record per ACTIVE user (bounded by the watermark), shuffle keyed
+    * by user only.
     */
   def sessionize(
       events: Dataset[EventIn],
-      gapSeconds: Long
+      gapSeconds: Long,
+      watermark: String = "10 minutes"
   ): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, evs: Iterator[EventIn], state: GroupState[SessionState]) => {
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            val cents = math.round(e.value * 100)
-            cur match {
-              case Some(s) if t - s.last <= gapSeconds * 1000 =>
-                cur = Some(SessionState(s.start, t, s.n + 1, s.totalCents + cents))
-              case Some(s) =>
-                closed += SessionOut(
-                  uid, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
-                  s.n, s.totalCents
-                )
-                cur = Some(SessionState(t, t, 1, cents))
-              case None =>
-                cur = Some(SessionState(t, t, 1, cents))
+          def emit(s: SessionState) = SessionOut(
+            uid, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, s.totalCents
+          )
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close and evict
+            val out = state.getOption.map(emit)
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val cents = math.round(e.value * 100)
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.totalCents + cents))
+                case Some(s) =>
+                  closed += emit(s)
+                  cur = Some(SessionState(t, t, 1, cents))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, cents))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must sit above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapSeconds * 1000, state.getCurrentWatermarkMs() + 1)
+              )
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
         }
       )
   }

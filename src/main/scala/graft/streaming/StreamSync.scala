@@ -34,16 +34,24 @@ final class StreamSync(
     root: Node,
     catalog: Catalog,
     load: String => DataFrame,
-    state: MaterializedIndex
+    state: MaterializedIndex,
+    plugins: Seq[graft.transform.DocTransform] = Nil
 ) {
 
   val engine = new IncrementalEngine(root, catalog, load)
+
+  /** Plugins run on every indexed document — snapshot AND incremental — as
+    * in the reference (`sync.py:1571-1574`); a dropped doc contributes
+    * neither a document nor lineage.
+    */
+  private def withPlugins(structured: DataFrame): DataFrame =
+    graft.transform.Plugins(structured, plugins)
 
   /** Full snapshot → materialized index version 0 (`pull()`,
     * `sync.py:1895-1945`).
     */
   def snapshot(): Unit =
-    state.initialize(DocAssembler.assemble(root, load, catalog))
+    state.initialize(withPlugins(DocAssembler.assemble(root, load, catalog)))
 
   /** Apply one micro-batch of changes to the materialized index. Used both
     * by `foreachBatch` and directly for batch-mode incremental runs.
@@ -52,7 +60,7 @@ final class StreamSync(
     if (batch.isEmpty) return
     val lineage = state.lineage
     val affected = engine.affectedRoots(batch, lineage).cache()
-    val structured = engine.reassemble(affected).cache()
+    val structured = withPlugins(engine.reassemble(affected)).cache()
     try {
       val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
       val flat = structured

@@ -121,6 +121,33 @@ class GraftSyncSpec extends SparkSpec {
     assert(sync.indexMapping.contains(""""items": {"type": "nested""""))
   }
 
+  test("plugins apply to the materialized index in snapshot AND incremental paths (sync.py:1571-1574)") {
+    tables = Map(
+      "order_summary" -> Seq((1L, "open"), (2L, "drop")).toDF("id", "status"),
+      "item" -> Seq.empty[(Long, Long, String)].toDF("id", "order_id", "sku")
+    )
+    val dropper = new graft.transform.DocTransform {
+      val name = "dropper"
+      def apply(doc: org.apache.spark.sql.Row): Option[org.apache.spark.sql.Row] =
+        if (doc.getAs[String]("status") == "drop") None else Some(doc)
+    }
+    val sync = GraftSync(
+      spark, schemaJson, cat, load,
+      Files.createTempDirectory("graft-plug").toString, plugins = Seq(dropper)
+    )
+    sync.snapshot()
+    assert(sync.state.docs.collect().map(_.getString(0)).toSet == Set("1")) // 2 dropped
+
+    // incremental: a new droppable row arrives — plugin must keep it out
+    tables += "order_summary" ->
+      Seq((1L, "open"), (2L, "drop"), (3L, "drop"), (4L, "open")).toDF("id", "status")
+    sync.applyChanges(Changes.of(spark, Seq(
+      (Changes.Insert, "order_summary", null, """{"id": 3}""", 10L),
+      (Changes.Insert, "order_summary", null, """{"id": 4}""", 10L)
+    )))
+    assert(sync.state.docs.collect().map(_.getString(0)).toSet == Set("1", "4"))
+  }
+
   test("documents() applies plugin chain") {
     tables = Map(
       "order_summary" -> Seq((1L, "open"), (2L, "drop")).toDF("id", "status"),

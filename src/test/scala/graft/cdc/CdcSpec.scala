@@ -172,6 +172,31 @@ class CdcSpec extends SparkSpec {
     assert(docs == fullRecompute())
   }
 
+  test("self-referencing child survives incremental reassembly (root filter must not reach the child scan)") {
+    val selfCat = Catalog(Map("person" -> TableMeta("person", Seq("id"))))
+    val selfSchema = SchemaDef.parseNodes(
+      """{"table": "person", "columns": ["id", "name"],
+          "children": [{"table": "person", "label": "counterparties", "columns": ["name"],
+            "relationship": {"type": "one_to_many", "variant": "object",
+              "foreign_key": {"parent": ["buyer_id", "seller_id"], "child": ["id", "id"]}}}]}"""
+    )
+    var people = Seq((1L, "P1", 7L, 8L), (7L, "P7", 1L, 1L), (8L, "P8", 1L, 7L))
+      .toDF("id", "name", "buyer_id", "seller_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-selfref").toString
+    val state = new MaterializedIndex(spark, dir)
+    val sync = new StreamSync(selfSchema, selfCat, _ => people, state)
+    sync.snapshot()
+    // change affects person 1 only; its counterparties 7 and 8 must survive
+    people = Seq((1L, "P1x", 7L, 8L), (7L, "P7", 1L, 1L), (8L, "P8", 1L, 7L))
+      .toDF("id", "name", "buyer_id", "seller_id")
+    sync.applyBatch(
+      ch(Changes.Update, "person", """{"id": 1, "name": "P1"}""", """{"id": 1, "name": "P1x"}""")
+    )
+    val doc1 = state.docs.collect().map(r => r.getString(0) -> r.getString(1)).toMap.apply("1")
+    assert(doc1.contains("P1x"))
+    assert(doc1.contains("\"name\":\"P7\"") && doc1.contains("\"name\":\"P8\""))
+  }
+
   test("random change sequences: incremental == full recompute (idempotence invariant)") {
     reset()
     val (sync, state) = newSync()

@@ -61,6 +61,15 @@ class WalTextSpec extends AnyFunSuite {
     assert(json.contains(""""n": 42"""))
   }
 
+  test("multi-table TRUNCATE emits one change per table") {
+    val out = WalText.parse(Iterator(
+      "BEGIN 4",
+      "table public.a, public.b: TRUNCATE: (no flags)",
+      "COMMIT 4"
+    )).toSeq
+    assert(out.map(c => (c.tgOp, c.table)) == Seq(("TRUNCATE", "a"), ("TRUNCATE", "b")))
+  }
+
   test("parsed changes feed the engine's change schema") {
     val spark = graft.SparkSpec.session
     val df = WalText.toDataFrame(

@@ -138,6 +138,16 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.user_id == 7L && out.head.n_events == 2 && out.head.value_cents == 300L)
     assert(out.head.start == ts(0) && out.head.end == ts(10))
+
+    // idle eviction: another user's far-future events advance the watermark
+    // past user 7's last+gap → the open session times out, emits, and the
+    // state entry is removed (bounded state for inactive users)
+    stream.addData(EventIn(99L, ts(40000), 1.0))
+    query.processAllAvailable()
+    stream.addData(EventIn(99L, ts(40001), 1.0))
+    query.processAllAvailable()
+    val out2 = spark.table("closed_sessions").as[SessionOut].collect()
+    assert(out2.exists(s => s.user_id == 7L && s.start == ts(7200) && s.n_events == 1))
     query.stop()
   }
 
