@@ -231,7 +231,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.3)),
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(loader(s, dir)("documents"), "doc_id", "text", maxHamming = 8)),
+      Dedup.simhash(loader(s, dir)("documents"), "doc_id", "text", maxHamming = 3)),
     // ---- dedup: exact n-gram Jaccard via inverted index --------------------
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.2)),
