@@ -382,7 +382,9 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS VARCHAR) AS _id,
                 o_orderkey AS order_id,
                 replace(o_orderstatus, 'O', 'X') AS o_orderstatus,
-                CAST(o_orderkey AS VARCHAR) || '-' || replace(o_orderstatus, 'O', 'X') AS order_tag
+                concat_ws('-',
+                  CASE WHEN o_orderkey <> 0 THEN CAST(o_orderkey AS VARCHAR) END,
+                  NULLIF(replace(o_orderstatus, 'O', 'X'), '')) AS order_tag
          FROM orders""",
     "q_cdc_root" ->
       """WITH n AS (SELECT count(*) AS c FROM orders),

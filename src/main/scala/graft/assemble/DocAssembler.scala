@@ -4,7 +4,7 @@ import graft.catalog.{Catalog, JoinSpec}
 import graft.schema._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{BooleanType, DataType, NumericType, StringType}
 
 /** Compiles a schema [[Node]] tree into ONE DataFrame plan that denormalizes
   * the root table and its related tables into nested documents.
@@ -165,7 +165,9 @@ object DocAssembler {
         else col(cr.base)
       cr.alias -> c
     }
-    fields = applyTransforms(node.transform, fields)
+    val pruned = df
+    fields = applyTransforms(node.transform, fields,
+      resolveType = c => scala.util.Try(pruned.select(c).schema.head.dataType).toOption)
 
     // Own lineage entries: one per PK column (querybuilder.py:364-386).
     val ownLineage = array(pks.map { p =>
@@ -393,7 +395,8 @@ object DocAssembler {
     */
   private[graft] def applyTransforms(
       t: TransformSpec,
-      fields: Seq[(String, Column)]
+      fields: Seq[(String, Column)],
+      resolveType: Column => Option[DataType] = _ => None
   ): Seq[(String, Column)] = {
     if (t.isEmpty) return fields
     // replace: substring find/replace per field (transform.py:114-209).
@@ -414,14 +417,30 @@ object DocAssembler {
     // rename (transform.py:18-64).
     out = out.map { case (n, c) => t.rename.getOrElse(n, n) -> c }
     // concat: destination = delimiter-join; missing keys keep the literal
-    // name, nulls dropped by concat_ws (transform.py:66-112).
+    // name (transform.py:66-112). The reference joins `filter(None, values)`
+    // — Python-falsy values (null, 0, "", false) are all dropped, not just
+    // nulls, so each part is nulled when falsy for its resolved type before
+    // concat_ws (which then drops the nulls).
     t.concat.foreach { spec =>
       val parts = spec.columns.map { cn =>
-        out.find(_._1 == cn).map(_._2.cast(StringType)).getOrElse(lit(cn))
+        out.find(_._1 == cn)
+          .map { case (_, c) => falsyToNull(c, resolveType(c)).cast(StringType) }
+          .getOrElse(lit(cn))
       }
       out = out :+ (spec.destination -> concat_ws(spec.delimiter, parts: _*))
     }
     out
+  }
+
+  /** Null out Python-falsy values per type (`transform.py:97` uses
+    * `filter(None, values)`): "" for strings, 0 for numerics, false for
+    * booleans. Unknown types pass through (null-only dropping).
+    */
+  private def falsyToNull(c: Column, t: Option[DataType]): Column = t match {
+    case Some(StringType)     => when(c === lit(""), lit(null)).otherwise(c)
+    case Some(BooleanType)    => when(!c, lit(null)).otherwise(c)
+    case Some(_: NumericType) => when(c === lit(0), lit(null)).otherwise(c)
+    case _                    => c
   }
 
   /** `_meta` squash (`pgsync/transform.py:230-288`): flatten the lineage

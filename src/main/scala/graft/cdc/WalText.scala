@@ -26,10 +26,16 @@ object WalText {
       old: Option[String], newTuple: Option[String], txid: Long)
 
   // the table part may be a comma-separated list — multi-table TRUNCATE
-  // emits e.g. `table public.a, public.b: TRUNCATE: (no flags)`
-  private val TableLine = """table\s+([\w\-.]+(?:,\s*[\w\-.]+)*):\s+(INSERT|UPDATE|DELETE|TRUNCATE):\s*(.*)""".r
+  // emits e.g. `table public.a, public.b: TRUNCATE: (no flags)`.
+  // Identifiers that need quoting (mixed case, spaces, reserved words) are
+  // double-quoted by test_decoding, with `""` escapes — the reference's
+  // LOGICAL_SLOT_PREFIX allows '"?name"?' (`sync.py:79-83`).
+  private val Ident = """(?:"(?:[^"]|"")*"|[\w\-]+)"""
+  private val Qualified = s"""$Ident(?:\\.$Ident)?"""
+  private val TableLine = s"""table\\s+($Qualified(?:,\\s*$Qualified)*):\\s+(INSERT|UPDATE|DELETE|TRUNCATE):\\s*(.*)""".r
   private val BeginLine = """BEGIN\s+(\d+)""".r
   private val CommitLine = """COMMIT\s+(\d+).*""".r
+  private val LooksLikeTableLine = """table\s+.*""".r
 
   private val numericTypes = Set(
     "smallint", "integer", "bigint", "numeric", "real", "double precision", "oid"
@@ -37,19 +43,23 @@ object WalText {
 
   /** Parse a serial stream of decoder lines into change rows. Lines between
     * BEGIN/COMMIT get that transaction's xid; heartbeats and unknown lines
-    * are skipped (C8, `sync.py:2010-2030`).
+    * are skipped (C8, `sync.py:2010-2030`). Lines that *look* like table
+    * change lines but fail to parse are reported through `onUnparsed`
+    * (default: warn) rather than silently dropped — a dropped change means
+    * silent index staleness.
     */
-  def parse(lines: Iterator[String]): Iterator[WalChange] = {
+  def parse(
+      lines: Iterator[String],
+      onUnparsed: String => Unit = line =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"unparsed test_decoding table line (change dropped): $line")
+  ): Iterator[WalChange] = {
     var txid = 0L
     lines.flatMap {
       case BeginLine(x) => txid = x.toLong; Nil
       case CommitLine(_) => Nil
       case TableLine(tableList, op, rest) =>
-        val names = tableList.split(",").map(_.trim).toSeq.map { qualified =>
-          val dot = qualified.lastIndexOf('.')
-          if (dot >= 0) (qualified.substring(0, dot), qualified.substring(dot + 1))
-          else ("", qualified)
-        }
+        val names = splitQualifiedNames(tableList)
         val (oldPart, newPart) = op match {
           case "UPDATE" if rest.contains("old-key:") =>
             // old-key: <pairs> new-tuple: <pairs>
@@ -69,12 +79,58 @@ object WalText {
             oldPart.map(p => toJson(parsePairs(p))),
             newPart.map(p => toJson(parsePairs(p))), txid)
         }
+      case line @ LooksLikeTableLine() => onUnparsed(line); Nil
       case _ => Nil // heartbeats / messages / empty
     }
   }
 
+  /** Split a comma-separated list of (optionally schema-qualified, optionally
+    * double-quoted) identifiers into (schema, table) pairs, honoring `""`
+    * escapes and dots/commas inside quoted names.
+    */
+  private[cdc] def splitQualifiedNames(s: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    val n = s.length
+    def skipWs(): Unit = while (i < n && s.charAt(i) == ' ') i += 1
+    def readIdent(): String = {
+      if (i < n && s.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (!done && i < n) {
+          val c = s.charAt(i)
+          if (c == '"') {
+            if (i + 1 < n && s.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
+            else { done = true; i += 1 }
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      } else {
+        val start = i
+        while (i < n && s.charAt(i) != '.' && s.charAt(i) != ',' && s.charAt(i) != ' ') i += 1
+        s.substring(start, i)
+      }
+    }
+    while (i < n) {
+      skipWs()
+      if (i >= n) return out.result()
+      val first = readIdent()
+      if (i < n && s.charAt(i) == '.') {
+        i += 1
+        val second = readIdent()
+        out += ((first, second))
+      } else out += (("", first))
+      skipWs()
+      if (i < n && s.charAt(i) == ',') i += 1
+    }
+    out.result()
+  }
+
   /** Parse `col[type]:value` pairs, honoring single-quoted values with ''
-    * escapes. Returns (column, type, rawValue).
+    * escapes and double-quoted column keys with `""` escapes (test_decoding
+    * quotes column names that need quoting; the reference's pair regex
+    * accepts '"?col"?', `base.py:1122-1139`). Returns (column, type, rawValue).
     */
   private[cdc] def parsePairs(s: String): Seq[(String, String, String)] = {
     val out = Seq.newBuilder[(String, String, String)]
@@ -84,12 +140,30 @@ object WalText {
     while (i < n) {
       skipWs()
       if (i >= n) return out.result()
-      val bracket = s.indexOf('[', i)
-      if (bracket < 0) return out.result()
-      val col = s.substring(i, bracket)
-      val close = s.indexOf(']', bracket)
+      val col =
+        if (s.charAt(i) == '"') {
+          val sb = new StringBuilder
+          i += 1
+          var done = false
+          while (!done && i < n) {
+            val c = s.charAt(i)
+            if (c == '"') {
+              if (i + 1 < n && s.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
+              else { done = true; i += 1 }
+            } else { sb.append(c); i += 1 }
+          }
+          sb.toString
+        } else {
+          val bracket = s.indexOf('[', i)
+          if (bracket < 0) return out.result()
+          val c = s.substring(i, bracket)
+          i = bracket
+          c
+        }
+      if (i >= n || s.charAt(i) != '[') return out.result()
+      val close = s.indexOf(']', i)
       if (close < 0) return out.result()
-      val tpe = s.substring(bracket + 1, close)
+      val tpe = s.substring(i + 1, close)
       i = close + 1
       if (i < n && s.charAt(i) == ':') i += 1
       // value: quoted (with '' escapes) or bare token
@@ -125,7 +199,7 @@ object WalText {
         else if (numericTypes.contains(tpe)) raw
         else if (tpe == "boolean") (if (raw == "t" || raw == "true") "true" else "false")
         else "\"" + raw.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      "\"" + col + "\": " + v
+      "\"" + col.replace("\\", "\\\\").replace("\"", "\\\"") + "\": " + v
     }.mkString("{", ", ", "}")
 
   /** Lift parsed changes into a [[Changes.schema]] DataFrame. */

@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup by content hash: one shuffle on the 128-bit digest. At
     * scale, prefer grouping on the digest (fixed 16 bytes) over raw text.
     * Output: (h, keep_id = min id, n_dups).
@@ -61,12 +63,16 @@ object Dedup {
       maxBucket: Int = 1000
   ): DataFrame = {
     val k = bands * rowsPerBand
-    // shingle sets feed three consumers (signature, verify-a, verify-b) —
-    // cache instead of recomputing the HOF shingling per consumer
+    // The shingle sets feed three consumers (signature, verify-a, verify-b).
+    // Deliberately NOT cached: a corpus-sized persist would spill ~corpus
+    // bytes to executor disk at scale and pin memory for the whole session,
+    // while recomputing the codegen'd shingling from the columnar scan is a
+    // pure CPU cost that parallelizes with the scan. The verify-side joins
+    // are driven by the (small) candidate list, which shrinks first.
     val sh = docs.select(
       col(id).as("id"),
       TF.wordShingles(col(text), shingleN).as("sh")
-    ).filter(size(col("sh")) > 0).cache()
+    ).filter(size(col("sh")) > 0)
     // signature via explode + k codegen'd min-aggregates (map-side
     // combinable, one shuffle keyed by id) — the scalar HOF formulation
     // evaluates interpreted and is orders of magnitude slower. The shingle
@@ -198,10 +204,11 @@ object Dedup {
       threshold: Double = 0.2,
       maxPostings: Int = 10000
   ): DataFrame = {
+    // reused by sizes + postings; not cached — see minhashLsh's note on
+    // corpus-sized persists vs codegen recompute
     val sh = docs
       .select(col(id).as("id"), TF.wordShingles(col(text), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache() // reused by sizes + postings
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val postings = sh.select(col("id"), explode(col("sh")).as("s"))
     // cap pathological postings lists (stopword-only shingles) — they
@@ -264,16 +271,41 @@ object Dedup {
     * transitive closure.
     * Input: (id_a, id_b); output: (id, keep_id).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    connectedComponentsWithStatus(pairs, maxIter) match {
+      case (labels, converged) =>
+        if (!converged)
+          log.warn(
+            s"connectedComponents did not converge within $maxIter iterations: " +
+              "some components have non-minimal keep_id (cluster split across " +
+              "keepers). Raise maxIter or use connectedComponentsWithStatus.")
+        labels
+    }
+
+  /** As [[connectedComponents]], but also returns whether label propagation
+    * converged within `maxIter` — callers that must not split clusters can
+    * retry with a larger budget. All caches used by the iteration are
+    * released before returning (the small final label set is checkpointed
+    * locally to cut its lineage off the freed caches).
+    */
+  def connectedComponentsWithStatus(
+      pairs: DataFrame,
+      maxIter: Int = 10
+  ): (DataFrame, Boolean) = {
     val edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .cache()
+    // Iterative plans must have their lineage truncated each round — a
+    // cached-but-unlineaged loop doubles the plan tree per iteration
+    // (exponential analysis/explain cost long before any data cost). The
+    // label set is only as big as the docs appearing in the pair list, so an
+    // eager local checkpoint per iteration is cheap and keeps the plan O(1).
     var labels = edges
       .groupBy(col("u").as("id"))
       .agg(least(min(col("v")), first(col("u"))).as("keep_id"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -285,19 +317,18 @@ object Dedup {
       val next = labels
         .join(viaNeighbors, Seq("id"), "left_outer")
         .select(col("id"), least(col("keep_id"), coalesce(col("n_keep"), col("keep_id"))).as("keep_id"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("keep_id", "old_keep"), Seq("id"))
         .filter(col("keep_id") =!= col("old_keep"))
         .limit(1)
         .count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
-    labels
+    edges.unpersist(false)
+    (labels, converged)
   }
 
   /** Exhaustive pairwise cosine near-dup (no LSH) via a block-nested

@@ -44,14 +44,16 @@ object SearchSink {
 
   /** Test sink: bulk actions as text files, one per partition — the shape a
     * `foreachPartition` HTTP bulk writer consumes. `chunkSize` mirrors the
-    * reference's `ELASTICSEARCH_CHUNK_SIZE` 5 000 (`settings.py:145`): ops
-    * are repartitioned so one partition ≈ one bulk request.
+    * reference's `ELASTICSEARCH_CHUNK_SIZE` 5 000 (`settings.py:145`):
+    * `maxRecordsPerFile` caps each output file at one bulk request, with no
+    * pre-count (which would execute the whole ops plan twice) and no
+    * repartition shuffle.
     */
-  def writeBulkFiles(ops: DataFrame, index: String, outDir: String, chunkSize: Int = 5000): Unit = {
-    val n = ops.count()
-    val parts = math.max(1, math.ceil(n.toDouble / chunkSize).toInt)
-    bulkActions(ops.repartition(parts), index).write.mode("overwrite").text(outDir)
-  }
+  def writeBulkFiles(ops: DataFrame, index: String, outDir: String, chunkSize: Int = 5000): Unit =
+    bulkActions(ops, index).write
+      .option("maxRecordsPerFile", chunkSize.toLong)
+      .mode("overwrite")
+      .text(outDir)
 
   /** Search-index mapping derivation (`_build_mapping`,
     * `search_client.py:304-354`): walk the tree; leaves get a type from the

@@ -70,6 +70,52 @@ class WalTextSpec extends AnyFunSuite {
     assert(out.map(c => (c.tgOp, c.table)) == Seq(("TRUNCATE", "a"), ("TRUNCATE", "b")))
   }
 
+  test("quoted schema/table identifiers (mixed case, spaces, dots, reserved words)") {
+    val out = WalText.parse(Iterator(
+      "BEGIN 11",
+      """table "MySchema"."Order Items": INSERT: id[integer]:1""",
+      """table public."select": UPDATE: id[integer]:2""",
+      """table "we.ird".t: DELETE: id[integer]:3""",
+      "COMMIT 11"
+    )).toSeq
+    assert(out.map(c => (c.schema, c.table)) ==
+      Seq(("MySchema", "Order Items"), ("public", "select"), ("we.ird", "t")))
+  }
+
+  test("quoted table names with embedded quotes and multi-table quoted TRUNCATE") {
+    val out = WalText.parse(Iterator(
+      "BEGIN 12",
+      """table public."a""b", "S 1".c: TRUNCATE: (no flags)""",
+      "COMMIT 12"
+    )).toSeq
+    assert(out.map(c => (c.tgOp, c.schema, c.table)) ==
+      Seq(("TRUNCATE", "public", "a\"b"), ("TRUNCATE", "S 1", "c")))
+  }
+
+  test("quoted column keys parse with escapes") {
+    val out = WalText.parse(Iterator(
+      "BEGIN 13",
+      """table public.t: INSERT: "user id"[integer]:7 "wei""rd"[text]:'v' plain[text]:'p'""",
+      "COMMIT 13"
+    )).toSeq
+    val json = out.head.newTuple.get
+    assert(json.contains(""""user id": 7"""))
+    assert(json.contains("\"wei\\\"rd\": \"v\""))
+    assert(json.contains(""""plain": "p""""))
+  }
+
+  test("unparsed table-looking lines are reported, not silently dropped") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = WalText.parse(Iterator(
+      "BEGIN 14",
+      "table !!corrupt!!",
+      "table public.ok: INSERT: id[integer]:1",
+      "COMMIT 14"
+    ), onUnparsed = seen += _).toSeq
+    assert(out.length == 1 && out.head.table == "ok")
+    assert(seen == Seq("table !!corrupt!!"))
+  }
+
   test("parsed changes feed the engine's change schema") {
     val spark = graft.SparkSpec.session
     val df = WalText.toDataFrame(

@@ -90,6 +90,16 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components report non-convergence on a deep chain") {
+    // a 12-node path has diameter 11 > maxIter=2 propagation rounds
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (_, convergedShallow) = Dedup.connectedComponentsWithStatus(chain, maxIter = 2)
+    assert(!convergedShallow)
+    val (labels, converged) = Dedup.connectedComponentsWithStatus(chain, maxIter = 20)
+    assert(converged)
+    assert(labels.collect().forall(_.getLong(1) == 1L))
+  }
+
   test("corpus-cleaning composition: near-dup pairs → components → keep-filtered corpus") {
     import graft.functions.{TextFunctions => TF}
     // exact + near dups planted; pipeline keeps one representative per component

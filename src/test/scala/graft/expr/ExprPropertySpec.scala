@@ -83,6 +83,22 @@ class ExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("concat drops Python-falsy values (null, 0, empty string, false) like filter(None, ...)") {
+    val df = Seq((0L, "", false, "x", 5L, null.asInstanceOf[String], "0"))
+      .toDF("z", "e", "f", "s", "n", "nl", "zs")
+    val names = Seq("z", "e", "f", "s", "n", "nl", "zs")
+    val fields = graft.assemble.DocAssembler.applyTransforms(
+      graft.schema.TransformSpec(
+        concat = Seq(graft.schema.ConcatSpec(names, "cc", "-"))
+      ),
+      names.map(c => c -> col(c)),
+      resolveType = c => scala.util.Try(df.select(c).schema.head.dataType).toOption
+    )
+    val out = df.select(fields.map { case (n, c) => c.as(n) }: _*).collect().head
+    // 0, "", false, null all dropped; "0" is a truthy non-empty string — kept
+    assert(out.getAs[String]("cc") == "x-5-0")
+  }
+
   test("transforms: concat after rename sees renamed fields; replace precedes both") {
     samples(Gen.alphaLowerStr.suchThat(_.nonEmpty), 10).foreach { s =>
       val df = Seq((1L, s)).toDF("id", "v")
