@@ -135,17 +135,20 @@ final class IncrementalEngine(
 
     var parts = Vector.empty[DataFrame]
 
-    // 1. Root-table changes: pk values straight from the payloads (old
-    //    covers DELETE and the old half of a PK-change UPDATE).
+    // Both payload halves matter (old covers DELETE and the old half of a
+    // PK-change UPDATE), so every branch reads `explode(array(new, old))` —
+    // one pass over the batch per branch instead of one per payload.
+    val bothPayloads = explode(array(col("new"), col("old"))).as("__p")
+
+    // 1. Root-table changes: pk values straight from the payloads.
     if (touches(root.table)) {
-      val rootCh = changes.filter(col("tbl") === root.table && col("tg_op") =!= Changes.Truncate)
-      for (payload <- Seq(col("new"), col("old"))) {
-        val vals = jsonVals(payload, rootPks)
-        val allPresent = vals.map(_.isNotNull).reduce(_ && _)
-        parts :+= rootCh
-          .select(when(allPresent, concat_ws(DocAssembler.IdDelimiter, vals: _*)).as("_id"))
-          .filter(col("_id").isNotNull)
-      }
+      val vals = jsonVals(col("__p"), rootPks)
+      val allPresent = vals.map(_.isNotNull).reduce(_ && _)
+      parts :+= changes
+        .filter(col("tbl") === root.table && col("tg_op") =!= Changes.Truncate)
+        .select(bothPayloads)
+        .select(when(allPresent, concat_ws(DocAssembler.IdDelimiter, vals: _*)).as("_id"))
+        .filter(col("_id").isNotNull)
     }
 
     // 2. Lineage resolution: child/through pk values → root ids (replaces
@@ -154,10 +157,10 @@ final class IncrementalEngine(
     val keyParts = for {
       (t, pks) <- treePks if t != root.table && touches(t)
       pk <- pks
-      payload <- Seq(col("new"), col("old"))
     } yield changes
       .filter(col("tbl") === t && col("tg_op") =!= Changes.Truncate)
-      .select(lit(t).as("tbl"), lit(pk).as("pk"), get_json_object(payload, s"$$.$pk").as("value"))
+      .select(bothPayloads)
+      .select(lit(t).as("tbl"), lit(pk).as("pk"), get_json_object(col("__p"), s"$$.$pk").as("value"))
       .filter(col("value").isNotNull)
     keyParts.reduceOption(_ unionAll _).foreach { keys =>
       // pre-filter the (large) lineage side by the tables this batch touches
@@ -169,35 +172,36 @@ final class IncrementalEngine(
 
     // 3. FK walk-up for rows not yet in any doc's lineage (inserts; also the
     //    new half of an FK-change UPDATE) — sync.py:1054-1167 semantics as a
-    //    broadcast join chain instead of per-payload queries.
+    //    broadcast join chain instead of per-payload queries. Dedup happens
+    //    once per hop (just before the broadcast, where it shrinks the build
+    //    side and caps fan-in amplification); the last hop's output is
+    //    deduped by the final union-distinct instead of its own shuffle.
     for {
       (t, tableChains) <- chains.toSeq if touches(t)
       chain <- tableChains
     } {
       val head = chain.head
-      val ch = changes.filter(col("tbl") === t && col("tg_op") =!= Changes.Truncate)
-      val seeds = Seq(col("new"), col("old")).map { payload =>
-        ch.select(jsonVals(payload, head.fromCols).zipWithIndex.map { case (c, i) =>
+      var cur = changes
+        .filter(col("tbl") === t && col("tg_op") =!= Changes.Truncate)
+        .select(bothPayloads)
+        .select(jsonVals(col("__p"), head.fromCols).zipWithIndex.map { case (c, i) =>
           c.as(s"__v$i")
         }: _*)
-      }
-      var cur = seeds.reduce(_ unionAll _)
         .na.drop("any")
-        .distinct()
       chain.zipWithIndex.foreach { case (hop, hi) =>
         val nextCols: Seq[String] =
           chain.lift(hi + 1).map(_.fromCols).getOrElse(rootPks)
         val parent = load(hop.toTable)
           .select((hop.toCols ++ nextCols).distinct.map(col): _*)
+        val deduped = cur.distinct()
         val cond = hop.toCols.zipWithIndex
-          .map { case (c, i) => parent(c).cast(StringType) === cur(s"__v$i") }
+          .map { case (c, i) => parent(c).cast(StringType) === deduped(s"__v$i") }
           .reduce(_ && _)
         cur = parent
-          .join(broadcast(cur), cond)
+          .join(broadcast(deduped), cond)
           .select(nextCols.zipWithIndex.map { case (c, i) =>
             col(c).cast(StringType).as(s"__v$i")
           }: _*)
-          .distinct()
       }
       parts :+= cur.select(
         concat_ws(DocAssembler.IdDelimiter, rootPks.indices.map(i => col(s"__v$i")): _*).as("_id")

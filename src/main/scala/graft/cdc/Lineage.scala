@@ -32,9 +32,14 @@ object Lineage {
     )
   )
 
-  /** Empty lineage — for root-only change feeds or fresh indexes. */
+  /** Empty lineage — for root-only change feeds or fresh indexes. Built as
+    * an empty LocalRelation (not an empty RDD) so Catalyst's
+    * `PropagateEmptyRelation` statically collapses every join against it and
+    * prunes the whole resolution branch from the plan.
+    */
   def empty(spark: SparkSession): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
   /** Explode assembled docs' `_meta` into lineage rows. */
   def fromDocs(docs: DataFrame): DataFrame =

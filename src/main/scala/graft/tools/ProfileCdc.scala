@@ -1,0 +1,89 @@
+package graft.tools
+
+import graft.Fixtures
+import graft.catalog.Catalog
+import graft.cdc.{IncrementalEngine, Lineage}
+import graft.schema.SchemaDef
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for the CDC bench queries — times each stage of the
+  * incremental path separately to locate the bottleneck.
+  */
+object ProfileCdc {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val load = Tables.load(spark, sfDir) _
+
+    // warmup
+    load("orders").count(); load("lineitem").count(); load("events").count()
+
+    // ---- q_cdc_child stages ----
+    val changes = load("lineitem")
+      .filter(pmod(col("l_partkey"), lit(50)) === 0)
+      .select(
+        lit("UPDATE").as("tg_op"), lit("lineitem").as("tbl"),
+        lit(null).cast("string").as("old"),
+        to_json(struct(col("l_orderkey"), col("l_linenumber"))).as("new"),
+        col("l_orderkey").as("txid"))
+    println(s"[profile] changes rows: ${time("child: changes count")(changes.count())}")
+    val engine = new IncrementalEngine(SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
+    val affected = time("child: affectedRoots build+count") {
+      val a = engine.affectedRoots(changes, Lineage.empty(spark)).cache()
+      println(s"[profile] affected rows: ${a.count()}")
+      a
+    }
+    println("[profile] === affected optimized plan ===")
+    affected.explain("formatted")
+    time("child: reassemble noop") {
+      engine.reassemble(affected).write.mode("overwrite").format("noop").save()
+    }
+    spark.catalog.clearCache()
+    time("child: full process noop") {
+      engine.process(changes, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
+    }
+    spark.catalog.clearCache()
+
+    // ---- q_cdc_root stages ----
+    val n = load("orders").agg(count(lit(1)).as("__n"))
+    val key = pmod(col("event_id") * 7, col("__n") * 2)
+    val payload = to_json(struct(key.as("o_orderkey")))
+    val rchanges = load("events").crossJoin(n).select(
+      when(col("event_type") === "error", lit("DELETE")).otherwise(lit("INSERT")).as("tg_op"),
+      lit("orders").as("tbl"),
+      when(col("event_type") === "error", payload).as("old"),
+      when(col("event_type") =!= "error", payload).as("new"),
+      col("event_id").as("txid"))
+    println(s"[profile] root changes rows: ${time("root: changes count")(rchanges.count())}")
+    val rengine = new IncrementalEngine(SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
+    val raff = time("root: affectedRoots build+count") {
+      val a = rengine.affectedRoots(rchanges, Lineage.empty(spark)).cache()
+      println(s"[profile] affected rows: ${a.count()}")
+      a
+    }
+    time("root: reassemble noop") {
+      rengine.reassemble(raff).write.mode("overwrite").format("noop").save()
+    }
+    spark.catalog.clearCache()
+    time("root: full process noop") {
+      rengine.process(rchanges, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
+    }
+    spark.stop()
+  }
+}
