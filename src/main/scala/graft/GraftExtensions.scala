@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{SquashMeta, VectorBinaryOp, VectorOp}
+import graft.expr.{SquashMeta, VectorBinaryOp, VectorOp, VectorSumAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("vec_l2sq"),
         info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance of two float/double arrays"),
         (args: Seq[Expression]) => VectorBinaryOp(args(0), args(1), VectorOp.L2Sq)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_sum"),
+        info("vec_sum", "vec_sum(v) - element-wise sum aggregate over float/double arrays"),
+        (args: Seq[Expression]) => VectorSumAgg(args(0)).toAggregateExpression()
       )
     )
     ext.injectFunction(

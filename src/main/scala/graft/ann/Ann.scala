@@ -1,7 +1,7 @@
 package graft.ann
 
 import graft.functions.{VectorFunctions => VF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,43 +47,89 @@ object Ann {
       )
   }
 
+  /** The centroid "model" lives on the driver (like MLlib KMeans): it is
+    * nlists vectors — bytes, not data — and embedding it as literals turns
+    * cell assignment into a pure map-side codegen expression over the corpus
+    * scan instead of a corpus × nlists crossJoin + window shuffle.
+    */
+  private type Cells = Seq[(Long, Seq[Double])]
+
+  private def toDoubles(xs: Seq[Any]): Seq[Double] = xs.map {
+    case f: Float  => f.toDouble
+    case d: Double => d
+    case n: Number => n.doubleValue()
+  }
+
+  private def collectCells(df: DataFrame): Cells =
+    df.collect().toSeq.map { r =>
+      (r.get(0).asInstanceOf[Number].longValue(), toDoubles(r.getSeq[Any](1)))
+    }
+
+  /** Nearest cell by cosine as a literal-centroid argmax: `array_max` over
+    * struct(sim, -cell) picks the max similarity, ties → smallest cell.
+    */
+  private def nearestCell(vecCol: Column, cells: Cells): Column = {
+    val scored = array(cells.map { case (cell, cv) =>
+      struct(VF.cosine(vecCol, typedlit(cv)).as("sim"), lit(-cell).as("negcell"))
+    }: _*)
+    (lit(0L) - array_max(scored).getField("negcell"))
+  }
+
+  /** Top-`n` cells by cosine for a query vector: sort the literal-scored
+    * array descending, slice — map-side only.
+    */
+  private def topCells(vecCol: Column, cells: Cells, n: Int): Column = {
+    val scored = array(cells.map { case (cell, cv) =>
+      struct(VF.cosine(vecCol, typedlit(cv)).as("sim"), lit(cell).as("cell"))
+    }: _*)
+    val sorted = array_sort(
+      scored,
+      (l, r) =>
+        when(l("sim") > r("sim"), -1)
+          .when(l("sim") < r("sim"), 1)
+          .otherwise(
+            when(l("cell") < r("cell"), -1).when(l("cell") > r("cell"), 1).otherwise(0)
+          )
+    )
+    slice(sorted, 1, n)
+  }
+
+  private def refineCentroidsLocal(v: DataFrame, start: Cells, iterations: Int): Cells = {
+    var cells = start
+    for (_ <- 0 until iterations) {
+      // assign map-side against literal centroids; the per-cell mean uses
+      // the map-side-combining vector-sum aggregate, so the only shuffle in
+      // an iteration carries nlists × dim doubles — the model, not the data
+      val sums = v
+        .select(nearestCell(col("cv"), cells).as("cell"), col("cv"))
+        .groupBy(col("cell"))
+        .agg(VF.vectorSum(col("cv")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), transform(col("s"), x => x / col("n")).as("centroid"))
+      cells = collectCells(sums).sortBy(_._1)
+    }
+    cells
+  }
+
   /** Lloyd iterations for coarse IVF centroids: assign each vector to its
-    * nearest centroid, replace centroids with per-cell mean vectors.
-    * Means via posexplode + per-position average — two shuffles per
-    * iteration, centroid set always broadcast-sized.
+    * nearest centroid (map-side, literal centroids), replace centroids with
+    * per-cell mean vectors. `centroids` is (cell, centroid).
     */
   def refineCentroids(
       v: DataFrame, // (cid, cv)
       centroids: DataFrame, // (cell, centroid)
       iterations: Int
   ): DataFrame = {
-    var c = centroids
-    for (_ <- 0 until iterations) {
-      val wAssign = Window.partitionBy(col("cid")).orderBy(col("sim").desc, col("cell"))
-      val assigned = v
-        .crossJoin(broadcast(c))
-        .select(col("cid"), col("cv"), col("cell"), VF.cosine(col("cv"), col("centroid")).as("sim"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-      c = assigned
-        .select(col("cell"), posexplode(col("cv").cast("array<double>")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => x("m")
-          ).as("centroid")
-        )
-    }
-    c
+    val spark = v.sparkSession
+    import spark.implicits._
+    refineCentroidsLocal(v, collectCells(centroids), iterations).toDF("cell", "centroid")
   }
 
   /** IVF (inverted-file) ANN: assign corpus vectors to `nlists` coarse
     * centroids (deterministically seeded from the corpus, refined with
     * `refine` Lloyd iterations), probe the `nprobe` nearest cells per query,
-    * exact-rank within the probed cells.
+    * exact-rank within the probed cells. Assignment and probing are pure
+    * map-side expressions over literal centroids; the only shuffles are the
+    * Lloyd means and the final per-query top-k window.
     * Output: (qid, neighbor_id, cosine_e4, rank).
     */
   def ivfTopK(
@@ -98,26 +144,19 @@ object Ann {
       nprobe: Int = 4,
       refine: Int = 1
   ): DataFrame = {
-    val v = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    val v = corpus.select(col(id).cast("long").as("cid"), col(vec).as("cv"))
     // deterministic seeds: first nlists ids, then Lloyd refinement
-    val seeds = v.orderBy(col("cid")).limit(nlists)
-      .select(col("cid").as("cell"), col("cv").as("centroid"))
-    val centroids = broadcast(refineCentroids(v, seeds, refine))
-    val wAssign = Window.partitionBy(col("cid")).orderBy(col("sim").desc, col("cell"))
-    val assigned = v
-      .crossJoin(centroids)
-      .select(col("cid"), col("cv"), col("cell"), VF.cosine(col("cv"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("cid"), col("cv"), col("cell"))
+    val seeds = collectCells(v.orderBy(col("cid")).limit(nlists))
+    val cells = refineCentroidsLocal(v, seeds, refine)
+    val assigned = corpus.select(
+      col(id).as("cid"),
+      col(vec).as("cv"),
+      nearestCell(col(vec), cells).as("cell")
+    )
     val q = queries.select(col(qid).as("qid"), col(qvec).as("qv"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell"))
     val probes = q
-      .crossJoin(centroids)
-      .select(col("qid"), col("qv"), col("cell"), VF.cosine(col("qv"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cell"))
+      .select(col("qid"), col("qv"), explode(topCells(col("qv"), cells, nprobe)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc").getField("cell").as("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
     assigned
       .join(broadcast(probes), Seq("cell"))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expr.{VectorBinaryOp, VectorOp}
+import graft.expr.{VectorBinaryOp, VectorOp, VectorSumAgg}
 import org.apache.spark.sql.{Column, GraftColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,15 @@ object VectorFunctions {
 
   /** Squared L2 distance. */
   def l2Sq(a: Column, b: Column): Column = binOp(a, b, VectorOp.L2Sq)
+
+  /** Element-wise vector sum aggregate (map-side combining): the shuffle
+    * carries one `array<double>` per group per task instead of the
+    * `posexplode`-workaround's n·dim rows. Pair with `count` for centroids.
+    */
+  def vectorSum(v: Column): Column =
+    ExpressionUtils.column(
+      VectorSumAgg(ExpressionUtils.expression(v)).toAggregateExpression()
+    )
 
   /** Deterministic pseudo-random hyperplane for LSH: `dim` components in
     * [-1, 1), derived from an LCG-style mix of (plane, component) — stable

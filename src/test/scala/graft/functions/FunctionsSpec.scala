@@ -81,6 +81,42 @@ class FunctionsSpec extends SparkSpec {
     assert(m("t1")("id").toSeq == Seq("1", "2"))
   }
 
+  test("vectorSum aggregates element-wise with nulls and ragged lengths") {
+    import graft.functions.{VectorFunctions => VF}
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(10.0f, 20.0f, 30.0f)),
+      (1L, null.asInstanceOf[Array[Float]]),
+      (1L, Array(0.5f)), // ragged: contributes to position 0 only
+      (2L, Array(7.0f, 8.0f))
+    ).toDF("g", "v")
+    val out = df.groupBy(col("g")).agg(VF.vectorSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(11.5, 22.0, 33.0))
+    assert(out(2L) == Seq(7.0, 8.0))
+    // all-null group yields null
+    val empty = Seq((3L, null.asInstanceOf[Array[Double]])).toDF("g", "v")
+      .groupBy(col("g")).agg(VF.vectorSum(col("v")).as("s")).collect().head
+    assert(empty.isNullAt(1))
+  }
+
+  test("centroid via vectorSum matches the posexplode formulation") {
+    import graft.functions.{VectorFunctions => VF}
+    val df = (0 until 40).map(i => ((i % 3).toLong, Array.tabulate(8)(j => (i * j % 11).toFloat)))
+      .toDF("cell", "cv")
+    val fast = df.groupBy(col("cell"))
+      .agg(VF.vectorSum(col("cv")).as("s"), count(lit(1)).as("n"))
+      .select(col("cell"), transform(col("s"), x => x / col("n")).as("centroid"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val slow = df.select(col("cell"), posexplode(col("cv").cast("array<double>")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), x => x("m")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((cell, c) <- slow)
+      fast(cell).zip(c).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
   test("multimodal → embedding → ANN composition runs end-to-end") {
     val docs = (0L until 30L).map(i => (i, s"content item $i ${"x" * (i % 7).toInt}"))
       .toDF("doc_id", "text")
