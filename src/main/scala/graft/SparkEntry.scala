@@ -212,6 +212,9 @@ object SparkEntry {
           col("doc_id"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")
         )),
+    "q_text_bpe" -> ((s, dir) =>
+      loader(s, dir)("documents")
+        .select(col("doc_id"), TF.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
     "q_text_quality" -> ((s, dir) =>
       loader(s, dir)("documents")
         .filter(length(col("text")) > 0)
@@ -451,6 +454,10 @@ object SparkEntry {
          FROM documents GROUP BY md5(text)""",
     "q_text_tokens" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+         FROM documents""",
+    "q_text_bpe" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
          FROM documents""",
     "q_text_quality" ->
       """SELECT doc_id,

@@ -16,8 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens (the "whitespace + BPE-ish regex" baseline). */
+  /** Whitespace tokens (the baseline tokenizer). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-style pre-tokenization (the public GPT-2 pre-tokenizer pattern,
+    * minus its trailing-space lookahead so the same pattern runs identically
+    * under RE2-based engines): English contractions, letter runs, digit
+    * runs, punctuation runs, each optionally absorbing one leading space.
+    * Pre-tokens are the units BPE merges operate on, so their count is the
+    * standard corpus-budget estimator.
+    */
+  val BpePretokenPattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+
+  /** All BPE pre-tokens (leading space retained, as BPE vocabularies do). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePretokenPattern), lit(0))
+
+  /** BPE pre-token count as one codegen regexp pass (no array build). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePretokenPattern))
 
   /** Distinct word n-gram shingles — native single-pass expression
     * ([[graft.expr.WordShingles]]); the equivalent HOF chain evaluates

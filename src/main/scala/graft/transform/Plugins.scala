@@ -33,6 +33,19 @@ trait PartitionDocTransform extends DocTransform {
   def open(): Unit
 }
 
+/** Credential lookup hook mirroring `Plugin.auth(key)`
+  * (`pgsync/plugin.py:106-115`, consumed by `urls.py:40-53` for PG/ES/Redis
+  * passwords): asked in chain order, first defined answer wins.
+  */
+trait AuthProvider extends Serializable {
+  def auth(key: String): Option[String]
+}
+
+object Auth {
+  def resolve(chain: Seq[AuthProvider], key: String): Option[String] =
+    chain.view.flatMap(_.auth(key)).headOption
+}
+
 object Plugins {
 
   /** Apply a configuration-ordered plugin chain in one pass. The schema must

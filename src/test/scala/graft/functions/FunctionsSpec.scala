@@ -81,6 +81,24 @@ class FunctionsSpec extends SparkSpec {
     assert(m("t1")("id").toSeq == Seq("1", "2"))
   }
 
+  test("BPE pre-tokenizer: contractions, leading spaces, digit/punct runs") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "I don't like it!"),
+      (2L, "pi is 3.14159, roughly"),
+      (3L, ""),
+      (4L, "  double  spaces")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TF.bpeTokens(col("text")).as("t"), TF.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getInt(2)))).toMap
+    assert(out(1L)._1 == Seq("I", " don", "'t", " like", " it", "!"))
+    assert(out(2L)._1 == Seq("pi", " is", " 3", ".", "14159", ",", " roughly"))
+    assert(out(3L)._1 == Nil)
+    // second leading space of a run is its own punct-free gap: only one is absorbed
+    assert(out(4L)._1 == Seq(" double", " spaces"))
+    out.foreach { case (_, (toks, n)) => assert(toks.length == n) }
+  }
+
   test("vectorSum aggregates element-wise with nulls and ragged lengths") {
     import graft.functions.{VectorFunctions => VF}
     val df = Seq(

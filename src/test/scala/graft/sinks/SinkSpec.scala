@@ -56,6 +56,16 @@ class SinkSpec extends SparkSpec {
     assert(out.toSet == Set((1L, "KEEP"), (3L, "KEEP")))
   }
 
+  test("U2 auth chain: first defined answer wins (plugin.py:106-115)") {
+    import graft.transform.{Auth, AuthProvider}
+    val a = new AuthProvider { def auth(key: String) = if (key == "PG_PASSWORD") Some("pg-a") else None }
+    val b = new AuthProvider { def auth(key: String) = Some(s"b:$key") }
+    assert(Auth.resolve(Seq(a, b), "PG_PASSWORD").contains("pg-a"))
+    assert(Auth.resolve(Seq(a, b), "ELASTICSEARCH_PASSWORD").contains("b:ELASTICSEARCH_PASSWORD"))
+    assert(Auth.resolve(Seq(a), "OTHER").isEmpty)
+    assert(Auth.resolve(Nil, "X").isEmpty)
+  }
+
   test("P8 schema filter and P9 changed-column guard") {
     val ch = Changes.of(
       spark,
