@@ -1,0 +1,68 @@
+package graft.assemble
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's filter surface (`sync(filters=...)`): a list of
+  * equality-maps per table, where each map is ANDed (composite PKs) and the
+  * list is ORed (`pgsync/querybuilder.py:100-132` `_build_filters`).
+  *
+  * Includes the UUID type-mismatch guard (`querybuilder.py:81-98`): a value
+  * that cannot be a member of the column's type degrades that conjunct to
+  * FALSE instead of raising — the reference added this so e.g. an integer
+  * probed against a uuid column silently matches nothing.
+  *
+  * For batch-sized key sets this builds a literal predicate (Catalyst
+  * compiles to pushable `In`/`EqualTo` filters); resolution joins for large
+  * sets live in [[graft.cdc.IncrementalEngine]] as broadcast semi-joins.
+  */
+object Filters {
+
+  /** OR-of-ANDs equality filter. Returns FALSE for an empty list (the
+    * reference yields no rows when every filter chunk is exhausted).
+    */
+  def build(df: DataFrame, orOfAnds: Seq[Map[String, Any]]): Column =
+    orOfAnds
+      .map { conj =>
+        conj
+          .map { case (name, value) => typedEq(df, name, value) }
+          .reduceOption(_ && _)
+          .getOrElse(lit(true))
+      }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+
+  /** Equality with the type-mismatch guard: literals are coerced to the
+    * column type at build time; impossible coercions become FALSE.
+    */
+  private def typedEq(df: DataFrame, name: String, value: Any): Column = {
+    val dt = df.schema(name).dataType
+    coerce(value, dt) match {
+      case Some(v) => df(name) === lit(v)
+      case None    => lit(false)
+    }
+  }
+
+  private def coerce(value: Any, dt: DataType): Option[Any] = (value, dt) match {
+    case (null, _)                 => None // NULL never equals anything
+    case (v: String, StringType)   => Some(v)
+    case (v, StringType)           => Some(v.toString)
+    case (v: Number, LongType)     => Some(v.longValue())
+    case (v: Number, IntegerType)  => Some(v.intValue())
+    case (v: Number, ShortType)    => Some(v.shortValue())
+    case (v: Number, DoubleType)   => Some(v.doubleValue())
+    case (v: Number, FloatType)    => Some(v.floatValue())
+    case (v: Number, _: DecimalType) => Some(new java.math.BigDecimal(v.toString))
+    case (v: String, LongType)     => scala.util.Try(v.toLong).toOption
+    case (v: String, IntegerType)  => scala.util.Try(v.toInt).toOption
+    case (v: String, DoubleType)   => scala.util.Try(v.toDouble).toOption
+    case (v: Boolean, BooleanType) => Some(v)
+    case (v: String, BooleanType)  => v.toLowerCase match {
+      case "true" | "t"  => Some(true)
+      case "false" | "f" => Some(false)
+      case _             => None
+    }
+    case _ => None // uuid-vs-int style mismatch → degrade, don't raise
+  }
+}

@@ -276,6 +276,22 @@ class AssemblerSpec extends SparkSpec {
     assert(d("1").getSeq[org.apache.spark.sql.Row](d("1").fieldIndex("authors")).isEmpty)
   }
 
+  test("P3 filter dicts: OR of ANDs; P7 type-mismatch degrades to no-match") {
+    // dict = AND (composite keys), list = OR (querybuilder.py:100-132)
+    val byPk = Filters.build(book, Seq(Map("id" -> 1L), Map("id" -> 3L)))
+    assert(book.filter(byPk).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val conj = Filters.build(book, Seq(Map("id" -> 1L, "isbn" -> "isbn1"), Map("id" -> 2L, "isbn" -> "WRONG")))
+    assert(book.filter(conj).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // string keys coerce to the column type; uncoercible values degrade to
+    // FALSE instead of raising (querybuilder.py:81-98 uuid guard)
+    assert(book.filter(Filters.build(book, Seq(Map("id" -> "2")))).count() == 1)
+    assert(book.filter(Filters.build(book, Seq(Map("id" -> "not-a-number")))).count() == 0)
+    assert(book.filter(Filters.build(book, Seq(Map("isbn" -> 42)))).count() == 0) // "42" ∉ isbns
+    // empty filter list yields no rows; empty conjunction matches all
+    assert(book.filter(Filters.build(book, Nil)).count() == 0)
+    assert(book.filter(Filters.build(book, Seq(Map.empty[String, Any]))).count() == 3)
+  }
+
   test("resync idempotence: assembling twice yields identical documents") {
     val s = """{"table": "book", "columns": ["isbn"],
           "children": [{"table": "author", "label": "authors", "columns": ["name"],
