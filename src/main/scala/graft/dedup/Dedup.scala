@@ -102,12 +102,21 @@ object Dedup {
     val keyed = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .select(col("id"), concat_ws(":", col("pos"), col("col")).as("key"))
     val candidates = bucketPairs(keyed, maxBucket)
-    // verify candidates with exact Jaccard over the shingle sets
-    val a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
-    val b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    // verify candidates with exact Jaccard over the shingle sets, computed
+    // AFTER the join — the shingling expression runs only on candidate rows
+    // (broadcast-joined against the raw text), not corpus-wide per side
+    val txt = docs.select(col(id).as("id"), col(text).as("t"))
+    val a = txt.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a")
+    val b = txt.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b")
     candidates
       .join(a, "id_a")
       .join(b, "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        TF.wordShingles(col("t_a"), shingleN).as("sh_a"),
+        TF.wordShingles(col("t_b"), shingleN).as("sh_b")
+      )
       .select(
         col("id_a"),
         col("id_b"),
@@ -162,7 +171,12 @@ object Dedup {
       maxHamming >= 0 && maxHamming <= 15,
       s"simhash maxHamming must be in [0, 15] for exact candidate recall, got $maxHamming"
     )
-    val sig = simhashSignatures(docs, id, text)
+    // The signature table feeds three consumers (banding, verify-a,
+    // verify-b) and each recompute is a full corpus token shuffle — but the
+    // table itself is only (id, int64) per doc, the cheapest possible
+    // materialization. Checkpoint it once eagerly; at cluster scale the
+    // equivalent is a temp-table write, still O(rows · 16 bytes).
+    val sig = simhashSignatures(docs, id, text).localCheckpoint(true)
     // The chunks must PARTITION all 64 bits (uncovered bits would break the
     // pigeonhole guarantee), so remainder bits spread over leading chunks.
     val nChunks = math.max(1, math.min(16, maxHamming + 1))
