@@ -166,15 +166,18 @@ object WalText {
       val tpe = s.substring(i + 1, close)
       i = close + 1
       if (i < n && s.charAt(i) == ':') i += 1
-      // value: quoted (with '' escapes) or bare token
-      if (i < n && s.charAt(i) == '\'') {
+      // value: quoted (single with '' escapes, or double with "" escapes —
+      // the reference's value pattern accepts both, constants.py:214-226)
+      // or bare token
+      if (i < n && (s.charAt(i) == '\'' || s.charAt(i) == '"')) {
+        val quote = s.charAt(i)
         val sb = new StringBuilder
         i += 1
         var done = false
         while (!done && i < n) {
           val c = s.charAt(i)
-          if (c == '\'') {
-            if (i + 1 < n && s.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+          if (c == quote) {
+            if (i + 1 < n && s.charAt(i + 1) == quote) { sb.append(quote); i += 2 }
             else { done = true; i += 1 }
           } else { sb.append(c); i += 1 }
         }

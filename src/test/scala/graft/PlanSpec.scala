@@ -42,6 +42,21 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("PushedFilters") && s.contains("Or(And("))
   }
 
+  test("filter-dict predicates push to the scan; mismatches fold away statically") {
+    val orders = Tables.load(spark, sf)("orders")
+    val f = graft.assemble.Filters.build(
+      orders,
+      Seq(Map("o_orderkey" -> 1L, "o_orderstatus" -> "O"), Map("o_orderkey" -> "7"))
+    )
+    val s = fmt(orders.filter(f))
+    assert(s.contains("PushedFilters"))
+    assert(s.contains("o_orderkey"))
+    // a type-mismatched conjunct is a plan-time FALSE: the whole scan
+    // collapses to an empty relation, no job runs
+    val dead = orders.filter(graft.assemble.Filters.build(orders, Seq(Map("o_orderkey" -> "nope"))))
+    assert(dead.queryExecution.optimizedPlan.toString.contains("LocalRelation <empty>"))
+  }
+
   test("incremental reassembly pushes the affected-id set into the parquet scans") {
     val load = Tables.load(spark, sf) _
     val engine = new IncrementalEngine(

@@ -104,6 +104,18 @@ class WalTextSpec extends AnyFunSuite {
     assert(json.contains(""""plain": "p""""))
   }
 
+  test("double-quoted values with escapes parse like the reference's value pattern") {
+    val out = WalText.parse(Iterator(
+      "BEGIN 15",
+      "table public.t: INSERT: a[text]:\"say \"\"hi\"\"\" b[double precision]:NaN c[text]:'plain'",
+      "COMMIT 15"
+    )).toSeq
+    val json = out.head.newTuple.get
+    assert(json.contains("\"a\": \"say \\\"hi\\\"\""))
+    assert(json.contains(""""b": NaN""")) // Spark's JSON reader allows non-numeric numbers
+    assert(json.contains(""""c": "plain""""))
+  }
+
   test("unparsed table-looking lines are reported, not silently dropped") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
     val out = WalText.parse(Iterator(
