@@ -28,16 +28,22 @@ object Bench {
     // JVM/session warm-up (codegen, parquet footer reads) outside timing
     SparkEntry.queries.get("q_count").foreach(_(spark, sfDir).count())
 
+    // min of 2 runs per query (standard cold-start noise reduction; the
+    // cache is cleared between runs so only JIT/codegen warmth carries over)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // per-query caches must not skew the next timing
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // per-query caches must not skew the next timing
-      name -> dt
+      name -> times.min
     }
     val qs = results
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -53,12 +59,19 @@ object Bench {
     import graft.schema.SchemaDef
     import graft.sources.Tables
     val load = Tables.load(spark, sfDir) _
-    val t1 = System.nanoTime()
-    val nDocs = DocAssembler
-      .assembleJson(SchemaDef.parseNodes(Fixtures.flagship), load, graft.catalog.Catalog.testData)
-      .count()
-    val snapshotDocsSec = nDocs / ((System.nanoTime() - t1) / 1e9)
-    spark.catalog.clearCache()
+    // docs/sec measured end-to-end through the noop sink so the nested
+    // arrays AND the JSON serialization are materialized (a count() would
+    // let Catalyst prune the to_json projection and overstate throughput)
+    val nDocs = load("orders").count()
+    val snapshotDocsSec = (0 until runs).map { _ =>
+      val t1 = System.nanoTime()
+      DocAssembler
+        .assembleJson(SchemaDef.parseNodes(Fixtures.flagship), load, graft.catalog.Catalog.testData)
+        .write.mode("overwrite").format("noop").save()
+      val s = nDocs / ((System.nanoTime() - t1) / 1e9)
+      spark.catalog.clearCache()
+      s
+    }.max
 
     val batch = load("orders")
       .limit(5000)
@@ -72,9 +85,11 @@ object Bench {
     val nChanges = batch.count()
     val engine = new IncrementalEngine(
       SchemaDef.parseNodes(Fixtures.flagship), graft.catalog.Catalog.testData, load)
-    val t2 = System.nanoTime()
-    engine.process(batch, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
-    val changesSec = nChanges / ((System.nanoTime() - t2) / 1e9)
+    val changesSec = (0 until runs).map { _ =>
+      val t2 = System.nanoTime()
+      engine.process(batch, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
+      nChanges / ((System.nanoTime() - t2) / 1e9)
+    }.max
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"sf":"$sfDir"}"""
