@@ -89,6 +89,41 @@ class GraftSyncSpec extends SparkSpec {
     assert(sync.state.currentVersion == v1)
   }
 
+  test("WAL text end-to-end: test_decoding lines drive the index (the --wal lifecycle)") {
+    import graft.cdc.WalText
+    tables = Map(
+      "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
+      "item" -> Seq((10L, 1L, "a")).toDF("id", "order_id", "sku")
+    )
+    val dir = Files.createTempDirectory("graft-wal").toString
+    val sync = GraftSync(spark, schemaJson, cat, load, dir)
+    sync.snapshot()
+
+    // source state moves; the WAL stream carries the same changes in
+    // test_decoding's textual format (quoted table, multi-statement txn)
+    tables += "order_summary" -> Seq((1L, "open"), (2L, "wal")).toDF("id", "status")
+    tables += "item" -> Seq((10L, 1L, "a"), (11L, 2L, "b")).toDF("id", "order_id", "sku")
+    val walLines = Iterator(
+      "BEGIN 700",
+      """table public."order_summary": INSERT: id[bigint]:2 status[text]:'wal'""",
+      "table public.item: INSERT: id[bigint]:11 order_id[bigint]:2 sku[text]:'b'",
+      "COMMIT 700"
+    )
+    sync.applyChanges(WalText.toDataFrame(spark, WalText.parse(walLines).toSeq))
+    assert(sync.state.checkpoint.contains(700L))
+    val docs = sync.state.docs.collect().map(_.getString(0)).toSet
+    assert(docs == Set("1", "2"))
+
+    // a later WAL DELETE drops the doc
+    tables += "order_summary" -> Seq((1L, "open")).toDF("id", "status")
+    sync.applyChanges(WalText.toDataFrame(spark, WalText.parse(Iterator(
+      "BEGIN 701",
+      "table public.order_summary: DELETE: id[bigint]:2",
+      "COMMIT 701"
+    )).toSeq))
+    assert(sync.state.docs.collect().map(_.getString(0)).toSet == Set("1"))
+  }
+
   test("fromConfig loads an array of schema docs, one sync per index") {
     tables = Map(
       "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
