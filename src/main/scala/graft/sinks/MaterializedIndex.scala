@@ -107,6 +107,19 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
 
   def lineage: DataFrame = read("lineage", Lineage.schema)
 
+  /** Read ONLY the given buckets' files of the current version — the
+    * manifest is the pruning index, so per-batch reads are O(affected
+    * buckets) like the writes (no full-index scan + re-hash filter).
+    */
+  private def readBuckets(kind: String, schema: StructType, buckets: Set[Int]): DataFrame = {
+    val paths = readManifest(currentVersion).collect {
+      case ((k, b), v) if k == kind && buckets.contains(b) => bucketDir(kind, b, v)
+    }.toSeq
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
   /** Time travel: the document set as of an earlier (un-vacuumed) version. */
   def docsAt(version: Long): DataFrame = read("docs", docsSchema, version)
 
@@ -150,16 +163,12 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
       .select(bucketOf(col(DocAssembler.IdColumn)).as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
 
-    def inAffected(idCol: String) = bucketOf(col(idCol)).isin(affectedBuckets.toSeq: _*)
-
-    val keptDocs = docs
-      .filter(inAffected(DocAssembler.IdColumn))
+    val keptDocs = readBuckets("docs", docsSchema, affectedBuckets)
       .join(broadcast(affected.select(col(DocAssembler.IdColumn))), Seq(DocAssembler.IdColumn), "left_anti")
     val writtenDocs =
       writeBuckets("docs", next, keptDocs.unionByName(newDocs), DocAssembler.IdColumn)
 
-    val keptLineage = lineage
-      .filter(inAffected("root_id"))
+    val keptLineage = readBuckets("lineage", Lineage.schema, affectedBuckets)
       .join(
         broadcast(affected.select(col(DocAssembler.IdColumn).as("root_id"))),
         Seq("root_id"),
