@@ -32,6 +32,30 @@ object Tables {
     }
   }
 
+  /** Write a bucketed + sorted copy of a table into the session catalog's
+    * warehouse. Joins and aggregations on the bucket keys then run with NO
+    * shuffle of the big side — at 100 TB this (or an equivalent table
+    * format's clustering) is how repeated child-aggregate joins on the same
+    * FK avoid re-shuffling the fact table every sync. Bucket counts must
+    * match across tables meant to co-join.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      nBuckets: Int = 64
+  ): Unit =
+    df.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Load a bucketed table written by [[writeBucketed]]. */
+  def loadBucketed(spark: SparkSession)(table: String): DataFrame =
+    spark.table(table)
+
   /** JDBC variant for a live database (production path; not used in tests).
     * `partitionColumn` + bounds replace the reference's ctid-paged parallel
     * snapshot (`bin/parallel_sync:132-208`): Spark issues `partitions`

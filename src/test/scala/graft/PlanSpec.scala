@@ -80,6 +80,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(l_orderkey"))
   }
 
+  test("bucketed tables co-locate: join and aggregation on the bucket key shuffle nothing") {
+    val load = Tables.load(spark, sf) _
+    Tables.writeBucketed(load("orders"), "b_orders", Seq("o_orderkey"), nBuckets = 8)
+    Tables.writeBucketed(load("lineitem"), "b_lineitem", Seq("l_orderkey"), nBuckets = 8)
+    val o = Tables.loadBucketed(spark)("b_orders")
+    val li = Tables.loadBucketed(spark)("b_lineitem")
+    val joined = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    joined.write.mode("overwrite").format("noop").save()
+    val p = plan(joined)
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$p")
+    // same join WITHOUT bucketing shuffles both sides
+    val unbucketed = load("orders").join(load("lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    assert(plan(unbucketed).contains("Exchange hashpartitioning"))
+  }
+
   test("vector operators compile to the native expression, not interpreted HOFs") {
     val s = plan(SparkEntry.queries("q_dedup_embed")(spark, sf))
     assert(s.toLowerCase.contains("vectorbinaryop(")) // graft.expr.VectorBinaryOp
