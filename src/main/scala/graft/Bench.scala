@@ -30,7 +30,10 @@ object Bench {
 
     // min of 2 runs per query (standard cold-start noise reduction; the
     // cache is cleared between runs so only JIT/codegen warmth carries over)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(
+      1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2)
+    )
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()

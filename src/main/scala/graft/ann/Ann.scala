@@ -61,9 +61,18 @@ object Ann {
   }
 
   private def collectCells(df: DataFrame): Cells =
-    df.collect().toSeq.map { r =>
-      (r.get(0).asInstanceOf[Number].longValue(), toDoubles(r.getSeq[Any](1)))
+    df.collect().toSeq.collect {
+      case r if !r.isNullAt(0) && !r.isNullAt(1) =>
+        (r.get(0).asInstanceOf[Number].longValue(), toDoubles(r.getSeq[Any](1)))
     }
+
+  /** Collect seed vectors only (no id column — cells are keyed by ordinal
+    * index, so corpus ids can be any type, strings/UUIDs included).
+    */
+  private def collectSeedVectors(df: DataFrame): Cells =
+    df.collect().toSeq.collect { case r if !r.isNullAt(0) => toDoubles(r.getSeq[Any](0)) }
+      .zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
 
   /** Nearest cell by cosine as a literal-centroid argmax: `array_max` over
     * struct(sim, -cell) picks the max similarity, ties → smallest cell.
@@ -100,10 +109,14 @@ object Ann {
       // assign map-side against literal centroids; the per-cell mean uses
       // the map-side-combining vector-sum aggregate, so the only shuffle in
       // an iteration carries nlists × dim doubles — the model, not the data
+      if (cells.isEmpty) return cells
       val sums = v
+        .filter(col("cv").isNotNull)
         .select(nearestCell(col("cv"), cells).as("cell"), col("cv"))
         .groupBy(col("cell"))
-        .agg(VF.vectorSum(col("cv")).as("s"), count(lit(1)).as("n"))
+        // count NON-NULL vectors — count(1) would average null-skipping sums
+        // over a null-inclusive denominator and shrink centroids toward zero
+        .agg(VF.vectorSum(col("cv")).as("s"), count(col("cv")).as("n"))
         .select(col("cell"), transform(col("s"), x => x / col("n")).as("centroid"))
       cells = collectCells(sums).sortBy(_._1)
     }
@@ -144,10 +157,17 @@ object Ann {
       nprobe: Int = 4,
       refine: Int = 1
   ): DataFrame = {
-    val v = corpus.select(col(id).cast("long").as("cid"), col(vec).as("cv"))
-    // deterministic seeds: first nlists ids, then Lloyd refinement
-    val seeds = collectCells(v.orderBy(col("cid")).limit(nlists))
+    val v = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    // deterministic seeds: the vectors of the first nlists ids (cells keyed
+    // by ordinal, so ids may be any orderable type), then Lloyd refinement
+    val seeds = collectSeedVectors(
+      v.filter(col("cv").isNotNull).orderBy(col("cid")).limit(nlists).select(col("cv"))
+    )
     val cells = refineCentroidsLocal(v, seeds, refine)
+    // empty corpus / all-null embeddings: degrade to the (empty) exact scan
+    // rather than building a zero-centroid argmax expression
+    if (cells.isEmpty)
+      return bruteForceTopK(corpus.filter(col(vec).isNotNull), queries, id, vec, qid, qvec, k)
     val assigned = corpus.select(
       col(id).as("cid"),
       col(vec).as("cv"),

@@ -44,19 +44,33 @@ object Filters {
     }
   }
 
+  /** Integral coercion is only valid when LOSSLESS: a fractional or
+    * out-of-range probe value equals no member of the column's type, so it
+    * must degrade to no-match, not silently truncate/wrap onto the wrong row.
+    */
+  private def lossless(v: Number, lo: Long, hi: Long): Option[Long] = {
+    val d = v.doubleValue()
+    val l = v.longValue()
+    if (d == l.toDouble && l >= lo && l <= hi) Some(l) else None
+  }
+
   private def coerce(value: Any, dt: DataType): Option[Any] = (value, dt) match {
     case (null, _)                 => None // NULL never equals anything
     case (v: String, StringType)   => Some(v)
     case (v, StringType)           => Some(v.toString)
-    case (v: Number, LongType)     => Some(v.longValue())
-    case (v: Number, IntegerType)  => Some(v.intValue())
-    case (v: Number, ShortType)    => Some(v.shortValue())
+    case (v: Number, LongType)     => lossless(v, Long.MinValue, Long.MaxValue)
+    case (v: Number, IntegerType)  => lossless(v, Int.MinValue, Int.MaxValue).map(_.toInt)
+    case (v: Number, ShortType)    => lossless(v, Short.MinValue, Short.MaxValue).map(_.toShort)
     case (v: Number, DoubleType)   => Some(v.doubleValue())
     case (v: Number, FloatType)    => Some(v.floatValue())
     case (v: Number, _: DecimalType) => Some(new java.math.BigDecimal(v.toString))
     case (v: String, LongType)     => scala.util.Try(v.toLong).toOption
     case (v: String, IntegerType)  => scala.util.Try(v.toInt).toOption
+    case (v: String, ShortType)    => scala.util.Try(v.toShort).toOption
     case (v: String, DoubleType)   => scala.util.Try(v.toDouble).toOption
+    case (v: String, FloatType)    => scala.util.Try(v.toFloat).toOption
+    case (v: String, _: DecimalType) =>
+      scala.util.Try(new java.math.BigDecimal(v)).toOption
     case (v: Boolean, BooleanType) => Some(v)
     case (v: String, BooleanType)  => v.toLowerCase match {
       case "true" | "t"  => Some(true)

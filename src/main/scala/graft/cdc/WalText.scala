@@ -61,11 +61,13 @@ object WalText {
       case TableLine(tableList, op, rest) =>
         val names = splitQualifiedNames(tableList)
         val (oldPart, newPart) = op match {
-          case "UPDATE" if rest.contains("old-key:") =>
-            // old-key: <pairs> new-tuple: <pairs>
-            val ix = rest.indexOf("new-tuple:")
-            val o = rest.substring(rest.indexOf("old-key:") + 8, if (ix >= 0) ix else rest.length)
-            val n = if (ix >= 0) rest.substring(ix + 10) else ""
+          case "UPDATE" if rest.startsWith("old-key:") =>
+            // old-key: <pairs> new-tuple: <pairs> — the split token must be
+            // located OUTSIDE quoted values (a note[text]:'see new-tuple: x'
+            // value contains the literal token)
+            val ix = indexOfOutsideQuotes(rest, "new-tuple:")
+            val o = rest.substring("old-key:".length, if (ix >= 0) ix else rest.length)
+            val n = if (ix >= 0) rest.substring(ix + "new-tuple:".length) else ""
             (Some(o.trim), Some(n.trim))
           case "UPDATE" =>
             val n = if (rest.startsWith("new-tuple:")) rest.stripPrefix("new-tuple:").trim else rest
@@ -82,6 +84,24 @@ object WalText {
       case line @ LooksLikeTableLine() => onUnparsed(line); Nil
       case _ => Nil // heartbeats / messages / empty
     }
+  }
+
+  /** First index of `token` in `s` outside single- or double-quoted spans
+    * ('' / "" escapes toggle twice, which is harmless — the escaped span is
+    * zero-width and the token is longer than zero).
+    */
+  private[cdc] def indexOfOutsideQuotes(s: String, token: String): Int = {
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' && !inDouble) inSingle = !inSingle
+      else if (c == '"' && !inSingle) inDouble = !inDouble
+      else if (!inSingle && !inDouble && s.startsWith(token, i)) return i
+      i += 1
+    }
+    -1
   }
 
   /** Split a comma-separated list of (optionally schema-qualified, optionally

@@ -174,9 +174,10 @@ object Dedup {
     // The signature table feeds three consumers (banding, verify-a,
     // verify-b) and each recompute is a full corpus token shuffle — but the
     // table itself is only (id, int64) per doc, the cheapest possible
-    // materialization. Checkpoint it once eagerly; at cluster scale the
+    // materialization. Checkpoint it LAZILY so building the plan stays free
+    // (the job runs on the first action, once); at cluster scale the
     // equivalent is a temp-table write, still O(rows · 16 bytes).
-    val sig = simhashSignatures(docs, id, text).localCheckpoint(true)
+    val sig = simhashSignatures(docs, id, text).localCheckpoint(false)
     // The chunks must PARTITION all 64 bits (uncovered bits would break the
     // pigeonhole guarantee), so remainder bits spread over leading chunks.
     val nChunks = math.max(1, math.min(16, maxHamming + 1))
@@ -337,11 +338,16 @@ object Dedup {
         .filter(col("keep_id") =!= col("old_keep"))
         .limit(1)
         .count()
+      // `next` is materialized (eager) and no longer reads from the previous
+      // round's blocks — release them now instead of waiting for GC, or up
+      // to maxIter label-table copies pile up in executor storage
+      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist(false)
+    // the FINAL label table stays checkpointed for the caller to consume
     (labels, converged)
   }
 

@@ -45,12 +45,13 @@ object SearchSink {
   /** Test sink: bulk actions as text files, one per partition — the shape a
     * `foreachPartition` HTTP bulk writer consumes. `chunkSize` mirrors the
     * reference's `ELASTICSEARCH_CHUNK_SIZE` 5 000 (`settings.py:145`):
-    * `maxRecordsPerFile` caps each output file at one bulk request, with no
-    * pre-count (which would execute the whole ops plan twice) and no
-    * repartition shuffle.
+    * `maxRecordsPerFile` caps each output file at one bulk request, and the
+    * REBALANCE hint lets AQE coalesce many tiny upstream partitions into
+    * right-sized ones (one bulk request ≈ one file) — no pre-count, which
+    * would execute the whole ops plan twice.
     */
   def writeBulkFiles(ops: DataFrame, index: String, outDir: String, chunkSize: Int = 5000): Unit =
-    bulkActions(ops, index).write
+    bulkActions(ops.hint("rebalance"), index).write
       .option("maxRecordsPerFile", chunkSize.toLong)
       .mode("overwrite")
       .text(outDir)

@@ -290,6 +290,12 @@ class AssemblerSpec extends SparkSpec {
     // empty filter list yields no rows; empty conjunction matches all
     assert(book.filter(Filters.build(book, Nil)).count() == 0)
     assert(book.filter(Filters.build(book, Seq(Map.empty[String, Any]))).count() == 3)
+    // lossy numeric coercions must NOT truncate onto the wrong row: 1.7
+    // equals no bigint, and an int-overflowing long equals no int
+    assert(book.filter(Filters.build(book, Seq(Map("id" -> 1.7)))).count() == 0)
+    assert(book.filter(Filters.build(book, Seq(Map("id" -> 2.0)))).count() == 1) // lossless
+    val intKeyed = Seq((1, "x")).toDF("k", "v")
+    assert(intKeyed.filter(Filters.build(intKeyed, Seq(Map("k" -> (Int.MaxValue.toLong + 2L))))).count() == 0)
   }
 
   test("resync idempotence: assembling twice yields identical documents") {

@@ -116,6 +116,20 @@ class WalTextSpec extends AnyFunSuite {
     assert(json.contains(""""c": "plain""""))
   }
 
+  test("UPDATE split ignores 'new-tuple:' inside quoted values") {
+    val out = WalText.parse(Iterator(
+      "BEGIN 16",
+      "table public.t: UPDATE: old-key: id[integer]:1 note[text]:'see new-tuple: docs' " +
+        "new-tuple: id[integer]:2 note[text]:'ok'",
+      "COMMIT 16"
+    )).toSeq
+    val c = out.head
+    assert(c.old.get.contains(""""id": 1"""))
+    assert(c.old.get.contains(""""note": "see new-tuple: docs""""))
+    assert(c.newTuple.get.contains(""""id": 2"""))
+    assert(c.newTuple.get.contains(""""note": "ok""""))
+  }
+
   test("unparsed table-looking lines are reported, not silently dropped") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
     val out = WalText.parse(Iterator(

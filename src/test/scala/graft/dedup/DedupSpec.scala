@@ -118,6 +118,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("IVF supports string ids, null embeddings, and empty corpora") {
+    import graft.ann.Ann
+    val vecs = (0 until 30).map { i =>
+      (s"doc-$i", if (i == 7) null else Array.tabulate(8)(j => (math.cos(i % 3 * 5 + j)).toFloat))
+    }.toDF("sid", "embedding")
+    val q = vecs.filter(col("sid") === "doc-0")
+    val out = Ann.ivfTopK(vecs, q, "sid", "embedding", "sid", "embedding", 3, nlists = 4, nprobe = 2)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getString(0) == "doc-0"))
+    // empty corpus degrades to an empty result, same schema
+    val empty = vecs.filter(lit(false))
+    assert(Ann.ivfTopK(empty, q, "sid", "embedding", "sid", "embedding", 3).collect().isEmpty)
+  }
+
   test("IVF and LSH ANN recall vs brute force on clustered vectors") {
     val vecs = (0 until 60).map { i =>
       val c = i % 3
