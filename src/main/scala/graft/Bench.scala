@@ -21,7 +21,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config(
         "spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-bench-warehouse"
+        // fresh per run: a leftover managed-table location from a previous
+        // bench fails saveAsTable with LOCATION_ALREADY_EXISTS
+        java.nio.file.Files.createTempDirectory("graft-bench-warehouse").toString
       )
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")

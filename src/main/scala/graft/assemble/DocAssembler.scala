@@ -71,13 +71,35 @@ object DocAssembler {
   ): DataFrame = {
     val pks = primaryKeys(root, catalog)
     val pkKeep = pks.map(p => p -> s"__pk_$p")
-    val built = buildNode(root, load, catalog, extraKeep = pkKeep, scanFilter = rootScanFilter)
+    val dict = lineageDict(root, catalog)
+    val built = buildNode(root, load, catalog, extraKeep = pkKeep,
+      scanFilter = rootScanFilter, dictIdx = dict.zipWithIndex.toMap)
     val idCol =
       concat_ws(IdDelimiter, pkKeep.map { case (_, o) => col(o).cast(StringType) }: _*)
         .as(IdColumn)
     built.df.select(
-      idCol +: built.fieldNames.map(col) :+ squashMeta(col(LineageCol)).as(MetaColumn): _*
+      idCol +: built.fieldNames.map(col) :+ squashMeta(col(LineageCol), dict).as(MetaColumn): _*
     )
+  }
+
+  /** Plan-time dictionary of every (table, pk) pair the tree can emit into
+    * lineage. Entries then shuffle as (int, value) instead of repeating the
+    * constant table/pk strings per row ([[graft.expr.SquashMeta]] expands
+    * them back when squashing `_meta`).
+    */
+  private def lineageDict(root: Node, catalog: Catalog): Seq[(String, String)] = {
+    val buf = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    def visit(n: Node): Unit = {
+      primaryKeys(n, catalog).foreach(p => buf += ((n.table, p)))
+      n.children.foreach { c =>
+        c.relationship.toSeq.flatMap(_.throughTables).foreach { t =>
+          catalog.primaryKeys(t).foreach(p => buf += ((t, p)))
+        }
+        visit(c)
+      }
+    }
+    visit(root)
+    buf.toSeq
   }
 
   /** Documents as (`_id`, JSON string) — the shape the search sink indexes
@@ -108,7 +130,8 @@ object DocAssembler {
       load: String => DataFrame,
       catalog: Catalog,
       extraKeep: Seq[(String, String)],
-      scanFilter: DataFrame => DataFrame = identity
+      scanFilter: DataFrame => DataFrame = identity,
+      dictIdx: Map[(String, String), Int]
   ): Built = {
     val base = scanFilter(load(node.table))
     val pks = primaryKeys(node, catalog)
@@ -169,11 +192,11 @@ object DocAssembler {
     fields = applyTransforms(node.transform, fields,
       resolveType = c => scala.util.Try(pruned.select(c).schema.head.dataType).toOption)
 
-    // Own lineage entries: one per PK column (querybuilder.py:364-386).
+    // Own lineage entries: one per PK column (querybuilder.py:364-386),
+    // dictionary-encoded — (table, pk) are plan-time constants.
     val ownLineage = array(pks.map { p =>
       struct(
-        lit(node.table).as("table"),
-        lit(p).as("pk"),
+        lit(dictIdx((node.table, p))).as("k"),
         col(p).cast(StringType).as("value")
       )
     }: _*)
@@ -191,11 +214,11 @@ object DocAssembler {
         spec.parentColumns.length > 1
       val plan = throughInfo match {
         case Some((through, childLeg)) =>
-          buildThroughChild(childNode, through, spec, childLeg, load, catalog, i)
+          buildThroughChild(childNode, through, spec, childLeg, load, catalog, i, dictIdx)
         case None if selfRefMany =>
-          buildSelfRefChild(childNode, spec, df, pks, load, catalog, i)
+          buildSelfRefChild(childNode, spec, df, pks, load, catalog, i, dictIdx)
         case None =>
-          buildDirectChild(childNode, spec, load, catalog, i)
+          buildDirectChild(childNode, spec, load, catalog, i, dictIdx)
       }
       val cond = plan.parentCols
         .zip(plan.keyCols)
@@ -235,11 +258,13 @@ object DocAssembler {
       spec: JoinSpec,
       load: String => DataFrame,
       catalog: Catalog,
-      idx: Int
+      idx: Int,
+      dictIdx: Map[(String, String), Int]
   ): ChildPlan = {
     val keyNames = spec.childColumns.indices.map(i => s"__k${idx}_$i")
     val built =
-      buildNode(child, load, catalog, extraKeep = spec.childColumns.zip(keyNames))
+      buildNode(child, load, catalog, extraKeep = spec.childColumns.zip(keyNames),
+        dictIdx = dictIdx)
     finishChild(child, built, keyNames, spec.parentColumns, s"__lineage_c$idx")
   }
 
@@ -256,7 +281,8 @@ object DocAssembler {
       parentPks: Seq[String],
       load: String => DataFrame,
       catalog: Catalog,
-      idx: Int
+      idx: Int,
+      dictIdx: Map[(String, String), Int]
   ): ChildPlan = {
     val childPks = primaryKeys(child, catalog)
     val pkNames = childPks.indices.map(i => s"__cpk${idx}_$i")
@@ -265,7 +291,8 @@ object DocAssembler {
       child,
       load,
       catalog,
-      extraKeep = spec.childColumns.zip(legNames) ++ childPks.zip(pkNames)
+      extraKeep = spec.childColumns.zip(legNames) ++ childPks.zip(pkNames),
+      dictIdx = dictIdx
     )
     val keyNames = parentPks.indices.map(i => s"__k${idx}_$i")
     val docCol = struct(built.fieldNames.map(col): _*)
@@ -304,11 +331,13 @@ object DocAssembler {
       childLeg: JoinSpec,
       load: String => DataFrame,
       catalog: Catalog,
-      idx: Int
+      idx: Int,
+      dictIdx: Map[(String, String), Int]
   ): ChildPlan = {
     val cNames = childLeg.childColumns.indices.map(i => s"__c${idx}_$i")
     val built =
-      buildNode(child, load, catalog, extraKeep = childLeg.childColumns.zip(cNames))
+      buildNode(child, load, catalog, extraKeep = childLeg.childColumns.zip(cNames),
+        dictIdx = dictIdx)
 
     val throughPks = catalog.primaryKeys(through)
     val keyNames = parentLeg.childColumns.indices.map(i => s"__k${idx}_$i")
@@ -318,8 +347,7 @@ object DocAssembler {
 
     val throughLineage = array(throughPks.map { p =>
       struct(
-        lit(through).as("table"),
-        lit(p).as("pk"),
+        lit(dictIdx((through, p))).as("k"),
         col(p).cast(StringType).as("value")
       )
     }: _*)
@@ -448,8 +476,8 @@ object DocAssembler {
     * expression ([[graft.expr.SquashMeta]]); per-row, no extra shuffle, no
     * UDF boundary.
     */
-  private[graft] def squashMeta(lineage: Column): Column =
+  private[graft] def squashMeta(lineage: Column, dict: Seq[(String, String)] = Nil): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
-      graft.expr.SquashMeta(org.apache.spark.sql.GraftColumnBridge.expression(lineage))
+      graft.expr.SquashMeta(org.apache.spark.sql.GraftColumnBridge.expression(lineage), dict)
     )
 }
