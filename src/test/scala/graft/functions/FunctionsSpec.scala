@@ -79,6 +79,10 @@ class FunctionsSpec extends SparkSpec {
       .head
       .getAs[scala.collection.Map[String, scala.collection.Map[String, scala.collection.Seq[String]]]]("m")
     assert(m("t1")("id").toSeq == Seq("1", "2"))
+    val vs = spark
+      .sql("SELECT vec_sum(a) AS s FROM (SELECT a FROM v UNION ALL SELECT b FROM v)")
+      .collect().head.getSeq[Double](0)
+    assert(vs == Seq(2.0, 4.0))
   }
 
   test("BPE pre-tokenizer: contractions, leading spaces, digit/punct runs") {
