@@ -32,10 +32,21 @@ import org.apache.spark.sql.types.StringType
   *     upserts by `_id` are idempotent (the reference's own delivery
   *     guarantee, `sync.py:1947-1983`).
   */
+/** @param inSetThreshold affected-id count above which scan restriction
+  *   switches from literal IN filters to broadcast semi-joins
+  * @param rangeBracket when true, oversized affected sets ALSO bracket each
+  *   restricted scan with a pushed min/max range on the key. One extra tiny
+  *   driver agg per batch; a large win when change batches cluster in a key
+  *   range over a huge sorted/partitioned table (row groups prune), a cost
+  *   when they span the full key space (the bench's synthetic batches do,
+  *   hence default off — enable for key-clustered production feeds).
+  */
 final class IncrementalEngine(
     root: Node,
     catalog: Catalog,
-    load: String => DataFrame
+    load: String => DataFrame,
+    inSetThreshold: Int = 1000,
+    rangeBracket: Boolean = false
 ) {
 
   private val rootPks = DocAssembler.primaryKeys(root, catalog)
@@ -247,13 +258,13 @@ final class IncrementalEngine(
       else None
     }.toMap
 
-  /** Above this many affected ids, fall back from literal IN-set scan
+  /** Above `inSetThreshold` affected ids, fall back from literal IN-set scan
     * filters to broadcast semi-joins. Small sets profit from row-group
     * pruning at the scan; large literal lists cost more in plan
     * construction/optimization than the pruning returns (measured: a 7.5k-
     * value In tripled the batch latency vs the broadcast join).
     */
-  private val InSetThreshold = 1000
+  private val InSetThreshold = inSetThreshold
 
   /** Re-assemble the documents for the given affected root ids: the same
     * single [[DocAssembler]] plan with the ROOT scan — and every root-keyed
@@ -284,11 +295,17 @@ final class IncrementalEngine(
           }
           base.filter(col(keyCol).isin(lits: _*))
         case None =>
-          base.join(
-            broadcast(affected.select(col("_id").cast(dt).as(keyCol))),
-            Seq(keyCol),
-            "left_semi"
-          )
+          // oversized sets: broadcast semi-join; optionally bracketed by a
+          // pushable min/max range on the key (see `rangeBracket`).
+          val typed = affected.select(col("_id").cast(dt).as(keyCol))
+          val ranged =
+            if (!rangeBracket) base
+            else {
+              val mm = typed.agg(min(col(keyCol)), max(col(keyCol))).collect().head
+              if (mm.isNullAt(0)) base
+              else base.filter(col(keyCol).between(lit(mm.get(0)), lit(mm.get(1))))
+            }
+          ranged.join(broadcast(typed), Seq(keyCol), "left_semi")
       }
     }
 

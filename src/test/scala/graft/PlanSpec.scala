@@ -73,6 +73,23 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("EqualTo(l_orderkey,1)") || s.contains("In(l_orderkey"))
   }
 
+  test("oversized affected sets bracket the scans with a pushed min/max range") {
+    val load = Tables.load(spark, sf) _
+    // threshold 0 forces the broadcast-semi path even for a tiny batch
+    val engine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load,
+      inSetThreshold = 0, rangeBracket = true)
+    val changes = graft.cdc.Changes.of(
+      spark,
+      Seq(
+        ("INSERT", "orders", null, """{"o_orderkey": 5}""", 1L),
+        ("INSERT", "orders", null, """{"o_orderkey": 9}""", 1L)
+      )
+    )
+    val s = fmt(engine.process(changes, Lineage.empty(spark)))
+    assert(s.contains("GreaterThanOrEqual(o_orderkey,5)") && s.contains("LessThanOrEqual(o_orderkey,9)"))
+  }
+
   test("one_to_many child agg keeps map-side partial aggregation") {
     val p = plan(SparkEntry.queries("q_child_agg")(spark, sf))
     // partial + final HashAggregate pair around the exchange
