@@ -215,6 +215,20 @@ object SparkEntry {
     "q_text_bpe" -> ((s, dir) =>
       loader(s, dir)("documents")
         .select(col("doc_id"), TF.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
+    // ---- corpus subsampling / mixing ---------------------------------------
+    "q_sample_hash" -> ((s, dir) =>
+      graft.functions.Sampling
+        .hashSample(loader(s, dir)("documents"), col("doc_id"), 0.2)
+        .select(col("doc_id"), col("lang"))),
+    "q_sample_quota" -> ((s, dir) =>
+      graft.functions.Sampling
+        .quota(
+          loader(s, dir)("orders"),
+          groupCols = Seq(col("o_orderstatus")),
+          order = Seq(col("o_orderkey")),
+          k = 100
+        )
+        .select(col("o_orderkey"), col("o_orderstatus"))),
     "q_text_quality" -> ((s, dir) =>
       loader(s, dir)("documents")
         .filter(length(col("text")) > 0)
@@ -459,6 +473,15 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
          FROM documents""",
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE md5(CAST(doc_id AS VARCHAR)) < '3333'""",
+    "q_sample_quota" ->
+      """SELECT o_orderkey, o_orderstatus FROM (
+           SELECT o_orderkey, o_orderstatus,
+                  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 100""",
     "q_text_quality" ->
       """SELECT doc_id,
                 CAST(round(100.0 * length(text) / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS mean_wlen_c,

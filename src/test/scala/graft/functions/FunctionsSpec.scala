@@ -139,6 +139,33 @@ class FunctionsSpec extends SparkSpec {
       fast(cell).zip(c).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
   }
 
+  test("hash sampling is deterministic, partition-independent, and nested") {
+    import graft.functions.Sampling
+    val df = (0L until 2000L).toDF("id")
+    val a = Sampling.hashSample(df, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(13), col("id"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // membership independent of layout/run
+    val n = a.size.toDouble / 2000
+    assert(n > 0.25 && n < 0.35, s"fraction off: $n")
+    // nested: a larger fraction strictly contains a smaller one
+    val wider = Sampling.hashSample(df, col("id"), 0.6).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+    assert(Sampling.hashSample(df, col("id"), 1.0).count() == 2000)
+    assert(Sampling.hashSample(df, col("id"), 0.0).count() == 0)
+  }
+
+  test("quota keeps at most k rows per group in deterministic order") {
+    import graft.functions.Sampling
+    val df = Seq.tabulate(30)(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    val out = Sampling.quota(df, Seq(col("g")), Seq(col("id").desc), 4)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).groupBy(_._1)
+    assert(out.keySet == Set("g0", "g1", "g2"))
+    // top-4 ids descending per group
+    assert(out("g0").map(_._2).sorted.toSeq == Seq(18L, 21L, 24L, 27L))
+    assert(out.values.forall(_.length == 4))
+  }
+
   test("multimodal → embedding → ANN composition runs end-to-end") {
     val docs = (0L until 30L).map(i => (i, s"content item $i ${"x" * (i % 7).toInt}"))
       .toDF("doc_id", "text")
