@@ -215,6 +215,10 @@ object SparkEntry {
     "q_text_bpe" -> ((s, dir) =>
       loader(s, dir)("documents")
         .select(col("doc_id"), TF.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
+    "q_term_stats" -> ((s, dir) =>
+      graft.functions.TermStats
+        .topTerms(loader(s, dir)("documents"), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"))),
     // ---- corpus subsampling / mixing ---------------------------------------
     "q_sample_hash" -> ((s, dir) =>
       graft.functions.Sampling
@@ -473,6 +477,19 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
          FROM documents""",
+    "q_term_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         ranked AS (
+           SELECT doc_id, term, tf,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+           FROM tf)
+         SELECT r.doc_id, r.term, r.tf, d.df
+         FROM ranked r JOIN dfreq d USING (term)
+         WHERE r.rn <= 3""",
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE md5(CAST(doc_id AS VARCHAR)) < '3333'""",

@@ -166,6 +166,21 @@ class FunctionsSpec extends SparkSpec {
     assert(out.values.forall(_.length == 4))
   }
 
+  test("term stats: top-k by tf with lexicographic ties, df counts documents not occurrences") {
+    import graft.functions.TermStats
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana banana apple"),
+      (3L, "cherry")
+    ).toDF("doc_id", "text")
+    val out = TermStats.topTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).toSet == Set((1L, "apple", 2L, 2L), (1L, "banana", 1L, 2L)))
+    assert(byDoc(2L).toSet == Set((2L, "banana", 3L, 2L), (2L, "apple", 1L, 2L)))
+    assert(byDoc(3L).toSet == Set((3L, "cherry", 1L, 2L)))
+  }
+
   test("multimodal → embedding → ANN composition runs end-to-end") {
     val docs = (0L until 30L).map(i => (i, s"content item $i ${"x" * (i % 7).toInt}"))
       .toDF("doc_id", "text")
