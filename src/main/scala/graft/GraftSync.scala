@@ -95,6 +95,45 @@ final class GraftSync(
 
   /** The search-index bootstrap mapping for this schema (S11). */
   def indexMapping: String = SearchSink.buildMapping(schema.root, schema.routing)
+
+  /** Physical-layout advice — the engine-native analogue of the reference's
+    * `--analyze`, which prints missing-index DDL for every resolved join key
+    * (`pgsync/sync.py:276-324`). Here the "index" is the table layout: FK
+    * join/aggregation keys want bucketed (or key-partitioned) tables so
+    * repeated syncs co-locate without re-shuffling
+    * ([[graft.sources.Tables.writeBucketed]]); one_to_one dimension sides
+    * broadcast (AQE decides from runtime sizes — listed for visibility).
+    */
+  def analyze(): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val rootPks = graft.assemble.DocAssembler.primaryKeys(schema.root, catalog)
+    out += s"bucket ${schema.root.table} by (${rootPks.mkString(", ")}) — root PK: incremental re-assembly restricts on it"
+    def visit(node: Node): Unit = node.children.foreach { c =>
+      val rel = c.relationship.get
+      rel.throughTables.headOption match {
+        case Some(through) =>
+          val parentLeg = rel.foreignKey
+            .map(fk => graft.catalog.JoinSpec(fk.parent, fk.child))
+            .getOrElse(catalog.resolveJoin(node.table, through))
+          val childLeg = catalog.resolveJoin(through, c.table)
+          out += s"bucket $through by (${parentLeg.childColumns.mkString(", ")}) — through-table aggregate + parent join key"
+          out += s"bucket ${c.table} by (${childLeg.childColumns.mkString(", ")}) — through-join key"
+        case None =>
+          val spec = rel.foreignKey
+            .map(fk => graft.catalog.JoinSpec(fk.parent, fk.child))
+            .getOrElse(catalog.resolveJoin(node.table, c.table))
+          rel.relType match {
+            case graft.schema.RelType.OneToMany =>
+              out += s"bucket ${c.table} by (${spec.childColumns.mkString(", ")}) — one_to_many aggregate + join key"
+            case graft.schema.RelType.OneToOne =>
+              out += s"dimension ${c.table}: broadcast join (AQE selects it from runtime size; no layout change needed)"
+          }
+      }
+      visit(c)
+    }
+    visit(schema.root)
+    out.result().distinct
+  }
 }
 
 object GraftSync {

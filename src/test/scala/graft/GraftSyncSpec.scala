@@ -144,6 +144,18 @@ class GraftSyncSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(s"$base/idx_b/CURRENT")))
   }
 
+  test("analyze advises bucketing for FK keys and broadcast for dims (--analyze analogue)") {
+    tables = Map(
+      "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
+      "item" -> Seq((10L, 1L, "a")).toDF("id", "order_id", "sku")
+    )
+    val sync = GraftSync(spark, schemaJson, cat, load,
+      Files.createTempDirectory("graft-adv").toString)
+    val advice = sync.analyze()
+    assert(advice.exists(a => a.startsWith("bucket order_summary by (id)")))
+    assert(advice.exists(a => a.startsWith("bucket item by (order_id)")))
+  }
+
   test("indexMapping derives from the tree") {
     tables = Map(
       "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
