@@ -256,6 +256,15 @@ object SparkEntry {
     // ---- dedup: exact n-gram Jaccard via inverted index --------------------
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.2)),
+    // ---- decontamination: probe containment against the corpus -------------
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = loader(s, dir)("documents")
+      Dedup.containment(
+        docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text",
+        threshold = 0.3
+      )
+    }),
     // ---- dedup: embedding cosine (exact pair scan, oracle-checked) ---------
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingCosineExact(loader(s, dir)("embeddings"), "vec_id", "embedding", 0.4)),
@@ -546,6 +555,24 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = i.id_a
          JOIN sizes sb ON sb.doc_id = i.id_b
          WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.2""",
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+                FROM t WHERE len(toks) > 0),
+         p AS (SELECT doc_id AS probe_id, shingles FROM sh WHERE doc_id % 20 = 0),
+         psz AS (SELECT probe_id, len(shingles) AS pn FROM p),
+         cpost AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         ppost AS (SELECT probe_id, unnest(shingles) AS s FROM p),
+         inter AS (
+           SELECT c.doc_id, q.probe_id, count(*) AS inter
+           FROM cpost c JOIN ppost q ON c.s = q.s AND c.doc_id <> q.probe_id
+           GROUP BY c.doc_id, q.probe_id)
+         SELECT i.doc_id, i.probe_id,
+                CAST(round(1000.0 * i.inter / z.pn) AS BIGINT) AS containment_milli
+         FROM inter i JOIN psz z USING (probe_id)
+         WHERE CAST(i.inter AS DOUBLE) / z.pn >= 0.3""",
     "q_dedup_embed" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 CAST(round(10000 * list_cosine_similarity(a.embedding, b.embedding)) AS BIGINT) AS cosine_e4

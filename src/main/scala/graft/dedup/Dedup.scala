@@ -249,6 +249,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard") * 1000).cast("long").as("jaccard_milli"))
   }
 
+  /** Cross-corpus decontamination: corpus documents whose shingle sets
+    * contain a large fraction of a PROBE document's shingles — asymmetric
+    * containment |C ∩ P| / |P|, the standard "training doc leaks an
+    * eval-set sample" check (a short benchmark item fully embedded in a long
+    * page scores 1.0 though its Jaccard is tiny).
+    *
+    * Shape: inverted-index join keyed by shingle — the probe side (a
+    * benchmark) is small, the corpus streams; per-shingle posting lists are
+    * capped so boilerplate shingles can't skew a reducer. No cross join.
+    * Output: (doc_id, probe_id, containment_milli).
+    */
+  def containment(
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      probes: DataFrame,
+      probeId: String,
+      probeText: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxPostings: Int = 10000
+  ): DataFrame = {
+    val csh = corpus
+      .select(col(id).as("doc_id"), TF.wordShingles(col(text), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val psh = probes
+      .select(col(probeId).as("probe_id"), TF.wordShingles(col(probeText), shingleN).as("psh"))
+      .filter(size(col("psh")) > 0)
+    val psizes = psh.select(col("probe_id"), size(col("psh")).as("pn"))
+    val capped = csh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxPostings)
+    val inter = capped
+      .join(psh.select(col("probe_id"), explode(col("psh")).as("s")), "s")
+      .select(explode(col("ids")).as("doc_id"), col("probe_id"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(psizes, "probe_id")
+      .select(
+        col("doc_id"),
+        col("probe_id"),
+        (col("inter").cast("double") / col("pn")).as("containment")
+      )
+      .filter(col("containment") >= threshold)
+      .select(
+        col("doc_id"),
+        col("probe_id"),
+        round(col("containment") * 1000).cast("long").as("containment_milli")
+      )
+  }
+
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets → exact cosine
     * verify. `planes` controls bucket granularity (recall vs candidates).
     * Output: (id_a, id_b, cosine_e4).

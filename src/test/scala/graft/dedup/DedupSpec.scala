@@ -83,6 +83,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment decontamination: embedded probe scores 1.0 though jaccard is tiny") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away into the woods tonight"),
+      (2L, "completely unrelated text about databases and distributed query engines at scale"),
+      (3L, "short filler words here")
+    ).toDF("doc_id", "text")
+    // probe = a fragment fully embedded in doc 1
+    val probes = Seq((100L, "quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val hits = Dedup.containment(corpus, "doc_id", "text", probes, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((1L, 100L, 1000L))) // full containment, only doc 1
+  }
+
   test("connected components label every member with the component min (keep list)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
     val labels = Dedup.connectedComponents(pairs)
