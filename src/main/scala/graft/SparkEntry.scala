@@ -215,6 +215,13 @@ object SparkEntry {
     "q_text_bpe" -> ((s, dir) =>
       loader(s, dir)("documents")
         .select(col("doc_id"), TF.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
+    "q_pii" -> ((s, dir) =>
+      loader(s, dir)("documents")
+        .select(
+          col("doc_id"),
+          md5(TF.redactPii(col("text")).cast("binary")).as("redacted_md5"),
+          TF.piiCount(col("text")).cast("long").as("n_pii")
+        )),
     "q_term_stats" -> ((s, dir) =>
       graft.functions.TermStats
         .topTerms(loader(s, dir)("documents"), "doc_id", "text", 3)
@@ -486,6 +493,20 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
          FROM documents""",
+    "q_pii" ->
+      """WITH r1 AS (
+           SELECT doc_id, text AS t0,
+                  regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM documents),
+         r2 AS (SELECT *, regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2 FROM r1),
+         r3 AS (SELECT *, regexp_replace(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t3 FROM r2),
+         r4 AS (SELECT *, regexp_replace(t3, '\b\d{13,19}\b', '<CARD>', 'g') AS t4 FROM r3)
+         SELECT doc_id, md5(t4) AS redacted_md5,
+                CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+                   + len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+                   + len(regexp_extract_all(t3, '\b\d{13,19}\b')) AS BIGINT) AS n_pii
+         FROM r4""",
     "q_term_stats" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

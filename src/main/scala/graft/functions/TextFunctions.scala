@@ -126,6 +126,37 @@ object TextFunctions {
     ).cast("long")
   }
 
+  /** PII patterns for corpus scrubbing — RE2-compatible (no lookaround), so
+    * external engines can replay the exact same redaction for audits.
+    * Public, standard shapes: emails, IPv4 addresses, US-style phone
+    * numbers, 13-19-digit card-like number runs.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b(?:\d{1,3}\.){3}\d{1,3}\b""" -> "<IP>",
+    """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b""" -> "<PHONE>",
+    """\b\d{13,19}\b""" -> "<CARD>"
+  )
+
+  /** Redact PII in order (each pattern applied globally). Pure codegen
+    * regexp passes — at corpus scale this is a map-only stage on the scan.
+    */
+  def redactPii(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
+  /** Count of PII matches across the pattern set (pre-redaction), for
+    * corpus audit metrics.
+    */
+  def piiCount(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Column = {
+    // count sequentially on the progressively-redacted text so overlapping
+    // pattern classes (an IP inside a longer number run) aren't double-counted
+    val (total, _) = patterns.foldLeft((lit(0): Column, text)) {
+      case ((acc, cur), (pat, repl)) =>
+        (acc + regexp_count(cur, lit(pat)), regexp_replace(cur, pat, repl))
+    }
+    total
+  }
+
   /** Document fingerprint (winnowing-lite): md5 of the 8 lexicographically
     * smallest md5'd shingles — stable under shingle reordering, portable
     * across engines (md5 everywhere).

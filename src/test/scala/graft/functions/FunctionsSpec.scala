@@ -181,6 +181,22 @@ class FunctionsSpec extends SparkSpec {
     assert(byDoc(3L).toSet == Set((3L, "cherry", 1L, 2L)))
   }
 
+  test("PII redaction: emails, IPs, phones, card-like runs; counts without double-counting") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk or call 555-123-4567"),
+      (2L, "server 10.0.255.7 logged card 4111111111111111 twice: 4111111111111111"),
+      (3L, "clean text, no identifiers here")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TF.redactPii(col("text")).as("r"), TF.piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L)._1 == "mail me at <EMAIL> or call <PHONE>")
+    assert(out(1L)._2 == 2)
+    assert(out(2L)._1 == "server <IP> logged card <CARD> twice: <CARD>")
+    assert(out(2L)._2 == 3)
+    assert(out(3L) == (("clean text, no identifiers here", 0)))
+  }
+
   test("multimodal → embedding → ANN composition runs end-to-end") {
     val docs = (0L until 30L).map(i => (i, s"content item $i ${"x" * (i % 7).toInt}"))
       .toDF("doc_id", "text")
