@@ -222,6 +222,10 @@ object SparkEntry {
           md5(TF.redactPii(col("text")).cast("binary")).as("redacted_md5"),
           TF.piiCount(col("text")).cast("long").as("n_pii")
         )),
+    "q_text_repetition" -> ((s, dir) =>
+      graft.functions.TermStats
+        .repetition(loader(s, dir)("documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("dup_word_milli"), col("top_bigram_milli"))),
     "q_term_stats" -> ((s, dir) =>
       graft.functions.TermStats
         .topTerms(loader(s, dir)("documents"), "doc_id", "text", 3)
@@ -507,6 +511,20 @@ object SparkEntry {
                    + len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
                    + len(regexp_extract_all(t3, '\b\d{13,19}\b')) AS BIGINT) AS n_pii
          FROM r4""",
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         base AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd
+                  FROM t WHERE len(toks) >= 2),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS b
+                FROM t WHERE len(toks) >= 2),
+         bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         per AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1)
+         SELECT p.doc_id,
+                CAST(round(1000.0 * (b.n - b.nd) / b.n) AS BIGINT) AS dup_word_milli,
+                CAST(round(1000.0 * p.mx / p.tot) AS BIGINT) AS top_bigram_milli
+         FROM per p JOIN base b USING (doc_id)""",
     "q_term_stats" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

@@ -15,6 +15,36 @@ import org.apache.spark.sql.functions._
   */
 object TermStats {
 
+  /** Repetition quality signals (the published repetition filters, word
+    * granularity): duplicate-word fraction and the share of all bigram
+    * occurrences held by the doc's most frequent bigram. Bigrams are built
+    * relationally — `posexplode` + `lead` over the doc-ordered window — so
+    * the stage stays in codegen; docs with fewer than two tokens drop out.
+    * Output: (id, dup_word_milli, top_bigram_milli).
+    */
+  def repetition(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs.select(
+      col(id).as("id"),
+      posexplode(TextFunctions.tokens(lower(col(text))))
+    ).toDF("id", "pos", "w")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("id"), concat_ws(" ", col("w"), col("w2")).as("bg"))
+    val per = bigrams
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+    docs
+      .select(col(id).as("id"), TextFunctions.dupWordFractionC(lower(col(text))).as("dup_word_milli"))
+      .join(per, Seq("id"))
+      .select(
+        col("id"),
+        col("dup_word_milli"),
+        round(lit(1000.0) * col("mx") / col("tot")).cast("long").as("top_bigram_milli")
+      )
+  }
+
   /** Top-`k` terms per document by term frequency (ties broken
     * lexicographically), each with its corpus document frequency.
     * Output: (id, term, tf, df).

@@ -126,6 +126,15 @@ object TextFunctions {
     ).cast("long")
   }
 
+  /** Duplicate-word fraction ×1000 (repetition quality signal, the
+    * word-level analogue of the published duplicate-line filters):
+    * 1 − distinct/total tokens.
+    */
+  def dupWordFractionC(text: Column): Column = {
+    val toks = tokens(text)
+    round(lit(1000.0) * (size(toks) - size(array_distinct(toks))) / size(toks)).cast("long")
+  }
+
   /** PII patterns for corpus scrubbing — RE2-compatible (no lookaround), so
     * external engines can replay the exact same redaction for audits.
     * Public, standard shapes: emails, IPv4 addresses, US-style phone

@@ -197,6 +197,20 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L) == (("clean text, no identifiers here", 0)))
   }
 
+  test("repetition signals: duplicate words and dominant bigram share") {
+    import graft.functions.TermStats
+    val docs = Seq(
+      (1L, "spam spam spam spam"),             // all same word/bigram
+      (2L, "all words here are unique okay"),  // no repetition
+      (3L, "one")                              // <2 tokens: dropped
+    ).toDF("doc_id", "text")
+    val out = TermStats.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((750L, 1000L))) // 3 of 4 words duplicate; one bigram holds all 3 slots
+    assert(out(2L) == ((0L, 200L)))    // 6 unique words; 5 distinct bigrams, top holds 1/5
+    assert(!out.contains(3L))
+  }
+
   test("multimodal → embedding → ANN composition runs end-to-end") {
     val docs = (0L until 30L).map(i => (i, s"content item $i ${"x" * (i % 7).toInt}"))
       .toDF("doc_id", "text")
