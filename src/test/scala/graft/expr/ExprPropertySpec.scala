@@ -67,6 +67,27 @@ class ExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("SquashMeta dictionary path agrees with the legacy 3-field path") {
+    val dict = Seq(("ta", "p1"), ("ta", "p2"), ("tb", "p1"), ("tc", "p2"))
+    val entry = for {
+      k <- Gen.choose(0, dict.length - 1)
+      v <- Gen.choose(0, 30).map(_.toString)
+    } yield (k, v)
+    samples(Gen.listOf(entry), 20).foreach { entries =>
+      val encoded = Seq(Tuple1(entries)).toDF("raw")
+        .select(expr("transform(raw, x -> named_struct('k', x._1, 'value', x._2))").as("lin"))
+        .select(graft.assemble.DocAssembler.squashMeta(col("lin"), dict).as("m"))
+      val legacy = Seq(Tuple1(entries.map { case (k, v) => (dict(k)._1, dict(k)._2, v) })).toDF("raw")
+        .select(expr("transform(raw, x -> named_struct('table', x._1, 'pk', x._2, 'value', x._3))").as("lin"))
+        .select(graft.assemble.DocAssembler.squashMeta(col("lin")).as("m"))
+      def read(df: org.apache.spark.sql.DataFrame) = df.collect().head
+        .getAs[scala.collection.Map[String, scala.collection.Map[String, scala.collection.Seq[String]]]]("m")
+        .map { case (k, v) => k -> v.map { case (k2, v2) => k2 -> v2.toList }.toMap }
+        .toMap
+      assert(read(encoded) == read(legacy))
+    }
+  }
+
   test("VectorBinaryOp cosine/dot match double-precision model computation") {
     val vec = Gen.listOfN(16, Gen.choose(-100, 100).map(_ / 10.0f)).suchThat(v => v.exists(_ != 0f))
     samples(Gen.zip(vec, vec), 20).foreach { case (a, b) =>
