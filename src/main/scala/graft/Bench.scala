@@ -82,15 +82,6 @@ object Bench {
       s
     }.max
 
-    val batch = load("orders")
-      .limit(5000)
-      .select(
-        lit("UPDATE").as("tg_op"), lit("orders").as("tbl"),
-        lit(null).cast("string").as("old"),
-        to_json(struct(col("o_orderkey"))).as("new"),
-        col("o_orderkey").as("txid")
-      )
-      .cache()
     // Snapshot over a bucketed layout: one-time bucketBy(orders, lineitem)
     // prep OUTSIDE the timing (amortized across every subsequent re-sync —
     // the reference's real workload is repeated syncs over the same DB),
@@ -112,6 +103,18 @@ object Bench {
       s
     }.max
 
+    // batch built AFTER the snapshot loops: their clearCache() calls would
+    // silently drop this cache before it ever materialized, making the
+    // incremental metric measure parquet re-reads instead of the engine
+    val batch = load("orders")
+      .limit(5000)
+      .select(
+        lit("UPDATE").as("tg_op"), lit("orders").as("tbl"),
+        lit(null).cast("string").as("old"),
+        to_json(struct(col("o_orderkey"))).as("new"),
+        col("o_orderkey").as("txid")
+      )
+      .cache()
     val nChanges = batch.count()
     val engine = new IncrementalEngine(
       SchemaDef.parseNodes(Fixtures.flagship), graft.catalog.Catalog.testData, load)

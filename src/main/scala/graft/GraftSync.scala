@@ -108,29 +108,21 @@ final class GraftSync(
     val out = Seq.newBuilder[String]
     val rootPks = graft.assemble.DocAssembler.primaryKeys(schema.root, catalog)
     out += s"bucket ${schema.root.table} by (${rootPks.mkString(", ")}) — root PK: incremental re-assembly restricts on it"
-    def visit(node: Node): Unit = node.children.foreach { c =>
-      val rel = c.relationship.get
-      rel.throughTables.headOption match {
-        case Some(through) =>
-          val parentLeg = rel.foreignKey
-            .map(fk => graft.catalog.JoinSpec(fk.parent, fk.child))
-            .getOrElse(catalog.resolveJoin(node.table, through))
-          val childLeg = catalog.resolveJoin(through, c.table)
+    def visit(node: Node): Unit =
+      graft.assemble.DocAssembler.resolveChildSpecs(node, catalog).foreach {
+        case (c, parentLeg, Some((through, childLeg))) =>
           out += s"bucket $through by (${parentLeg.childColumns.mkString(", ")}) — through-table aggregate + parent join key"
           out += s"bucket ${c.table} by (${childLeg.childColumns.mkString(", ")}) — through-join key"
-        case None =>
-          val spec = rel.foreignKey
-            .map(fk => graft.catalog.JoinSpec(fk.parent, fk.child))
-            .getOrElse(catalog.resolveJoin(node.table, c.table))
-          rel.relType match {
+          visit(c)
+        case (c, spec, None) =>
+          c.relationship.get.relType match {
             case graft.schema.RelType.OneToMany =>
               out += s"bucket ${c.table} by (${spec.childColumns.mkString(", ")}) — one_to_many aggregate + join key"
             case graft.schema.RelType.OneToOne =>
               out += s"dimension ${c.table}: broadcast join (AQE selects it from runtime size; no layout change needed)"
           }
+          visit(c)
       }
-      visit(c)
-    }
     visit(schema.root)
     out.result().distinct
   }

@@ -119,6 +119,34 @@ object DocAssembler {
     if (node.primaryKeyOverride.nonEmpty) node.primaryKeyOverride
     else catalog.primaryKeys(node.table)
 
+  /** Resolve every child's join spec — explicit `foreign_key` hint wins,
+    * else catalog FK introspection (`querybuilder.py:161-324` semantics);
+    * through children get a (through table, child leg) pair. The ONE place
+    * these rules live: the assembler, the incremental walk-up chains, and
+    * the layout advisor all derive from it.
+    */
+  private[graft] def resolveChildSpecs(
+      node: Node,
+      catalog: Catalog
+  ): Seq[(Node, JoinSpec, Option[(String, JoinSpec)])] =
+    node.children.map { c =>
+      val rel = c.relationship.get
+      rel.throughTables.headOption match {
+        case Some(through) =>
+          // parent—through leg + through—child leg (querybuilder.py:298-324).
+          val parentLeg = rel.foreignKey
+            .map(fk => JoinSpec(fk.parent, fk.child))
+            .getOrElse(catalog.resolveJoin(node.table, through))
+          val childLeg = catalog.resolveJoin(through, c.table)
+          (c, parentLeg, Some((through, childLeg)))
+        case None =>
+          val spec = rel.foreignKey
+            .map(fk => JoinSpec(fk.parent, fk.child))
+            .getOrElse(catalog.resolveJoin(node.table, c.table))
+          (c, spec, None)
+      }
+    }
+
   /** Compiled node: DataFrame + ordered top-level doc field names. The frame
     * holds the doc fields, one column per child label, `__lineage`, and the
     * requested `extraKeep` (base column → output name) passthroughs.
@@ -154,24 +182,7 @@ object DocAssembler {
     // Child join specs resolved at build time (querybuilder.py:161-296
     // semantics: explicit hint wins, else catalog FK metadata, both
     // directions).
-    val childSpecs: Seq[(Node, JoinSpec, Option[(String, JoinSpec)])] =
-      node.children.map { c =>
-        val rel = c.relationship.get
-        rel.throughTables.headOption match {
-          case Some(through) =>
-            // parent—through leg + through—child leg (querybuilder.py:298-324).
-            val parentLeg = rel.foreignKey
-              .map(fk => JoinSpec(fk.parent, fk.child))
-              .getOrElse(catalog.resolveJoin(node.table, through))
-            val childLeg = catalog.resolveJoin(through, c.table)
-            (c, parentLeg, Some((through, childLeg)))
-          case None =>
-            val spec = rel.foreignKey
-              .map(fk => JoinSpec(fk.parent, fk.child))
-              .getOrElse(catalog.resolveJoin(node.table, c.table))
-            (c, spec, None)
-        }
-      }
+    val childSpecs = resolveChildSpecs(node, catalog)
 
     // Column pruning: only the base columns actually needed, so the pruned
     // schema reaches the parquet scan.

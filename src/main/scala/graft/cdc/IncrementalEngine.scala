@@ -31,15 +31,15 @@ import org.apache.spark.sql.types.StringType
   *     state depends only on current source state, not event order, and
   *     upserts by `_id` are idempotent (the reference's own delivery
   *     guarantee, `sync.py:1947-1983`).
-  */
-/** @param inSetThreshold affected-id count above which scan restriction
+  *
+  * @param inSetThreshold affected-id count above which scan restriction
   *   switches from literal IN filters to broadcast semi-joins
   * @param rangeBracket when true, oversized affected sets ALSO bracket each
-  *   restricted scan with a pushed min/max range on the key. One extra tiny
-  *   driver agg per batch; a large win when change batches cluster in a key
-  *   range over a huge sorted/partitioned table (row groups prune), a cost
-  *   when they span the full key space (the bench's synthetic batches do,
-  *   hence default off — enable for key-clustered production feeds).
+  *   restricted scan with a pushed min/max range on the key (computed once
+  *   per key type per batch). A large win when change batches cluster in a
+  *   key range over a huge sorted/partitioned table (row groups prune), a
+  *   cost when they span the full key space (the bench's synthetic batches
+  *   do, hence default off — enable for key-clustered production feeds).
   */
 final class IncrementalEngine(
     root: Node,
@@ -66,32 +66,20 @@ final class IncrementalEngine(
     */
   private val chains: Map[String, Seq[List[Hop]]] = {
     val acc = scala.collection.mutable.Map.empty[String, Vector[List[Hop]]].withDefaultValue(Vector.empty)
-    def spec(parent: Node, child: Node): JoinSpec =
-      child.relationship.get.foreignKey
-        .map(fk => JoinSpec(fk.parent, fk.child))
-        .getOrElse(catalog.resolveJoin(parent.table, child.table))
     def visit(node: Node, chainToRoot: List[Hop]): Unit =
-      node.children.foreach { c =>
-        val rel = c.relationship.get
-        rel.throughTables.headOption match {
-          case Some(through) =>
-            val parentLeg = rel.foreignKey
-              .map(fk => JoinSpec(fk.parent, fk.child))
-              .getOrElse(catalog.resolveJoin(node.table, through))
-            val childLeg = catalog.resolveJoin(through, c.table)
-            val throughChain =
-              Hop(through, parentLeg.childColumns, node.table, parentLeg.parentColumns) :: chainToRoot
-            val childChain =
-              Hop(c.table, childLeg.childColumns, through, childLeg.parentColumns) :: throughChain
-            acc(through) = acc(through) :+ throughChain
-            acc(c.table) = acc(c.table) :+ childChain
-            visit(c, childChain)
-          case None =>
-            val s = spec(node, c)
-            val childChain = Hop(c.table, s.childColumns, node.table, s.parentColumns) :: chainToRoot
-            acc(c.table) = acc(c.table) :+ childChain
-            visit(c, childChain)
-        }
+      DocAssembler.resolveChildSpecs(node, catalog).foreach {
+        case (c, parentLeg, Some((through, childLeg))) =>
+          val throughChain =
+            Hop(through, parentLeg.childColumns, node.table, parentLeg.parentColumns) :: chainToRoot
+          val childChain =
+            Hop(c.table, childLeg.childColumns, through, childLeg.parentColumns) :: throughChain
+          acc(through) = acc(through) :+ throughChain
+          acc(c.table) = acc(c.table) :+ childChain
+          visit(c, childChain)
+        case (c, s, None) =>
+          val childChain = Hop(c.table, s.childColumns, node.table, s.parentColumns) :: chainToRoot
+          acc(c.table) = acc(c.table) :+ childChain
+          visit(c, childChain)
       }
     visit(root, Nil)
     acc.toMap
@@ -283,6 +271,20 @@ final class IncrementalEngine(
       else Some(collected.map(_.getString(0)))
     }
 
+    // min/max of the affected ids, memoized per key type — restrict() runs
+    // for the root scan AND each root-keyed child scan, and each agg is an
+    // eager job over the affected-id plan
+    val rangeMemo = scala.collection.mutable.Map.empty[
+      org.apache.spark.sql.types.DataType, Option[(Any, Any)]]
+    def keyRange(dt: org.apache.spark.sql.types.DataType): Option[(Any, Any)] =
+      rangeMemo.getOrElseUpdate(dt, {
+        val r = affected
+          .select(col("_id").cast(dt).as("__k"))
+          .agg(min(col("__k")), max(col("__k")))
+          .collect().head
+        if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+      })
+
     def restrict(base: DataFrame, keyCol: String): DataFrame = {
       val dt = base.schema(keyCol).dataType
       ids match {
@@ -300,10 +302,8 @@ final class IncrementalEngine(
           val typed = affected.select(col("_id").cast(dt).as(keyCol))
           val ranged =
             if (!rangeBracket) base
-            else {
-              val mm = typed.agg(min(col(keyCol)), max(col(keyCol))).collect().head
-              if (mm.isNullAt(0)) base
-              else base.filter(col(keyCol).between(lit(mm.get(0)), lit(mm.get(1))))
+            else keyRange(dt).fold(base) { case (lo, hi) =>
+              base.filter(col(keyCol).between(lit(lo), lit(hi)))
             }
           ranged.join(broadcast(typed), Seq(keyCol), "left_semi")
       }

@@ -255,9 +255,15 @@ object Dedup {
     * eval-set sample" check (a short benchmark item fully embedded in a long
     * page scores 1.0 though its Jaccard is tiny).
     *
-    * Shape: inverted-index join keyed by shingle — the probe side (a
-    * benchmark) is small, the corpus streams; per-shingle posting lists are
-    * capped so boilerplate shingles can't skew a reducer. No cross join.
+    * Shape: the probe side (a benchmark) is small, so its distinct shingle
+    * set broadcasts and SEMI-FILTERS the exploded corpus postings before any
+    * aggregation — only corpus shingles that can possibly match ever
+    * shuffle. Counting is exact over every shared shingle (no posting-list
+    * cap: dropping common shingles would shrink |C ∩ P| while |P| stays
+    * full, systematically under-scoring embedded probes — the one thing a
+    * decontamination pass must not do). Boilerplate-heavy probes widen the
+    * join; pre-filter probes against a document-frequency model
+    * ([[graft.functions.TermStats]]) when that matters.
     * Output: (doc_id, probe_id, containment_milli).
     */
   def containment(
@@ -268,8 +274,7 @@ object Dedup {
       probeId: String,
       probeText: String,
       shingleN: Int = 3,
-      threshold: Double = 0.5,
-      maxPostings: Int = 10000
+      threshold: Double = 0.5
   ): DataFrame = {
     val csh = corpus
       .select(col(id).as("doc_id"), TF.wordShingles(col(text), shingleN).as("sh"))
@@ -278,14 +283,12 @@ object Dedup {
       .select(col(probeId).as("probe_id"), TF.wordShingles(col(probeText), shingleN).as("psh"))
       .filter(size(col("psh")) > 0)
     val psizes = psh.select(col("probe_id"), size(col("psh")).as("pn"))
-    val capped = csh
+    val probeShingles = psh.select(explode(col("psh")).as("s")).distinct()
+    val cpost = csh
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .groupBy(col("s"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) <= maxPostings)
-    val inter = capped
+      .join(broadcast(probeShingles), Seq("s"), "left_semi")
+    val inter = cpost
       .join(psh.select(col("probe_id"), explode(col("psh")).as("s")), "s")
-      .select(explode(col("ids")).as("doc_id"), col("probe_id"))
       .filter(col("doc_id") =!= col("probe_id"))
       .groupBy(col("doc_id"), col("probe_id"))
       .agg(count(lit(1)).as("inter"))
