@@ -168,7 +168,11 @@ object Ann {
     // rather than building a zero-centroid argmax expression
     if (cells.isEmpty)
       return bruteForceTopK(corpus.filter(col(vec).isNotNull), queries, id, vec, qid, qvec, k)
-    val assigned = corpus.select(
+    // null embeddings never rank (their cosine is null) but an all-null-sim
+    // argmax would still assign them an arbitrary cell and surface them when
+    // a probed cell holds < k non-null members — drop them before assignment,
+    // matching the bruteForceTopK fallback above
+    val assigned = corpus.filter(col(vec).isNotNull).select(
       col(id).as("cid"),
       col(vec).as("cv"),
       nearestCell(col(vec), cells).as("cell")

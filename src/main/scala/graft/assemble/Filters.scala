@@ -34,15 +34,33 @@ object Filters {
       .getOrElse(lit(false))
 
   /** Equality with the type-mismatch guard: literals are coerced to the
-    * column type at build time; impossible coercions become FALSE.
+    * column type at build time. A string probe against a column type outside
+    * the coercion table falls back to cast-to-string equality (the reference
+    * lets the database coerce, `querybuilder.py:81-98` — only the genuinely
+    * impossible pairs, e.g. a fractional number vs an integer column or a
+    * malformed date string, degrade to plan-time FALSE).
     */
   private def typedEq(df: DataFrame, name: String, value: Any): Column = {
     val dt = df.schema(name).dataType
     coerce(value, dt) match {
-      case Some(v) => df(name) === lit(v)
-      case None    => lit(false)
+      case Some(v)                                        => df(name) === lit(v)
+      case None if fallbackToStringCompare(value, dt)     =>
+        df(name).cast(StringType) === lit(value.toString)
+      case None                                           => lit(false)
     }
   }
+
+  /** A string probe against a type we have no parser for (binary, arrays,
+    * uuid-ish opaque types) still gets a row-level chance via string-form
+    * equality; typed probes that failed coercion stay FALSE — those are the
+    * impossible pairs the guard exists for.
+    */
+  private def fallbackToStringCompare(value: Any, dt: DataType): Boolean =
+    value.isInstanceOf[String] && (dt match {
+      case StringType | LongType | IntegerType | ShortType | DoubleType |
+          FloatType | BooleanType | DateType | TimestampType | _: DecimalType => false
+      case _ => true
+    })
 
   /** Integral coercion is only valid when LOSSLESS: a fractional or
     * out-of-range probe value equals no member of the column's type, so it
@@ -72,6 +90,16 @@ object Filters {
     case (v: String, _: DecimalType) =>
       scala.util.Try(new java.math.BigDecimal(v)).toOption
     case (v: Boolean, BooleanType) => Some(v)
+    case (v: java.sql.Date, DateType)           => Some(v)
+    case (v: java.time.LocalDate, DateType)     => Some(java.sql.Date.valueOf(v))
+    case (v: java.sql.Timestamp, TimestampType) => Some(v)
+    case (v: java.time.Instant, TimestampType)  => Some(java.sql.Timestamp.from(v))
+    case (v: String, DateType) => scala.util.Try(java.sql.Date.valueOf(v.trim)).toOption
+    case (v: String, TimestampType) =>
+      // ISO 'T' separator and date-only probes both resolve, like a database
+      // cast would ('2020-01-01'::timestamptz is midnight)
+      scala.util.Try(java.sql.Timestamp.valueOf(v.trim.replace('T', ' '))).toOption
+        .orElse(scala.util.Try(java.sql.Timestamp.valueOf(java.sql.Date.valueOf(v.trim).toLocalDate.atStartOfDay())).toOption)
     case (v: String, BooleanType)  => v.toLowerCase match {
       case "true" | "t"  => Some(true)
       case "false" | "f" => Some(false)

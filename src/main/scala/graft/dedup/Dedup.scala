@@ -174,10 +174,11 @@ object Dedup {
     // The signature table feeds three consumers (banding, verify-a,
     // verify-b) and each recompute is a full corpus token shuffle — but the
     // table itself is only (id, int64) per doc, the cheapest possible
-    // materialization. Checkpoint it LAZILY so building the plan stays free
-    // (the job runs on the first action, once); at cluster scale the
-    // equivalent is a temp-table write, still O(rows · 16 bytes).
-    val sig = simhashSignatures(docs, id, text).localCheckpoint(false)
+    // materialization. Checkpoint it EAGERLY so its blocks can be released
+    // before returning (a lazy checkpoint would pin O(corpus) storage until
+    // JVM GC in a long-lived session); at cluster scale the equivalent is a
+    // temp-table write, still O(rows · 16 bytes).
+    val sig = simhashSignatures(docs, id, text).localCheckpoint(true)
     // The chunks must PARTITION all 64 bits (uncovered bits would break the
     // pigeonhole guarantee), so remainder bits spread over leading chunks.
     val nChunks = math.max(1, math.min(16, maxHamming + 1))
@@ -199,11 +200,19 @@ object Dedup {
     val candidates = bucketPairs(keyed, maxBucket)
     val a = sig.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
     val b = sig.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
-    candidates
+    // Materialize the verified pairs (bounded by the bucket cap, far smaller
+    // than the signature table), then release the signature blocks — nothing
+    // downstream can need them once the result is its own checkpoint. The
+    // caller owns the returned frame's (small) blocks and may release them
+    // via GraftColumnBridge.unpersistLocalCheckpoint when done.
+    val verified = candidates
       .join(a, "id_a")
       .join(b, "id_b")
       .select(col("id_a"), col("id_b"), TF.hamming64(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(sig)
+    verified
   }
 
   /** Exact n-gram Jaccard via inverted index: explode shingles, self-join on

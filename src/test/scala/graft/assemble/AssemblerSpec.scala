@@ -298,6 +298,33 @@ class AssemblerSpec extends SparkSpec {
     assert(intKeyed.filter(Filters.build(intKeyed, Seq(Map("k" -> (Int.MaxValue.toLong + 2L))))).count() == 0)
   }
 
+  test("P7: date/timestamp probes coerce; opaque types fall back to string compare") {
+    import java.sql.{Date, Timestamp}
+    val dated = Seq(
+      (1L, Date.valueOf("2024-03-01"), Timestamp.valueOf("2024-03-01 10:30:00")),
+      (2L, Date.valueOf("2024-04-15"), Timestamp.valueOf("2024-04-15 00:00:00"))
+    ).toDF("id", "d", "ts")
+    // ISO string probes against date/timestamp columns match (the reference
+    // lets the database coerce these; plan-time FALSE here silently emptied
+    // the index)
+    assert(dated.filter(Filters.build(dated, Seq(Map("d" -> "2024-03-01")))).count() == 1)
+    assert(dated.filter(Filters.build(dated, Seq(Map("ts" -> "2024-03-01 10:30:00")))).count() == 1)
+    assert(dated.filter(Filters.build(dated, Seq(Map("ts" -> "2024-03-01T10:30:00")))).count() == 1)
+    // date-only probe vs timestamp = midnight, like '...'::timestamp
+    assert(dated.filter(Filters.build(dated, Seq(Map("ts" -> "2024-04-15")))).count() == 1)
+    // typed java.sql / java.time probes
+    assert(dated.filter(Filters.build(dated, Seq(Map("d" -> Date.valueOf("2024-04-15"))))).count() == 1)
+    assert(dated.filter(Filters.build(dated, Seq(Map("d" -> java.time.LocalDate.parse("2024-03-01"))))).count() == 1)
+    // malformed date strings and cross-type nonsense stay plan-time FALSE
+    assert(dated.filter(Filters.build(dated, Seq(Map("d" -> "not-a-date")))).count() == 0)
+    assert(dated.filter(Filters.build(dated, Seq(Map("d" -> 42)))).count() == 0)
+    // string probe vs a type outside the coercion table: compared via
+    // cast-to-string instead of degrading to FALSE
+    val bin = Seq((1L, "abc".getBytes("UTF-8"))).toDF("id", "b")
+    assert(bin.filter(Filters.build(bin, Seq(Map("b" -> "abc")))).count() == 1)
+    assert(bin.filter(Filters.build(bin, Seq(Map("b" -> "zzz")))).count() == 0)
+  }
+
   test("resync idempotence: assembling twice yields identical documents") {
     val s = """{"table": "book", "columns": ["isbn"],
           "children": [{"table": "author", "label": "authors", "columns": ["name"],
