@@ -71,21 +71,44 @@ final class GraftSync(
     Changes.schemaFilter(remapped, treeTables)
   }
 
-  /** Apply one batch of changes to the materialized index. Changes at or
-    * below the stored txid watermark are skipped (checkpoint parity,
-    * `pgsync/sync.py:1581-1656`); the watermark advances to the batch max.
+  /** Apply one batch of changes to the materialized index. Already-applied
+    * txids are skipped (checkpoint parity, `pgsync/sync.py:1581-1656`).
+    *
+    * The stored checkpoint is CONSERVATIVE: a low-watermark that only
+    * advances to `min(batch txid) - 1` — the reference's semantics
+    * (`pgsync/sync.py:1890-1893` checkpoints `min(xmin) - 1`), not the batch
+    * max — plus the exact set of applied txids above it. With an
+    * at-least-once feed that delivers out of commit order *across* batches,
+    * a max-watermark silently drops a late event whose txid is below a
+    * previous batch's max — permanent staleness for that doc. Here such an
+    * event passes the watermark and is absent from the applied-set, so it is
+    * applied; exact replays ARE in the applied-set, so they stay no-ops. The
+    * watermark never regresses and prunes the applied-set as it advances,
+    * keeping the set bounded by one batch's distinct txids plus the feed's
+    * disorder window.
     */
   def applyChanges(batch: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
-    val fresh = state.checkpoint match {
-      case Some(ck) => batch.filter(col("txid") > ck)
-      case None     => batch
+    val ck = state.checkpointState
+    val fresh = ck match {
+      case Some(c) =>
+        val aboveWatermark = batch.filter(col("txid") > c.watermark)
+        if (c.applied.isEmpty) aboveWatermark
+        else aboveWatermark.filter(!col("txid").isInCollection(c.applied))
+      case None => batch
     }
     val prepared = prepare(fresh).cache()
     try {
       sync.applyBatch(prepared)
-      val maxTx = prepared.agg(max(col("txid"))).collect().head
-      if (!maxTx.isNullAt(0)) state.saveCheckpoint(maxTx.getLong(0))
+      // distinct txids of one batch: bounded driver-side collect (≤ batch
+      // size), same magnitude as the reference's checkpoint computation
+      val txids = prepared.select(col("txid")).distinct().collect().map(_.getLong(0))
+      if (txids.nonEmpty) {
+        val oldWm = ck.fold(Long.MinValue)(_.watermark)
+        val wm = math.max(oldWm, txids.min - 1)
+        val applied = (ck.fold(Set.empty[Long])(_.applied) ++ txids).filter(_ > wm)
+        state.saveCheckpoint(wm, applied)
+      }
     } finally prepared.unpersist()
   }
 

@@ -54,17 +54,44 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
   private def bucketOf(id: org.apache.spark.sql.Column) =
     pmod(xxhash64(id), lit(nBuckets)).cast("int")
 
-  /** Batch-mode transaction watermark (the reference's checkpoint file,
-    * `pgsync/sync.py:1581-1656`). Streaming runs use the Structured
-    * Streaming checkpoint instead; batch `applyChanges` callers can use this
-    * to skip already-applied txids. Replays are harmless either way —
-    * recompute-and-diff is idempotent (C3) — so the watermark is a work
-    * filter, not a correctness gate.
+  /** Batch-mode transaction checkpoint (the reference's checkpoint file,
+    * `pgsync/sync.py:1581-1656,1890-1893`). Streaming runs use the
+    * Structured Streaming checkpoint instead; batch `applyChanges` callers
+    * use this to skip already-applied txids.
+    *
+    * Stored as a CONSERVATIVE low-watermark (every txid ≤ it is known
+    * applied — the reference's `min(xmin) - 1` semantics) plus the exact set
+    * of applied txids above it, so exact replays are deduplicated without
+    * ever dropping a late event whose txid sorts below an earlier batch's
+    * max. The set stays small: the watermark advances with each batch's min,
+    * pruning everything below, so it holds ~one batch's distinct txids plus
+    * the feed's disorder window. Replays are harmless either way —
+    * recompute-and-diff is idempotent (C3) — so the applied-set is a work
+    * filter, not a correctness gate; the watermark IS the correctness gate
+    * against silent late-event drops.
+    *
+    * File format: line 1 = watermark; optional line 2 = CSV of applied
+    * txids above it (absent/blank = none; old single-line files load as a
+    * bare watermark).
     */
-  def checkpoint: Option[Long] =
-    if (fs.exists(checkpointPtr)) Some(readText(checkpointPtr).trim.toLong) else None
+  def checkpoint: Option[Long] = checkpointState.map(_.watermark)
 
-  def saveCheckpoint(txid: Long): Unit = writeText(checkpointPtr, txid.toString)
+  def checkpointState: Option[MaterializedIndex.TxCheckpoint] =
+    if (!fs.exists(checkpointPtr)) None
+    else {
+      val lines = readText(checkpointPtr).split("\n", -1)
+      val applied =
+        if (lines.length < 2 || lines(1).trim.isEmpty) Set.empty[Long]
+        else lines(1).trim.split(",").map(_.trim.toLong).toSet
+      Some(MaterializedIndex.TxCheckpoint(lines(0).trim.toLong, applied))
+    }
+
+  def saveCheckpoint(txid: Long): Unit = saveCheckpoint(txid, Set.empty)
+
+  def saveCheckpoint(watermark: Long, applied: Set[Long]): Unit = {
+    val tail = if (applied.isEmpty) "" else "\n" + applied.toSeq.sorted.mkString(",")
+    writeText(checkpointPtr, watermark.toString + tail)
+  }
 
   def currentVersion: Long =
     if (fs.exists(currentPtr)) readText(currentPtr).trim.toLong else -1L
@@ -212,4 +239,12 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
       }
     }
   }
+}
+
+object MaterializedIndex {
+  /** Conservative batch checkpoint: all txids ≤ `watermark` are applied;
+    * `applied` are the txids above the watermark already applied (bounded by
+    * batch size + feed disorder — see [[MaterializedIndex.checkpointState]]).
+    */
+  final case class TxCheckpoint(watermark: Long, applied: Set[Long])
 }

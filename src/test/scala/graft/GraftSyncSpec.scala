@@ -80,13 +80,58 @@ class GraftSyncSpec extends SparkSpec {
     tables += "order_summary" -> Seq((1L, "open"), (2L, "new")).toDF("id", "status")
     val batch = Changes.of(spark, Seq((Changes.Insert, "order_summary", null, """{"id": 2}""", 5L)))
     sync.applyChanges(batch)
-    assert(sync.state.checkpoint.contains(5L))
+    // conservative checkpoint: watermark = min(batch)-1 (sync.py:1890-1893),
+    // the applied txid tracked above it
+    assert(sync.state.checkpoint.contains(4L))
+    assert(sync.state.checkpointState.get.applied == Set(5L))
     val v1 = sync.state.currentVersion
     assert(v1 == v0 + 1)
 
-    // replaying the same batch is a no-op (all txids <= watermark)
+    // replaying the same batch is a no-op (txid in the applied-set)
     sync.applyChanges(batch)
     assert(sync.state.currentVersion == v1)
+  }
+
+  test("C4 late events across batches are applied, not dropped (min-1 watermark)") {
+    tables = Map(
+      "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
+      "item" -> Seq.empty[(Long, Long, String)].toDF("id", "order_id", "sku")
+    )
+    val dir = Files.createTempDirectory("graft-late").toString
+    val sync = GraftSync(spark, schemaJson, cat, load, dir)
+    sync.snapshot()
+
+    // commit order 10,11,12 but the feed delivers {10,12} then the late {11}
+    tables += "order_summary" ->
+      Seq((1L, "open"), (2L, "b10"), (4L, "b12")).toDF("id", "status")
+    sync.applyChanges(Changes.of(spark, Seq(
+      (Changes.Insert, "order_summary", null, """{"id": 2}""", 10L),
+      (Changes.Insert, "order_summary", null, """{"id": 4}""", 12L)
+    )))
+    assert(sync.state.checkpoint.contains(9L))
+    assert(sync.state.checkpointState.get.applied == Set(10L, 12L))
+
+    // under a max-txid watermark (13 > 11) this event would be silently
+    // skipped and doc 3 permanently stale — the exact failure mode the
+    // reference defends against with min(xmin)-1
+    tables += "order_summary" ->
+      Seq((1L, "open"), (2L, "b10"), (3L, "late"), (4L, "b12")).toDF("id", "status")
+    sync.applyChanges(Changes.of(spark, Seq(
+      (Changes.Insert, "order_summary", null, """{"id": 3}""", 11L)
+    )))
+    assert(sync.state.docs.collect().map(_.getString(0)).toSet == Set("1", "2", "3", "4"))
+    // watermark advanced monotonically (10 = 11-1), applied-set pruned to it
+    assert(sync.state.checkpointState.get.watermark == 10L)
+    assert(sync.state.checkpointState.get.applied == Set(11L, 12L))
+
+    // a full replay of everything so far stays a no-op
+    val v = sync.state.currentVersion
+    sync.applyChanges(Changes.of(spark, Seq(
+      (Changes.Insert, "order_summary", null, """{"id": 2}""", 10L),
+      (Changes.Insert, "order_summary", null, """{"id": 3}""", 11L),
+      (Changes.Insert, "order_summary", null, """{"id": 4}""", 12L)
+    )))
+    assert(sync.state.currentVersion == v)
   }
 
   test("WAL text end-to-end: test_decoding lines drive the index (the --wal lifecycle)") {
@@ -110,7 +155,8 @@ class GraftSyncSpec extends SparkSpec {
       "COMMIT 700"
     )
     sync.applyChanges(WalText.toDataFrame(spark, WalText.parse(walLines).toSeq))
-    assert(sync.state.checkpoint.contains(700L))
+    assert(sync.state.checkpoint.contains(699L)) // min(txid)-1, applied={700}
+    assert(sync.state.checkpointState.get.applied == Set(700L))
     val docs = sync.state.docs.collect().map(_.getString(0)).toSet
     assert(docs == Set("1", "2"))
 
