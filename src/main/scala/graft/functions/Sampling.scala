@@ -41,13 +41,49 @@ object Sampling {
     else md5(key.cast(StringType).cast(BinaryType)) < lit(thresholdHex(fraction))
 
   /** Per-group quota (corpus mixing): keep at most `k` rows per group, in a
-    * deterministic order — one shuffle on the group key. The standard
-    * balanced-mixture primitive ("≤ k docs per domain/language").
+    * deterministic order. The standard balanced-mixture primitive ("≤ k docs
+    * per domain/language").
+    *
+    * TWO-PHASE for scale: a single `row_number() OVER (PARTITION BY group)`
+    * funnels every row of a group through one task's sort — on
+    * low-cardinality groups (e.g. 3 order statuses) that is a straight OOM
+    * at 100 TB. Phase 1 here keeps at most `k` rows per group per PHYSICAL
+    * partition with no exchange at all: a partition-local sort on
+    * (group, order) makes each group's rows contiguous, and a run-length
+    * counter emits the first `k` of each run (O(1) state, single pass —
+    * `mapPartitions` because no built-in operator expresses a no-exchange
+    * local top-k). Phase 2 runs the exact global window, but over at most
+    * k·numPartitions survivors per group, so the per-group funnel is bounded
+    * by the cluster size, never the data size.
+    *
+    * Phase 1 keeps a superset of the global winners: a row among a group's
+    * global top-k can have at most k-1 rows of its group ordering before it
+    * in its own partition. Exactness requires `order` to be a total order
+    * (ties broken arbitrarily could differ between the local and global
+    * sorts) — the same requirement deterministic output had already.
     */
   def quota(df: DataFrame, groupCols: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
-    val w = Window.partitionBy(groupCols: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
+    require(k >= 0, s"quota k must be >= 0, got $k")
+    if (k == 0) return df.limit(0)
+    val tagged = df.withColumn("__gk", struct(groupCols: _*))
+    val sorted = tagged.sortWithinPartitions(col("__gk") +: order: _*)
+    val schema = sorted.schema
+    val gkIdx = schema.fieldIndex("__gk")
+    val local = sorted.mapPartitions { it =>
+      var current: Any = null
+      var seen = false
+      var n = 0
+      it.filter { r =>
+        val g = r.get(gkIdx)
+        if (!seen || g != current) { current = g; seen = true; n = 0 }
+        n += 1
+        n <= k
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    val w = Window.partitionBy(col("__gk")).orderBy(order: _*)
+    local
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .drop("__rn")
+      .drop("__rn", "__gk")
   }
 }

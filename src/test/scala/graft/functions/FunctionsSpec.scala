@@ -166,6 +166,49 @@ class FunctionsSpec extends SparkSpec {
     assert(out.values.forall(_.length == 4))
   }
 
+  test("quota two-phase == naive global window on skewed many-partition input") {
+    import graft.functions.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // heavily skewed: one group holds ~90% of rows; spread over 16 partitions
+    val df = spark
+      .range(0, 5000)
+      .select(
+        col("id"),
+        when(pmod(col("id"), lit(10)) === 0, concat(lit("g"), pmod(col("id"), lit(7))))
+          .otherwise(lit("hot")).as("g")
+      )
+      .repartition(16)
+    val naive = df
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("g")).orderBy(col("id"))))
+      .filter(col("__rn") <= 25).drop("__rn")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val twoPhase = Sampling.quota(df, Seq(col("g")), Seq(col("id")), 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(twoPhase == naive)
+    // k larger than some groups: every group row survives, none duplicated
+    val all = Sampling.quota(df, Seq(col("g")), Seq(col("id")), 10000).count()
+    assert(all == 5000)
+    assert(Sampling.quota(df, Seq(col("g")), Seq(col("id")), 0).count() == 0)
+  }
+
+  test("quota plan: the only exchange runs over phase-1 survivors, not the corpus") {
+    import graft.functions.Sampling
+    val df = spark.range(0, 1000)
+      .select(col("id"), pmod(col("id"), lit(3)).as("g")).repartition(8)
+    val plan = Sampling.quota(df, Seq(col("g")), Seq(col("id")), 5)
+      .queryExecution.executedPlan.toString
+    // exactly one exchange besides the input repartition: the phase-2 window's
+    val windowExchanges =
+      "Exchange hashpartitioning\\(__gk".r.findAllIn(plan).length
+    assert(windowExchanges == 1, s"expected one window exchange:\n$plan")
+    // and it must sit ABOVE the local mapPartitions pass (printed first =
+    // downstream), so the full corpus is never shuffled on the group key
+    val ex = plan.indexOf("Exchange hashpartitioning(__gk")
+    val mp = plan.indexOf("MapPartitions")
+    assert(ex >= 0 && mp >= 0 && ex < mp,
+      s"window exchange must consume the local-quota output:\n$plan")
+  }
+
   test("term stats: top-k by tf with lexicographic ties, df counts documents not occurrences") {
     import graft.functions.TermStats
     val docs = Seq(
