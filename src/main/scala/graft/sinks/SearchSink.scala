@@ -21,21 +21,30 @@ import org.apache.spark.sql.functions._
 object SearchSink {
 
   /** Render ops into `_bulk` action lines: a metadata line per op, a source
-    * line for index ops (`search_client.py:161-189` equivalents).
+    * line for index ops (`search_client.py:161-189` equivalents). `pipeline`
+    * attaches the schema's ingest pipeline to index actions
+    * (`pgsync/sync.py:115,1576-1577` — deletes never carry one).
     */
-  def bulkActions(ops: DataFrame, index: String, routing: Option[String] = None): DataFrame = {
-    val meta = struct(
-      struct(
-        lit(index).as("_index"),
-        col("_id"),
-        routing.map(r => get_json_object(col("doc"), s"$$.$r")).getOrElse(lit(null).cast("string")).as("routing")
-      ).as("action")
+  def bulkActions(
+      ops: DataFrame,
+      index: String,
+      routing: Option[String] = None,
+      pipeline: Option[String] = None
+  ): DataFrame = {
+    val routingCol =
+      routing.map(r => get_json_object(col("doc"), s"$$.$r")).getOrElse(lit(null).cast("string"))
+    val deleteMeta = struct(lit(index).as("_index"), col("_id"), routingCol.as("routing"))
+    val indexMeta = struct(
+      lit(index).as("_index"),
+      col("_id"),
+      routingCol.as("routing"),
+      pipeline.map(lit(_)).getOrElse(lit(null).cast("string")).as("pipeline")
     )
     ops.select(
-      when(col("op") === "delete", concat(lit("""{"delete":"""), to_json(meta("action")), lit("}")))
+      when(col("op") === "delete", concat(lit("""{"delete":"""), to_json(deleteMeta), lit("}")))
         .otherwise(
           concat(
-            lit("""{"index":"""), to_json(meta("action")), lit("}"), lit("\n"), col("doc")
+            lit("""{"index":"""), to_json(indexMeta), lit("}"), lit("\n"), col("doc")
           )
         )
         .as("action")

@@ -1,0 +1,206 @@
+package graft.sinks
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.SparkSpec
+import graft.sinks.BulkHttp.{BulkConfig, BulkResult}
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.zip.GZIPInputStream
+import scala.collection.mutable.ArrayBuffer
+
+/** Drives the production bulk sink against an in-process HTTP stub:
+  * success, whole-request 429 retry, per-item 429 retry, partial failure
+  * with raiseOnError/ignoreStatus, byte-capped chunking, and the index
+  * lifecycle calls — the paths `search_client.py:100-212` exercises against
+  * a live cluster.
+  */
+class BulkHttpSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One stub per test: records every request's action lines; `plan` maps
+    * request ordinal → per-action status override (None = all 200s).
+    */
+  private final class Stub(plan: Int => Option[Either[Int, Seq[Int]]]) {
+    val requests = new ArrayBuffer[Seq[String]]() // meta/source lines per request
+    val ordinal = new AtomicInteger(0)
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var lastContentEncoding: String = _
+
+    server.createContext(
+      "/_bulk",
+      (ex: HttpExchange) => {
+        val body = readBody(ex)
+        val lines = body.split("\n").filter(_.nonEmpty).toSeq
+        // meta lines alternate with sources for index ops; metas identify actions
+        val metas = lines.filter(l => l.startsWith("""{"index":""") || l.startsWith("""{"delete":"""))
+        requests.synchronized { requests += lines }
+        val n = ordinal.getAndIncrement()
+        plan(n) match {
+          case Some(Left(httpStatus)) =>
+            respond(ex, httpStatus, """{"error":"rejected"}""")
+          case other =>
+            val statuses = other.flatMap(_.toOption).getOrElse(Seq.fill(metas.size)(200))
+            val items = metas.zip(statuses).map { case (meta, st) =>
+              val kind = if (meta.startsWith("""{"delete":""")) "delete" else "index"
+              val err = if (st >= 300 && st != 404) s""","error":{"type":"stub","status":$st}""" else ""
+              s"""{"$kind":{"status":$st$err}}"""
+            }
+            respond(ex, 200, s"""{"errors":${statuses.exists(_ >= 300)},"items":[${items.mkString(",")}]}""")
+        }
+      }
+    )
+    // index lifecycle endpoints: everything else
+    server.createContext(
+      "/",
+      (ex: HttpExchange) => {
+        readBody(ex)
+        val (method, path) = (ex.getRequestMethod, ex.getRequestURI.getPath)
+        (method, path) match {
+          case ("HEAD", _)                          => respond(ex, 404, "")
+          case ("PUT", _)                           => respond(ex, 200, """{"acknowledged":true}""")
+          case ("DELETE", _)                        => respond(ex, 200, """{"acknowledged":true}""")
+          case ("POST", p) if p.endsWith("_refresh") => respond(ex, 200, "{}")
+          case _                                    => respond(ex, 400, "{}")
+        }
+      }
+    )
+    server.start()
+    val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+    private def readBody(ex: HttpExchange): String = {
+      lastContentEncoding = ex.getRequestHeaders.getFirst("Content-Encoding")
+      val raw = ex.getRequestBody.readAllBytes()
+      val bytes =
+        if (lastContentEncoding == "gzip") {
+          val out = new ByteArrayOutputStream()
+          val in = new GZIPInputStream(new java.io.ByteArrayInputStream(raw))
+          in.transferTo(out); out.toByteArray
+        } else raw
+      new String(bytes, StandardCharsets.UTF_8)
+    }
+
+    private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      if (ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(status, -1)
+      else { ex.sendResponseHeaders(status, b.length); ex.getResponseBody.write(b) }
+      ex.close()
+    }
+
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def ops(n: Int) =
+    (1 to n).map(i => ("index", i.toString, s"""{"v":$i,"route":"r$i"}""")).toDF("op", "_id", "doc")
+
+  test("happy path: all docs land, gzip wire, routing + pipeline metadata, count/byte chunking") {
+    val stub = new Stub(_ => None)
+    try {
+      val cfg = BulkConfig(
+        stub.endpoint, "idx", chunkSize = 10,
+        pipeline = Some("clean"), routing = Some("route")
+      )
+      val r = BulkHttp.write(ops(37).repartition(3), cfg)
+      assert(r == BulkResult(37, 0, 0, 0, stub.requests.size))
+      assert(stub.lastContentEncoding == "gzip")
+      val metas = stub.requests.flatten.filter(_.startsWith("""{"index":"""))
+      assert(metas.size == 37)
+      assert(metas.forall(_.contains(""""pipeline":"clean"""")))
+      assert(metas.exists(_.contains(""""routing":"r7"""")))
+      // chunkSize honored: no request carries more than 10 actions
+      assert(stub.requests.forall(_.count(_.startsWith("""{"index":""")) <= 10))
+
+      // deletes: no source line, no pipeline on the action
+      stub.requests.clear()
+      val del = Seq(("delete", "9", null: String)).toDF("op", "_id", "doc")
+      val rd = BulkHttp.write(del, cfg)
+      assert(rd.succeeded == 1)
+      val dmeta = stub.requests.flatten.filter(_.startsWith("""{"delete":"""))
+      assert(dmeta.size == 1 && !dmeta.head.contains("pipeline"))
+    } finally stub.stop()
+  }
+
+  test("byte cap splits chunks; refresh=true lands on the URL") {
+    val stub = new Stub(_ => None)
+    try {
+      val cfg = BulkConfig(
+        stub.endpoint, "idx", chunkSize = 1000, maxChunkBytes = 60,
+        httpCompress = false, refresh = true
+      )
+      val r = BulkHttp.write(ops(6).coalesce(1), cfg)
+      assert(r.succeeded == 6)
+      // every action is ~50 bytes: the 60-byte cap forces one action per request
+      assert(stub.requests.size == 6, s"got ${stub.requests.size} requests")
+      assert(stub.lastContentEncoding == null)
+    } finally stub.stop()
+  }
+
+  test("whole-request 429 backs off and resends; exhausted retries raise") {
+    val stub = new Stub(n => if (n == 0) Some(Left(429)) else None)
+    try {
+      val cfg = BulkConfig(
+        stub.endpoint, "idx", maxRetries = 2, initialBackoffMs = 10, maxBackoffMs = 50
+      )
+      val r = BulkHttp.write(ops(5).coalesce(1), cfg)
+      assert(r.succeeded == 5 && r.retriedItems == 5 && r.requests == 2)
+    } finally stub.stop()
+
+    val always429 = new Stub(_ => Some(Left(429)))
+    try {
+      val cfg = BulkConfig(
+        always429.endpoint, "idx", maxRetries = 1, initialBackoffMs = 1, maxBackoffMs = 5
+      )
+      val ex = intercept[Exception] { BulkHttp.write(ops(3).coalesce(1), cfg) }
+      assert(ex.getMessage != null || ex.getCause != null) // surfaced as job failure
+      assert(always429.requests.size == 2) // initial + 1 retry
+    } finally always429.stop()
+  }
+
+  test("per-item 429: only rejected actions are resent") {
+    // request 0: second item rejected; request 1: all good
+    val stub = new Stub(n => if (n == 0) Some(Right(Seq(200, 429, 200))) else None)
+    try {
+      val cfg = BulkConfig(
+        stub.endpoint, "idx", maxRetries = 2, initialBackoffMs = 10, maxBackoffMs = 50
+      )
+      val r = BulkHttp.write(ops(3).coalesce(1), cfg)
+      assert(r.succeeded == 3 && r.retriedItems == 1 && r.requests == 2)
+      // the retry request carries exactly the one rejected action
+      assert(stub.requests(1).count(_.startsWith("""{"index":""")) == 1)
+      assert(stub.requests(1).exists(_.contains(""""_id":"2"""")))
+    } finally stub.stop()
+  }
+
+  test("partial failure: raiseOnError fails the job; ignoreStatus swallows") {
+    val failing = new Stub(n => Some(Right(Seq(200, 400, 200))))
+    try {
+      val cfg = BulkConfig(failing.endpoint, "idx", maxRetries = 0)
+      intercept[Exception] { BulkHttp.write(ops(3).coalesce(1), cfg) }
+    } finally failing.stop()
+
+    val ignoring = new Stub(n => if (n == 0) Some(Right(Seq(200, 404, 200))) else None)
+    try {
+      val cfg = BulkConfig(ignoring.endpoint, "idx") // 404 ignored by default
+      val r = BulkHttp.write(ops(3).coalesce(1), cfg)
+      assert(r.succeeded == 2 && r.ignored == 1 && r.failed == 0)
+    } finally ignoring.stop()
+
+    val tolerated = new Stub(n => Some(Right(Seq(200, 400, 200))))
+    try {
+      val cfg = BulkConfig(tolerated.endpoint, "idx", raiseOnError = false)
+      val r = BulkHttp.write(ops(3).coalesce(1), cfg)
+      assert(r.succeeded == 2 && r.failed == 1)
+    } finally tolerated.stop()
+  }
+
+  test("index lifecycle: create (HEAD-check + PUT), delete, refresh") {
+    val stub = new Stub(_ => None)
+    try {
+      assert(BulkHttp.createIndex(stub.endpoint, "idx", """{"mappings":{}}"""))
+      BulkHttp.deleteIndex(stub.endpoint, "idx")
+      BulkHttp.refresh(stub.endpoint, Seq("idx"))
+    } finally stub.stop()
+  }
+}
