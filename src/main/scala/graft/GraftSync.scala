@@ -165,26 +165,34 @@ object GraftSync {
   /** Load a config document holding ONE schema or an ARRAY of schemas (one
     * per index — `pgsync/utils.py:204-300` `config_loader` yields one doc
     * per index) and build a sync per index, each materialized under
-    * `baseDir/<index>`.
+    * `baseDir/<index>`. Top-level string fields get `${VAR}` env templating
+    * (`Template.safe_substitute` parity — pass `env` explicitly to override
+    * the process environment, e.g. in tests).
     */
   def fromConfig(
       spark: SparkSession,
       configJson: String,
       catalog: Catalog,
       load: String => DataFrame,
-      baseDir: String
-  ): Seq[GraftSync] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(configJson)
-    val docs =
-      if (root.isArray) {
-        import scala.jdk.CollectionConverters._
-        root.elements.asScala.map(_.toString).toSeq
-      } else Seq(configJson)
-    docs.map { json =>
+      baseDir: String,
+      env: Map[String, String] = sys.env
+  ): Seq[GraftSync] =
+    graft.schema.ConfigLoader.docs(configJson, env).map { json =>
       val schema = SchemaDef.parse(json)
       val name = if (schema.index.nonEmpty) schema.index else schema.root.table
       new GraftSync(spark, schema, catalog, load, s"$baseDir/$name")
     }
-  }
+
+  /** [[fromConfig]] from a local path or http(s) URL (the reference's
+    * `--config` / `--schema_url` sources, `utils.py:264-281`).
+    */
+  def fromConfigSource(
+      spark: SparkSession,
+      source: String,
+      catalog: Catalog,
+      load: String => DataFrame,
+      baseDir: String,
+      env: Map[String, String] = sys.env
+  ): Seq[GraftSync] =
+    fromConfig(spark, graft.schema.ConfigLoader.fetch(source), catalog, load, baseDir, env)
 }

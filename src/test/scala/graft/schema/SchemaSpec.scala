@@ -110,4 +110,55 @@ class SchemaSpec extends AnyFunSuite {
     assert(d.database == "db" && d.index == "idx" && d.routing.contains("r"))
     assert(d.root.table == "t")
   }
+
+  test("config loader: ${VAR} templating with safe_substitute parity (utils.py:290-298)") {
+    val env = Map("APP_ENV" -> "prod", "DB" -> "orders")
+    assert(ConfigLoader.safeSubstitute("idx_${APP_ENV}", env) == "idx_prod")
+    assert(ConfigLoader.safeSubstitute("idx_$APP_ENV", env) == "idx_prod")
+    assert(ConfigLoader.safeSubstitute("$DB-${APP_ENV}-x", env) == "orders-prod-x")
+    // unknown variables stay verbatim (safe_substitute, not substitute)
+    assert(ConfigLoader.safeSubstitute("keep_${MISSING}", env) == "keep_${MISSING}")
+    assert(ConfigLoader.safeSubstitute("keep_$MISSING", env) == "keep_$MISSING")
+    // $$ collapses to a literal $; a bare trailing $ is untouched
+    assert(ConfigLoader.safeSubstitute("cost_$$5", env) == "cost_$5")
+    assert(ConfigLoader.safeSubstitute("end$", env) == "end$")
+    // replacement values containing $ and \ must not be re-interpreted
+    assert(ConfigLoader.safeSubstitute("${W}", Map("W" -> """a$b\c""")) == """a$b\c""")
+  }
+
+  test("config loader: multi-index array, top-level-only templating (utils.py:204-300)") {
+    val cfg =
+      """[
+        {"database": "${DB}", "index": "idx_${APP_ENV}",
+         "nodes": {"table": "t", "columns": ["a_${APP_ENV}"]}},
+        {"database": "other", "index": "plain", "nodes": {"table": "u"}}
+      ]"""
+    val env = Map("APP_ENV" -> "prod", "DB" -> "orders")
+    val docs = ConfigLoader.docs(cfg, env).map(SchemaDef.parse)
+    assert(docs.map(_.index) == Seq("idx_prod", "plain"))
+    assert(docs.head.database == "orders")
+    // NESTED strings are never templated (reference only touches top-level
+    // values; nested dicts hit the TypeError skip)
+    assert(docs.head.root.columns.map(_.base) == Seq("a_${APP_ENV}"))
+    // a single (non-array) doc loads as one entry
+    assert(ConfigLoader.docs("""{"database":"d","nodes":{"table":"t"}}""", env).size == 1)
+    // invalid JSON is rejected with the not-valid-JSON error (utils.py:286-289)
+    val bad = intercept[IllegalArgumentException] { ConfigLoader.docs("{nope", env) }
+    assert(bad.getMessage.contains("not valid JSON"))
+  }
+
+  test("config loader: local file fetch + missing-file error (utils.py:268-271)") {
+    val p = java.nio.file.Files.createTempFile("graft-cfg", ".json")
+    java.nio.file.Files.write(
+      p,
+      """[{"database": "db", "index": "i_${APP_ENV}", "nodes": {"table": "t"}}]"""
+        .getBytes("UTF-8")
+    )
+    val docs = ConfigLoader.load(p.toString, Map("APP_ENV" -> "dev"))
+    assert(SchemaDef.parse(docs.head).index == "i_dev")
+    val missing = intercept[java.io.FileNotFoundException] { ConfigLoader.fetch("/no/such/file.json") }
+    assert(missing.getMessage.contains("not found"))
+    val s3 = intercept[IllegalArgumentException] { ConfigLoader.fetch("s3://bucket/key.json") }
+    assert(s3.getMessage.contains("s3"))
+  }
 }
