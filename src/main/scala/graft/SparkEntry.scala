@@ -276,9 +276,16 @@ object SparkEntry {
         threshold = 0.3
       )
     }),
-    // ---- dedup: embedding cosine (exact pair scan, oracle-checked) ---------
+    // ---- dedup: embedding cosine (exact pair scan — VERIFICATION PATH ONLY;
+    // quadratic, never run at scale; kept under the oracle as the ground
+    // truth the LSH path is judged against) ----------------------------------
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingCosineExact(loader(s, dir)("embeddings"), "vec_id", "embedding", 0.4)),
+    // ---- dedup: embedding cosine LSH (THE scale path: hyperplane buckets →
+    // exact cosine verify; oracle recomputes the same deterministic bucket
+    // keys, so the 100 TB-safe plan is the hash-checked one) -----------------
+    "q_dedup_embed_lsh" -> ((s, dir) =>
+      Dedup.embeddingCosine(loader(s, dir)("embeddings"), "vec_id", "embedding", 0.4)),
     // ---- similarity search: brute-force top-k + IVF scale path -------------
     "q_ann_topk" -> ((s, dir) => {
       val e = loader(s, dir)("embeddings")
@@ -617,6 +624,35 @@ object SparkEntry {
                 CAST(round(10000 * list_cosine_similarity(a.embedding, b.embedding)) AS BIGINT) AS cosine_e4
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+    "q_dedup_embed_lsh" -> {
+      // the hyperplanes are plan-time literals (VectorFunctions.plane), so
+      // DuckDB recomputes the exact same bucket keys: sign bit per plane,
+      // packed into an integer, pairs within a bucket (capped like
+      // bucketPairs), then the exact cosine verify
+      val keyExpr = (0 until 8)
+        .map { p =>
+          val lits = graft.functions.VectorFunctions
+            .plane(p, 64)
+            .map(d => f"$d%.3f")
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN list_inner_product(embedding, $lits) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }
+        .mkString(" + ")
+      s"""WITH keyed AS (
+           SELECT vec_id, $keyExpr AS key FROM embeddings),
+         ok AS (
+           SELECT key FROM keyed GROUP BY key HAVING count(*) BETWEEN 2 AND 2000),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM keyed a JOIN keyed b ON a.key = b.key AND a.vec_id < b.vec_id
+           WHERE a.key IN (SELECT key FROM ok))
+         SELECT p.id_a, p.id_b,
+                CAST(round(10000 * list_cosine_similarity(ea.embedding, eb.embedding)) AS BIGINT) AS cosine_e4
+         FROM pairs p
+         JOIN embeddings ea ON ea.vec_id = p.id_a
+         JOIN embeddings eb ON eb.vec_id = p.id_b
+         WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4"""
+    },
     "q_ann_topk" ->
       """WITH scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,

@@ -42,7 +42,7 @@ object VectorFunctions {
     * [-1, 1), derived from an LCG-style mix of (plane, component) — stable
     * across executors and runs with no stored model.
     */
-  private def plane(p: Int, dim: Int): Seq[Double] =
+  private[graft] def plane(p: Int, dim: Int): Seq[Double] =
     (0 until dim).map { j =>
       val mixed = (p.toLong * 2654435761L + j.toLong * 40503L + 12345L) & 0x7fffffffL
       (mixed % 2001L - 1000L) / 1000.0
