@@ -155,6 +155,31 @@ object SparkEntry {
     "q_transform" -> ((s, dir) =>
       assembled(s, dir, Fixtures.transforms)
         .select(col("_id"), col("order_id"), col("o_orderstatus"), col("order_tag"))),
+    // ---- S5/T6: WAL test_decoding text → parsed change payloads ------------
+    // Decoder lines are rendered deterministically FROM the orders table
+    // (quoted mixed-case table ident, quoted column ident with a space,
+    // `''`-escaped quote inside a text value), then parsed back by the real
+    // tokenizer — distributed via parseBlocks (each row is a complete
+    // BEGIN..COMMIT transaction). The oracle builds the expected payload
+    // JSON directly, so tokenizer + type-aware JSON rendering are
+    // hash-checked, not just property-tested.
+    "q_wal" -> ((s, dir) => {
+      import s.implicits._
+      val blocks = loader(s, dir)("orders")
+        .select(
+          concat(
+            lit("BEGIN "), col("o_orderkey"),
+            lit("\ntable public.\"Orders\": INSERT: o_orderkey[bigint]:"), col("o_orderkey"),
+            lit(" o_custkey[bigint]:"), col("o_custkey"),
+            lit(""" "order Status"[text]:'"""), col("o_orderstatus"),
+            lit("' o_orderpriority[text]:'"),
+            regexp_replace(concat(col("o_orderpriority"), lit("'s")), "'", "''"),
+            lit("'\nCOMMIT "), col("o_orderkey")
+          ).as("block")
+        )
+        .as[String]
+      graft.cdc.WalText.parseBlocks(blocks)
+    }),
     // ---- CDC: root-table changes → recompute-and-diff ops (C1-C3, J5/C6) ---
     "q_cdc_root" -> ((s, dir) => {
       val load = loader(s, dir)
@@ -433,6 +458,18 @@ object SparkEntry {
                 concat_ws('-',
                   CASE WHEN o_orderkey <> 0 THEN CAST(o_orderkey AS VARCHAR) END,
                   NULLIF(replace(o_orderstatus, 'O', 'X'), '')) AS order_tag
+         FROM orders""",
+    "q_wal" ->
+      """SELECT 'INSERT' AS tg_op,
+                'Orders' AS tbl,
+                CAST(NULL AS VARCHAR) AS old,
+                '{"o_orderkey": ' || o_orderkey ||
+                ', "o_custkey": ' || o_custkey ||
+                ', "order Status": "' || replace(replace(o_orderstatus, '\', '\\'), '"', '\"') ||
+                '", "o_orderpriority": "' ||
+                replace(replace(o_orderpriority || '''s', '\', '\\'), '"', '\"') ||
+                '"}' AS new,
+                o_orderkey AS txid
          FROM orders""",
     "q_cdc_root" ->
       """WITH n AS (SELECT count(*) AS c FROM orders),

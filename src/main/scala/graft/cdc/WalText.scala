@@ -234,4 +234,25 @@ object WalText {
       spark,
       changes.map(c => (c.tgOp, c.table, c.old.orNull, c.newTuple.orNull, c.txid))
     )
+
+  /** Distributed parse: each element of `blocks` is a SELF-CONTAINED span of
+    * decoder lines (complete BEGIN..COMMIT transactions) — the shape a
+    * chunked slot reader hands over (one chunk per poll,
+    * `LOGICAL_SLOT_CHUNK_SIZE`). Since a transaction never spans two
+    * elements, parsing distributes with no cross-partition state, unlike the
+    * serial [[parse]] iterator. Returns [[Changes.schema]] columns.
+    */
+  def parseBlocks(blocks: org.apache.spark.sql.Dataset[String]): org.apache.spark.sql.DataFrame = {
+    import blocks.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    blocks
+      .flatMap(b => parse(b.linesIterator))
+      .select(
+        col("tgOp").as("tg_op"),
+        col("table").as("tbl"),
+        col("old"),
+        col("newTuple").as("new"),
+        col("txid")
+      )
+  }
 }
