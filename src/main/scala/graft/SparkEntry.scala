@@ -155,6 +155,24 @@ object SparkEntry {
     "q_transform" -> ((s, dir) =>
       assembled(s, dir, Fixtures.transforms)
         .select(col("_id"), col("order_id"), col("o_orderstatus"), col("order_tag"))),
+    // ---- skewed-key aggregation via two-phase salting ----------------------
+    // l_returnflag has 3 values — every row funnels through 3 reducers in a
+    // naive groupBy; the salted path spreads each hot key over 16 (key,salt)
+    // partials first. Output is the exact unsalted multiset (oracle-checked);
+    // the collect path is made deterministic with sort_array downstream,
+    // exactly as DocAssembler consumes it.
+    "q_salted_agg" -> ((s, dir) => {
+      val li = loader(s, dir)("lineitem")
+      val sums = graft.assemble.Salting.saltedSum(
+        li, Seq("l_returnflag"), round(col("l_quantity") * 100).cast("long"), "qty_centi")
+      val lists = graft.assemble.Salting.saltedCollectList(
+        li.filter(col("l_orderkey") < 100), Seq("l_returnflag"),
+        col("l_linenumber").cast("long"), "lns")
+        .select(
+          col("l_returnflag"),
+          concat_ws(",", sort_array(col("lns")).cast("array<string>")).as("lns"))
+      sums.join(lists, Seq("l_returnflag"))
+    }),
     // ---- S5/T6: WAL test_decoding text → parsed change payloads ------------
     // Decoder lines are rendered deterministically FROM the orders table
     // (quoted mixed-case table ident, quoted column ident with a space,
@@ -459,6 +477,17 @@ object SparkEntry {
                   CASE WHEN o_orderkey <> 0 THEN CAST(o_orderkey AS VARCHAR) END,
                   NULLIF(replace(o_orderstatus, 'O', 'X'), '')) AS order_tag
          FROM orders""",
+    "q_salted_agg" ->
+      """WITH sums AS (
+           SELECT l_returnflag,
+                  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_centi
+           FROM lineitem GROUP BY 1),
+         lists AS (
+           SELECT l_returnflag,
+                  array_to_string(list(CAST(l_linenumber AS BIGINT) ORDER BY l_linenumber), ',') AS lns
+           FROM lineitem WHERE l_orderkey < 100 GROUP BY 1)
+         SELECT s.l_returnflag, s.qty_centi, l.lns
+         FROM sums s JOIN lists l USING (l_returnflag)""",
     "q_wal" ->
       """SELECT 'INSERT' AS tg_op,
                 'Orders' AS tbl,
