@@ -155,6 +155,61 @@ object SparkEntry {
     "q_transform" -> ((s, dir) =>
       assembled(s, dir, Fixtures.transforms)
         .select(col("_id"), col("order_id"), col("o_orderstatus"), col("order_tag"))),
+    // ---- FULL LIFECYCLE under the oracle: snapshot → mixed batch → docs ----
+    // The snapshot/incremental/index loop end-to-end (pull() then op handlers,
+    // sync.py:1895-1945, 1054-1343): snapshot the original tables, apply a
+    // deterministic mixed DELETE/UPDATE/INSERT root batch (keys by modulus,
+    // inserts cloned past a fixed offset so both engines derive the same
+    // post-change database), and emit the final materialized docs. The oracle
+    // recomputes the whole post-change doc set from scratch — so checkpoint
+    // handling, affected-root resolution, re-assembly, bucket rewrite, and
+    // delete propagation are all hash-checked in one gate.
+    "q_lifecycle" -> ((s, dir) => {
+      val base = loader(s, dir)
+      val Off = 100000000L
+      val m = pmod(col("o_orderkey"), lit(100))
+      def postOrders: DataFrame = {
+        val o = base("orders")
+        o.filter(m =!= 7)
+          .withColumn("o_orderstatus", when(m === 8, lit("Z")).otherwise(col("o_orderstatus")))
+          .unionByName(
+            o.filter(m === 9)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(Off))
+              .withColumn("o_orderstatus", lit("N"))
+          )
+      }
+      @volatile var post = false
+      val load: String => DataFrame = {
+        case "orders" if post => postOrders
+        case t                => base(t)
+      }
+      val sync = GraftSync(
+        s,
+        s"""{"database": "graft", "index": "lifecycle", "nodes": ${Fixtures.flagship}}""",
+        Catalog.testData,
+        load,
+        java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+      )
+      sync.snapshot()
+      post = true
+      val o = base("orders")
+      val pk = to_json(struct(col("o_orderkey")))
+      val noStr = lit(null).cast("string")
+      val batch = o
+        .filter(m === 7)
+        .select(lit("DELETE").as("tg_op"), lit("orders").as("tbl"),
+          pk.as("old"), noStr.as("new"), col("o_orderkey").as("txid"))
+        .unionByName(o.filter(m === 8).select(
+          lit("UPDATE").as("tg_op"), lit("orders").as("tbl"),
+          pk.as("old"), pk.as("new"), col("o_orderkey").as("txid")))
+        .unionByName(o.filter(m === 9).select(
+          lit("INSERT").as("tg_op"), lit("orders").as("tbl"),
+          noStr.as("old"),
+          to_json(struct((col("o_orderkey") + lit(Off)).as("o_orderkey"))).as("new"),
+          (col("o_orderkey") + lit(Off)).as("txid")))
+      sync.applyChanges(batch)
+      sync.state.docs
+    }),
     // ---- skewed-key aggregation via two-phase salting ----------------------
     // l_returnflag has 3 values — every row funnels through 3 reducers in a
     // naive groupBy; the salted path spreads each hot key over 16 (key,salt)
@@ -477,6 +532,39 @@ object SparkEntry {
                   CASE WHEN o_orderkey <> 0 THEN CAST(o_orderkey AS VARCHAR) END,
                   NULLIF(replace(o_orderstatus, 'O', 'X'), '')) AS order_tag
          FROM orders""",
+    "q_lifecycle" ->
+      """WITH orders2 AS (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 100 = 8 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+                  o_totalprice
+           FROM orders WHERE o_orderkey % 100 <> 7
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+           FROM orders WHERE o_orderkey % 100 = 9),
+         li AS (
+           SELECT l_orderkey,
+                  list(json_object('l_linenumber', l_linenumber, 'l_quantity', l_quantity,
+                                   'l_extendedprice', l_extendedprice, 'l_returnflag', l_returnflag)
+                       ORDER BY l_linenumber, l_quantity, l_extendedprice, l_returnflag) AS items,
+                  list(DISTINCT CAST(l_linenumber AS VARCHAR) ORDER BY CAST(l_linenumber AS VARCHAR)) AS lns
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT CAST(o.o_orderkey AS VARCHAR) AS _id,
+                CAST(json_object('o_orderkey', o.o_orderkey, 'o_custkey', o.o_custkey,
+                            'o_orderstatus', o.o_orderstatus, 'o_totalprice', o.o_totalprice,
+                            'lineitems', COALESCE(to_json(li.items), '[]'::JSON),
+                            'customer', json_object('c_name', c.c_name, 'c_mktsegment', c.c_mktsegment),
+                            '_meta', CASE WHEN li.lns IS NULL THEN
+                              json_object('orders', json_object('o_orderkey', [CAST(o.o_orderkey AS VARCHAR)]),
+                                          'customer', json_object('c_custkey', [CAST(c.c_custkey AS VARCHAR)]))
+                            ELSE
+                              json_object('orders', json_object('o_orderkey', [CAST(o.o_orderkey AS VARCHAR)]),
+                                          'lineitem', json_object('l_orderkey', [CAST(o.o_orderkey AS VARCHAR)],
+                                                                  'l_linenumber', li.lns),
+                                          'customer', json_object('c_custkey', [CAST(c.c_custkey AS VARCHAR)]))
+                            END) AS VARCHAR) AS doc
+         FROM orders2 o
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN li ON li.l_orderkey = o.o_orderkey""",
     "q_salted_agg" ->
       """WITH sums AS (
            SELECT l_returnflag,
