@@ -155,7 +155,13 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
     */
   private def writeBuckets(kind: String, v: Long, df: DataFrame, idCol: String): Set[Int] = {
     val out = s"$dir/v_$v/$kind"
+    // repartition ON the bucket id before partitionBy: otherwise every write
+    // task emits a file into every bucket directory (tasks × nBuckets small
+    // files per version — the classic small-files failure, and measurably
+    // the dominant cost of the snapshot→incremental lifecycle even at
+    // sf0.1). One shuffle keyed by bucket bounds it at one file per bucket.
     df.withColumn("bucket", bucketOf(col(idCol)))
+      .repartition(nBuckets, col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(out)
     fs.listStatus(new Path(out))
       .map(_.getPath.getName)
@@ -167,15 +173,22 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
     * `_id`, fields…, `_meta`).
     */
   def initialize(structuredDocs: DataFrame): Unit = {
-    val payload = structuredDocs.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
-    val flat = structuredDocs.select(
-      col(DocAssembler.IdColumn),
-      to_json(struct(payload: _*)).as("doc")
-    )
-    val d = writeBuckets("docs", 0L, flat, DocAssembler.IdColumn)
-    val l = writeBuckets("lineage", 0L, Lineage.fromDocs(structuredDocs), "root_id")
-    writeManifest(0L, (d.map(b => ("docs", b) -> 0L) ++ l.map(b => ("lineage", b) -> 0L)).toMap)
-    flipCurrent(0L)
+    // two consumers (docs write, lineage extraction) — without a persist the
+    // whole multi-join assembly executes twice (measured ~2× snapshot time).
+    // MEMORY_AND_DISK so an index-sized snapshot spills instead of OOMing;
+    // released before returning.
+    val cached = structuredDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val payload = cached.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
+      val flat = cached.select(
+        col(DocAssembler.IdColumn),
+        to_json(struct(payload: _*)).as("doc")
+      )
+      val d = writeBuckets("docs", 0L, flat, DocAssembler.IdColumn)
+      val l = writeBuckets("lineage", 0L, Lineage.fromDocs(cached), "root_id")
+      writeManifest(0L, (d.map(b => ("docs", b) -> 0L) ++ l.map(b => ("lineage", b) -> 0L)).toMap)
+      flipCurrent(0L)
+    } finally cached.unpersist(false)
   }
 
   /** Apply one batch: delete + upsert by `_id`, rewriting ONLY the buckets
