@@ -87,7 +87,7 @@ final class GraftSync(
     * keeping the set bounded by one batch's distinct txids plus the feed's
     * disorder window.
     */
-  def applyChanges(batch: DataFrame): Unit = {
+  def applyChanges(batch: DataFrame, opsSink: Option[DataFrame => Unit] = None): Unit = {
     import org.apache.spark.sql.functions._
     val ck = state.checkpointState
     val fresh = ck match {
@@ -99,7 +99,7 @@ final class GraftSync(
     }
     val prepared = prepare(fresh).cache()
     try {
-      sync.applyBatch(prepared)
+      sync.applyBatch(prepared, opsSink)
       // distinct txids of one batch: bounded driver-side collect (≤ batch
       // size), same magnitude as the reference's checkpoint computation
       val txids = prepared.select(col("txid")).distinct().collect().map(_.getLong(0))
@@ -118,6 +118,56 @@ final class GraftSync(
 
   /** The search-index bootstrap mapping for this schema (S11). */
   def indexMapping: String = SearchSink.buildMapping(schema.root, schema.routing)
+
+  // ---- publishing to a live search endpoint (S10 product loop) -------------
+
+  /** A [[graft.sinks.BulkHttp.BulkConfig]] pre-filled from this schema: the
+    * doc's `index`, ingest `pipeline` (`pgsync/sync.py:114-121,1576-1577`)
+    * and `routing` travel with every published action.
+    */
+  def bulkConfig(endpoint: String): graft.sinks.BulkHttp.BulkConfig =
+    graft.sinks.BulkHttp.BulkConfig(
+      endpoint = endpoint,
+      index = if (schema.index.nonEmpty) schema.index else schema.root.table,
+      pipeline = schema.pipeline,
+      routing = schema.routing
+    )
+
+  /** Bootstrap the remote index (settings+mapping if absent) and bulk-index
+    * a full snapshot — the HTTP form of [[snapshot]] (`pull()` then
+    * `search_client.bulk`, `sync.py:1895-1945`). Returns the sink counters.
+    */
+  def publishSnapshot(cfg: graft.sinks.BulkHttp.BulkConfig): graft.sinks.BulkHttp.BulkResult = {
+    graft.sinks.BulkHttp.createIndex(cfg.endpoint, cfg.index, indexMapping)
+    val docs = documents()
+    val payload = docs.columns.filterNot(_ == DocAssembler.IdColumn).map(org.apache.spark.sql.functions.col)
+    import org.apache.spark.sql.functions._
+    val ops = docs.select(
+      lit("index").as("op"),
+      col(DocAssembler.IdColumn),
+      to_json(struct(payload: _*)).as("doc")
+    )
+    graft.sinks.BulkHttp.write(ops, cfg)
+  }
+
+  /** Derive index/delete ops for a change batch against the CURRENT local
+    * lineage — the stream a remote index consumes. Composes with
+    * [[publishChanges]] or a caller's own sink.
+    */
+  def changeOps(batch: DataFrame): DataFrame =
+    engine.process(prepare(batch), state.lineage)
+
+  /** Apply one change batch locally (watermark + bucket commit, keeping the
+    * lineage current for the next resolution) AND bulk-publish the same
+    * batch's ops to the remote endpoint — one engine pass feeds both (the
+    * ops sink reads the cached resolution), at-least-once with idempotent
+    * upsert-by-`_id`, the reference's delivery contract (C3).
+    */
+  def publishChanges(batch: DataFrame, cfg: graft.sinks.BulkHttp.BulkConfig): graft.sinks.BulkHttp.BulkResult = {
+    var result = graft.sinks.BulkHttp.BulkResult(0, 0, 0, 0, 0)
+    applyChanges(batch, opsSink = Some(ops => result = graft.sinks.BulkHttp.write(ops, cfg)))
+    result
+  }
 
   /** Physical-layout advice — the engine-native analogue of the reference's
     * `--analyze`, which prints missing-index DDL for every resolved join key

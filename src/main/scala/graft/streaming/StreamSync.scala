@@ -55,8 +55,11 @@ final class StreamSync(
 
   /** Apply one micro-batch of changes to the materialized index. Used both
     * by `foreachBatch` and directly for batch-mode incremental runs.
+    * `opsSink`, when set, receives the batch's (`op`, `_id`, `doc`) rows —
+    * derived from the SAME cached resolution/re-assembly the local commit
+    * uses, so publishing to a remote index costs no second engine pass.
     */
-  def applyBatch(batch: DataFrame): Unit = {
+  def applyBatch(batch: DataFrame, opsSink: Option[DataFrame => Unit] = None): Unit = {
     if (batch.isEmpty) return
     val lineage = state.lineage
     val affected = engine.affectedRoots(batch, lineage).cache()
@@ -65,6 +68,17 @@ final class StreamSync(
       val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
       val flat = structured
         .select(col(DocAssembler.IdColumn), to_json(struct(payload: _*)).as("doc"))
+      opsSink.foreach { sink =>
+        val indexOps = flat.select(lit("index").as("op"), col(DocAssembler.IdColumn), col("doc"))
+        val deleteOps = affected
+          .join(flat, Seq(DocAssembler.IdColumn), "left_anti")
+          .select(
+            lit("delete").as("op"),
+            col(DocAssembler.IdColumn),
+            lit(null).cast("string").as("doc")
+          )
+        sink(indexOps.unionAll(deleteOps))
+      }
       // only the re-assembled roots' rows: the index rewrites just the
       // affected buckets and inherits the rest via its manifest
       state.commit(affected, flat, Lineage.fromDocs(structured))

@@ -203,4 +203,54 @@ class BulkHttpSpec extends SparkSpec {
       BulkHttp.refresh(stub.endpoint, Seq("idx"))
     } finally stub.stop()
   }
+
+  test("product loop: GraftSync publishes snapshot + incremental ops over HTTP") {
+    import graft.GraftSync
+    import graft.catalog.{Catalog, TableMeta}
+    import graft.cdc.Changes
+    val stub = new Stub(_ => None)
+    try {
+      val cat = Catalog(Map("book" -> TableMeta("book", Seq("id"))))
+      @volatile var book = Seq((1L, "a"), (2L, "b")).toDF("id", "title")
+      val sync = GraftSync(
+        spark,
+        """{"database": "db", "index": "books", "pipeline": "clean", "nodes":
+             {"table": "book", "columns": ["id", "title"]}}""",
+        cat,
+        _ => book,
+        java.nio.file.Files.createTempDirectory("graft-publish").toString
+      )
+      val cfg0 = sync.bulkConfig(stub.endpoint)
+      assert(cfg0.index == "books" && cfg0.pipeline.contains("clean"))
+      val cfg = cfg0.copy(chunkSize = 10)
+
+      // snapshot: index bootstrapped (HEAD+PUT), both docs published with
+      // the schema's ingest pipeline on the action metadata
+      val r0 = sync.publishSnapshot(cfg)
+      assert(r0.succeeded == 2)
+      val snapMetas = stub.requests.flatten.filter(_.startsWith("""{"index":"""))
+      assert(snapMetas.size == 2 && snapMetas.forall(_.contains(""""pipeline":"clean"""")))
+
+      // incremental: local snapshot, then one publishChanges call feeds the
+      // remote (index op for the new row, delete op for the removed one)
+      // and the local index from a single engine pass
+      sync.snapshot()
+      stub.requests.synchronized(stub.requests.clear())
+      book = Seq((2L, "b"), (3L, "c")).toDF("id", "title")
+      val r1 = sync.publishChanges(
+        Changes.of(spark, Seq(
+          (Changes.Insert, "book", null, """{"id": 3}""", 10L),
+          (Changes.Delete, "book", """{"id": 1}""", null, 11L)
+        )),
+        cfg
+      )
+      assert(r1.succeeded == 2)
+      val lines = stub.requests.flatten
+      assert(lines.exists(l => l.startsWith("""{"index":""") && l.contains(""""_id":"3"""")))
+      assert(lines.exists(l => l.startsWith("""{"delete":""") && l.contains(""""_id":"1"""")))
+      // and the local index saw the same batch
+      assert(sync.state.docs.collect().map(_.getString(0)).toSet == Set("2", "3"))
+      assert(sync.state.checkpoint.contains(9L)) // min(10,11)-1
+    } finally stub.stop()
+  }
 }
