@@ -112,9 +112,16 @@ final class GraftSync(
     } finally prepared.unpersist()
   }
 
-  /** Start continuous maintenance from a streaming change feed. */
-  def stream(changes: DataFrame, checkpointDir: String): StreamingQuery =
-    sync.start(prepare(changes), checkpointDir)
+  /** Start continuous maintenance from a streaming change feed; `opsSink`
+    * additionally publishes each micro-batch's ops (the continuous form of
+    * [[publishChanges]] — pass `ops => BulkHttp.write(ops, bulkConfig(ep))`).
+    */
+  def stream(
+      changes: DataFrame,
+      checkpointDir: String,
+      opsSink: Option[DataFrame => Unit] = None
+  ): StreamingQuery =
+    sync.start(prepare(changes), checkpointDir, trigger = None, opsSink = opsSink)
 
   /** The search-index bootstrap mapping for this schema (S11). */
   def indexMapping: String = SearchSink.buildMapping(schema.root, schema.routing)

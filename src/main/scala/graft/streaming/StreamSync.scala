@@ -93,16 +93,22 @@ final class StreamSync(
     * the last committed batch. `trigger` sets the micro-batch cadence — the
     * engine-native form of the reference's size-based batching
     * (`LOGICAL_SLOT_CHUNK_SIZE` 5 000 / `REDIS_POLL_INTERVAL`,
-    * `settings.py:40,277`); None = as-fast-as-possible.
+    * `settings.py:40,277`); None = as-fast-as-possible. `opsSink` publishes
+    * each micro-batch's (`op`, `_id`, `doc`) rows (e.g. to
+    * [[graft.sinks.BulkHttp]]) from the same engine pass as the local
+    * commit — the reference's continuous `poll → bulk` loop
+    * (`sync.py:1985-2043`); Structured Streaming's checkpoint makes
+    * delivery at-least-once, idempotent via upsert-by-`_id`.
     */
   def start(
       changes: DataFrame,
       checkpointDir: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      opsSink: Option[DataFrame => Unit] = None
   ): StreamingQuery = {
     val writer = changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
+      .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch, opsSink) }
     trigger.fold(writer)(writer.trigger).start()
   }
 }

@@ -76,6 +76,40 @@ class StreamingSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(s"$dir/checkpoint/offsets")))
   }
 
+  test("streaming opsSink: each micro-batch's index/delete ops publish from the same pass") {
+    tables = Map(
+      "orders" -> Seq((1L, "open"), (2L, "open")).toDF("id", "status"),
+      "item" -> Seq.empty[(Long, Long, String)].toDF("id", "order_id", "sku")
+    )
+    val dir = Files.createTempDirectory("graft-stream-ops").toString
+    val state = new MaterializedIndex(spark, s"$dir/index")
+    val sync = new StreamSync(schema, cat, tables(_), state)
+    sync.snapshot()
+
+    val published = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String, String, String, Long)]
+    val changes = stream.toDF().select(
+      col("_1").as("tg_op"), col("_2").as("tbl"),
+      col("_3").as("old"), col("_4").as("new"), col("_5").as("txid"))
+    val query = sync.start(
+      changes, s"$dir/checkpoint",
+      opsSink = Some(ops => published.synchronized {
+        published ++= ops.collect().map(r => (r.getString(0), r.getString(1)))
+      })
+    )
+    tables += "orders" -> Seq((2L, "open"), (3L, "new")).toDF("id", "status")
+    stream.addData(
+      (Changes.Insert, "orders", null, """{"id": 3}""", 1L),
+      (Changes.Delete, "orders", """{"id": 1}""", null, 2L)
+    )
+    query.processAllAvailable()
+    query.stop()
+    assert(published.toSet == Set(("index", "3"), ("delete", "1")))
+    // local index advanced in the same pass
+    assert(state.docs.collect().map(_.getString(0)).toSet == Set("2", "3"))
+  }
+
   test("checkpoint restart: a stopped stream resumes without reprocessing (at-least-once + idempotent)") {
     tables = Map(
       "orders" -> Seq((1L, "open")).toDF("id", "status"),
