@@ -333,6 +333,16 @@ object SparkEntry {
       graft.functions.Sampling
         .hashSample(loader(s, dir)("documents"), col("doc_id"), 0.2)
         .select(col("doc_id"), col("lang"))),
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.functions.Sampling
+        .stratifiedSample(
+          loader(s, dir)("documents"),
+          col("doc_id"),
+          col("lang"),
+          fractions = Map("en" -> 0.8, "zh" -> 0.25, "de" -> 1.0),
+          defaultFraction = 0.1
+        )
+        .select(col("doc_id"), col("lang"))),
     "q_sample_quota" -> ((s, dir) =>
       graft.functions.Sampling
         .quota(
@@ -702,6 +712,14 @@ object SparkEntry {
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE md5(CAST(doc_id AS VARCHAR)) < '3333'""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE
+           WHEN lang = 'en' THEN md5(CAST(doc_id AS VARCHAR)) < 'cccd'
+           WHEN lang = 'zh' THEN md5(CAST(doc_id AS VARCHAR)) < '4000'
+           WHEN lang = 'de' THEN TRUE
+           ELSE md5(CAST(doc_id AS VARCHAR)) < '199a'
+         END""",
     "q_sample_quota" ->
       """SELECT o_orderkey, o_orderstatus FROM (
            SELECT o_orderkey, o_orderstatus,

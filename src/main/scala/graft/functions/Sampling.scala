@@ -40,6 +40,26 @@ object Sampling {
     if (fraction >= 1.0) lit(true)
     else md5(key.cast(StringType).cast(BinaryType)) < lit(thresholdHex(fraction))
 
+  /** Stratified hash sampling (corpus mixing by rate): each stratum keeps
+    * its own fraction — "90% of English, 10% of boilerplate-heavy web" —
+    * with the same determinism/portability/monotonicity guarantees as
+    * [[hashSample]] (same key ⇒ membership nests across fractions, so
+    * remixing ratios never churns the kept set beyond the rate change).
+    * Pure map-side predicate: no shuffle, no per-stratum passes.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0
+  ): DataFrame = {
+    val pred = fractions.foldLeft(when(lit(false), lit(false))) { case (acc, (s, f)) =>
+      acc.when(stratum === s, hashSamplePredicate(key, f))
+    }.otherwise(hashSamplePredicate(key, defaultFraction))
+    df.filter(pred)
+  }
+
   /** Per-group quota (corpus mixing): keep at most `k` rows per group, in a
     * deterministic order. The standard balanced-mixture primitive ("≤ k docs
     * per domain/language").

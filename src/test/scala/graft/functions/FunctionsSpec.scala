@@ -155,6 +155,28 @@ class FunctionsSpec extends SparkSpec {
     assert(Sampling.hashSample(df, col("id"), 0.0).count() == 0)
   }
 
+  test("stratified sample: per-stratum rates, nesting, default fraction") {
+    import graft.functions.Sampling
+    val df = spark.range(0, 6000).select(
+      col("id"),
+      element_at(typedlit(Seq("en", "zh", "de")), (pmod(col("id"), lit(3)) + 1).cast("int")).as("lang"))
+    val out = Sampling.stratifiedSample(
+      df, col("id"), col("lang"), Map("en" -> 0.5, "zh" -> 0.1), defaultFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("de") == 2000) // default 1.0 keeps the whole stratum
+    assert(math.abs(byLang("en") - 1000) < 150, s"en rate off: ${byLang("en")}")
+    assert(math.abs(byLang("zh") - 200) < 80, s"zh rate off: ${byLang("zh")}")
+    // monotone nesting per stratum: raising a rate only grows the kept set
+    val wider = Sampling.stratifiedSample(
+      df, col("id"), col("lang"), Map("en" -> 0.8, "zh" -> 0.1), defaultFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.toSet.subsetOf(wider))
+    // default 0.0 drops unlisted strata entirely
+    assert(Sampling.stratifiedSample(df, col("id"), col("lang"), Map("en" -> 0.5))
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+  }
+
   test("quota keeps at most k rows per group in deterministic order") {
     import graft.functions.Sampling
     val df = Seq.tabulate(30)(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
