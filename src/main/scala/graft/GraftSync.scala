@@ -28,7 +28,8 @@ final class GraftSync(
     catalog: Catalog,
     load: String => DataFrame,
     indexDir: String,
-    plugins: Seq[DocTransform] = Nil
+    plugins: Seq[DocTransform] = Nil,
+    guardUnchangedUpdates: Boolean = false
 ) {
 
   /** Base-table → view-node remap (C9, `pgsync/sync.py:1843-1852`): a node
@@ -62,13 +63,34 @@ final class GraftSync(
   /** Full snapshot → materialized index v0. */
   def snapshot(): Unit = sync.snapshot()
 
-  /** Pre-filter a change feed: schema filter (P8) + base-table remap (C9). */
+  /** The changed-column guard set per tree table (P9): each node's
+    * configured column base names — what the reference's trigger compares
+    * (`pgsync/trigger.py:58-71`, columns from `sync.py:412-419`) — PLUS the
+    * table's primary keys and its FK columns. The reference guards only on
+    * configured columns, which can silently skip a pure key move; including
+    * the keys keeps the optimization (no-op payload updates skipped) without
+    * that staleness hole.
+    */
+  def trackedColumns: Map[String, Seq[String]] = {
+    def visit(n: Node): Seq[(String, Seq[String])] = {
+      val meta = catalog.tables.get(n.table)
+      val keys = meta.map(m => m.primaryKeys ++ m.foreignKeys.flatMap(_.childColumns)).getOrElse(Nil)
+      (n.table -> (n.columns.map(_.base) ++ keys).distinct) +: n.children.flatMap(visit)
+    }
+    visit(schema.root).toMap
+  }
+
+  /** Pre-filter a change feed: schema filter (P8) + base-table remap (C9)
+    * + optional changed-column guard (P9, `guardUnchangedUpdates`).
+    */
   def prepare(changes: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val remapped = baseTableRemap.foldLeft(changes) { case (df, (from, to)) =>
       df.withColumn("tbl", when(col("tbl") === from, to).otherwise(col("tbl")))
     }
-    Changes.schemaFilter(remapped, treeTables)
+    val filtered = Changes.schemaFilter(remapped, treeTables)
+    if (guardUnchangedUpdates) Changes.changedColumnGuard(filtered, trackedColumns)
+    else filtered
   }
 
   /** Apply one batch of changes to the materialized index. Already-applied
@@ -215,9 +237,11 @@ object GraftSync {
       catalog: Catalog,
       load: String => DataFrame,
       indexDir: String,
-      plugins: Seq[DocTransform] = Nil
+      plugins: Seq[DocTransform] = Nil,
+      guardUnchangedUpdates: Boolean = false
   ): GraftSync =
-    new GraftSync(spark, SchemaDef.parse(schemaJson), catalog, load, indexDir, plugins)
+    new GraftSync(spark, SchemaDef.parse(schemaJson), catalog, load, indexDir, plugins,
+      guardUnchangedUpdates)
 
   /** Load a config document holding ONE schema or an ARRAY of schemas (one
     * per index — `pgsync/utils.py:204-300` `config_loader` yields one doc

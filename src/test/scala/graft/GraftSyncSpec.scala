@@ -92,6 +92,39 @@ class GraftSyncSpec extends SparkSpec {
     assert(sync.state.currentVersion == v1)
   }
 
+  test("P9 in the product path: unchanged-update events are guarded out (trigger.py:58-71)") {
+    tables = Map(
+      "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
+      "item" -> Seq.empty[(Long, Long, String)].toDF("id", "order_id", "sku")
+    )
+    val dir = Files.createTempDirectory("graft-guard").toString
+    val sync = GraftSync(spark, schemaJson, cat, load, dir, guardUnchangedUpdates = true)
+    // guard set = configured columns + keys (the reference guards configured
+    // columns only — keys added so a pure FK/PK move is never skipped)
+    assert(sync.trackedColumns("order_summary").toSet == Set("id", "status"))
+    assert(sync.trackedColumns("item").toSet == Set("sku", "id", "order_id"))
+    sync.snapshot()
+    val v0 = sync.state.currentVersion
+
+    // tracked columns identical, only an untracked payload field moved → no-op
+    sync.applyChanges(Changes.of(spark, Seq(
+      (Changes.Update, "order_summary",
+        """{"id": 1, "status": "open", "weight": 1}""",
+        """{"id": 1, "status": "open", "weight": 2}""", 5L)
+    )))
+    assert(sync.state.currentVersion == v0)
+
+    // a tracked column changed → applied
+    tables += "order_summary" -> Seq((1L, "closed")).toDF("id", "status")
+    sync.applyChanges(Changes.of(spark, Seq(
+      (Changes.Update, "order_summary",
+        """{"id": 1, "status": "open"}""",
+        """{"id": 1, "status": "closed"}""", 6L)
+    )))
+    assert(sync.state.currentVersion == v0 + 1)
+    assert(sync.state.docs.collect().head.getString(1).contains("closed"))
+  }
+
   test("C4 late events across batches are applied, not dropped (min-1 watermark)") {
     tables = Map(
       "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
