@@ -213,6 +213,28 @@ class FunctionsSpec extends SparkSpec {
     assert(Sampling.quota(df, Seq(col("g")), Seq(col("id")), 0).count() == 0)
   }
 
+  test("quota property: two-phase == naive window over random keys/partitions/k") {
+    import graft.functions.Sampling
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Gen
+    val p0 = org.scalacheck.Gen.Parameters.default
+    val cases = Gen.zip(Gen.chooseNum(1, 200), Gen.chooseNum(1, 9), Gen.chooseNum(1, 16), Gen.chooseNum(2, 40))
+    (0 until 8).flatMap(i => cases(p0, org.scalacheck.rng.Seed(7L + i))).foreach {
+      case (n, groups, parts, k) =>
+        // ids are unique → total order → two-phase must be exactly the window
+        val df = spark.range(0, n.toLong)
+          .select(col("id"), pmod(col("id") * 2654435761L, lit(groups)).as("g"))
+          .repartition(parts)
+        val naive = df
+          .withColumn("__rn", row_number().over(Window.partitionBy(col("g")).orderBy(col("id"))))
+          .filter(col("__rn") <= k).drop("__rn")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val two = Sampling.quota(df, Seq(col("g")), Seq(col("id")), k)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(two == naive, s"mismatch at n=$n groups=$groups parts=$parts k=$k")
+    }
+  }
+
   test("quota plan: the only exchange runs over phase-1 survivors, not the corpus") {
     import graft.functions.Sampling
     val df = spark.range(0, 1000)

@@ -195,6 +195,19 @@ class BulkHttpSpec extends SparkSpec {
     } finally tolerated.stop()
   }
 
+  test("malformed bulk response (item count mismatch) fails loudly, not silently") {
+    // a proxy/load-balancer returning a truncated items array must never be
+    // treated as success — that would count unacked docs as indexed
+    val stub = new Stub(_ => Some(Right(Seq(200)))) // 3 actions, 1 item back
+    try {
+      val cfg = BulkConfig(stub.endpoint, "idx")
+      val ex = intercept[Exception] { BulkHttp.write(ops(3).coalesce(1), cfg) }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("items")), s"unexpected: $ex")
+    } finally stub.stop()
+  }
+
   test("index lifecycle: create (HEAD-check + PUT), delete, refresh") {
     val stub = new Stub(_ => None)
     try {
