@@ -169,7 +169,7 @@ final class GraftSync(
   def publishSnapshot(cfg: graft.sinks.BulkHttp.BulkConfig): graft.sinks.BulkHttp.BulkResult = {
     graft.sinks.BulkHttp.createIndex(cfg.endpoint, cfg.index, indexMapping)
     val docs = documents()
-    val payload = docs.columns.filterNot(_ == DocAssembler.IdColumn).map(org.apache.spark.sql.functions.col)
+    val payload = docs.columns.filterNot(_ == DocAssembler.IdColumn).map(org.apache.spark.sql.functions.col).toIndexedSeq
     import org.apache.spark.sql.functions._
     val ops = docs.select(
       lit("index").as("op"),

@@ -111,7 +111,7 @@ object DocAssembler {
       catalog: Catalog
   ): DataFrame = {
     val df = assemble(root, load, catalog)
-    val payload = df.columns.filterNot(_ == IdColumn).map(col)
+    val payload = df.columns.filterNot(_ == IdColumn).map(col).toIndexedSeq
     df.select(col(IdColumn), to_json(struct(payload: _*)).as("doc"))
   }
 

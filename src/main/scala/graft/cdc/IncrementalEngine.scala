@@ -339,7 +339,7 @@ final class IncrementalEngine(
     val affected = affectedRoots(changes, lineage).cache()
     lastAffectedCache = Some(affected)
     val structured = reassemble(affected)
-    val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
+    val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col).toIndexedSeq
     // cached: feeds both the index ops and the delete anti-join — without
     // this the whole re-assembly plan executes twice; previous batch's
     // cache released (same bounded-lifetime discipline as the batch cache)

@@ -179,7 +179,7 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
     // released before returning.
     val cached = structuredDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val payload = cached.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
+      val payload = cached.columns.filterNot(_ == DocAssembler.IdColumn).map(col).toIndexedSeq
       val flat = cached.select(
         col(DocAssembler.IdColumn),
         to_json(struct(payload: _*)).as("doc")

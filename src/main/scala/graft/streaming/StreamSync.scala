@@ -65,7 +65,7 @@ final class StreamSync(
     val affected = engine.affectedRoots(batch, lineage).cache()
     val structured = withPlugins(engine.reassemble(affected)).cache()
     try {
-      val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col)
+      val payload = structured.columns.filterNot(_ == DocAssembler.IdColumn).map(col).toIndexedSeq
       val flat = structured
         .select(col(DocAssembler.IdColumn), to_json(struct(payload: _*)).as("doc"))
       opsSink.foreach { sink =>

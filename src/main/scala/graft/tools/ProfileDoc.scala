@@ -43,7 +43,7 @@ object ProfileDoc {
       time(s"r$round assemble + json") { noop(DocAssembler.assembleJson(root, load, Catalog.testData)) }
       val asm = DocAssembler.assemble(root, load, Catalog.testData)
       time(s"r$round json only (from assembled, recompute)") {
-        noop(asm.select(col(DocAssembler.IdColumn), to_json(struct(asm.columns.filterNot(_ == DocAssembler.IdColumn).map(col): _*)).as("doc")))
+        noop(asm.select(col(DocAssembler.IdColumn), to_json(struct(asm.columns.filterNot(_ == DocAssembler.IdColumn).map(col).toIndexedSeq: _*)).as("doc")))
       }
       spark.catalog.clearCache()
     }

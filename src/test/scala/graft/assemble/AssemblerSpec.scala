@@ -331,7 +331,7 @@ class AssemblerSpec extends SparkSpec {
             "relationship": {"type": "one_to_many", "variant": "object",
                              "through_tables": ["book_author"]}}]}"""
     def dump(df: DataFrame): Seq[String] =
-      df.select(to_json(struct(df.columns.map(col): _*)))
+      df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
         .collect().map(_.getString(0)).toSeq.sorted
     val a = dump(DocAssembler.assemble(SchemaDef.parseNodes(s), load, cat))
     val b = dump(DocAssembler.assemble(SchemaDef.parseNodes(s), load, cat))

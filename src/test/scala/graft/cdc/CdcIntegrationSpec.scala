@@ -68,7 +68,7 @@ class CdcIntegrationSpec extends SparkSpec {
     // compare to full recompute on the mutated source
     val expected = {
       val structured = DocAssembler.assemble(schema, mutated, Catalog.testData)
-      val payload = structured.columns.filterNot(_ == "_id").map(col)
+      val payload = structured.columns.filterNot(_ == "_id").map(col).toIndexedSeq
       structured.select(col("_id"), to_json(struct(payload: _*)).as("doc"))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     }

@@ -66,7 +66,7 @@ class CdcSpec extends SparkSpec {
 
   private def fullRecompute(): Map[String, String] = {
     val structured = DocAssembler.assemble(schema, load, cat)
-    val payload = structured.columns.filterNot(_ == "_id").map(col)
+    val payload = structured.columns.filterNot(_ == "_id").map(col).toIndexedSeq
     structured
       .select(col("_id"), to_json(struct(payload: _*)).as("doc"))
       .collect()
