@@ -114,6 +114,25 @@ class PlanSpec extends SparkSpec {
     assert(plan(unbucketed).contains("Exchange hashpartitioning"))
   }
 
+  test("shuffle budget: flagship assembly plans exactly one exchange per one_to_many child") {
+    // the cost model the architecture promises: each one_to_many child = ONE
+    // shuffle (groupBy on the FK, reused by the join); one_to_one dims
+    // broadcast. A regression that double-shuffles (e.g. groupBy key ≠ join
+    // key, or a lost broadcast) must fail loudly here, not at 100 TB.
+    val df = DocAssembler.assemble(
+      SchemaDef.parseNodes(Fixtures.flagship),
+      Tables.load(spark, sf),
+      Catalog.testData
+    )
+    val p = plan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // flagship = 1 one_to_many (lineitem) + 1 one_to_one (customer,
+    // broadcast): exactly one hash exchange
+    assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"customer dim should broadcast:\n$p")
+  }
+
   test("vector operators compile to the native expression, not interpreted HOFs") {
     val s = plan(SparkEntry.queries("q_dedup_embed")(spark, sf))
     assert(s.toLowerCase.contains("vectorbinaryop(")) // graft.expr.VectorBinaryOp
