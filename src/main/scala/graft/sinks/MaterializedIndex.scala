@@ -184,8 +184,10 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
         col(DocAssembler.IdColumn),
         to_json(struct(payload: _*)).as("doc")
       )
-      val d = writeBuckets("docs", 0L, flat, DocAssembler.IdColumn)
-      val l = writeBuckets("lineage", 0L, Lineage.fromDocs(cached), "root_id")
+      val (d, l) = inParallel(
+        writeBuckets("docs", 0L, flat, DocAssembler.IdColumn),
+        writeBuckets("lineage", 0L, Lineage.fromDocs(cached), "root_id")
+      )
       writeManifest(0L, (d.map(b => ("docs", b) -> 0L) ++ l.map(b => ("lineage", b) -> 0L)).toMap)
       flipCurrent(0L)
     } finally cached.unpersist(false)
@@ -205,17 +207,16 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
 
     val keptDocs = readBuckets("docs", docsSchema, affectedBuckets)
       .join(broadcast(affected.select(col(DocAssembler.IdColumn))), Seq(DocAssembler.IdColumn), "left_anti")
-    val writtenDocs =
-      writeBuckets("docs", next, keptDocs.unionByName(newDocs), DocAssembler.IdColumn)
-
     val keptLineage = readBuckets("lineage", Lineage.schema, affectedBuckets)
       .join(
         broadcast(affected.select(col(DocAssembler.IdColumn).as("root_id"))),
         Seq("root_id"),
         "left_anti"
       )
-    val writtenLineage =
+    val (writtenDocs, writtenLineage) = inParallel(
+      writeBuckets("docs", next, keptDocs.unionByName(newDocs), DocAssembler.IdColumn),
       writeBuckets("lineage", next, keptLineage.unionByName(newLineage), "root_id")
+    )
 
     // new manifest: untouched buckets inherit, affected buckets point at the
     // new version (or drop out entirely if now empty)
@@ -231,6 +232,21 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
   }
 
   private def flipCurrent(v: Long): Unit = writeText(currentPtr, v.toString)
+
+  /** Run the docs and lineage writes as concurrent Spark jobs: both consume
+    * the same upstream (a persisted frame or the affected-bucket reads), so
+    * overlapping them hides one write's IO behind the other's compute.
+    * Spark's block manager serializes concurrent computation of a cached
+    * partition, so the shared input is still computed once.
+    */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
 
   /** Drop version directories that are older than the newest `keepLast` AND
     * not referenced by ANY kept version's manifest — bucket inheritance (and
