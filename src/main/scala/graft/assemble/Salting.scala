@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Deterministic per-row salt: a hash of the row's own data, not its
+    * position. `monotonically_increasing_id`/`spark_partition_id` are pure
+    * functions of partition layout, so after a shuffle-fetch failure a
+    * recomputed partition can assign different salts to the same rows — the
+    * SPARK-23207 class of hazard where a partially-refetched shuffle
+    * double-counts or drops rows. Hashing (keys, value) gives every task
+    * attempt the same salt for the same row. Rows that are bit-identical
+    * share a salt, which only matters for a hot key whose payload is a
+    * single repeated value — still bounded by the distinct-value count.
+    */
+  private[assemble] def rowSalt(keys: Seq[String], value: Column, salts: Int): Column =
+    pmod(xxhash64((keys.map(col) :+ value): _*), lit(salts.toLong))
+
   /** Salted `collect_list`: (key cols) → merged array column `out`. */
   def saltedCollectList(
       df: DataFrame,
@@ -30,7 +43,7 @@ object Salting {
     val phase1 = df
       // per-ROW salt: a per-partition salt degenerates when the hot key's
       // rows are co-located in few input partitions (sorted/clustered input)
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
+      .withColumn("__salt", rowSalt(keys, value, salts))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(collect_list(value).as("__partial"))
     phase1
@@ -47,7 +60,7 @@ object Salting {
       salts: Int = 16
   ): DataFrame = {
     val phase1 = df
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
+      .withColumn("__salt", rowSalt(keys, value, salts))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(value).as("__partial"))
     phase1

@@ -27,6 +27,24 @@ class SaltingSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("row salts are stable under repartition (shuffle-retry safety)") {
+    // The salt must be a function of the row's data, not its partition/order:
+    // a shuffle-fetch retry recomputes upstream partitions, and a positional
+    // salt (monotonically_increasing_id) can then differ between attempts.
+    val base = (1 to 500).map(i => (i % 3L, i.toLong)).toDF("k", "v")
+    def saltsOf(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.withColumn("__salt", Salting.rowSalt(Seq("k"), col("v"), 4))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val a = saltsOf(base.repartition(2))
+    val b = saltsOf(base.repartition(16, col("v")))
+    val c = saltsOf(base.orderBy(desc("v")))
+    assert(a == b && b == c)
+    // and the salt actually spreads a hot key over multiple reducers
+    assert(a.filter(_._1._1 == 0L).values.toSet.size > 1)
+  }
+
   test("catalog JSON parsing round-trips PK/FK metadata") {
     val cat = Catalog.fromJson(
       """{"tables": {
