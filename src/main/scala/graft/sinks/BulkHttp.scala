@@ -111,9 +111,6 @@ object BulkHttp {
     var retriedItems = 0L; var requests = 0L
     val errors = new ArrayBuffer[String]()
 
-    def backoffMs(a: Int): Long =
-      math.min(cfg.maxBackoffMs, cfg.initialBackoffMs * (1L << math.min(a - 1, 32)))
-
     while (remaining.nonEmpty) {
       val resp = post(bulkUrl(cfg), remaining.mkString("", "\n", "\n"), cfg)
       requests += 1
@@ -124,7 +121,7 @@ object BulkHttp {
             s"bulk to ${cfg.endpoint}/${cfg.index} rejected (429) after $attempt attempts"
           )
         retriedItems += remaining.size
-        Thread.sleep(backoffMs(attempt)); attempt += 1
+        Thread.sleep(backoffMs(cfg, attempt)); attempt += 1
       } else if (resp.statusCode >= 300) {
         throw new RuntimeException(
           s"bulk to ${cfg.endpoint}/${cfg.index} failed: HTTP ${resp.statusCode}: ${truncate(resp.body)}"
@@ -164,12 +161,26 @@ object BulkHttp {
           } else {
             retriedItems += rejected.size
             remaining = rejected.toIndexedSeq
-            Thread.sleep(backoffMs(attempt)); attempt += 1
+            Thread.sleep(backoffMs(cfg, attempt)); attempt += 1
           }
         } else remaining = IndexedSeq.empty
       }
     }
     BulkResult(succeeded, failed, ignored, retriedItems, requests)
+  }
+
+  /** Exponential backoff with ±20% jitter. A server-wide 429 hits every
+    * partition at once; without jitter all tasks sleep the same
+    * `initial · 2^(attempt-1)` and retry in lockstep, re-creating the
+    * overload each round (thundering herd). The jitter decorrelates the
+    * retry times; the result is clamped to `maxBackoffMs`.
+    */
+  private[sinks] def backoffMs(cfg: BulkConfig, attempt: Int): Long = {
+    val base =
+      math.min(cfg.maxBackoffMs, cfg.initialBackoffMs * (1L << math.min(attempt - 1, 32)))
+    val jittered =
+      (base * (0.8 + 0.4 * java.util.concurrent.ThreadLocalRandom.current().nextDouble())).toLong
+    math.min(cfg.maxBackoffMs, math.max(0L, jittered))
   }
 
   private def bulkUrl(cfg: BulkConfig): String =

@@ -208,6 +208,23 @@ class BulkHttpSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("backoff jitter stays within ±20% of the exponential base and decorrelates") {
+    val cfg = BulkHttp.BulkConfig(endpoint = "http://x", index = "i",
+      initialBackoffMs = 1000, maxBackoffMs = 600000)
+    // attempt 1 → base 1000, attempt 3 → base 4000; jittered ∈ [0.8b, 1.2b]
+    for ((attempt, base) <- Seq(1 -> 1000L, 3 -> 4000L)) {
+      val draws = (1 to 200).map(_ => BulkHttp.backoffMs(cfg, attempt))
+      assert(draws.forall(d => d >= (base * 0.8).toLong && d <= (base * 1.2).toLong),
+        s"attempt $attempt out of window: min=${draws.min} max=${draws.max}")
+      // lockstep would be a single repeated value; jitter must spread
+      assert(draws.distinct.size > 10, s"attempt $attempt draws not jittered: ${draws.distinct}")
+    }
+    // the cap clamps the jittered value too, never exceeding maxBackoffMs
+    val capped = BulkHttp.BulkConfig(endpoint = "http://x", index = "i",
+      initialBackoffMs = 1000, maxBackoffMs = 1100)
+    assert((1 to 100).map(_ => BulkHttp.backoffMs(capped, 10)).forall(_ <= 1100L))
+  }
+
   test("index lifecycle: create (HEAD-check + PUT), delete, refresh") {
     val stub = new Stub(_ => None)
     try {
