@@ -145,8 +145,11 @@ final class GraftSync(
   ): StreamingQuery =
     sync.start(prepare(changes), checkpointDir, trigger = None, opsSink = opsSink)
 
-  /** The search-index bootstrap mapping for this schema (S11). */
-  def indexMapping: String = SearchSink.buildMapping(schema.root, schema.routing)
+  /** The search-index bootstrap body for this schema (S11): settings (when
+    * the doc carries a `setting` object) + derived mappings.
+    */
+  def indexMapping: String =
+    SearchSink.buildMapping(schema.root, schema.routing, schema.setting)
 
   // ---- publishing to a live search endpoint (S10 product loop) -------------
 

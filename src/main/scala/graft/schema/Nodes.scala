@@ -140,15 +140,52 @@ final case class Node(
 
 final case class SchemaError(msg: String) extends RuntimeException(msg)
 
+/** The closed sets of legal search-index field types and mapping parameters
+  * (`pgsync/constants.py:83-129` ELASTICSEARCH_TYPES,
+  * `constants.py:132-162` ELASTICSEARCH_MAPPING_PARAMETERS). The reference
+  * validates `transform.mapping` against these and raises on unknowns
+  * (`search_client.py:317-334`); we check at schema parse so a typo'd type
+  * is a parse error, not an opaque HTTP 400 at index-create time.
+  */
+object EsMapping {
+  val Types: Set[String] = Set(
+    "binary", "boolean", "byte", "completion", "constant_keyword", "date",
+    "date_range", "dense_vector", "double", "double_range", "flattened",
+    "float", "float_range", "geo_point", "geo_shape", "half_float",
+    "integer", "integer_range", "interval_day", "interval_day_to_hour",
+    "interval_day_to_minute", "interval_day_to_second", "interval_hour",
+    "interval_hour_to_minute", "interval_hour_to_second", "interval_minute",
+    "interval_minute_to_second", "interval_month", "interval_second",
+    "interval_year", "interval_year_to_month", "ip", "keyword", "knn_vector",
+    "long", "long_range", "nested", "null", "object", "scaled_float",
+    "search_as_you_type", "shape", "short", "text", "time"
+  )
+
+  val Parameters: Set[String] = Set(
+    "analyzer", "boost", "coerce", "copy_to", "dimension", "doc_values",
+    "dynamic", "eager_global_ordinals", "enabled", "fielddata",
+    "fielddata_frequency_filter", "fields", "format", "ignore_above",
+    "ignore_malformed", "index", "index_options", "index_phrases",
+    "index_prefixes", "meta", "normalizer", "norms", "null_value",
+    "position_increment_gap", "properties", "search_analyzer", "similarity",
+    "store", "term_vector"
+  )
+}
+
 /** Top-level schema document: `database`, `index`, `nodes`, plus passthrough
-  * search-index settings (`pgsync/sync.py:114-121`).
+  * search-index settings (`pgsync/sync.py:114-121`). `setting` is the
+  * per-index settings object (analyzers, shard counts) merged into the
+  * index-create body as `{"settings": {"index": setting}}`
+  * (`search_client.py:261-288` `_create_setting`); kept as raw JSON since
+  * it passes through verbatim.
   */
 final case class SchemaDef(
     database: String,
     index: String,
     root: Node,
     routing: Option[String] = None,
-    pipeline: Option[String] = None
+    pipeline: Option[String] = None,
+    setting: Option[String] = None
 )
 
 object SchemaDef {
@@ -166,7 +203,12 @@ object SchemaDef {
       index = opt(n, "index").getOrElse(""),
       root = parseNode(n.get("nodes"), isRoot = true),
       routing = opt(n, "routing"),
-      pipeline = opt(n, "pipeline")
+      pipeline = opt(n, "pipeline"),
+      setting = Option(n.get("setting")).filterNot(_.isNull).map { s =>
+        if (!s.isObject)
+          throw SchemaError("'setting' must be a JSON object of index settings")
+        s.toString
+      }
     )
   }
 
@@ -260,7 +302,22 @@ object SchemaDef {
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, String]])
     val mapping = Option(n.get("mapping")).map { m =>
-      m.properties.asScala.map(e => e.getKey -> e.getValue.toString).toMap
+      m.properties.asScala.map { e =>
+        val spec = e.getValue
+        // fail-fast validation against the closed ES lists
+        // (search_client.py:317-334 raises the same way, at create time)
+        if (!spec.isObject)
+          throw SchemaError(s"mapping for '${e.getKey}' must be an object with a 'type'")
+        val tpe = Option(spec.get("type")).filterNot(_.isNull).map(_.asText)
+          .getOrElse(throw SchemaError(s"mapping for '${e.getKey}' missing 'type'"))
+        if (!EsMapping.Types.contains(tpe))
+          throw SchemaError(s"Invalid Elasticsearch type $tpe")
+        spec.fieldNames.asScala.filterNot(_ == "type").foreach { p =>
+          if (!EsMapping.Parameters.contains(p))
+            throw SchemaError(s"Invalid Elasticsearch mapping parameter $p")
+        }
+        e.getKey -> spec.toString
+      }.toMap
     }.getOrElse(Map.empty[String, String])
     TransformSpec(rename, concat, replace, mapping)
   }

@@ -69,9 +69,17 @@ object SearchSink {
     * `search_client.py:304-354`): walk the tree; leaves get a type from the
     * node's `transform.mapping` override or stay dynamic; one_to_many object
     * children are `nested`, one_to_one object children are `object`.
-    * Returns the JSON mapping body.
+    * `setting` (the schema doc's per-index settings object) merges into the
+    * body as `{"settings": {"index": setting}}` exactly like
+    * `_create_setting` (`search_client.py:261-288`) — without it a user's
+    * analyzers/shard counts would be lost at bootstrap.
+    * Returns the JSON index-create body.
     */
-  def buildMapping(root: Node, routing: Option[String] = None): String = {
+  def buildMapping(
+      root: Node,
+      routing: Option[String] = None,
+      setting: Option[String] = None
+  ): String = {
     def props(node: Node): String = {
       val fieldMappings = node.transform.mapping.map { case (field, spec) =>
         s""""$field": $spec"""
@@ -92,6 +100,8 @@ object SearchSink {
     }
     val routingPart =
       routing.map(r => s""", "_routing": {"required": true}""").getOrElse("")
-    s"""{"mappings": {"properties": {${props(root)}}$routingPart}}"""
+    val settingsPart =
+      setting.map(s => s""""settings": {"index": $s}, """).getOrElse("")
+    s"""{$settingsPart"mappings": {"properties": {${props(root)}}$routingPart}}"""
   }
 }

@@ -83,6 +83,36 @@ class SchemaSpec extends AnyFunSuite {
     assert(e.msg.contains("move"))
   }
 
+  test("transform.mapping validated against closed ES lists (search_client.py:317-334)") {
+    // legal type + legal parameters pass
+    val ok = SchemaDef.parseNodes(
+      """{"table": "a", "transform": {"mapping":
+           {"title": {"type": "text", "analyzer": "ngram", "fields": {"raw": {"type": "keyword"}}}}}}"""
+    )
+    assert(ok.transform.mapping.contains("title"))
+    // unknown type → parse error, not an opaque HTTP 400 at create time
+    val badType = intercept[SchemaError] {
+      SchemaDef.parseNodes(
+        """{"table": "a", "transform": {"mapping": {"x": {"type": "strnig"}}}}"""
+      )
+    }
+    assert(badType.msg == "Invalid Elasticsearch type strnig")
+    // unknown mapping parameter
+    val badParam = intercept[SchemaError] {
+      SchemaDef.parseNodes(
+        """{"table": "a", "transform": {"mapping": {"x": {"type": "text", "analzyer": "ngram"}}}}"""
+      )
+    }
+    assert(badParam.msg == "Invalid Elasticsearch mapping parameter analzyer")
+    // missing type / non-object spec
+    intercept[SchemaError] {
+      SchemaDef.parseNodes("""{"table": "a", "transform": {"mapping": {"x": {"analyzer": "ng"}}}}""")
+    }
+    intercept[SchemaError] {
+      SchemaDef.parseNodes("""{"table": "a", "transform": {"mapping": {"x": "text"}}}""")
+    }
+  }
+
   test("JSON path column refs parse PG operators (node.py:200-303)") {
     assert(ColumnRef("plain").base == "plain")
     assert(!ColumnRef("plain").hasPath)

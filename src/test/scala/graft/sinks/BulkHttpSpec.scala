@@ -53,14 +53,15 @@ class BulkHttpSpec extends SparkSpec {
       }
     )
     // index lifecycle endpoints: everything else
+    @volatile var lastPutBody: String = _
     server.createContext(
       "/",
       (ex: HttpExchange) => {
-        readBody(ex)
+        val body = readBody(ex)
         val (method, path) = (ex.getRequestMethod, ex.getRequestURI.getPath)
         (method, path) match {
           case ("HEAD", _)                          => respond(ex, 404, "")
-          case ("PUT", _)                           => respond(ex, 200, """{"acknowledged":true}""")
+          case ("PUT", _)                           => lastPutBody = body; respond(ex, 200, """{"acknowledged":true}""")
           case ("DELETE", _)                        => respond(ex, 200, """{"acknowledged":true}""")
           case ("POST", p) if p.endsWith("_refresh") => respond(ex, 200, "{}")
           case _                                    => respond(ex, 400, "{}")
@@ -231,6 +232,24 @@ class BulkHttpSpec extends SparkSpec {
       assert(BulkHttp.createIndex(stub.endpoint, "idx", """{"mappings":{}}"""))
       BulkHttp.deleteIndex(stub.endpoint, "idx")
       BulkHttp.refresh(stub.endpoint, Seq("idx"))
+    } finally stub.stop()
+  }
+
+  test("createIndex round-trip carries settings AND mappings (search_client.py:261-288)") {
+    val stub = new Stub(_ => None)
+    try {
+      val doc = graft.schema.SchemaDef.parse(
+        """{"database": "db", "index": "books",
+            "setting": {"number_of_shards": 2, "analysis": {"analyzer": {"ng": {"tokenizer": "ngram"}}}},
+            "nodes": {"table": "book", "columns": ["isbn"],
+                      "transform": {"mapping": {"isbn": {"type": "keyword"}}}}}"""
+      )
+      val body = SearchSink.buildMapping(doc.root, doc.routing, doc.setting)
+      assert(BulkHttp.createIndex(stub.endpoint, doc.index, body))
+      val sent = new com.fasterxml.jackson.databind.ObjectMapper().readTree(stub.lastPutBody)
+      assert(sent.get("settings").get("index").get("number_of_shards").asInt() == 2)
+      assert(sent.get("settings").get("index").get("analysis").get("analyzer").has("ng"))
+      assert(sent.get("mappings").get("properties").get("isbn").get("type").asText() == "keyword")
     } finally stub.stop()
   }
 

@@ -40,6 +40,29 @@ class SinkSpec extends SparkSpec {
     assert(m.contains(""""name": {"type":"text"}"""))
   }
 
+  test("index setting passthrough: settings + mappings in one create body (search_client.py:261-288)") {
+    val doc = SchemaDef.parse(
+      """{"database": "db", "index": "books", "routing": "isbn",
+          "setting": {"number_of_shards": 3,
+                      "analysis": {"analyzer": {"my_ngram": {"type": "custom", "tokenizer": "ngram"}}}},
+          "nodes": {"table": "book", "columns": ["isbn"],
+                    "transform": {"mapping": {"isbn": {"type": "keyword"}}}}}"""
+    )
+    assert(doc.setting.isDefined)
+    val body = SearchSink.buildMapping(doc.root, doc.routing, doc.setting)
+    // golden shape: {"settings": {"index": {...}}, "mappings": {...}}
+    assert(body.startsWith("""{"settings": {"index": {"number_of_shards":3"""))
+    assert(body.contains(""""my_ngram""""))
+    assert(body.contains(""""mappings": {"properties": {"isbn": {"type":"keyword"}}"""))
+    assert(body.contains(""""_routing": {"required": true}"""))
+    // parses as one JSON object with both top-level keys
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(parsed.get("settings").get("index").get("number_of_shards").asInt() == 3)
+    assert(parsed.get("mappings").has("properties"))
+    // absent setting → mappings-only body, unchanged from before
+    assert(SearchSink.buildMapping(doc.root).startsWith("""{"mappings""""))
+  }
+
   test("plugin chain: rewrite + drop in config order (plugin.py:102-103)") {
     val docs = Seq((1L, "keep"), (2L, "drop"), (3L, "keep")).toDF("id", "status")
     val upper = new DocTransform {
