@@ -45,8 +45,13 @@ object Bench {
     // production shapes only. q_dedup_embed is the documented quadratic
     // exact twin of the LSH path (q_dedup_embed_lsh), which IS timed.
     val benchExcluded = Set("q_dedup_embed")
+    // triage knob: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries
+    // (and skips the throughput metrics) for quick regression bisection
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = SparkEntry.queries.toSeq
       .filterNot(q => benchExcluded(q._1))
+      .filter(q => only.forall(_.contains(q._1)))
       .sortBy(_._1)
       .map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
@@ -66,6 +71,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    if (only.isDefined) {
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
 
     // BASELINE.md metrics: snapshot docs/sec (flagship nested-doc assembly
     // end-to-end) and incremental changes/sec at the reference's 5000-change
