@@ -28,7 +28,7 @@ final class GraftSync(
     catalog: Catalog,
     load: String => DataFrame,
     indexDir: String,
-    plugins: Seq[DocTransform] = Nil,
+    val plugins: Seq[DocTransform] = Nil,
     guardUnchangedUpdates: Boolean = false
 ) {
 
@@ -264,8 +264,53 @@ object GraftSync {
     graft.schema.ConfigLoader.docs(configJson, env).map { json =>
       val schema = SchemaDef.parse(json)
       val name = if (schema.index.nonEmpty) schema.index else schema.root.table
-      new GraftSync(spark, schema, catalog, load, s"$baseDir/$name")
+      // the doc's `plugins` name list resolves against ServiceLoader-
+      // discovered implementations, in config order (plugin.py:49-91)
+      new GraftSync(spark, schema, catalog, load, s"$baseDir/$name",
+        plugins = Plugins.discover(schema.plugins))
     }
+
+  /** Run every sync of a config as one combined daemon — the reference's
+    * multi-doc orchestration (`sync.py:2383-2416` spawns one thread per
+    * schema doc; `receive()`, `sync.py:2114-2153`, does snapshot-then-
+    * consume per doc). Spark-native shape: snapshots are submitted as
+    * CONCURRENT jobs from a small driver-side pool (the cluster scheduler
+    * interleaves their stages — one idle sync's scan overlaps another's
+    * shuffle), then each sync with a change feed starts its own Structured
+    * Streaming query. Everything shares the one SparkSession; each sync
+    * keeps its own index dir and checkpoint dir (`checkpointBase/<index>`).
+    *
+    * Returns one handle per sync, aligned with the input order; streaming
+    * handles are None for feed-less (snapshot-only) docs. Callers own
+    * `awaitTermination`/`stop` on the returned queries.
+    */
+  def runAll(
+      syncs: Seq[GraftSync],
+      checkpointBase: String,
+      changeFeed: GraftSync => Option[DataFrame] = _ => None,
+      opsSink: GraftSync => Option[DataFrame => Unit] = _ => None,
+      snapshotParallelism: Int = 4
+  ): Seq[Option[StreamingQuery]] = {
+    if (syncs.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(snapshotParallelism, syncs.size))
+    )
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // phase 1: all snapshots, as overlapping Spark jobs
+      Await.result(
+        Future.sequence(syncs.map(s => Future(s.snapshot()))),
+        Duration.Inf
+      )
+    } finally pool.shutdown()
+    // phase 2: continuous maintenance for docs with a feed
+    syncs.map { s =>
+      val name = if (s.schema.index.nonEmpty) s.schema.index else s.schema.root.table
+      changeFeed(s).map(feed => s.stream(feed, s"$checkpointBase/$name", opsSink(s)))
+    }
+  }
 
   /** [[fromConfig]] from a local path or http(s) URL (the reference's
     * `--config` / `--schema_url` sources, `utils.py:264-281`).

@@ -16,9 +16,10 @@ import scala.util.matching.Regex
   * environment-variable templating with Python `Template.safe_substitute`
   * rules — `$VAR` / `${VAR}`, `$$` escapes to `$`, unknown variables are
   * left verbatim, nested values are never templated (the reference's
-  * `TypeError` skip). Sources may be a local path or an http(s) URL
-  * (`validate_config`, `utils.py:178-201`; S3 is out of sandbox scope —
-  * an S3A path through the Hadoop FS would slot in the same way).
+  * `TypeError` skip). Sources may be a local path, an http(s) URL, or any
+  * Hadoop FileSystem URI — s3a/hdfs/file (`validate_config`,
+  * `utils.py:178-201`; the reference's S3 branch `utils.py:264-281`
+  * becomes the scheme-agnostic Hadoop FS read).
   */
 object ConfigLoader {
 
@@ -98,10 +99,27 @@ object ConfigLoader {
           throw new IllegalArgumentException(s"expected JSON from $source: ${e.getMessage}", e)
       }
       body
-    } else if (lower.startsWith("s3://")) {
-      throw new IllegalArgumentException(
-        "s3:// config URLs are not supported here; mount the bucket via the Hadoop FS (s3a) and pass a path"
-      )
+    } else if (source.contains("://")) {
+      // Any Hadoop FileSystem URI (s3a://, hdfs://, file://, ...) loads
+      // uniformly — the scheme-agnostic analogue of the reference's S3
+      // branch (utils.py:264-281). Plain s3:// is rewritten to s3a://, the
+      // Hadoop-native S3 client.
+      val uriStr = if (lower.startsWith("s3://")) "s3a://" + source.drop(5) else source
+      val uri = URI.create(uriStr)
+      val fs = org.apache.hadoop.fs.FileSystem.get(uri, new org.apache.hadoop.conf.Configuration())
+      val path = new org.apache.hadoop.fs.Path(uri)
+      if (!fs.exists(path))
+        throw new java.io.FileNotFoundException(s"""Config "$source" not found""")
+      val in = fs.open(path)
+      val body =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"expected JSON from $source: ${e.getMessage}", e)
+      }
+      body
     } else {
       val p = Paths.get(source)
       if (!Files.exists(p))

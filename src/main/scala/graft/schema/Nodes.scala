@@ -185,7 +185,8 @@ final case class SchemaDef(
     root: Node,
     routing: Option[String] = None,
     pipeline: Option[String] = None,
-    setting: Option[String] = None
+    setting: Option[String] = None,
+    plugins: Seq[String] = Nil
 )
 
 object SchemaDef {
@@ -208,7 +209,12 @@ object SchemaDef {
         if (!s.isObject)
           throw SchemaError("'setting' must be a JSON object of index settings")
         s.toString
-      }
+      },
+      // the doc's plugin-name list (`sync.py:116` doc.get("plugins", [])),
+      // resolved against discovered implementations in config order
+      plugins = Option(n.get("plugins")).toSeq
+        .flatMap(_.elements.asScala)
+        .map(_.asText)
     )
   }
 

@@ -48,6 +48,31 @@ object Auth {
 
 object Plugins {
 
+  /** Discover [[DocTransform]] implementations on the classpath and select
+    * the configured ones, in configuration order — the reference's package
+    * walk + name filter (`plugin.py:49-91`: `iter_modules`/`import_module`
+    * over the plugins package, keep classes whose `name` is configured,
+    * sort by `names.index`). The JVM-native equivalent of a package walk is
+    * `java.util.ServiceLoader`: implementations register in
+    * `META-INF/services/graft.transform.DocTransform` and need a no-arg
+    * constructor. Configured names with no matching implementation are
+    * skipped, like the reference's walk (it only collects matches).
+    */
+  def discover(
+      names: Seq[String],
+      loader: ClassLoader = Thread.currentThread().getContextClassLoader
+  ): Seq[DocTransform] = {
+    if (names.isEmpty) return Nil
+    import scala.jdk.CollectionConverters._
+    val available = java.util.ServiceLoader
+      .load(classOf[DocTransform], loader)
+      .iterator()
+      .asScala
+      .toSeq
+    val byName = available.groupBy(_.name)
+    names.flatMap(n => byName.getOrElse(n, Nil))
+  }
+
   /** Apply a configuration-ordered plugin chain in one pass. The schema must
     * be unchanged by the plugins (the reference mutates dicts freely; the
     * relational equivalent is schema-preserving rewrites — schema-changing

@@ -223,6 +223,52 @@ class GraftSyncSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(s"$base/idx_b/CURRENT")))
   }
 
+  test("runAll: 2-index config snapshots concurrently then streams each feed (sync.py:2114-2153,2383-2416)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    tables = Map(
+      "order_summary" -> Seq((1L, "open"), (2L, "new")).toDF("id", "status"),
+      "item" -> Seq((10L, 1L, "a")).toDF("id", "order_id", "sku")
+    )
+    val base = Files.createTempDirectory("graft-runall").toString
+    val syncs = GraftSync.fromConfig(
+      spark,
+      s"""[
+        {"database": "db", "index": "idx_orders", "nodes": {"table": "order_summary", "columns": ["id", "status"]}},
+        {"database": "db", "index": "idx_items", "nodes": {"table": "item", "columns": ["id", "sku"]}}
+      ]""",
+      cat, load, s"$base/idx"
+    )
+    implicit val sqlCtx = spark.sqlContext
+    // one independent change feed per doc, like per-doc replication slots
+    val feeds = syncs.map(_ => MemoryStream[(String, String, String, String, Long)])
+    def toChanges(m: MemoryStream[(String, String, String, String, Long)]) =
+      m.toDF().select(
+        col("_1").as("tg_op"), col("_2").as("tbl"),
+        col("_3").as("old"), col("_4").as("new"), col("_5").as("txid"))
+    val queries = GraftSync.runAll(
+      syncs,
+      s"$base/ckpt",
+      changeFeed = s => Some(toChanges(feeds(syncs.indexOf(s))))
+    )
+    try {
+      // phase 1 landed both snapshots
+      assert(syncs(0).state.docs.count() == 2)
+      assert(syncs(1).state.docs.count() == 1)
+      assert(queries.forall(_.isDefined))
+      // each stream maintains only its own index
+      tables += "order_summary" -> Seq((1L, "open"), (2L, "new"), (3L, "hot")).toDF("id", "status")
+      feeds(0).addData((Changes.Insert, "order_summary", null, """{"id": 3}""", 1L))
+      tables += "item" -> Seq((10L, 1L, "a"), (11L, 2L, "b")).toDF("id", "order_id", "sku")
+      feeds(1).addData((Changes.Insert, "item", null, """{"id": 11}""", 1L))
+      queries.flatten.foreach(_.processAllAvailable())
+      assert(syncs(0).state.docs.count() == 3)
+      assert(syncs(1).state.docs.count() == 2)
+      // per-sync checkpoints under checkpointBase/<index>
+      assert(Files.exists(java.nio.file.Paths.get(s"$base/ckpt/idx_orders/offsets")))
+      assert(Files.exists(java.nio.file.Paths.get(s"$base/ckpt/idx_items/offsets")))
+    } finally queries.flatten.foreach(_.stop())
+  }
+
   test("analyze advises bucketing for FK keys and broadcast for dims (--analyze analogue)") {
     tables = Map(
       "order_summary" -> Seq((1L, "open")).toDF("id", "status"),

@@ -188,7 +188,26 @@ class SchemaSpec extends AnyFunSuite {
     assert(SchemaDef.parse(docs.head).index == "i_dev")
     val missing = intercept[java.io.FileNotFoundException] { ConfigLoader.fetch("/no/such/file.json") }
     assert(missing.getMessage.contains("not found"))
-    val s3 = intercept[IllegalArgumentException] { ConfigLoader.fetch("s3://bucket/key.json") }
-    assert(s3.getMessage.contains("s3"))
+  }
+
+  test("config loader: Hadoop FileSystem URI source (utils.py:264-281 scheme-agnostic)") {
+    val p = java.nio.file.Files.createTempFile("graft-cfg-fs", ".json")
+    java.nio.file.Files.write(
+      p,
+      """{"database": "db", "index": "i_${APP_ENV}", "nodes": {"table": "t"}}""".getBytes("UTF-8")
+    )
+    // file:// exercises the same FileSystem.get(uri).open(path) code path
+    // that s3a:// / hdfs:// take — the Hadoop FS API is scheme-agnostic
+    val docs = ConfigLoader.load(s"file://$p", Map("APP_ENV" -> "prod"))
+    assert(SchemaDef.parse(docs.head).index == "i_prod")
+    val missing = intercept[java.io.FileNotFoundException] {
+      ConfigLoader.fetch("file:///no/such/graft-cfg.json")
+    }
+    assert(missing.getMessage.contains("not found"))
+    // non-JSON content through the FS branch is rejected up front
+    val bad = java.nio.file.Files.createTempFile("graft-cfg-bad", ".json")
+    java.nio.file.Files.write(bad, "{nope".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] { ConfigLoader.fetch(s"file://$bad") }
+    assert(e.getMessage.contains("expected JSON"))
   }
 }

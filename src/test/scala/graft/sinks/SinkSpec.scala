@@ -79,6 +79,32 @@ class SinkSpec extends SparkSpec {
     assert(out.toSet == Set((1L, "KEEP"), (3L, "KEEP")))
   }
 
+  test("ServiceLoader plugin discovery: config-name filter in config order (plugin.py:49-91)") {
+    // three implementations registered in META-INF/services; config names
+    // select two of them, in the order the config lists them
+    val chain = Plugins.discover(Seq("drop_skipped", "uppercase_title"))
+    assert(chain.map(_.name) == Seq("drop_skipped", "uppercase_title"))
+    // unknown names are skipped like the reference's walk (collects matches only)
+    assert(Plugins.discover(Seq("uppercase_title", "no_such_plugin")).map(_.name) ==
+      Seq("uppercase_title"))
+    assert(Plugins.discover(Nil).isEmpty)
+    // and the discovered chain actually runs: uppercase first, then drop
+    val docs = Seq((1L, "keep"), (2L, "skip")).toDF("id", "status")
+    val out = Plugins(docs, Plugins.discover(Seq("uppercase_title", "drop_skipped")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "KEEP")))
+    // a config doc's plugins list reaches the sync via fromConfig
+    val syncs = graft.GraftSync.fromConfig(
+      spark,
+      """{"database": "db", "index": "idx", "plugins": ["uppercase_title"],
+          "nodes": {"table": "book"}}""",
+      graft.catalog.Catalog(Map("book" -> graft.catalog.TableMeta("book", Seq("id")))),
+      _ => Seq((1L, "x")).toDF("id", "status"),
+      java.nio.file.Files.createTempDirectory("graft-plug").toString
+    )
+    assert(syncs.head.plugins.map(_.name) == Seq("uppercase_title"))
+  }
+
   test("U2 auth chain: first defined answer wins (plugin.py:106-115)") {
     import graft.transform.{Auth, AuthProvider}
     val a = new AuthProvider { def auth(key: String) = if (key == "PG_PASSWORD") Some("pg-a") else None }
