@@ -410,6 +410,11 @@ object SparkEntry {
       graft.streaming.EventAnalytics.windowedCounts(loader(s, dir)("events"), "1 hour")),
     "q_events_sessions" -> ((s, dir) =>
       graft.streaming.EventAnalytics.sessionizeBatch(loader(s, dir)("events"), 3600L)),
+    // the STATEFUL streaming form under the same oracle: a deterministic
+    // file-stream replay through flatMapGroupsWithState (event-time state,
+    // sentinel flush) must emit the exact sessions the batch form computes
+    "q_events_sessions_stream" -> ((s, dir) =>
+      graft.streaming.EventAnalytics.sessionizeReplay(loader(s, dir)("events"), 3600L)),
     // ---- multimodal: binary columns + per-partition stub decode ------------
     "q_multimodal" -> ((s, dir) =>
       Multimodal
@@ -847,6 +852,24 @@ object SparkEntry {
          FROM events
          GROUP BY 1, 2""",
     "q_events_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 3600
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sessions AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged)
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM sessions GROUP BY user_id, session_id""",
+    "q_events_sessions_stream" ->
       """WITH flagged AS (
            SELECT user_id, ts, value,
                   CASE WHEN lag(ts) OVER w IS NULL

@@ -82,6 +82,90 @@ object EventAnalytics {
       value_cents: Long
   )
 
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Deterministic file-stream replay of [[sessionize]]: stages the events
+    * as time-range chunk files, streams them through the stateful
+    * `flatMapGroupsWithState` machine one file per micro-batch, and returns
+    * the closed sessions as a batch DataFrame with the same output shape as
+    * [[sessionizeBatch]] — so the stateful operator itself can sit under
+    * the same SQL oracle.
+    *
+    * Determinism notes:
+    * - chunks partition event time into contiguous half-open ranges, so
+    *   every file's events are ≥ the previous file's; the watermark (which
+    *   trails the previous batch's max by `watermark`) can never classify
+    *   an incoming row as late;
+    * - file order is forced by explicit, strictly-increasing modification
+    *   times (the file source orders by mod time; relying on write-time
+    *   mtimes risks sub-second ties);
+    * - a final sentinel file carries one far-future event per user, which
+    *   closes every still-open session INLINE (gap exceeded) — no reliance
+    *   on a trailing watermark tick that a drained stream never gets. The
+    *   sentinel's own sessions stay in state and are never emitted.
+    */
+  def sessionizeReplay(
+      events: DataFrame,
+      gapSeconds: Long,
+      chunks: Int = 3,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val in = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      col("value").cast("double").as("value")
+    )
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-session-replay").toString
+
+    val epoch = in.select(col("ts").cast("long").cast("double").as("t"))
+    val bounds = epoch.stat
+      .approxQuantile("t", (1 until chunks).map(_.toDouble / chunks).toArray, 0.001)
+      .map(_.toLong)
+    val maxTs = in.agg(max(col("ts").cast("long"))).head.getLong(0)
+
+    val stamped = scala.collection.mutable.Set[String]()
+    def stampNewFiles(ordinal: Int): Unit = {
+      val dir = new java.io.File(stageDir)
+      dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .filterNot(f => stamped.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(1_000_000_000_000L + ordinal * 60_000L)
+          stamped += f.getName
+        }
+    }
+
+    val ranges = (Long.MinValue +: bounds).zip(bounds :+ Long.MaxValue)
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      in.filter(col("ts").cast("long") >= lo && col("ts").cast("long") < hi)
+        .coalesce(1).write.mode("append").parquet(stageDir)
+      stampNewFiles(i)
+    }
+    val sentinelTs = maxTs + gapSeconds + 24 * 3600
+    in.select(col("user_id")).distinct()
+      .withColumn("ts", lit(sentinelTs).cast("timestamp"))
+      .withColumn("value", lit(0.0))
+      .coalesce(1).write.mode("append").parquet(stageDir)
+    stampNewFiles(ranges.size)
+
+    val name = s"graft_sessions_replay_${replaySeq.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(in.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir)
+    val q = sessionize(stream.as[EventIn], gapSeconds, watermark)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).select(
+      col("user_id"),
+      date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+      col("n_events").cast("long").as("n_events"),
+      col("value_cents")
+    )
+  }
+
   /** Streaming sessionization via `flatMapGroupsWithState` with an
     * EVENT-TIME TIMEOUT: per-user open session kept in the state store; a
     * batch whose events jump the gap closes the previous session inline, and

@@ -185,6 +185,28 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("sessionizeReplay: file-stream stateful sessions equal the batch gaps-and-islands form") {
+    // sessions that span chunk files (cross-micro-batch state continuation)
+    // plus still-open tails that only the sentinel flush closes
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(plusSec: Long) = new java.sql.Timestamp(t0 + plusSec * 1000)
+    val rows = Seq(
+      (1L, ts(0), 1.0), (1L, ts(1800), 2.0), (1L, ts(3000), 3.0), // one long session
+      (1L, ts(20000), 4.0), // second session, never followed → sentinel-closed
+      (2L, ts(100), 5.0), (2L, ts(9000), 6.0), (2L, ts(9050), 7.0), // two sessions
+      (3L, ts(15000), 8.0) // single-event session
+    )
+    val events = rows.toDF("user_id", "ts", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val streamed = EventAnalytics.sessionizeReplay(events, 3600L, chunks = 3)
+      .collect().map(key).toSet
+    val batch = EventAnalytics.sessionizeBatch(events, 3600L)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 5)
+  }
+
   test("streaming windowed counts with watermark produce append-mode results") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String)]
