@@ -146,10 +146,11 @@ final class GraftSync(
     sync.start(prepare(changes), checkpointDir, trigger = None, opsSink = opsSink)
 
   /** The search-index bootstrap body for this schema (S11): settings (when
-    * the doc carries a `setting` object) + derived mappings.
+    * the doc carries a `setting` object) + mappings, honoring doc-level
+    * `mapping`/`mappings` overrides with the reference's merge priority
+    * (`search_client.py:261-288`); falls back to the tree derivation.
     */
-  def indexMapping: String =
-    SearchSink.buildMapping(schema.root, schema.routing, schema.setting)
+  def indexMapping: String = SearchSink.createBody(schema)
 
   // ---- publishing to a live search endpoint (S10 product loop) -------------
 

@@ -186,7 +186,12 @@ final case class SchemaDef(
     routing: Option[String] = None,
     pipeline: Option[String] = None,
     setting: Option[String] = None,
-    plugins: Seq[String] = Nil
+    plugins: Seq[String] = Nil,
+    // doc-level mapping overrides (`sync.py:119-120`): `mapping` replaces
+    // the tree-derived properties entirely; `mappings` passes through under
+    // the reference's `{"mappings": {"index": ...}}` shape. Raw JSON.
+    mapping: Option[String] = None,
+    mappings: Option[String] = None
 )
 
 object SchemaDef {
@@ -205,16 +210,14 @@ object SchemaDef {
       root = parseNode(n.get("nodes"), isRoot = true),
       routing = opt(n, "routing"),
       pipeline = opt(n, "pipeline"),
-      setting = Option(n.get("setting")).filterNot(_.isNull).map { s =>
-        if (!s.isObject)
-          throw SchemaError("'setting' must be a JSON object of index settings")
-        s.toString
-      },
+      setting = obj(n, "setting"),
       // the doc's plugin-name list (`sync.py:116` doc.get("plugins", [])),
       // resolved against discovered implementations in config order
       plugins = Option(n.get("plugins")).toSeq
         .flatMap(_.elements.asScala)
-        .map(_.asText)
+        .map(_.asText),
+      mapping = obj(n, "mapping"),
+      mappings = obj(n, "mappings")
     )
   }
 
@@ -224,6 +227,12 @@ object SchemaDef {
 
   private def opt(n: JsonNode, f: String): Option[String] =
     Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+
+  private def obj(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filterNot(_.isNull).map { v =>
+      if (!v.isObject) throw SchemaError(s"'$f' must be a JSON object")
+      v.toString
+    }
 
   private def parseNode(n: JsonNode, isRoot: Boolean): Node = {
     if (n == null) throw SchemaError("missing 'nodes'")

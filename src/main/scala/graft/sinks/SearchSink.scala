@@ -80,6 +80,13 @@ object SearchSink {
       routing: Option[String] = None,
       setting: Option[String] = None
   ): String = {
+    val settingsPart =
+      setting.map(s => s""""settings": {"index": $s}, """).getOrElse("")
+    s"""{$settingsPart"mappings": ${derivedMappings(root, routing)}}"""
+  }
+
+  /** The tree-derived mappings object (without the outer `mappings` key). */
+  private def derivedMappings(root: Node, routing: Option[String]): String = {
     def props(node: Node): String = {
       val fieldMappings = node.transform.mapping.map { case (field, spec) =>
         s""""$field": $spec"""
@@ -88,7 +95,6 @@ object SearchSink {
         val rel = c.relationship.get
         (rel.relType, rel.variant) match {
           case (_, Variant.Scalar) =>
-            // scalar arrays/values: mapped by override or dynamic
             c.transform.mapping.get(c.label).map(spec => s""""${c.label}": $spec""")
           case (RelType.OneToMany, Variant.Object) =>
             Some(s""""${c.label}": {"type": "nested", "properties": {${props(c)}}}""")
@@ -99,9 +105,30 @@ object SearchSink {
       (fieldMappings ++ childMappings).mkString(", ")
     }
     val routingPart =
-      routing.map(r => s""", "_routing": {"required": true}""").getOrElse("")
+      routing.map(_ => s""", "_routing": {"required": true}""").getOrElse("")
+    s"""{"properties": {${props(root)}}$routingPart}"""
+  }
+
+  /** The full index-create body with the reference's merge priority
+    * (`_create_setting`, `search_client.py:261-288` dict.update order):
+    * `setting` → `{"settings": {"index": ...}}`; doc-level `mappings` →
+    * `{"mappings": {"index": ...}}`; doc-level `mapping` REPLACES the
+    * mappings key — `{"mappings": mapping}` when it carries
+    * `dynamic_templates`, else `{"mappings": {"properties": mapping}}`;
+    * with neither override, the tree-derived [[buildMapping]] applies.
+    */
+  def createBody(schema: graft.schema.SchemaDef): String = {
     val settingsPart =
-      setting.map(s => s""""settings": {"index": $s}, """).getOrElse("")
-    s"""{$settingsPart"mappings": {"properties": {${props(root)}}$routingPart}}"""
+      schema.setting.map(s => s""""settings": {"index": $s}, """).getOrElse("")
+    def hasDynamicTemplates(m: String): Boolean =
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(m).has("dynamic_templates")
+    val mappingsPart = (schema.mapping, schema.mappings) match {
+      case (Some(m), _) if hasDynamicTemplates(m) => s""""mappings": $m"""
+      case (Some(m), _)                           => s""""mappings": {"properties": $m}"""
+      case (None, Some(ms))                       => s""""mappings": {"index": $ms}"""
+      case (None, None) =>
+        s""""mappings": ${derivedMappings(schema.root, schema.routing)}"""
+    }
+    s"""{$settingsPart$mappingsPart}"""
   }
 }

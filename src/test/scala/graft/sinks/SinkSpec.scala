@@ -79,6 +79,48 @@ class SinkSpec extends SparkSpec {
     assert(out.toSet == Set((1L, "KEEP"), (3L, "KEEP")))
   }
 
+  test("doc-level mapping/mappings overrides follow _create_setting merge priority (search_client.py:261-288)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def body(doc: String) = mapper.readTree(SearchSink.createBody(SchemaDef.parse(doc)))
+    // doc-level `mapping` without dynamic_templates → {"mappings":{"properties": mapping}}
+    val flat = body(
+      """{"database": "db", "index": "i",
+          "mapping": {"title": {"type": "text"}},
+          "nodes": {"table": "book", "transform": {"mapping": {"isbn": {"type": "keyword"}}}}}""")
+    assert(flat.get("mappings").get("properties").get("title").get("type").asText() == "text")
+    // the override REPLACES the tree derivation (isbn does not leak in)
+    assert(!flat.get("mappings").get("properties").has("isbn"))
+    // `mapping` WITH dynamic_templates passes through whole
+    val dyn = body(
+      """{"database": "db", "index": "i",
+          "mapping": {"dynamic_templates": [{"strings": {"match_mapping_type": "string",
+                                                         "mapping": {"type": "keyword"}}}]},
+          "nodes": {"table": "book"}}""")
+    assert(dyn.get("mappings").has("dynamic_templates"))
+    assert(!dyn.get("mappings").has("properties"))
+    // doc-level `mappings` → {"mappings":{"index": mappings}} (reference shape)
+    val ms = body(
+      """{"database": "db", "index": "i",
+          "mappings": {"properties": {"x": {"type": "long"}}},
+          "nodes": {"table": "book"}}""")
+    assert(ms.get("mappings").get("index").get("properties").get("x").get("type").asText() == "long")
+    // `mapping` wins over `mappings` (dict.update order) and settings still merge
+    val both = body(
+      """{"database": "db", "index": "i",
+          "setting": {"number_of_shards": 5},
+          "mapping": {"a": {"type": "integer"}},
+          "mappings": {"ignored": true},
+          "nodes": {"table": "book"}}""")
+    assert(both.get("mappings").get("properties").has("a"))
+    assert(!both.get("mappings").has("index"))
+    assert(both.get("settings").get("index").get("number_of_shards").asInt() == 5)
+    // no overrides → tree derivation unchanged
+    val derived = body(
+      """{"database": "db", "index": "i",
+          "nodes": {"table": "book", "transform": {"mapping": {"isbn": {"type": "keyword"}}}}}""")
+    assert(derived.get("mappings").get("properties").get("isbn").get("type").asText() == "keyword")
+  }
+
   test("ServiceLoader plugin discovery: config-name filter in config order (plugin.py:49-91)") {
     // three implementations registered in META-INF/services; config names
     // select two of them, in the order the config lists them
