@@ -367,11 +367,15 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       loader(s, dir)("documents")
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fpr"))),
-    // ---- dedup: MinHash+LSH / SimHash (self-verified; no SQL oracle) -------
+    // ---- dedup: MinHash+LSH / SimHash. Graded through the engine-portable
+    // md5 hash family, so the oracle recomputes the ENTIRE pipeline
+    // (shingle → signature → band → bucket-join → exact verify) bit-for-bit
+    // in DuckDB; the cheaper xxhash64 production defaults stay spec-verified
+    // (DedupSpec property tests vs exact Jaccard / pigeonhole recall) -------
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.3)),
+      Dedup.minhashLshPortable(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.3)),
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(loader(s, dir)("documents"), "doc_id", "text", maxHamming = 3)),
+      Dedup.simhashPortable(loader(s, dir)("documents"), "doc_id", "text", maxHamming = 3)),
     // ---- dedup: exact n-gram Jaccard via inverted index --------------------
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.2)),
@@ -778,6 +782,65 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = i.id_a
          JOIN sizes sb ON sb.doc_id = i.id_b
          WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.2""",
+    "q_dedup_minhash" -> {
+      // the md5 family is engine-portable (member i = md5('<i>|' || shingle),
+      // minhash = lexicographic min), so DuckDB rebuilds the identical
+      // signatures, band keys, capped buckets, candidate pairs, and
+      // exact-Jaccard verify that minhashLshPortable plans
+      val k = 16
+      val mins = (0 until k).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+      val bandKeys = (0 until 8).map(b => s"'$b:' || m${2 * b} || m${2 * b + 1}").mkString(", ")
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+                FROM t WHERE len(toks) > 0),
+         post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         m AS (SELECT doc_id, $mins FROM post GROUP BY doc_id),
+         keyed AS (SELECT doc_id, unnest([$bandKeys]) AS key FROM m),
+         ok AS (SELECT key FROM keyed GROUP BY key HAVING count(*) BETWEEN 2 AND 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+                   WHERE a.key IN (SELECT key FROM ok)),
+         j AS (SELECT pr.id_a, pr.id_b,
+                      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                        len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jac
+               FROM pairs pr
+               JOIN sh sa ON sa.doc_id = pr.id_a
+               JOIN sh sb ON sb.doc_id = pr.id_b)
+         SELECT id_a, id_b, CAST(round(jac * 1000) AS BIGINT) AS jaccard_milli
+         FROM j WHERE jac >= 0.3"""
+    },
+    "q_dedup_simhash" -> {
+      // portable bit source: bit i of a token's signature contribution is
+      // bit (3 - i%4) of hex digit i/4 of md5(token); DuckDB rebuilds the
+      // identical ±1 counters, the 64-char sign signature, the 4 pigeonhole
+      // chunk keys, capped buckets, and the exact Hamming verify
+      val bits = (0 until 64).map { i =>
+        s"(((strpos('0123456789abcdef', substr(hx, ${i / 4 + 1}, 1)) - 1) >> ${3 - i % 4}) & 1) AS b$i"
+      }.mkString(", ")
+      val sums = (0 until 64).map(i => s"sum(2 * b$i - 1) AS c$i").mkString(", ")
+      val sigChars = (0 until 64).map(i => s"CASE WHEN c$i > 0 THEN '1' ELSE '0' END").mkString(", ")
+      val chunkKeys = (0 until 4).map(c => s"'$c:' || substr(sig, ${c * 16 + 1}, 16)").mkString(", ")
+      val ham = (1 to 64)
+        .map(i => s"CASE WHEN substr(sa.sig, $i, 1) <> substr(sb.sig, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      raw"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+         hx AS (SELECT doc_id, md5(t) AS hx FROM tok),
+         bt AS (SELECT doc_id, $bits FROM hx),
+         cnt AS (SELECT doc_id, $sums FROM bt GROUP BY doc_id),
+         sg AS (SELECT doc_id, concat($sigChars) AS sig FROM cnt),
+         keyed AS (SELECT doc_id, unnest([$chunkKeys]) AS key FROM sg),
+         ok AS (SELECT key FROM keyed GROUP BY key HAVING count(*) BETWEEN 2 AND 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+                   WHERE a.key IN (SELECT key FROM ok)),
+         hm AS (SELECT pr.id_a, pr.id_b, CAST($ham AS BIGINT) AS hamming
+                FROM pairs pr
+                JOIN sg sa ON sa.doc_id = pr.id_a
+                JOIN sg sb ON sb.doc_id = pr.id_b)
+         SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3"""
+    },
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
          sh AS (SELECT doc_id,

@@ -102,9 +102,21 @@ object Dedup {
     val keyed = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .select(col("id"), concat_ws(":", col("pos"), col("col")).as("key"))
     val candidates = bucketPairs(keyed, maxBucket)
-    // verify candidates with exact Jaccard over the shingle sets, computed
-    // AFTER the join — the shingling expression runs only on candidate rows
-    // (broadcast-joined against the raw text), not corpus-wide per side
+    verifyJaccard(candidates, docs, id, text, shingleN, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs, computed AFTER the
+    * candidate join — the shingling expression runs only on candidate rows
+    * (broadcast-joined against the raw text), not corpus-wide per side.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame,
+      docs: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int,
+      threshold: Double
+  ): DataFrame = {
     val txt = docs.select(col(id).as("id"), col(text).as("t"))
     val a = txt.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a")
     val b = txt.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b")
@@ -125,6 +137,48 @@ object Dedup {
       )
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard") * 1000).cast("long").as("jaccard_milli"))
+  }
+
+  /** MinHash + LSH with an engine-portable md5 hash family: the i-th family
+    * member is `md5("<i>|" ++ shingle)` (a hex string) and the minhash is
+    * the lexicographic min — every stage is recomputable bit-for-bit by any
+    * SQL engine with md5, which is what puts the WHOLE pipeline (shingle →
+    * signature → band → bucket-join → exact-Jaccard verify) under an
+    * external oracle. Same LSH structure and verification as [[minhashLsh]];
+    * the xxhash64 rotate-XOR family there stays the production default (k
+    * long comparisons beat k 32-char string comparisons). Band key = band
+    * index ":" concat of the band's min hashes.
+    * Output: (id_a, id_b, jaccard_milli).
+    */
+  def minhashLshPortable(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = docs.select(
+      col(id).as("id"),
+      TF.wordShingles(col(text), shingleN).as("sh")
+    ).filter(size(col("sh")) > 0)
+    val hashed = sh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id") +: (0 until k).map { i =>
+        md5(concat(lit(s"$i|"), col("s")).cast("binary")).as(s"h$i")
+      }: _*)
+    val sig = hashed
+      .groupBy("id")
+      .agg(min(col("h0")).as("m0"), (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val bandCols = (0 until bands).map { b =>
+      concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    val keyed = sig.select(col("id"), posexplode(array(bandCols: _*)))
+      .select(col("id"), concat_ws(":", col("pos"), col("col")).as("key"))
+    verifyJaccard(bucketPairs(keyed, maxBucket), docs, id, text, shingleN, threshold)
   }
 
   /** 64-bit SimHash signatures via explode + 64 codegen'd sum-aggregates
@@ -209,6 +263,84 @@ object Dedup {
       .join(a, "id_a")
       .join(b, "id_b")
       .select(col("id_a"), col("id_b"), TF.hamming64(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(sig)
+    verified
+  }
+
+  /** SimHash near-dup with an engine-portable md5 bit source: per token, the
+    * 64 signature bits come from the first 16 hex digits of md5(token) (4
+    * bits per digit, high bit first), summed ±1 per position and signed into
+    * a 64-char '0'/'1' signature STRING — every stage (hex digit → bit →
+    * counter → sign → chunk key → Hamming verify) is recomputable
+    * bit-for-bit by any SQL engine with md5/substr/integer shifts, which is
+    * what puts the whole pipeline under an external oracle. Same pigeonhole
+    * banding guarantee as [[simhash]] (maxHamming+1 chunks partition the 64
+    * positions, so recall within the budget is exact); the xxhash64
+    * long-signature path there stays the production default (bit ops on a
+    * long beat substring compares).
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhashPortable(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(
+      maxHamming >= 0 && maxHamming <= 15,
+      s"simhash maxHamming must be in [0, 15] for exact candidate recall, got $maxHamming"
+    )
+    // one hex-digit decode per md5 nibble, shared by that nibble's 4 bits
+    val digits = docs
+      .select(col(id).as("id"), explode(TF.tokens(col(text))).as("t"))
+      .select(col("id"), md5(col("t").cast("binary")).as("hx"))
+      .select(col("id") +: (0 until 16).map { j =>
+        conv(substring(col("hx"), j + 1, 1), 16, 10).cast("int").as(s"d$j")
+      }: _*)
+    def bit(i: Int): Column =
+      shiftright(col(s"d${i / 4}"), 3 - i % 4).bitwiseAND(1)
+    val counters = digits
+      .groupBy("id")
+      .agg(
+        sum(bit(0) * 2 - 1).as("c0"),
+        (1 until 64).map(i => sum(bit(i) * 2 - 1).as(s"c$i")): _*
+      )
+    // same eager-checkpoint discipline as simhash: the signature table feeds
+    // banding + both verify sides, and is tiny ((id, 64 chars) per doc)
+    val sig = counters.select(
+      col("id"),
+      concat((0 until 64).map(i => when(col(s"c$i") > 0, lit("1")).otherwise(lit("0"))): _*)
+        .as("sig")
+    ).localCheckpoint(true)
+    val nChunks = math.max(1, math.min(16, maxHamming + 1))
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val keyed = sig.select(
+      col("id"),
+      explode(array((0 until nChunks).map { c =>
+        val len = base + (if (c < rem) 1 else 0)
+        val start = c * base + math.min(c, rem)
+        concat_ws(":", lit(c), substring(col("sig"), start + 1, len))
+      }: _*)).as("key")
+    )
+    val candidates = bucketPairs(keyed, maxBucket)
+    val a = sig.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    val b = sig.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    val verified = candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (0 until 64)
+          .map(i => when(substring(col("sig_a"), i + 1, 1) =!= substring(col("sig_b"), i + 1, 1), 1).otherwise(0))
+          .reduce(_ + _)
+          .cast("long")
+          .as("hamming")
+      )
       .filter(col("hamming") <= maxHamming)
       .localCheckpoint(true)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(sig)

@@ -45,6 +45,23 @@ class DedupSpec extends SparkSpec {
     mh.foreach { case (pair, jac) => assert(ex(pair) == jac, s"pair $pair") }
   }
 
+  test("portable md5 minhash: finds the planted dups, verify matches exact jaccard") {
+    val mh = Dedup.minhashLshPortable(docs, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ex = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical docs share every band → always found; verified value is exact
+    assert(mh.contains((1L, 4L)) && mh((1L, 4L)) == 1000L)
+    mh.foreach { case (pair, jac) => assert(ex(pair) == jac, s"pair $pair") }
+  }
+
+  test("portable md5 simhash: identical docs at hamming 0, distinct docs absent") {
+    val pairs = Dedup.simhashPortable(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 4L)) == 0L)
+    assert(!pairs.exists { case ((a, b), _) => Set(a, b).contains(3L) })
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
     val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
