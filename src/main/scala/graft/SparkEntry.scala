@@ -404,9 +404,24 @@ object SparkEntry {
       Ann.bruteForceTopK(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
     }),
+    // graded with refine=0: the coarse centroids are then exactly the first
+    // nlists corpus vectors (data, not a trained model), so DuckDB rebuilds
+    // the identical cell assignment, probe selection, and per-cell ranking —
+    // the full IVF structure is hash-checked. Lloyd refinement (refine>=1,
+    // the production default) stays covered by the IVF recall spec: its
+    // centroid means are float reductions whose exact bits are
+    // summation-order-dependent, which no external oracle can replay.
     "q_ann_ivf" -> ((s, dir) => {
       val e = loader(s, dir)("embeddings")
       Ann.ivfTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10,
+        refine = 0)
+    }),
+    // the zero-training LSH-bucketed ANN variant (plan-time hyperplane
+    // literals, so the oracle rebuilds the buckets exactly)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = loader(s, dir)("embeddings")
+      Ann.lshTopK(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
     }),
     // ---- event analytics: tumbling windows + gap sessionization ------------
@@ -907,6 +922,73 @@ object SparkEntry {
                 CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
                 CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10""",
+    "q_ann_ivf" ->
+      // refine=0 ⇒ centroids are literally the first nlists corpus vectors
+      // (ordered by vec_id); assignment = argmax cosine with ties to the
+      // smallest cell (Ann.nearestCell), probes = top-4 cells per query with
+      // the same tie order (Ann.topCells), then exact per-cell ranking
+      """WITH seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS centroid
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         corpus AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE embedding IS NOT NULL),
+         assigned AS (
+           SELECT cid, cv,
+                  (SELECT s.cell FROM seeds s
+                   ORDER BY list_cosine_similarity(c.cv, s.centroid) DESC, s.cell
+                   LIMIT 1) AS cell
+           FROM corpus c),
+         probes AS (
+           SELECT q.vec_id AS qid, q.embedding AS qv, s.cell
+           FROM embeddings q,
+                LATERAL (SELECT cell FROM seeds s
+                         ORDER BY list_cosine_similarity(q.embedding, s.centroid) DESC, s.cell
+                         LIMIT 4) s
+           WHERE q.vec_id < 5 AND q.embedding IS NOT NULL),
+         scored AS (
+           SELECT p.qid, a.cid AS neighbor_id, list_cosine_similarity(a.cv, p.qv) AS cos
+           FROM assigned a JOIN probes p ON a.cell = p.cell AND a.cid <> p.qid),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    "q_ann_lsh" -> {
+      // the 6 hyperplanes are plan-time literals (VectorFunctions.plane, 3
+      // exact decimals), so the oracle rebuilds the same bucket per vector:
+      // sign bit per plane packed into an integer — the q_dedup_embed_lsh
+      // idiom, reused for the search-side bucketing
+      def bucket(vecCol: String): String = (0 until 6)
+        .map { p =>
+          val lits = graft.functions.VectorFunctions
+            .plane(p, 64)
+            .map(d => f"$d%.3f")
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN list_inner_product($vecCol, $lits) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }
+        .mkString(" + ")
+      s"""WITH corpus AS (
+           SELECT vec_id AS neighbor_id, embedding AS v, ${bucket("embedding")} AS bucket
+           FROM embeddings),
+         q AS (
+           SELECT vec_id AS qid, embedding AS qv, ${bucket("embedding")} AS bucket
+           FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, c.neighbor_id, list_cosine_similarity(c.v, q.qv) AS cos
+           FROM corpus c JOIN q ON c.bucket = q.bucket AND c.neighbor_id <> q.qid),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10"""
+    },
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type,
