@@ -22,8 +22,9 @@ object Bench {
       .config(
         "spark.sql.warehouse.dir",
         // fresh per run: a leftover managed-table location from a previous
-        // bench fails saveAsTable with LOCATION_ALREADY_EXISTS
-        java.nio.file.Files.createTempDirectory("graft-bench-warehouse").toString
+        // bench fails saveAsTable with LOCATION_ALREADY_EXISTS; deleted at
+        // JVM exit so repeated rounds don't accrete bucketed copies in /tmp
+        graft.util.TempDirs.scratch("graft-bench-warehouse").toString
       )
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
@@ -42,9 +43,19 @@ object Bench {
     )
     // Verification-only plans stay in SparkEntry.queries (they are oracle
     // ground-truth) but are excluded from timing: the bench measures
-    // production shapes only. q_dedup_embed is the documented quadratic
-    // exact twin of the LSH path (q_dedup_embed_lsh), which IS timed.
-    val benchExcluded = Set("q_dedup_embed")
+    // production shapes only.
+    //  - q_dedup_embed: documented quadratic exact twin of the LSH path
+    //    (q_dedup_embed_lsh), which IS timed;
+    //  - q_dedup_minhash / q_dedup_simhash: engine-portable md5/string
+    //    grading plans whose xxhash64 production twins are timed as
+    //    q_dedup_minhash_prod / q_dedup_simhash_prod;
+    //  - q_events_sessions_stream: the file-stage + maxFilesPerTrigger=1
+    //    replay harness (micro-batch scheduling dominates the state machine
+    //    it grades). The stateful operator's per-event cost has no honest
+    //    standalone timing here — the batch form q_events_sessions times the
+    //    same sessionization semantics end-to-end and stays in.
+    val benchExcluded =
+      Set("q_dedup_embed", "q_dedup_minhash", "q_dedup_simhash", "q_events_sessions_stream")
     // triage knob: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries
     // (and skips the throughput metrics) for quick regression bisection
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -56,8 +67,15 @@ object Bench {
       .map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch {
+        try {
+          val df = fn(spark, sfDir)
+          df.write.mode("overwrite").format("noop").save()
+          // release any eager localCheckpoint blocks the plan carries
+          // (dedup signature/verified frames): clearCache() only clears
+          // CacheManager entries, not RDD-level checkpoint storage, so
+          // without this the blocks accumulate across 40+ queries × runs
+          org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(df)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }

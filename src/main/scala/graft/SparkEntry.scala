@@ -188,7 +188,9 @@ object SparkEntry {
         s"""{"database": "graft", "index": "lifecycle", "nodes": ${Fixtures.flagship}}""",
         Catalog.testData,
         load,
-        java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+        // scratch: the returned docs frame reads these index buckets lazily,
+        // so the dir must outlive this fn — deleted at JVM exit
+        graft.util.TempDirs.scratch("graft-lifecycle").toString
       )
       sync.snapshot()
       post = true
@@ -376,6 +378,15 @@ object SparkEntry {
       Dedup.minhashLshPortable(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.3)),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPortable(loader(s, dir)("documents"), "doc_id", "text", maxHamming = 3)),
+    // the PRODUCTION xxhash64 plans (long signatures, rotate-XOR family) —
+    // timed-only entries so the bench grades the shapes you'd run at 100 TB;
+    // no oracleSql on purpose (the portable twins above carry the hash gate,
+    // and these long-hash plans are not replayable by an external engine —
+    // their correctness lives in DedupSpec's property tests)
+    "q_dedup_minhash_prod" -> ((s, dir) =>
+      Dedup.minhashLsh(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.3)),
+    "q_dedup_simhash_prod" -> ((s, dir) =>
+      Dedup.simhash(loader(s, dir)("documents"), "doc_id", "text", maxHamming = 3)),
     // ---- dedup: exact n-gram Jaccard via inverted index --------------------
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.2)),

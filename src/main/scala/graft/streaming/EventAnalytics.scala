@@ -117,7 +117,8 @@ object EventAnalytics {
       col("ts").cast("timestamp").as("ts"),
       col("value").cast("double").as("value")
     )
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-session-replay").toString
+    val stagePath = graft.util.TempDirs.scratch("graft-session-replay")
+    val stageDir = stagePath.toString
 
     val epoch = in.select(col("ts").cast("long").cast("double").as("t"))
     val bounds = epoch.stat
@@ -158,12 +159,18 @@ object EventAnalytics {
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name).select(
+    // results now live in the memory sink (resolved into the plan below);
+    // the staged chunk files and the catalog entry are no longer needed —
+    // delete/drop them so repeated replays leave /tmp and the catalog stable
+    val out = spark.table(name).select(
       col("user_id"),
       date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
       col("n_events").cast("long").as("n_events"),
       col("value_cents")
     )
+    spark.catalog.dropTempView(name)
+    graft.util.TempDirs.delete(stagePath)
+    out
   }
 
   /** Streaming sessionization via `flatMapGroupsWithState` with an

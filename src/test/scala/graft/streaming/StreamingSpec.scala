@@ -207,6 +207,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 5)
   }
 
+  test("sessionizeReplay cleans its staging dir and memory table per call (repeated runs leave /tmp stable)") {
+    def stagedDirs(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      tmp.listFiles().toSeq.map(_.getName).filter(_.startsWith("graft-session-replay")).toSet
+    }
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(plusSec: Long) = new java.sql.Timestamp(t0 + plusSec * 1000)
+    val events = Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0), (2L, ts(5), 3.0))
+      .toDF("user_id", "ts", "value")
+    val before = stagedDirs()
+    val viewsBefore = spark.catalog.listTables().count()
+    (1 to 2).foreach { _ =>
+      assert(EventAnalytics.sessionizeReplay(events, 3600L, chunks = 2).count() == 2)
+    }
+    assert(stagedDirs() == before, "replay staging dirs must be deleted after each call")
+    assert(spark.catalog.listTables().count() == viewsBefore,
+      "replay memory-sink temp views must be dropped after each call")
+  }
+
   test("streaming windowed counts with watermark produce append-mode results") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String)]
