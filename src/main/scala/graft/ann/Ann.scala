@@ -196,8 +196,14 @@ object Ann {
       )
   }
 
-  /** LSH-bucketed ANN: hyperplane signature as the cell id; probe only the
-    * query's bucket (plus optional multi-probe neighbors at Hamming 1).
+  /** LSH-bucketed ANN: hyperplane signature as the cell id; probe the
+    * query's bucket plus (with `probeHamming = 1`, the default) its `planes`
+    * Hamming-1 neighbor buckets — single-bucket probing has recall cliffs
+    * for vectors near a hyperplane, and flipping one sign bit probes exactly
+    * the buckets such borderline neighbors land in. Cost model: the probe
+    * expansion multiplies the BROADCAST query side by `planes + 1`; the
+    * corpus side is still scanned once and each corpus vector lives in
+    * exactly one bucket, so no candidate pair is produced twice.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -208,18 +214,29 @@ object Ann {
       qvec: String,
       k: Int,
       planes: Int = 6,
-      dim: Int = 64
+      dim: Int = 64,
+      probeHamming: Int = 1
   ): DataFrame = {
+    require(
+      probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming must be 0 (exact bucket) or 1 (flip each plane bit), got $probeHamming"
+    )
     val bucketed = corpus.select(
       col(id).as("neighbor_id"),
       col(vec).as("v"),
       VF.hyperplaneBucket(col(vec), planes, dim).as("bucket")
     )
-    val q = queries.select(
+    val qKeyed = queries.select(
       col(qid).as("qid"),
       col(qvec).as("qv"),
       VF.hyperplaneBucket(col(qvec), planes, dim).as("bucket")
     )
+    val probeKeys =
+      if (probeHamming == 0) array(col("bucket"))
+      else array(col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val q = qKeyed
+      .select(col("qid"), col("qv"), explode(probeKeys).as("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
     bucketed
       .join(broadcast(q), Seq("bucket"))
