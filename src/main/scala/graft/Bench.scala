@@ -35,12 +35,21 @@ object Bench {
     // JVM/session warm-up (codegen, parquet footer reads) outside timing
     SparkEntry.queries.get("q_count").foreach(_(spark, sfDir).count())
 
-    // min of 2 runs per query (standard cold-start noise reduction; the
+    // min of 3 runs per query (standard cold-start noise reduction; the
     // cache is cleared between runs so only JIT/codegen warmth carries over)
     val runs = math.max(
       1,
-      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2)
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).getOrElse(3)
     )
+    // machine-load self-labeling: a contended run (other builds/judges on the
+    // box) shows up as a high 1-min loadavg in the JSON instead of burning a
+    // round of cross-run drift triage
+    def loadAvg(): Double =
+      scala.util.Try(
+        scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0).toDouble
+      ).getOrElse(
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)
+    val loadBefore = loadAvg()
     // Verification-only plans stay in SparkEntry.queries (they are oracle
     // ground-truth) but are excluded from timing: the bench measures
     // production shapes only.
@@ -67,17 +76,22 @@ object Bench {
       .map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
+        // release any eager localCheckpoint blocks the plan carries
+        // (dedup signature/verified frames) even when the write fails:
+        // clearCache() only clears CacheManager entries, not RDD-level
+        // checkpoint storage, so a leak here accumulates across
+        // 40+ queries × runs
+        var df: org.apache.spark.sql.DataFrame = null
         try {
-          val df = fn(spark, sfDir)
+          df = fn(spark, sfDir)
           df.write.mode("overwrite").format("noop").save()
-          // release any eager localCheckpoint blocks the plan carries
-          // (dedup signature/verified frames): clearCache() only clears
-          // CacheManager entries, not RDD-level checkpoint storage, so
-          // without this the blocks accumulate across 40+ queries × runs
-          org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(df)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        } finally {
+          if (df != null)
+            try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(df)
+            catch { case _: Throwable => () }
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // per-query caches must not skew the next timing
@@ -91,7 +105,8 @@ object Bench {
     val total = results.map(_._2).sum
 
     if (only.isDefined) {
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      println(
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -162,7 +177,7 @@ object Bench {
     }.max
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -982,12 +982,21 @@ object SparkEntry {
           s"(CASE WHEN list_inner_product($vecCol, $lits) >= 0 THEN ${1L << p} ELSE 0 END)"
         }
         .mkString(" + ")
+      // multi-probe (Hamming-1, the lshTopK default): each query probes its
+      // own bucket plus the 6 single-bit-flipped neighbors — the same
+      // XOR-literal expansion as Ann.lshTopK. Corpus vectors live in exactly
+      // one bucket and the 7 probe keys per query are distinct, so the join
+      // still produces no duplicate (qid, neighbor) pair.
+      val probeList = (Seq("bucket") ++ (0 until 6).map(p => s"xor(bucket, ${1L << p})"))
+        .mkString("[", ", ", "]")
       s"""WITH corpus AS (
            SELECT vec_id AS neighbor_id, embedding AS v, ${bucket("embedding")} AS bucket
            FROM embeddings),
-         q AS (
+         qbase AS (
            SELECT vec_id AS qid, embedding AS qv, ${bucket("embedding")} AS bucket
            FROM embeddings WHERE vec_id < 5),
+         q AS (
+           SELECT qid, qv, unnest($probeList) AS bucket FROM qbase),
          scored AS (
            SELECT q.qid, c.neighbor_id, list_cosine_similarity(c.v, q.qv) AS cos
            FROM corpus c JOIN q ON c.bucket = q.bucket AND c.neighbor_id <> q.qid),

@@ -25,14 +25,21 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
-      else try {
-        val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      else {
         // dedup plans carry eager localCheckpoint blocks that clearCache/GC
-        // won't release promptly; 50 queries in one session add up
-        org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(df)
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // won't release promptly; 50 queries in one session add up — release
+        // them even when the write fails
+        var df: org.apache.spark.sql.DataFrame = null
+        try {
+          df = fn(spark, sfDir)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally {
+          if (df != null)
+            try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(df)
+            catch { case _: Throwable => () }
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -25,13 +25,25 @@ object TempDirs {
     p
   }
 
-  /** Recursively delete a directory tree; missing paths are a no-op. */
+  /** Recursively delete a directory tree; missing paths are a no-op.
+    * Best-effort by contract: callers invoke this on the hot path after a
+    * query's results are already computed (e.g. sessionizeReplay), so a
+    * concurrent removal mid-walk (UncheckedIOException from the stream)
+    * must degrade to "cleanup skipped", never fail the query.
+    */
   def delete(root: Path): Unit = {
     if (!Files.exists(root)) return
     import scala.jdk.CollectionConverters._
-    Files.walk(root).iterator().asScala.toSeq.reverse.foreach { p =>
-      try Files.deleteIfExists(p)
-      catch { case _: java.io.IOException => () }
+    try {
+      val stream = Files.walk(root)
+      try
+        stream.iterator().asScala.toSeq.reverse.foreach { p =>
+          try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        }
+      finally stream.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
     }
   }
 }

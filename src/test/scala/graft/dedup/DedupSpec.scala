@@ -178,4 +178,51 @@ class DedupSpec extends SparkSpec {
     val recall = (bf intersect ivf).size.toDouble / bf.size
     assert(recall >= 0.6, s"IVF recall $recall")
   }
+
+  test("LSH multi-probe (Hamming-1) recall beats single-bucket vs brute force") {
+    // clustered vectors with per-vector jitter: cluster members near a
+    // hyperplane land one sign-bit apart, which is exactly the recall cliff
+    // multi-probe exists to cover
+    val vecs = (0 until 80).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 4)
+    def pairs(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(
+      Ann.bruteForceTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5))
+    val single = Ann.lshTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5,
+      planes = 6, dim = 16, probeHamming = 0)
+    val multi = Ann.lshTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5,
+      planes = 6, dim = 16, probeHamming = 1)
+    val recall0 = (bf intersect pairs(single)).size.toDouble / bf.size
+    val recall1 = (bf intersect pairs(multi)).size.toDouble / bf.size
+    assert(recall1 >= recall0, s"multi-probe recall $recall1 < single-bucket $recall0")
+    assert(recall1 >= 0.5, s"multi-probe recall $recall1")
+    // the corpus-in-one-bucket + distinct-probe-keys design means no
+    // (qid, neighbor) candidate pair is ever produced twice
+    val rows = multi.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, "duplicate (qid, neighbor) pair emitted")
+  }
+
+  test("LSH probe expansion yields a candidate superset of exact-bucket probing") {
+    // with k >= corpus size the top-k result IS the candidate set, so the
+    // Hamming-1 expansion must return a superset of the exact-bucket pairs
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (math.sin(i * 7 + j * 3) + 0.1 * i).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    def cand(probe: Int): Set[(Long, Long)] =
+      Ann.lshTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 40,
+          planes = 5, dim = 8, probeHamming = probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = cand(0)
+    val expanded = cand(1)
+    assert(exact.subsetOf(expanded),
+      s"probeHamming=1 lost ${(exact -- expanded).size} exact-bucket candidates")
+    assert(expanded.size >= exact.size)
+  }
 }
