@@ -435,6 +435,41 @@ object SparkEntry {
       Ann.lshTopK(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
     }),
+    // ---- geo columns: WKT → geo_point/geo_shape (examples/geo topology) ----
+    // builds WKT strings from exact-decimal lat/lon derived from customer
+    // keys, round-trips them through the codegen geo parsers, and projects
+    // scalars the oracle recomputes arithmetically — the parse path itself
+    // is what's under the hash
+    "q_geo" -> ((s, dir) => {
+      import graft.functions.{GeoFunctions => GF}
+      val c = loader(s, dir)("customer").filter(col("c_custkey") <= 1000)
+      val lat = (col("c_custkey") % 180).cast("double") - 90.0 + 0.25
+      val lon = ((col("c_nationkey") * 7) % 360).cast("double") - 180.0 + 0.5
+      val s1 = lit(" ")
+      val pointWkt =
+        concat(lit("POINT ("), lon.cast("string"), s1, lat.cast("string"), lit(")"))
+      val polyWkt = concat(
+        lit("POLYGON (("),
+        lon.cast("string"), s1, lat.cast("string"), lit(", "),
+        (lon + 1.0).cast("string"), s1, lat.cast("string"), lit(", "),
+        (lon + 1.0).cast("string"), s1, (lat + 1.0).cast("string"), lit(", "),
+        lon.cast("string"), s1, (lat + 1.0).cast("string"), lit(", "),
+        lon.cast("string"), s1, lat.cast("string"), lit("))")
+      )
+      val pt = GF.geoPointFromWkt(pointWkt)
+      val shp = GF.geoShapeFromWkt(polyWkt)
+      val ring = shp.getField("coordinates").getItem(0)
+      c.select(
+        col("c_custkey"),
+        round(pt.getField("lat") * 100).cast("long").as("lat_e2"),
+        round(pt.getField("lon") * 100).cast("long").as("lon_e2"),
+        shp.getField("type").as("shape_type"),
+        size(shp.getField("coordinates")).cast("long").as("n_rings"),
+        size(ring).cast("long").as("ring_points"),
+        round(aggregate(ring, lit(0.0), (acc, p) => acc + p.getItem(0)) * 100)
+          .cast("long").as("ring_lon_sum_e2")
+      )
+    }),
     // ---- event analytics: tumbling windows + gap sessionization ------------
     "q_events_window" -> ((s, dir) =>
       graft.streaming.EventAnalytics.windowedCounts(loader(s, dir)("events"), "1 hour")),
@@ -1009,6 +1044,24 @@ object SparkEntry {
                 CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10"""
     },
+    "q_geo" ->
+      // replays the lat/lon arithmetic directly (exact quarter/half decimals,
+      // no float ambiguity); the Spark side must recover identical values
+      // through its WKT build + regexp parse round-trip. Ring lon values are
+      // lon, lon+1, lon+1, lon, lon → 3·lon + 2·(lon+1).
+      """WITH g AS (
+           SELECT c_custkey,
+                  CAST(c_custkey % 180 AS DOUBLE) - 90 + 0.25 AS lat,
+                  CAST((c_nationkey * 7) % 360 AS DOUBLE) - 180 + 0.5 AS lon
+           FROM customer WHERE c_custkey <= 1000)
+         SELECT c_custkey,
+                CAST(round(lat * 100) AS BIGINT) AS lat_e2,
+                CAST(round(lon * 100) AS BIGINT) AS lon_e2,
+                'Polygon' AS shape_type,
+                CAST(1 AS BIGINT) AS n_rings,
+                CAST(5 AS BIGINT) AS ring_points,
+                CAST(round((3 * lon + 2 * (lon + 1)) * 100) AS BIGINT) AS ring_lon_sum_e2
+         FROM g""",
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type,

@@ -468,6 +468,25 @@ object DocAssembler {
       }
       out = out :+ (spec.destination -> concat_ws(spec.delimiter, parts: _*))
     }
+    // geo: destination = geo_point / geo_shape value assembled from source
+    // doc fields (post-rename names, like concat). Unlike concat there is no
+    // literal fallback — a missing source column is a schema error, not data.
+    t.geo.foreach { g =>
+      import graft.functions.{GeoFunctions => GF}
+      def src(name: String): Column = out
+        .find(_._1 == name)
+        .map(_._2)
+        .getOrElse(throw graft.schema.SchemaError(
+          s"geo '${g.destination}' source column '$name' is not a field of this node"))
+      val value = (g.kind, g.lat, g.lon, g.wkt) match {
+        case ("point", Some(la), Some(lo), None) => GF.geoPoint(src(la), src(lo))
+        case ("point", None, None, Some(w))      => GF.geoPointFromWkt(src(w))
+        case ("shape", _, _, Some(w))            => GF.geoShapeFromWkt(src(w))
+        case _ =>
+          throw graft.schema.SchemaError(s"geo '${g.destination}' spec is invalid") // unreachable post-parse
+      }
+      out = out :+ (g.destination -> value)
+    }
     out
   }
 

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geo column support for the search-index sink, closing the reference's
+  * geo topology (`/root/reference/examples/geo/schema.json`: PostGIS
+  * `point`/`polygon` columns + the Geometry plugin at
+  * `/root/reference/plugins/sample.py:72-97`, which converts GeoJSON
+  * Point → `geo_point` coordinates and Polygon → `geo_shape`;
+  * geoalchemy2 registration `pgsync/base.py:61-69`).
+  *
+  * Everything here is a pure column expression (regexp + array transforms
+  * inside whole-stage codegen) — no UDF boundary, so geo conversion adds
+  * zero serialization cost to the assembly scan at any scale.
+  *
+  * Output shapes match what ES/OpenSearch accepts natively:
+  *  - geo_point: `{"lat": <double>, "lon": <double>}` (object form)
+  *  - geo_shape: GeoJSON `{"type": "Polygon", "coordinates": [[[lon, lat], …]]}`
+  */
+object GeoFunctions {
+
+  private val Num = "[-+]?[0-9]*\\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+  private val PointRe = s"(?i)^\\s*POINT\\s*\\(\\s*($Num)\\s+($Num)\\s*\\)\\s*$$"
+
+  /** geo_point from two numeric columns; null if either side is null. */
+  def geoPoint(lat: Column, lon: Column): Column =
+    when(
+      lat.isNotNull && lon.isNotNull,
+      struct(lat.cast("double").as("lat"), lon.cast("double").as("lon"))
+    )
+
+  /** geo_point from a WKT `POINT (lon lat)` string (the axis order WKT and
+    * GeoJSON share); null for malformed/non-point input rather than a
+    * runtime error — a bad row must not fail a 100 TB sync.
+    */
+  def geoPointFromWkt(wkt: Column): Column = {
+    val lon = regexp_extract(wkt, PointRe, 1)
+    val lat = regexp_extract(wkt, PointRe, 2)
+    when(lon =!= "" && lat =!= "",
+      struct(lat.cast("double").as("lat"), lon.cast("double").as("lon")))
+  }
+
+  /** geo_shape from a WKT `POLYGON ((x y, …), (…))` string → GeoJSON-shaped
+    * `struct(type, coordinates)`, coordinates typed
+    * `array<array<array<double>>>` (rings → points → [lon, lat]).
+    * Non-polygon/malformed input → null (same bad-row contract as above).
+    */
+  def geoShapeFromWkt(wkt: Column): Column = {
+    // inner = "(ring1),(ring2)…" — the outer POLYGON parens stripped
+    val inner = regexp_extract(wkt, "(?i)^\\s*POLYGON\\s*\\((.*)\\)\\s*$", 1)
+    val rings = split(inner, "\\)\\s*,\\s*\\(")
+    val coords = transform(
+      rings,
+      ring =>
+        transform(
+          split(regexp_replace(ring, "[()]", ""), "\\s*,\\s*"),
+          pt => {
+            val xy = split(trim(pt), "\\s+")
+            array(element_at(xy, 1).cast("double"), element_at(xy, 2).cast("double"))
+          }
+        )
+    )
+    when(inner =!= "", struct(lit("Polygon").as("type"), coords.as("coordinates")))
+  }
+}

@@ -60,8 +60,26 @@ final case class ConcatSpec(
     delimiter: String = ""
 )
 
+/** One `geo` spec: destination field assembled from either a (lat, lon)
+  * column pair or a WKT column. `kind = "point"` → ES geo_point object
+  * `{"lat", "lon"}`; `kind = "shape"` → GeoJSON Polygon for geo_shape.
+  * First-class here where the reference needs the out-of-tree Geometry
+  * plugin (`/root/reference/plugins/sample.py:72-97`) plus geoalchemy2
+  * reflection (`pgsync/base.py:61-69`); source columns are post-rename
+  * names and must be projected by the node.
+  */
+final case class GeoSpec(
+    destination: String,
+    kind: String,
+    lat: Option[String] = None,
+    lon: Option[String] = None,
+    wkt: Option[String] = None
+)
+
 /** Node-level transforms, applied root-down after assembly in the order
-  * replace → rename → concat (`pgsync/transform.py:211-216`).
+  * replace → rename → concat → geo (`pgsync/transform.py:211-216`; `geo`
+  * is our first-class form of the reference's Geometry plugin, run last so
+  * it sees post-rename names like `concat` does).
   * `mapping` only contributes to the search-index bootstrap, never to data.
   * `move` is declared-but-unimplemented in the reference
   * (`pgsync/constants.py:166,173`; no handler in transform.py) — we reject it
@@ -71,9 +89,11 @@ final case class TransformSpec(
     rename: Map[String, String] = Map.empty,
     concat: Seq[ConcatSpec] = Nil,
     replace: Map[String, Map[String, String]] = Map.empty,
-    mapping: Map[String, String] = Map.empty
+    mapping: Map[String, String] = Map.empty,
+    geo: Seq[GeoSpec] = Nil
 ) {
-  def isEmpty: Boolean = rename.isEmpty && concat.isEmpty && replace.isEmpty
+  def isEmpty: Boolean =
+    rename.isEmpty && concat.isEmpty && replace.isEmpty && geo.isEmpty
 }
 
 /** A column reference, possibly with JSON-path extraction operators
@@ -334,6 +354,35 @@ object SchemaDef {
         e.getKey -> spec.toString
       }.toMap
     }.getOrElse(Map.empty[String, String])
-    TransformSpec(rename, concat, replace, mapping)
+    val geo = Option(n.get("geo")).toSeq.flatMap { g =>
+      if (!g.isObject) throw SchemaError("'geo' must be an object of destination -> spec")
+      g.properties.asScala.map { e =>
+        val spec = e.getValue
+        spec.fieldNames.asScala.foreach { k =>
+          if (!Set("kind", "lat", "lon", "wkt").contains(k))
+            throw SchemaError(s"geo attribute '$k' is invalid")
+        }
+        val parsed = GeoSpec(
+          destination = e.getKey,
+          kind = opt(spec, "kind").getOrElse(throw SchemaError(s"geo '${e.getKey}' missing 'kind'")),
+          lat = opt(spec, "lat"),
+          lon = opt(spec, "lon"),
+          wkt = opt(spec, "wkt")
+        )
+        parsed.kind match {
+          case "point" =>
+            val latLon = parsed.lat.isDefined && parsed.lon.isDefined
+            if (!(latLon ^ parsed.wkt.isDefined))
+              throw SchemaError(
+                s"geo point '${e.getKey}' needs either lat+lon columns or a wkt column")
+          case "shape" =>
+            if (parsed.wkt.isEmpty || parsed.lat.isDefined || parsed.lon.isDefined)
+              throw SchemaError(s"geo shape '${e.getKey}' needs exactly a wkt column")
+          case other => throw SchemaError(s"geo kind invalid: '$other' (point|shape)")
+        }
+        parsed
+      }.toSeq
+    }
+    TransformSpec(rename, concat, replace, mapping, geo)
   }
 }

@@ -40,6 +40,26 @@ class SinkSpec extends SparkSpec {
     assert(m.contains(""""name": {"type":"text"}"""))
   }
 
+  test("geo_point/geo_shape fields reach the index mapping (examples/geo topology)") {
+    // the reference's geo example declares coordinates: geo_point and
+    // shape: geo_shape in transform.mapping (examples/geo/schema.json);
+    // our geo transform assembles the values, the mapping golden is below
+    val root = SchemaDef.parseNodes(
+      """{"table": "places",
+          "columns": ["id", "lat", "lon", "boundary_wkt"],
+          "transform": {
+            "geo": {"coordinates": {"kind": "point", "lat": "lat", "lon": "lon"},
+                    "shape": {"kind": "shape", "wkt": "boundary_wkt"}},
+            "mapping": {"coordinates": {"type": "geo_point"},
+                        "shape": {"type": "geo_shape"}}}}"""
+    )
+    val body = SearchSink.buildMapping(root)
+    assert(body.contains(""""coordinates": {"type":"geo_point"}"""))
+    assert(body.contains(""""shape": {"type":"geo_shape"}"""))
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(parsed.get("mappings").get("properties").get("coordinates").get("type").asText == "geo_point")
+  }
+
   test("index setting passthrough: settings + mappings in one create body (search_client.py:261-288)") {
     val doc = SchemaDef.parse(
       """{"database": "db", "index": "books", "routing": "isbn",
