@@ -54,6 +54,29 @@ final class GraftSync(
   private val sync = new StreamSync(schema.root, catalog, load, state, plugins)
   val engine: IncrementalEngine = sync.engine
 
+  /** This sync's display/index name (doc `index`, falling back to the root
+    * table like the reference does).
+    */
+  def indexName: String = if (schema.index.nonEmpty) schema.index else schema.root.table
+
+  /** Cheap in-memory progress counters — the data behind the reference's
+    * per-index status thread (`pgsync/sync.py:2114-2153`). Updated by the
+    * product paths as a side effect of work already done (cached counts,
+    * BulkHttp accumulator totals); reading them never runs a query.
+    */
+  val progress = new GraftSync.SyncProgress
+
+  /** Point-in-time status snapshot: counters + the stored watermark. */
+  def status: GraftSync.SyncStatus = GraftSync.SyncStatus(
+    index = indexName,
+    phase = progress.phase,
+    snapshotDocs = progress.snapshotDocs.get(),
+    batchesApplied = progress.batchesApplied.get(),
+    docsResynced = progress.docsResynced.get(),
+    docsPublished = progress.docsPublished.get(),
+    watermark = state.checkpoint
+  )
+
   /** Assemble the full document set (no side effects). */
   def documents(): DataFrame = {
     val docs = DocAssembler.assemble(schema.root, load, catalog)
@@ -61,7 +84,13 @@ final class GraftSync(
   }
 
   /** Full snapshot → materialized index v0. */
-  def snapshot(): Unit = sync.snapshot()
+  def snapshot(): Unit = {
+    progress.phaseName = "snapshot"
+    sync.snapshot()
+    // parquet count(*) resolves from footer metadata — no data scan
+    progress.snapshotDocs.set(state.docs.count())
+    progress.phaseName = "live"
+  }
 
   /** The changed-column guard set per tree table (P9): each node's
     * configured column base names — what the reference's trigger compares
@@ -121,7 +150,9 @@ final class GraftSync(
     }
     val prepared = prepare(fresh).cache()
     try {
-      sync.applyBatch(prepared, opsSink)
+      val resynced = sync.applyBatch(prepared, opsSink)
+      progress.batchesApplied.incrementAndGet()
+      progress.docsResynced.addAndGet(resynced)
       // distinct txids of one batch: bounded driver-side collect (≤ batch
       // size), same magnitude as the reference's checkpoint computation
       val txids = prepared.select(col("txid")).distinct().collect().map(_.getLong(0))
@@ -143,7 +174,13 @@ final class GraftSync(
       checkpointDir: String,
       opsSink: Option[DataFrame => Unit] = None
   ): StreamingQuery =
-    sync.start(prepare(changes), checkpointDir, trigger = None, opsSink = opsSink)
+    sync.start(
+      prepare(changes), checkpointDir, trigger = None, opsSink = opsSink,
+      afterBatch = n => {
+        progress.batchesApplied.incrementAndGet()
+        progress.docsResynced.addAndGet(n)
+      }
+    )
 
   /** The search-index bootstrap body for this schema (S11): settings (when
     * the doc carries a `setting` object) + mappings, honoring doc-level
@@ -180,7 +217,9 @@ final class GraftSync(
       col(DocAssembler.IdColumn),
       to_json(struct(payload: _*)).as("doc")
     )
-    graft.sinks.BulkHttp.write(ops, cfg)
+    val result = graft.sinks.BulkHttp.write(ops, cfg)
+    progress.docsPublished.addAndGet(result.succeeded)
+    result
   }
 
   /** Derive index/delete ops for a change batch against the CURRENT local
@@ -199,6 +238,7 @@ final class GraftSync(
   def publishChanges(batch: DataFrame, cfg: graft.sinks.BulkHttp.BulkConfig): graft.sinks.BulkHttp.BulkResult = {
     var result = graft.sinks.BulkHttp.BulkResult(0, 0, 0, 0, 0)
     applyChanges(batch, opsSink = Some(ops => result = graft.sinks.BulkHttp.write(ops, cfg)))
+    progress.docsPublished.addAndGet(result.succeeded)
     result
   }
 
@@ -235,6 +275,34 @@ final class GraftSync(
 }
 
 object GraftSync {
+
+  /** Mutable per-sync counters (thread-safe; snapshot pool + streaming
+    * threads write, the status reporter reads).
+    */
+  final class SyncProgress {
+    import java.util.concurrent.atomic.AtomicLong
+    @volatile private[graft] var phaseName: String = "init"
+    private[graft] val snapshotDocs = new AtomicLong(-1L) // -1 = no snapshot yet
+    private[graft] val batchesApplied = new AtomicLong(0L)
+    private[graft] val docsResynced = new AtomicLong(0L)
+    private[graft] val docsPublished = new AtomicLong(0L)
+    def phase: String = phaseName
+  }
+
+  /** One line of the reference's status display (`sync.py:2114-2153` prints
+    * per-index `Syncing <index> Xmin: .. Db: .. Redis: .. Elastic: ..`):
+    * phase ∈ init|snapshot|live, doc/batch counters, stored low-watermark.
+    */
+  final case class SyncStatus(
+      index: String,
+      phase: String,
+      snapshotDocs: Long,
+      batchesApplied: Long,
+      docsResynced: Long,
+      docsPublished: Long,
+      watermark: Option[Long]
+  )
+
   def apply(
       spark: SparkSession,
       schemaJson: String,
@@ -284,15 +352,44 @@ object GraftSync {
     * Returns one handle per sync, aligned with the input order; streaming
     * handles are None for feed-less (snapshot-only) docs. Callers own
     * `awaitTermination`/`stop` on the returned queries.
+    *
+    * `onStatus` is the reference's status thread (`sync.py:2114-2153`): when
+    * set, a daemon reporter fires it every `statusIntervalMs` with one
+    * [[SyncStatus]] per sync — during the snapshot phase and for as long as
+    * any started streaming query is active, then once more and stops itself.
+    * Reading statuses runs no queries; callback exceptions are swallowed so
+    * a broken display can never take down the daemon.
     */
   def runAll(
       syncs: Seq[GraftSync],
       checkpointBase: String,
       changeFeed: GraftSync => Option[DataFrame] = _ => None,
       opsSink: GraftSync => Option[DataFrame => Unit] = _ => None,
-      snapshotParallelism: Int = 4
+      snapshotParallelism: Int = 4,
+      onStatus: Option[Seq[SyncStatus] => Unit] = None,
+      statusIntervalMs: Long = 10000
   ): Seq[Option[StreamingQuery]] = {
     if (syncs.isEmpty) return Nil
+    @volatile var started: Option[Seq[StreamingQuery]] = None
+    val reporter = onStatus.map { cb =>
+      val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+        val th = new Thread(r, "graft-status"); th.setDaemon(true); th
+      }
+      lazy val handle: java.util.concurrent.ScheduledFuture[_] = t.scheduleAtFixedRate(
+        () => {
+          try cb(syncs.map(_.status))
+          catch { case _: Throwable => () }
+          // self-terminate once every started stream has finished (or no
+          // stream ever started and the snapshot phase set `started`)
+          started.foreach { qs =>
+            if (qs.forall(q => !q.isActive)) t.shutdown()
+          }
+        },
+        statusIntervalMs, statusIntervalMs, java.util.concurrent.TimeUnit.MILLISECONDS
+      )
+      handle // force scheduling
+      t
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(snapshotParallelism, syncs.size))
     )
@@ -305,12 +402,17 @@ object GraftSync {
         Future.sequence(syncs.map(s => Future(s.snapshot()))),
         Duration.Inf
       )
+    } catch {
+      case e: Throwable =>
+        reporter.foreach(_.shutdown())
+        throw e
     } finally pool.shutdown()
     // phase 2: continuous maintenance for docs with a feed
-    syncs.map { s =>
-      val name = if (s.schema.index.nonEmpty) s.schema.index else s.schema.root.table
-      changeFeed(s).map(feed => s.stream(feed, s"$checkpointBase/$name", opsSink(s)))
+    val queries = syncs.map { s =>
+      changeFeed(s).map(feed => s.stream(feed, s"$checkpointBase/${s.indexName}", opsSink(s)))
     }
+    started = Some(queries.flatten)
+    queries
   }
 
   /** [[fromConfig]] from a local path or http(s) URL (the reference's

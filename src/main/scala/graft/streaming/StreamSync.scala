@@ -59,8 +59,8 @@ final class StreamSync(
     * derived from the SAME cached resolution/re-assembly the local commit
     * uses, so publishing to a remote index costs no second engine pass.
     */
-  def applyBatch(batch: DataFrame, opsSink: Option[DataFrame => Unit] = None): Unit = {
-    if (batch.isEmpty) return
+  def applyBatch(batch: DataFrame, opsSink: Option[DataFrame => Unit] = None): Long = {
+    if (batch.isEmpty) return 0L
     val lineage = state.lineage
     val affected = engine.affectedRoots(batch, lineage).cache()
     val structured = withPlugins(engine.reassemble(affected)).cache()
@@ -82,6 +82,10 @@ final class StreamSync(
       // only the re-assembled roots' rows: the index rewrites just the
       // affected buckets and inherits the rest via its manifest
       state.commit(affected, flat, Lineage.fromDocs(structured))
+      // affected is cached and already materialized by the commit's writes,
+      // so this count is a cached-partition scan, not a re-resolution — the
+      // per-batch "docs re-synced" number the status surface reports
+      affected.count()
     } finally {
       affected.unpersist()
       structured.unpersist() // commit's writes are actions; safe to release
@@ -104,11 +108,12 @@ final class StreamSync(
       changes: DataFrame,
       checkpointDir: String,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      opsSink: Option[DataFrame => Unit] = None
+      opsSink: Option[DataFrame => Unit] = None,
+      afterBatch: Long => Unit = _ => ()
   ): StreamingQuery = {
     val writer = changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch, opsSink) }
+      .foreachBatch { (batch: DataFrame, _: Long) => afterBatch(applyBatch(batch, opsSink)) }
     trigger.fold(writer)(writer.trigger).start()
   }
 }

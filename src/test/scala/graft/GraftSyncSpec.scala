@@ -269,6 +269,60 @@ class GraftSyncSpec extends SparkSpec {
     } finally queries.flatten.foreach(_.stop())
   }
 
+  test("runAll reports periodic per-index status like the reference's status thread (sync.py:2114-2153)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    tables = Map(
+      "order_summary" -> Seq((1L, "open"), (2L, "new")).toDF("id", "status"),
+      "item" -> Seq((10L, 1L, "a")).toDF("id", "order_id", "sku")
+    )
+    val base = Files.createTempDirectory("graft-status").toString
+    val syncs = GraftSync.fromConfig(
+      spark,
+      s"""[
+        {"database": "db", "index": "idx_orders", "nodes": {"table": "order_summary", "columns": ["id", "status"]}},
+        {"database": "db", "index": "idx_items", "nodes": {"table": "item", "columns": ["id", "sku"]}}
+      ]""",
+      cat, load, s"$base/idx"
+    )
+    implicit val sqlCtx = spark.sqlContext
+    val feed = MemoryStream[(String, String, String, String, Long)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[GraftSync.SyncStatus]]()
+    val queries = GraftSync.runAll(
+      syncs,
+      s"$base/ckpt",
+      // only the first doc streams; the second is snapshot-only
+      changeFeed = s => if (s.indexName == "idx_orders")
+        Some(feed.toDF().select(
+          col("_1").as("tg_op"), col("_2").as("tbl"),
+          col("_3").as("old"), col("_4").as("new"), col("_5").as("txid")))
+      else None,
+      onStatus = Some(st => seen.add(st)),
+      statusIntervalMs = 100
+    )
+    try {
+      tables += "order_summary" -> Seq((1L, "open"), (2L, "new"), (3L, "hot")).toDF("id", "status")
+      feed.addData((Changes.Insert, "order_summary", null, """{"id": 3}""", 1L))
+      queries.flatten.foreach(_.processAllAvailable())
+      // poll until a tick reflects the applied batch (reporter period 100ms)
+      def latest(): Seq[GraftSync.SyncStatus] = {
+        var l: Seq[GraftSync.SyncStatus] = Nil
+        seen.forEach(s => l = s)
+        l
+      }
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!latest().exists(s => s.index == "idx_orders" && s.batchesApplied >= 1)
+             && System.nanoTime() < deadline) Thread.sleep(50)
+      val st = latest()
+      assert(st.map(_.index) == Seq("idx_orders", "idx_items"))
+      assert(st.forall(_.phase == "live"))
+      assert(st.find(_.index == "idx_orders").get.snapshotDocs == 2)
+      assert(st.find(_.index == "idx_items").get.snapshotDocs == 1)
+      val orders = st.find(_.index == "idx_orders").get
+      assert(orders.batchesApplied >= 1 && orders.docsResynced >= 1)
+      assert(st.find(_.index == "idx_items").get.batchesApplied == 0)
+    } finally queries.flatten.foreach(_.stop())
+  }
+
   test("analyze advises bucketing for FK keys and broadcast for dims (--analyze analogue)") {
     tables = Map(
       "order_summary" -> Seq((1L, "open")).toDF("id", "status"),
