@@ -63,12 +63,78 @@ object BulkHttp {
   @transient private lazy val client =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
 
+  // ---- version negotiation (`search_client.py:38-77,349`) ------------------
+
+  /** Server identity from `GET /`: distribution + major version. The
+    * reference branches client behavior on `is_opensearch` and
+    * `major_version`; the two wire-visible differences this sink must honor
+    * are the ES < 7 `_doc` mapping type (mappings body wrapped, `_type` on
+    * bulk action metadata) — OpenSearch never needs them regardless of its
+    * own 1.x/2.x numbering (`search_client.py:349`).
+    */
+  final case class ServerInfo(distribution: String, major: Int) {
+    def isOpenSearch: Boolean = distribution == "opensearch"
+    def legacyMappingType: Boolean = !isOpenSearch && major > 0 && major < 7
+  }
+
+  // negotiated once per endpoint per JVM — the driver probes, executors
+  // receive the resolved booleans through the action plan, never the probe
+  private val infoCache = new java.util.concurrent.ConcurrentHashMap[String, ServerInfo]()
+
+  /** `GET /` once per endpoint (cached). Unreachable or unparseable info
+    * degrades to modern ES (major 8, no legacy shims) — the version-agnostic
+    * behavior a stub/test endpoint gets.
+    */
+  def serverInfo(endpoint: String, timeoutMs: Long = 10000): ServerInfo =
+    infoCache.computeIfAbsent(endpoint, ep => fetchInfo(ep, timeoutMs))
+
+  private def fetchInfo(endpoint: String, timeoutMs: Long): ServerInfo =
+    try {
+      val req = HttpRequest
+        .newBuilder(URI.create(s"$endpoint/"))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .GET()
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 300) ServerInfo("elasticsearch", 8)
+      else {
+        val root = mapper.readTree(resp.body())
+        val version = root.path("version")
+        val major = version.path("number").asText("").split("\\.").headOption
+          .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(8)
+        val distro =
+          if (version.path("distribution").asText("") == "opensearch" ||
+              root.path("tagline").asText("").toLowerCase.contains("opensearch"))
+            "opensearch"
+          else "elasticsearch"
+        ServerInfo(distro, major)
+      }
+    } catch { case _: Exception => ServerInfo("elasticsearch", 8) }
+
+  /** Wrap the create body's `mappings` in the `_doc` type for ES < 7
+    * (`search_client.py:349-351` does the same to the derived mapping).
+    */
+  private[sinks] def legacyMappingsBody(body: String): String = {
+    val root = mapper.readTree(body)
+    root match {
+      case obj: com.fasterxml.jackson.databind.node.ObjectNode if obj.has("mappings") =>
+        val wrapper = mapper.createObjectNode()
+        wrapper.set[JsonNode]("_doc", obj.get("mappings"))
+        obj.set[JsonNode]("mappings", wrapper)
+        obj.toString
+      case _ => body
+    }
+  }
+
   /** Index a batch of ops (`op`, `_id`, `doc`) — one bulk stream per
     * partition. Blocks until every partition finishes; throws (failing the
     * Spark job) on unrecoverable errors when `raiseOnError`.
     */
   def write(ops: DataFrame, cfg: BulkConfig): BulkResult = {
-    val actions = SearchSink.bulkActions(ops, cfg.index, cfg.routing, cfg.pipeline)
+    // negotiate on the driver; the legacy `_type` travels as plan literals
+    val info = serverInfo(cfg.endpoint, cfg.timeoutMs)
+    val actions = SearchSink.bulkActions(
+      ops, cfg.index, cfg.routing, cfg.pipeline, legacyType = info.legacyMappingType)
     val sc = ops.sparkSession.sparkContext
     val succeeded = sc.longAccumulator("bulk.succeeded")
     val failed = sc.longAccumulator("bulk.failed")
@@ -225,11 +291,14 @@ object BulkHttp {
       .method("HEAD", HttpRequest.BodyPublishers.noBody())
       .build()
     if (client.send(head, HttpResponse.BodyHandlers.discarding()).statusCode() == 200) return false
+    // ES < 7 expects the mapping body under the `_doc` type
+    val negotiated =
+      if (serverInfo(endpoint, timeoutMs).legacyMappingType) legacyMappingsBody(body) else body
     val put = HttpRequest
       .newBuilder(URI.create(s"$endpoint/$index"))
       .timeout(Duration.ofMillis(timeoutMs))
       .header("Content-Type", "application/json")
-      .PUT(HttpRequest.BodyPublishers.ofString(body))
+      .PUT(HttpRequest.BodyPublishers.ofString(negotiated))
       .build()
     val resp = client.send(put, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() >= 300)

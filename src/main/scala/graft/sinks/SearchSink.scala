@@ -29,17 +29,22 @@ object SearchSink {
       ops: DataFrame,
       index: String,
       routing: Option[String] = None,
-      pipeline: Option[String] = None
+      pipeline: Option[String] = None,
+      legacyType: Boolean = false
   ): DataFrame = {
     val routingCol =
       routing.map(r => get_json_object(col("doc"), s"$$.$r")).getOrElse(lit(null).cast("string"))
-    val deleteMeta = struct(lit(index).as("_index"), col("_id"), routingCol.as("routing"))
+    // ES < 7 bulk metadata carries the `_doc` mapping type
+    // (BulkHttp.ServerInfo.legacyMappingType drives this)
+    val typeCol: Seq[org.apache.spark.sql.Column] =
+      if (legacyType) Seq(lit("_doc").as("_type")) else Nil
+    val deleteMeta = struct(
+      (Seq(lit(index).as("_index"), col("_id")) ++ typeCol :+ routingCol.as("routing")): _*)
     val indexMeta = struct(
-      lit(index).as("_index"),
-      col("_id"),
-      routingCol.as("routing"),
-      pipeline.map(lit(_)).getOrElse(lit(null).cast("string")).as("pipeline")
-    )
+      (Seq(lit(index).as("_index"), col("_id")) ++ typeCol ++ Seq(
+        routingCol.as("routing"),
+        pipeline.map(lit(_)).getOrElse(lit(null).cast("string")).as("pipeline")
+      )): _*)
     ops.select(
       when(col("op") === "delete", concat(lit("""{"delete":"""), to_json(deleteMeta), lit("}")))
         .otherwise(

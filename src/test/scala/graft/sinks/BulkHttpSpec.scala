@@ -54,12 +54,16 @@ class BulkHttpSpec extends SparkSpec {
     )
     // index lifecycle endpoints: everything else
     @volatile var lastPutBody: String = _
+    // `GET /` info body for version negotiation; null = 400 (the sink must
+    // fall back to modern-ES behavior)
+    @volatile var infoJson: String = _
     server.createContext(
       "/",
       (ex: HttpExchange) => {
         val body = readBody(ex)
         val (method, path) = (ex.getRequestMethod, ex.getRequestURI.getPath)
         (method, path) match {
+          case ("GET", "/") if infoJson != null     => respond(ex, 200, infoJson)
           case ("HEAD", _)                          => respond(ex, 404, "")
           case ("PUT", _)                           => lastPutBody = body; respond(ex, 200, """{"acknowledged":true}""")
           case ("DELETE", _)                        => respond(ex, 200, """{"acknowledged":true}""")
@@ -251,6 +255,58 @@ class BulkHttpSpec extends SparkSpec {
       assert(sent.get("settings").get("index").get("analysis").get("analyzer").has("ng"))
       assert(sent.get("mappings").get("properties").get("isbn").get("type").asText() == "keyword")
     } finally stub.stop()
+  }
+
+  test("version negotiation: ES 6.x gets _doc mapping wrap + _type on bulk actions (search_client.py:349)") {
+    val stub = new Stub(_ => None)
+    stub.infoJson =
+      """{"name":"n","version":{"number":"6.8.2","build_flavor":"default"},"tagline":"You Know, for Search"}"""
+    try {
+      assert(BulkHttp.serverInfo(stub.endpoint) == BulkHttp.ServerInfo("elasticsearch", 6))
+      // mapping body wrapped under the _doc type
+      BulkHttp.createIndex(stub.endpoint, "idx",
+        """{"settings": {"index": {"number_of_shards": 1}}, "mappings": {"properties": {"a": {"type": "keyword"}}}}""")
+      val sent = new com.fasterxml.jackson.databind.ObjectMapper().readTree(stub.lastPutBody)
+      assert(sent.get("mappings").has("_doc"))
+      assert(sent.get("mappings").get("_doc").get("properties").get("a").get("type").asText == "keyword")
+      assert(sent.get("settings").get("index").get("number_of_shards").asInt == 1)
+      // bulk metadata carries _type on index AND delete actions
+      val mixed = Seq(("index", "1", """{"a":1}"""), ("delete", "2", null: String))
+        .toDF("op", "_id", "doc")
+      val r = BulkHttp.write(mixed, BulkConfig(stub.endpoint, "idx"))
+      assert(r.succeeded == 2)
+      val metas = stub.requests.flatten.filter(l =>
+        l.startsWith("""{"index":""") || l.startsWith("""{"delete":"""))
+      assert(metas.size == 2 && metas.forall(_.contains(""""_type":"_doc"""")))
+    } finally stub.stop()
+  }
+
+  test("version negotiation: ES 8.x and OpenSearch need no legacy shims; no-info falls back modern") {
+    // 8.x-shaped
+    val es8 = new Stub(_ => None)
+    es8.infoJson = """{"version":{"number":"8.11.4"},"tagline":"You Know, for Search"}"""
+    try {
+      assert(BulkHttp.serverInfo(es8.endpoint) == BulkHttp.ServerInfo("elasticsearch", 8))
+      BulkHttp.createIndex(es8.endpoint, "idx", """{"mappings": {"properties": {}}}""")
+      assert(!es8.lastPutBody.contains("_doc"))
+      BulkHttp.write(ops(1), BulkConfig(es8.endpoint, "idx"))
+      assert(!es8.requests.flatten.exists(_.contains("_type")))
+    } finally es8.stop()
+    // OpenSearch 2.x: major 2 < 7 but is_opensearch → modern behavior
+    val os2 = new Stub(_ => None)
+    os2.infoJson = """{"version":{"number":"2.11.0","distribution":"opensearch"}}"""
+    try {
+      val info = BulkHttp.serverInfo(os2.endpoint)
+      assert(info == BulkHttp.ServerInfo("opensearch", 2) && !info.legacyMappingType)
+      BulkHttp.createIndex(os2.endpoint, "idx", """{"mappings": {"properties": {}}}""")
+      assert(!os2.lastPutBody.contains("_doc"))
+      BulkHttp.write(ops(1), BulkConfig(os2.endpoint, "idx"))
+      assert(!os2.requests.flatten.exists(_.contains("_type")))
+    } finally os2.stop()
+    // endpoint with no GET / (the pre-negotiation stubs): modern default
+    val mute = new Stub(_ => None)
+    try assert(BulkHttp.serverInfo(mute.endpoint) == BulkHttp.ServerInfo("elasticsearch", 8))
+    finally mute.stop()
   }
 
   test("product loop: GraftSync publishes snapshot + incremental ops over HTTP") {
