@@ -478,10 +478,12 @@ object DocAssembler {
         .map(_._2)
         .getOrElse(throw graft.schema.SchemaError(
           s"geo '${g.destination}' source column '$name' is not a field of this node"))
-      val value = (g.kind, g.lat, g.lon, g.wkt) match {
-        case ("point", Some(la), Some(lo), None) => GF.geoPoint(src(la), src(lo))
-        case ("point", None, None, Some(w))      => GF.geoPointFromWkt(src(w))
-        case ("shape", _, _, Some(w))            => GF.geoShapeFromWkt(src(w))
+      val value = (g.kind, g.lat, g.lon, g.wkt, g.geojson) match {
+        case ("point", Some(la), Some(lo), None, None) => GF.geoPoint(src(la), src(lo))
+        case ("point", None, None, Some(w), None)      => GF.geoPointFromWkt(src(w))
+        case ("point", None, None, None, Some(j))      => GF.geoPointFromGeoJson(src(j))
+        case ("shape", _, _, Some(w), None)            => GF.geoShapeFromWkt(src(w))
+        case ("shape", _, _, None, Some(j))            => GF.geoShapeFromGeoJson(src(j))
         case _ =>
           throw graft.schema.SchemaError(s"geo '${g.destination}' spec is invalid") // unreachable post-parse
       }

@@ -41,6 +41,36 @@ object GeoFunctions {
       struct(lat.cast("double").as("lat"), lon.cast("double").as("lon")))
   }
 
+  /** geo_point from a GeoJSON Point string — the exact input shape the
+    * reference's Geometry plugin consumes from PostGIS reflection
+    * (`plugins/sample.py:87-90`: `point["type"] == "Point"` →
+    * `coordinates [lon, lat]`). Non-Point / malformed → null.
+    */
+  def geoPointFromGeoJson(js: Column): Column = {
+    val lon = get_json_object(js, "$.coordinates[0]").cast("double")
+    val lat = get_json_object(js, "$.coordinates[1]").cast("double")
+    when(
+      get_json_object(js, "$.type") === "Point" && lon.isNotNull && lat.isNotNull,
+      struct(lat.as("lat"), lon.as("lon"))
+    )
+  }
+
+  /** geo_shape from a GeoJSON Polygon string (`plugins/sample.py:92-95`
+    * passes the GeoJSON through verbatim): parsed into the same typed
+    * struct [[geoShapeFromWkt]] emits. Non-Polygon / malformed → null.
+    */
+  def geoShapeFromGeoJson(js: Column): Column = {
+    val parsed = from_json(
+      js,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "type STRING, coordinates ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+    )
+    when(
+      parsed.getField("type") === "Polygon" && parsed.getField("coordinates").isNotNull,
+      parsed
+    )
+  }
+
   /** geo_shape from a WKT `POLYGON ((x y, …), (…))` string → GeoJSON-shaped
     * `struct(type, coordinates)`, coordinates typed
     * `array<array<array<double>>>` (rings → points → [lon, lat]).

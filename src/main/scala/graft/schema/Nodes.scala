@@ -60,9 +60,11 @@ final case class ConcatSpec(
     delimiter: String = ""
 )
 
-/** One `geo` spec: destination field assembled from either a (lat, lon)
-  * column pair or a WKT column. `kind = "point"` → ES geo_point object
-  * `{"lat", "lon"}`; `kind = "shape"` → GeoJSON Polygon for geo_shape.
+/** One `geo` spec: destination field assembled from a (lat, lon) column
+  * pair, a WKT column, or a GeoJSON string column (the shape the
+  * reference's Geometry plugin consumes from PostGIS reflection).
+  * `kind = "point"` → ES geo_point object `{"lat", "lon"}`;
+  * `kind = "shape"` → GeoJSON Polygon for geo_shape.
   * First-class here where the reference needs the out-of-tree Geometry
   * plugin (`/root/reference/plugins/sample.py:72-97`) plus geoalchemy2
   * reflection (`pgsync/base.py:61-69`); source columns are post-rename
@@ -73,7 +75,8 @@ final case class GeoSpec(
     kind: String,
     lat: Option[String] = None,
     lon: Option[String] = None,
-    wkt: Option[String] = None
+    wkt: Option[String] = None,
+    geojson: Option[String] = None
 )
 
 /** Node-level transforms, applied root-down after assembly in the order
@@ -359,7 +362,7 @@ object SchemaDef {
       g.properties.asScala.map { e =>
         val spec = e.getValue
         spec.fieldNames.asScala.foreach { k =>
-          if (!Set("kind", "lat", "lon", "wkt").contains(k))
+          if (!Set("kind", "lat", "lon", "wkt", "geojson").contains(k))
             throw SchemaError(s"geo attribute '$k' is invalid")
         }
         val parsed = GeoSpec(
@@ -367,17 +370,22 @@ object SchemaDef {
           kind = opt(spec, "kind").getOrElse(throw SchemaError(s"geo '${e.getKey}' missing 'kind'")),
           lat = opt(spec, "lat"),
           lon = opt(spec, "lon"),
-          wkt = opt(spec, "wkt")
+          wkt = opt(spec, "wkt"),
+          geojson = opt(spec, "geojson")
         )
+        val sources = Seq(
+          parsed.lat.isDefined && parsed.lon.isDefined,
+          parsed.wkt.isDefined,
+          parsed.geojson.isDefined
+        ).count(identity)
         parsed.kind match {
           case "point" =>
-            val latLon = parsed.lat.isDefined && parsed.lon.isDefined
-            if (!(latLon ^ parsed.wkt.isDefined))
+            if (sources != 1 || (parsed.lat.isDefined ^ parsed.lon.isDefined))
               throw SchemaError(
-                s"geo point '${e.getKey}' needs either lat+lon columns or a wkt column")
+                s"geo point '${e.getKey}' needs exactly one of lat+lon columns, a wkt column, or a geojson column")
           case "shape" =>
-            if (parsed.wkt.isEmpty || parsed.lat.isDefined || parsed.lon.isDefined)
-              throw SchemaError(s"geo shape '${e.getKey}' needs exactly a wkt column")
+            if (sources != 1 || parsed.lat.isDefined || parsed.lon.isDefined)
+              throw SchemaError(s"geo shape '${e.getKey}' needs exactly a wkt or geojson column")
           case other => throw SchemaError(s"geo kind invalid: '$other' (point|shape)")
         }
         parsed

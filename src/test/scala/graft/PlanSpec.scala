@@ -42,6 +42,16 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("PushedFilters") && s.contains("Or(And("))
   }
 
+  test("geo parsing is pure codegen projection over a filter-pushed scan") {
+    val s = fmt(SparkEntry.queries("q_geo")(spark, sf))
+    // the key predicate reaches the parquet scan
+    assert(s.contains("PushedFilters") && s.contains("LessThanOrEqual(c_custkey,1000)"), s)
+    // WKT build + parse is a single codegen'd Project — no UDFs, no extra
+    // exchanges (geo must add zero shuffle cost to assembly at any scale)
+    assert(!s.contains("ScalaUDF") && !s.contains("BatchEvalPython"))
+    assert(!s.contains("Exchange"), "geo projection must not shuffle")
+  }
+
   test("filter-dict predicates push to the scan; mismatches fold away statically") {
     val orders = Tables.load(spark, sf)("orders")
     val f = graft.assemble.Filters.build(

@@ -66,14 +66,43 @@ class GeoSpec extends SparkSpec {
     assert(out(2).isNullAt(1))
   }
 
+  test("GeoJSON sources parse like the reference's Geometry plugin (sample.py:87-95)") {
+    val df = Seq(
+      (1L, """{"type":"Point","coordinates":[2.35,48.85]}""",
+        """{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,0.0]]]}"""),
+      (2L, """{"type":"Polygon","coordinates":[[[0,0]]]}""", """{"type":"Point","coordinates":[1,2]}"""),
+      (3L, "not json", null)
+    ).toDF("id", "pjson", "sjson")
+    val out = df
+      .select(
+        col("id"),
+        GeoFunctions.geoPointFromGeoJson(col("pjson")).as("p"),
+        GeoFunctions.geoShapeFromGeoJson(col("sjson")).as("s")
+      )
+      .orderBy("id")
+      .collect()
+    // GeoJSON coordinates are [lon, lat]; our geo_point object is {lat, lon}
+    val p1 = out(0).getStruct(1)
+    assert(p1.getDouble(0) == 48.85 && p1.getDouble(1) == 2.35)
+    val s1 = out(0).getStruct(2)
+    assert(s1.getString(0) == "Polygon")
+    assert(s1.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](1).head.length == 4)
+    // kind mismatches and malformed JSON → null, never an error
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
   test("schema parse validates geo specs (kind, source exclusivity)") {
     def parse(geo: String) = SchemaDef.parseNodes(
       s"""{"table": "t", "columns": ["a"], "transform": {"geo": $geo}}""")
     val ok = parse("""{"coordinates": {"kind": "point", "lat": "la", "lon": "lo"},
-                      "shape": {"kind": "shape", "wkt": "poly"}}""")
-    assert(ok.transform.geo.map(_.destination).toSet == Set("coordinates", "shape"))
+                      "shape": {"kind": "shape", "wkt": "poly"},
+                      "c2": {"kind": "point", "geojson": "pt"}}""")
+    assert(ok.transform.geo.map(_.destination).toSet == Set("coordinates", "shape", "c2"))
     intercept[SchemaError](parse("""{"c": {"kind": "point"}}"""))
     intercept[SchemaError](parse("""{"c": {"kind": "point", "lat": "la", "lon": "lo", "wkt": "w"}}"""))
+    intercept[SchemaError](parse("""{"c": {"kind": "point", "wkt": "w", "geojson": "j"}}"""))
+    intercept[SchemaError](parse("""{"c": {"kind": "point", "lat": "la"}}"""))
     intercept[SchemaError](parse("""{"c": {"kind": "shape", "lat": "la"}}"""))
     intercept[SchemaError](parse("""{"c": {"kind": "circle", "wkt": "w"}}"""))
     intercept[SchemaError](parse("""{"c": {"kind": "point", "wkt": "w", "extra": 1}}"""))
