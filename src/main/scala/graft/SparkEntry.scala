@@ -415,6 +415,19 @@ object SparkEntry {
       Ann.bruteForceTopK(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
     }),
+    // int8-quantized ANN: codes are 4× smaller than float32 through every
+    // scan/shuffle, and cosine over codes equals cosine over dequantized
+    // vectors (per-vector scale cancels) — the ranking runs directly on the
+    // tinyint arrays through the same native codegen cosine. Code dot
+    // products are exact integers (≤ 64·127² ≪ 2^53), so DuckDB replays the
+    // quantization + ranking bit-for-bit.
+    "q_ann_quantized" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val codes = loader(s, dir)("embeddings")
+        .select(col("vec_id"), VF.quantizeInt8(col("embedding")).getField("q").as("embedding"))
+      Ann.bruteForceTopK(
+        codes, codes.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
+    }),
     // graded with refine=0: the coarse centroids are then exactly the first
     // nlists corpus vectors (data, not a trained model), so DuckDB rebuilds
     // the identical cell assignment, probe selection, and per-cell ranking —
@@ -960,6 +973,32 @@ object SparkEntry {
                   list_cosine_similarity(c.embedding, q.embedding) AS cos
            FROM embeddings c
            JOIN embeddings q ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    "q_ann_quantized" ->
+      // replays the symmetric int8 quantization (scale = max|v|/127,
+      // q = round(v/scale)) then ranks on code cosine. Code dots/norms are
+      // exact integers in double, and both engines' round() is
+      // half-away-from-zero over identical doubles, so the replay is exact.
+      """WITH s AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings),
+         q8 AS (
+           SELECT vec_id,
+                  CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0.0)
+                       ELSE list_transform(embedding, x -> round(CAST(x AS DOUBLE) / scale)) END AS q
+           FROM s),
+         scored AS (
+           SELECT b.vec_id AS qid, a.vec_id AS neighbor_id,
+                  list_cosine_similarity(a.q, b.q) AS cos
+           FROM q8 a JOIN q8 b ON b.vec_id < 5 AND a.vec_id <> b.vec_id),
          ranked AS (
            SELECT qid, neighbor_id, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for vector math over `array<float>` /
   * `array<double>` columns, with `doGenCode` emitting a tight primitive
@@ -31,32 +31,41 @@ case class VectorBinaryOp(left: Expression, right: Expression, op: VectorOp)
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // ByteType admits int8-quantized codes (4× smaller than float32 on the
+    // wire/disk); cosine over codes equals cosine over the dequantized
+    // vectors because the per-vector scale cancels
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
+      case _                                               => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}"
+        s"expects array<float|double|tinyint> inputs, got ${left.dataType} / ${right.dataType}"
       )
   }
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case FloatType => (x, i) => x.getFloat(i).toDouble
+    case ByteType  => (x, i) => x.getByte(i).toDouble
+    case _         => (x, i) => x.getDouble(i)
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    val lg = getter(elemType(left))
+    val rg = getter(elemType(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0; var l2 = 0.0
     var i = 0
     while (i < n) {
-      val xv: Double = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv: Double = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv: Double = lg(x, i)
+      val yv: Double = rg(y, i)
       op match {
         case VectorOp.Dot => dot += xv * yv
         case VectorOp.Cosine =>
@@ -73,8 +82,13 @@ case class VectorBinaryOp(left: Expression, right: Expression, op: VectorOp)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
-    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    def getName(dt: DataType): String = dt match {
+      case FloatType => "getFloat"
+      case ByteType  => "getByte"
+      case _         => "getDouble"
+    }
+    val lGet = getName(elemType(left))
+    val rGet = getName(elemType(right))
     nullSafeCodeGen(
       ctx,
       ev,

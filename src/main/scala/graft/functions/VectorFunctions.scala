@@ -38,6 +38,33 @@ object VectorFunctions {
       VectorSumAgg(ExpressionUtils.expression(v)).toAggregateExpression()
     )
 
+  /** Symmetric int8 quantization: `struct(scale, q)` with
+    * `scale = max|v| / 127` and `q[i] = round(v[i] / scale)` ∈ [-127, 127]
+    * (`array<tinyint>`) — 4× smaller than float32 on disk and through every
+    * shuffle. Cosine over codes EQUALS cosine over the dequantized vectors
+    * (the per-vector scale cancels), so ANN ranking runs directly on codes
+    * via the same native [[cosine]] — no dequantize in the hot loop. This is
+    * a one-time prep-path expression (HOFs are fine here; the scan hot loop
+    * stays in [[graft.expr.VectorBinaryOp]] codegen). All-zero vectors get
+    * scale 0 and all-zero codes.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val d = transform(v, x => x.cast("double"))
+    val maxabs = array_max(transform(d, x => abs(x)))
+    val scale = maxabs / lit(127.0)
+    val q = transform(
+      d,
+      x => when(maxabs === 0.0, lit(0.0)).otherwise(round(x / scale)).cast("byte")
+    )
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `array<double>` with per-element error
+    * ≤ scale/2. For audits/specs — ranking never needs it (see above).
+    */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"), c => c.cast("double") * qs.getField("scale"))
+
   /** Deterministic pseudo-random hyperplane for LSH: `dim` components in
     * [-1, 1), derived from an LCG-style mix of (plane, component) — stable
     * across executors and runs with no stored model.

@@ -150,4 +150,12 @@ class PlanSpec extends SparkSpec {
     // embeddings scan is pruned to the two needed columns
     assert(s.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
   }
+
+  test("quantized ANN ranks on tinyint codes through the same native cosine") {
+    val s = plan(SparkEntry.queries("q_ann_quantized")(spark, sf))
+    // the hot scoring loop is the codegen VectorBinaryOp over array<tinyint>
+    assert(s.toLowerCase.contains("vectorbinaryop("), s)
+    // quantization itself (prep path) must not fall back to UDFs
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"))
+  }
 }

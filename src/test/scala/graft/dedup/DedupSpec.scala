@@ -179,6 +179,48 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("int8 quantization: bounded round-trip error, scale-invariant cosine, high ANN recall") {
+    import graft.functions.{VectorFunctions => VF}
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 5 + j) + 0.01 * math.sin(i * 13 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // round-trip error per element is at most scale/2
+    val err = df.select(
+      VF.quantizeInt8(col("embedding")).getField("scale").as("scale"),
+      zip_with(
+        VF.dequantizeInt8(VF.quantizeInt8(col("embedding"))),
+        transform(col("embedding"), x => x.cast("double")),
+        (a, b) => abs(a - b)
+      ).as("errs")
+    )
+    assert(err.collect().forall { r =>
+      val half = r.getDouble(0) / 2 + 1e-12
+      r.getSeq[Double](1).forall(_ <= half)
+    })
+    // quantized cosine tracks exact cosine closely (codes keep direction)
+    val pairs = df.as("a").crossJoin(df.as("b")).filter(col("a.vec_id") < col("b.vec_id")).limit(200)
+      .select(
+        VF.cosine(col("a.embedding"), col("b.embedding")).as("exact"),
+        VF.cosine(
+          VF.quantizeInt8(col("a.embedding")).getField("q"),
+          VF.quantizeInt8(col("b.embedding")).getField("q")
+        ).as("quant")
+      )
+    assert(pairs.collect().forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02))
+    // top-k over codes recovers the exact top-k almost entirely
+    val queries = df.filter(col("vec_id") < 3)
+    val bf = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val codes = df.select(col("vec_id"), VF.quantizeInt8(col("embedding")).getField("q").as("embedding"))
+    val q8 = Ann.bruteForceTopK(
+        codes, codes.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect q8).size.toDouble / bf.size
+    assert(recall >= 0.8, s"quantized ANN recall $recall")
+  }
+
   test("LSH multi-probe (Hamming-1) recall beats single-bucket vs brute force") {
     // clustered vectors with per-vector jitter: cluster members near a
     // hyperplane land one sign-bit apart, which is exactly the recall cliff
