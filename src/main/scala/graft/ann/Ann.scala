@@ -237,9 +237,13 @@ object Ann {
         col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val q = qKeyed
       .select(col("qid"), col("qv"), explode(probeKeys).as("bucket"))
+    rankCandidates(bucketed, q, k)
+  }
+
+  private def rankCandidates(bucketed: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
     bucketed
-      .join(broadcast(q), Seq("bucket"))
+      .join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("qid"))
       .select(col("qid"), col("neighbor_id"), VF.cosine(col("v"), col("qv")).as("cos"))
       .withColumn("rank", row_number().over(w))
@@ -250,5 +254,74 @@ object Ann {
         round(col("cos") * 10000).cast("long").as("cosine_e4"),
         col("rank").cast("long").as("rank")
       )
+  }
+
+  /** One-time index build: persist the corpus as an LSH-PARTITIONED layout
+    * (`bucket=<b>/` directories, one file group per bucket). This is the
+    * 100 TB form of [[lshTopK]]: the signature pass runs once, amortized
+    * over every future query batch, and probing becomes partition pruning —
+    * a probe reads only its buckets' file groups, never the corpus.
+    * The bucket-keyed repartition bounds the fan-out to one file per bucket.
+    */
+  def writeLshIndex(
+      corpus: DataFrame,
+      path: String,
+      id: String,
+      vec: String,
+      planes: Int = 6,
+      dim: Int = 64
+  ): Unit =
+    corpus
+      .filter(col(vec).isNotNull)
+      .select(
+        col(id).as("neighbor_id"),
+        col(vec).as("v"),
+        VF.hyperplaneBucket(col(vec), planes, dim).as("bucket")
+      )
+      .repartition(col("bucket"))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+
+  /** Probe a [[writeLshIndex]] layout. The probe keys are collected on the
+    * driver (bounded: |queries| × (planes+1) longs — queries are
+    * broadcast-small by the same contract as [[lshTopK]]) and pushed as a
+    * STATIC `bucket IN (…)` partition filter, so the scan plans only the
+    * probed file groups. Same output and semantics as [[lshTopK]] at equal
+    * parameters: each corpus vector lives in exactly one partition, so no
+    * duplicate (qid, neighbor) pair.
+    */
+  def lshTopKIndexed(
+      indexPath: String,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      k: Int,
+      planes: Int = 6,
+      dim: Int = 64,
+      probeHamming: Int = 1
+  ): DataFrame = {
+    require(
+      probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming must be 0 (exact bucket) or 1 (flip each plane bit), got $probeHamming"
+    )
+    val spark = queries.sparkSession
+    val qKeyed = queries.select(
+      col(qid).as("qid"),
+      col(qvec).as("qv"),
+      VF.hyperplaneBucket(col(qvec), planes, dim).as("bucket")
+    )
+    val probeKeys =
+      if (probeHamming == 0) array(col("bucket"))
+      else array(col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val q = qKeyed.select(col("qid"), col("qv"), explode(probeKeys).as("bucket"))
+    val keys = q.select(col("bucket")).distinct().collect().map(_.getLong(0)).sorted
+    val corpus = spark.read.parquet(indexPath)
+    val pruned =
+      if (keys.isEmpty) corpus.filter(lit(false))
+      else corpus.filter(col("bucket").isInCollection(keys.toSeq))
+    rankCandidates(pruned, q, k)
   }
 }

@@ -249,6 +249,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.length == rows.distinct.length, "duplicate (qid, neighbor) pair emitted")
   }
 
+  test("LSH index layout: partition-pruned probing matches the in-memory plan") {
+    val vecs = (0 until 80).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 4)
+    val dir = graft.util.TempDirs.scratch("ann-lsh-index").toString
+    Ann.writeLshIndex(df, dir, "vec_id", "embedding", planes = 6, dim = 16)
+    val indexed = Ann.lshTopKIndexed(dir, queries, "vec_id", "embedding", 5, planes = 6, dim = 16)
+    val direct = Ann.lshTopK(
+      df, queries, "vec_id", "embedding", "vec_id", "embedding", 5, planes = 6, dim = 16)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(indexed) == rows(direct))
+    // the probe keys reach the scan as a STATIC partition filter — at 100 TB
+    // this is what turns probing into reading only the probed file groups
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bucket"), p)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("LSH probe expansion yields a candidate superset of exact-bucket probing") {
     // with k >= corpus size the top-k result IS the candidate set, so the
     // Hamming-1 expansion must return a superset of the exact-bucket pairs
