@@ -505,7 +505,85 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("checksum"),
           concat_ws(",", col("frames")).as("frames")
-        ))
+        )),
+    // ---- sequence packing: docs → fixed token-budget training sequences ----
+    // concatenate-and-chunk semantics (pure prefix sum — carries the oracle);
+    // 8 streams salted by id, whitespace token counts, 512-token packs
+    "q_pack" -> ((s, dir) =>
+      graft.functions.Packing
+        .pack(
+          loader(s, dir)("documents"),
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long"),
+          pmod(col("doc_id"), lit(8)),
+          col("doc_id"),
+          budget = 512L
+        )
+        .withColumnRenamed("id", "doc_id")),
+    "q_pack_stats" -> ((s, dir) =>
+      graft.functions.Packing.packStats(
+        graft.functions.Packing.pack(
+          loader(s, dir)("documents"),
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long"),
+          pmod(col("doc_id"), lit(8)),
+          col("doc_id"),
+          budget = 512L
+        ),
+        budget = 512L
+      )),
+    // whole-document first-fit (docs never split): the pack boundary depends
+    // on the running fill, not a prefix sum — not SQL-expressible, so this
+    // entry is rows-only at the driver; exactness is spec-verified by
+    // invariants (no overflow, order preserved, every doc assigned) in
+    // PackingSpec
+    "q_pack_greedy" -> ((s, dir) =>
+      graft.functions.Packing
+        .packGreedy(
+          loader(s, dir)("documents"),
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long"),
+          pmod(col("doc_id"), lit(8)),
+          col("doc_id"),
+          budget = 512L
+        )
+        .withColumnRenamed("id", "doc_id")),
+    // ---- corpus mixing by TOKEN budget (chars stand in for tokens here):
+    // fill each lang's budget in md5-hash order of the key --------------------
+    "q_mix_budget" -> ((s, dir) =>
+      graft.functions.Sampling
+        .tokenBudget(
+          loader(s, dir)("documents"),
+          col("doc_id"),
+          col("lang"),
+          col("n_chars"),
+          budgets = Map("en" -> 30000L, "zh" -> 10000L),
+          defaultBudget = 15000L
+        )
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // ---- incremental dedup: new batch (odd ids) vs persisted corpus index
+    // (even ids) — the steady-state shape at 100 TB: the corpus is never
+    // rescanned, the batch joins the digest / band-key index ------------------
+    "q_dedup_incr" -> ((s, dir) => {
+      val d = loader(s, dir)("documents")
+      Dedup.exactIncremental(
+        Dedup.exact(d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+          .select(col("h"), col("keep_id")),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id",
+        "text"
+      )
+    }),
+    "q_dedup_minhash_incr" -> ((s, dir) => {
+      val d = loader(s, dir)("documents")
+      Dedup.minhashLshIncrementalPortable(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id",
+        "text",
+        threshold = 0.3
+      )
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1154,6 +1232,84 @@ object SparkEntry {
                 CAST(strlen(text) % 480 AS BIGINT) AS height,
                 CAST(list_sum(list_transform(string_split(substr(text, 1, 64), ''), x -> ord(x))) AS BIGINT) AS checksum,
                 array_to_string(list_transform(generate_series(0, 3), i -> (i * strlen(text)) // 4), ',') AS frames
-         FROM documents"""
+         FROM documents""",
+    "q_pack" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 8 AS part,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM t)
+         SELECT doc_id, part,
+                CAST(floor(prev / 512) AS BIGINT) AS pack_id,
+                CAST(prev % 512 AS BIGINT) AS pack_offset,
+                n_tokens,
+                CAST(floor((prev + greatest(n_tokens, 1) - 1) / 512) - floor(prev / 512) + 1 AS BIGINT) AS n_packs
+         FROM c""",
+    "q_pack_stats" ->
+      """WITH t AS (
+           SELECT doc_id % 8 AS part,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT part, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(ceil(CAST(sum(n_tokens) AS DOUBLE) / 512) AS BIGINT) AS n_packs,
+                CAST(CASE WHEN sum(n_tokens) % 512 = 0 THEN 512
+                          ELSE sum(n_tokens) % 512 END AS BIGINT) AS last_fill
+         FROM t GROUP BY part""",
+    "q_mix_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT *, COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+                        ORDER BY h, CAST(doc_id AS VARCHAR)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM t)
+         SELECT doc_id, lang, n_chars FROM c
+         WHERE prev < CASE WHEN lang = 'en' THEN 30000
+                           WHEN lang = 'zh' THEN 10000
+                           ELSE 15000 END""",
+    "q_dedup_incr" ->
+      """WITH idx AS (
+           SELECT md5(text) AS h, min(doc_id) AS keep_id
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         b AS (
+           SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+         SELECT b.h, b.keep_id, b.n_dups, idx.keep_id AS corpus_keep_id
+         FROM b LEFT JOIN idx ON b.h = idx.h""",
+    "q_dedup_minhash_incr" -> {
+      // same portable md5 family as q_dedup_minhash, split into corpus
+      // (even ids, the persisted index) vs batch (odd ids): batch band keys
+      // probe corpus band keys, degenerate corpus buckets drop, candidates
+      // verify by exact Jaccard
+      val k = 16
+      val mins = (0 until k).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+      val bandKeys = (0 until 8).map(b => s"'$b:' || m${2 * b} || m${2 * b + 1}").mkString(", ")
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+                FROM t WHERE len(toks) > 0),
+         post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         m AS (SELECT doc_id, $mins FROM post GROUP BY doc_id),
+         keyed AS (SELECT doc_id, unnest([$bandKeys]) AS key FROM m),
+         ck AS (SELECT * FROM keyed WHERE doc_id % 2 = 0),
+         bk AS (SELECT * FROM keyed WHERE doc_id % 2 = 1),
+         ok AS (SELECT key FROM ck GROUP BY key HAVING count(*) <= 1000),
+         pairs AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+                   FROM bk b JOIN ck c ON b.key = c.key
+                   WHERE b.key IN (SELECT key FROM ok)),
+         j AS (SELECT pr.batch_id, pr.corpus_id,
+                      CAST(len(list_intersect(sb.shingles, sc.shingles)) AS DOUBLE) /
+                        len(list_distinct(list_concat(sb.shingles, sc.shingles))) AS jac
+               FROM pairs pr
+               JOIN sh sb ON sb.doc_id = pr.batch_id
+               JOIN sh sc ON sc.doc_id = pr.corpus_id)
+         SELECT batch_id, corpus_id, CAST(round(jac * 1000) AS BIGINT) AS jaccard_milli
+         FROM j WHERE jac >= 0.3"""
+    }
   )
 }

@@ -159,6 +159,24 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       maxBucket: Int = 1000
+  ): DataFrame =
+    verifyJaccard(
+      bucketPairs(portableBandKeys(docs, id, text, shingleN, bands, rowsPerBand), maxBucket),
+      docs, id, text, shingleN, threshold)
+
+  /** The md5-family LSH band keys of [[minhashLshPortable]] as a reusable
+    * (id, key) frame — the persisted form of a minhash signature index
+    * (each doc contributes `bands` rows). Factored out so the incremental
+    * path below keys a NEW batch against an EXISTING corpus with the
+    * identical band-key derivation.
+    */
+  private[graft] def portableBandKeys(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int,
+      bands: Int,
+      rowsPerBand: Int
   ): DataFrame = {
     val k = bands * rowsPerBand
     val sh = docs.select(
@@ -176,9 +194,8 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
     }
-    val keyed = sig.select(col("id"), posexplode(array(bandCols: _*)))
+    sig.select(col("id"), posexplode(array(bandCols: _*)))
       .select(col("id"), concat_ws(":", col("pos"), col("col")).as("key"))
-    verifyJaccard(bucketPairs(keyed, maxBucket), docs, id, text, shingleN, threshold)
   }
 
   /** 64-bit SimHash signatures via explode + 64 codegen'd sum-aggregates
@@ -566,5 +583,102 @@ object Dedup {
       .select(col("id_a"), col("id_b"), VF.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos") * 10000).cast("long").as("cosine_e4"))
+  }
+
+  // --------------------------------------------------------------------------
+  // Incremental dedup: new batch vs persisted corpus index. At 100 TB the
+  // corpus is NEVER rescanned per arriving batch — dedup state lives in a
+  // persisted index (content digests / band keys), the daily batch joins
+  // against it, and the index grows by the batch's survivors. Mirrors the
+  // reference's steady-state model (snapshot once, then deltas —
+  // sync.py's checkpoint/replication loop) applied to dedup.
+  // --------------------------------------------------------------------------
+
+  /** Incremental EXACT dedup of a batch against a persisted digest index.
+    *
+    * `index` is the accumulated corpus state: (h, keep_id) — one row per
+    * distinct content digest already in the corpus, pointing at its
+    * canonical document. The batch is grouped by digest (within-batch dups
+    * collapse first), then left-joined against the index on the 16-byte
+    * digest — the ONLY corpus-sized structure touched, and at scale it is
+    * stored bucketed by digest (see [[graft.sinks.MaterializedIndex]]'s
+    * layout idiom) so only the batch side shuffles.
+    *
+    * Output, one row per distinct batch digest:
+    * (h, keep_id = min batch id, n_dups = batch occurrences,
+    * corpus_keep_id = canonical corpus doc, null when the digest is new).
+    * Rows with `corpus_keep_id IS NULL` are exactly the index rows to
+    * append for the next batch — the operator is its own state transition.
+    */
+  def exactIncremental(
+      index: DataFrame,
+      batch: DataFrame,
+      id: String,
+      text: String
+  ): DataFrame = {
+    val grouped = batch
+      .groupBy(md5(col(text).cast("binary")).as("h"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+    grouped.join(
+      index.select(col("h"), col("keep_id").as("corpus_keep_id")),
+      Seq("h"),
+      "left"
+    )
+  }
+
+  /** Incremental MinHash+LSH near-dup: key a new batch against an existing
+    * corpus' band-key index and verify candidates by exact Jaccard —
+    * without ever pairing batch docs with each other (use [[minhashLsh]]
+    * within the batch) or corpus docs with each other (already deduped).
+    *
+    * `corpus` here stands for the persisted signature index: in steady
+    * state its band keys are computed once at ingest and stored (id, key);
+    * this method recomputes them from text so the whole pipeline is
+    * replayable by the oracle — the join shape is identical either way.
+    * Degenerate band keys (corpus bucket > maxBucket) are dropped on BOTH
+    * sides, same no-signal rationale as [[bucketPairs]]; candidate verify
+    * joins fetch text for candidate ids only.
+    * Output: (batch_id, corpus_id, jaccard_milli).
+    */
+  def minhashLshIncrementalPortable(
+      corpus: DataFrame,
+      batch: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val corpusKeys = portableBandKeys(corpus, id, text, shingleN, bands, rowsPerBand)
+    val batchKeys = portableBandKeys(batch, id, text, shingleN, bands, rowsPerBand)
+    val okKeys = corpusKeys
+      .groupBy("key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("key")
+    val candidates = batchKeys
+      .withColumnRenamed("id", "batch_id")
+      .join(okKeys, "key")
+      .join(corpusKeys.withColumnRenamed("id", "corpus_id"), "key")
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val bt = batch.select(col(id).as("batch_id"), TF.wordShingles(col(text), shingleN).as("sh_b"))
+    val ct = corpus.select(col(id).as("corpus_id"), TF.wordShingles(col(text), shingleN).as("sh_c"))
+    candidates
+      .join(bt, "batch_id")
+      .join(ct, "corpus_id")
+      .select(
+        col("batch_id"),
+        col("corpus_id"),
+        (size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c")))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(
+        col("batch_id"),
+        col("corpus_id"),
+        round(col("jaccard") * 1000).cast("long").as("jaccard_milli"))
   }
 }

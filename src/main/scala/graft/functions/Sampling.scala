@@ -82,6 +82,77 @@ object Sampling {
     * (ties broken arbitrarily could differ between the local and global
     * sorts) — the same requirement deterministic output had already.
     */
+  /** Token-budget corpus mixing: keep documents per stratum until the
+    * stratum's TOKEN budget is filled — "200 B tokens of web, 30 B of code,
+    * all of wiki" — the mixture primitive training-data recipes are written
+    * in (quotas are over tokens, not document counts, because documents
+    * vary by 4+ orders of magnitude in length).
+    *
+    * Membership is deterministic and engine-portable: documents fill their
+    * stratum's budget in md5-hex order of the key (ties broken by the key
+    * itself, so the order is total for unique keys). A document is kept iff
+    * the tokens of all documents ordered before it in its stratum sum to
+    * less than the budget — the last document may overflow the budget
+    * (greedy fill, same straddle semantics as `Packing.pack`), so a
+    * stratum with any documents at all and a positive budget is never
+    * empty. Like [[hashSample]], growing a budget only ever grows the kept
+    * set (prefix property of the hash order).
+    *
+    * TWO-PHASE for the same reason as [[quota]]: the exact prefix-sum
+    * window funnels each stratum through one task. Phase 1 keeps, with no
+    * exchange, each partition's hash-order prefix whose running total is
+    * under the budget — a superset of the global winners, because a row's
+    * partition-local prefix sum is at most its global prefix sum. Phase 2
+    * runs the exact window over at most budget·numPartitions tokens per
+    * stratum — bounded by cluster size, not data size.
+    */
+  def tokenBudget(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      tokens: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L
+  ): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0, "budgets must be >= 0")
+    val budgetCol = budgets.foldLeft(when(lit(false), lit(0L))) { case (acc, (s, b)) =>
+      acc.when(stratum === s, lit(b))
+    }.otherwise(lit(defaultBudget))
+    val tagged = df
+      .withColumn("__h", md5(key.cast(StringType).cast(BinaryType)))
+      .withColumn("__k", key.cast(StringType))
+      .withColumn("__s", stratum.cast(StringType))
+      .withColumn("__t", tokens.cast("long"))
+      .withColumn("__b", budgetCol)
+    // phase 1: partition-local hash-order prefix under budget, no exchange
+    val sorted = tagged.sortWithinPartitions(col("__s"), col("__h"), col("__k"))
+    val schema = sorted.schema
+    val sIdx = schema.fieldIndex("__s")
+    val tIdx = schema.fieldIndex("__t")
+    val bIdx = schema.fieldIndex("__b")
+    val local = sorted.mapPartitions { it =>
+      var cur: Any = null
+      var seen = false
+      var acc = 0L
+      it.filter { r =>
+        val s = r.get(sIdx)
+        if (!seen || s != cur) { cur = s; seen = true; acc = 0L }
+        val keep = acc < r.getLong(bIdx)
+        if (keep && !r.isNullAt(tIdx)) acc += r.getLong(tIdx)
+        keep
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    // phase 2: exact global prefix sum over the bounded survivor set
+    val w = Window
+      .partitionBy(col("__s"))
+      .orderBy(col("__h"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local
+      .withColumn("__prev", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .filter(col("__prev") < col("__b"))
+      .drop("__h", "__k", "__s", "__t", "__b", "__prev")
+  }
+
   def quota(df: DataFrame, groupCols: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     require(k >= 0, s"quota k must be >= 0, got $k")
     if (k == 0) return df.limit(0)

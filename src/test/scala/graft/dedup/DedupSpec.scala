@@ -289,4 +289,61 @@ class DedupSpec extends SparkSpec {
       s"probeHamming=1 lost ${(exact -- expanded).size} exact-bucket candidates")
     assert(expanded.size >= exact.size)
   }
+
+  test("incremental exact dedup: batch digests resolve against the corpus index") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "delta epsilon zeta"),
+      (12L, "alpha beta gamma") // corpus-internal dup, index keeps min id
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha beta gamma"), // dup of corpus 10
+      (21L, "alpha beta gamma"), // same digest, within-batch dup of 20
+      (22L, "brand new content"), // new
+      (23L, "delta epsilon zeta") // dup of corpus 11
+    ).toDF("doc_id", "text")
+    val index = Dedup.exact(corpus, "doc_id", "text").select(col("h"), col("keep_id"))
+    val out = Dedup.exactIncremental(index, batch, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("keep_id") ->
+        (r.getAs[Long]("n_dups"), Option(r.getAs[Any]("corpus_keep_id"))))
+      .toMap
+    assert(out(20L) == (2L, Some(10L))) // batch pair collapsed onto corpus canonical
+    assert(out(22L) == (1L, None)) // the only index row to append
+    assert(out(23L) == (1L, Some(11L)))
+    assert(out.size == 3) // one row per distinct batch digest
+    // state transition: appending the new digests makes a rerun find nothing new
+    val newRows = Dedup.exactIncremental(index, batch, "doc_id", "text")
+      .filter(col("corpus_keep_id").isNull)
+      .select(col("h"), col("keep_id"))
+    val rerun = Dedup.exactIncremental(index.union(newRows), batch, "doc_id", "text")
+    assert(rerun.filter(col("corpus_keep_id").isNull).count() == 0)
+  }
+
+  test("incremental minhash: batch-vs-corpus pairs only, verify matches exact jaccard") {
+    val corpus = docs // ids 1-5
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 1/4
+      (7L, "totally novel sentence with no overlap whatsoever in any shingle")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .minhashLshIncrementalPortable(corpus, batch, "doc_id", "text", threshold = 0.2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the planted dup is found against BOTH corpus copies, at jaccard 1.0
+    assert(out((6L, 1L)) == 1000L && out((6L, 4L)) == 1000L)
+    // near-dup of doc 2 verifies to the same value the full self-dedup computes
+    val full = Dedup
+      .minhashLshPortable(corpus.union(batch), "doc_id", "text", threshold = 0.2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    out.foreach { case ((b, c), jac) =>
+      assert(full((b min c, b max c)) == jac, s"pair ($b,$c)")
+    }
+    // batch doc 7 pairs with nothing; no corpus-corpus or batch-batch pairs
+    assert(!out.keys.exists(_._1 == 7L))
+    assert(out.keys.forall { case (b, c) => b >= 6L && c <= 5L })
+  }
 }

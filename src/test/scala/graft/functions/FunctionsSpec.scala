@@ -253,6 +253,79 @@ class FunctionsSpec extends SparkSpec {
       s"window exchange must consume the local-quota output:\n$plan")
   }
 
+  test("tokenBudget: greedy hash-order fill, last doc may straddle, budgets nest") {
+    import graft.functions.Sampling
+    val df = Seq.tabulate(40)(i => (i.toLong, s"s${i % 2}", 10L + i % 7))
+      .toDF("id", "stratum", "toks")
+    val out = Sampling.tokenBudget(
+      df, col("id"), col("stratum"), col("toks"), Map("s0" -> 60L), defaultBudget = 45L)
+    val kept = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // per stratum: the kept total can exceed the budget only by the straddle
+    // of the final doc (prev < budget ⇒ total < budget + max kept doc), and
+    // a stratum under budget would have kept everything
+    val totalByStratum = Seq.tabulate(40)(i => (s"s${i % 2}", 10L + i % 7))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    kept.groupBy(_._2).foreach { case (s, rows) =>
+      val budget = if (s == "s0") 60L else 45L
+      val tot = rows.map(_._3).sum
+      assert(tot < budget + rows.map(_._3).max, s"stratum $s total $tot vs budget $budget")
+      assert(tot >= math.min(budget, totalByStratum(s)), s"stratum $s underfilled: $tot")
+    }
+    // monotonicity: doubling a budget keeps a superset
+    val bigger = Sampling.tokenBudget(
+      df, col("id"), col("stratum"), col("toks"), Map("s0" -> 120L), defaultBudget = 90L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kept.toSet.subsetOf(bigger))
+    // zero budget → empty stratum; unlisted stratum uses default
+    val zero = Sampling.tokenBudget(
+      df, col("id"), col("stratum"), col("toks"), Map("s0" -> 0L), defaultBudget = 0L)
+    assert(zero.count() == 0)
+  }
+
+  test("tokenBudget two-phase == naive global window on skewed many-partition input") {
+    import graft.functions.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val df = spark
+      .range(0, 4000)
+      .select(
+        col("id"),
+        when(pmod(col("id"), lit(10)) === 0, concat(lit("s"), pmod(col("id"), lit(5))))
+          .otherwise(lit("hot")).as("stratum"),
+        (pmod(col("id") * 2654435761L, lit(50)) + 1).as("toks")
+      )
+      .repartition(16)
+    val naive = df
+      .withColumn("__h", md5(col("id").cast("string").cast("binary")))
+      .withColumn(
+        "__prev",
+        coalesce(
+          sum(col("toks")).over(
+            Window.partitionBy(col("stratum")).orderBy(col("__h"), col("id").cast("string"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(col("__prev") < when(col("stratum") === "hot", 900L).otherwise(300L))
+      .select("id", "stratum", "toks")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val two = Sampling.tokenBudget(
+      df, col("id"), col("stratum"), col("toks"),
+      Map("hot" -> 900L), defaultBudget = 300L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(two == naive)
+  }
+
+  test("tokenBudget plan: phase-2 window exchange consumes phase-1 survivors") {
+    import graft.functions.Sampling
+    val df = spark.range(0, 1000)
+      .select(col("id"), pmod(col("id"), lit(3)).cast("string").as("s"), lit(5L).as("t"))
+      .repartition(8)
+    val plan = Sampling.tokenBudget(df, col("id"), col("s"), col("t"), Map("0" -> 100L), 50L)
+      .queryExecution.executedPlan.toString
+    val ex = plan.indexOf("Exchange hashpartitioning(__s")
+    val mp = plan.indexOf("MapPartitions")
+    assert(ex >= 0 && mp >= 0 && ex < mp,
+      s"window exchange must sit above the local budget pass:\n$plan")
+  }
+
   test("term stats: top-k by tf with lexicographic ties, df counts documents not occurrences") {
     import graft.functions.TermStats
     val docs = Seq(
