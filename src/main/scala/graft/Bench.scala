@@ -55,16 +55,19 @@ object Bench {
     // production shapes only.
     //  - q_dedup_embed: documented quadratic exact twin of the LSH path
     //    (q_dedup_embed_lsh), which IS timed;
-    //  - q_dedup_minhash / q_dedup_simhash: engine-portable md5/string
-    //    grading plans whose xxhash64 production twins are timed as
-    //    q_dedup_minhash_prod / q_dedup_simhash_prod;
+    //  - q_dedup_minhash / q_dedup_simhash / q_dedup_minhash_incr:
+    //    engine-portable md5/string grading plans whose xxhash64 production
+    //    twins are timed as q_dedup_minhash_prod / q_dedup_simhash_prod /
+    //    q_dedup_minhash_incr_prod;
     //  - q_events_sessions_stream: the file-stage + maxFilesPerTrigger=1
     //    replay harness (micro-batch scheduling dominates the state machine
     //    it grades). The stateful operator's per-event cost has no honest
     //    standalone timing here — the batch form q_events_sessions times the
     //    same sessionization semantics end-to-end and stays in.
     val benchExcluded =
-      Set("q_dedup_embed", "q_dedup_minhash", "q_dedup_simhash", "q_events_sessions_stream")
+      Set(
+        "q_dedup_embed", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_minhash_incr",
+        "q_events_sessions_stream")
     // triage knob: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries
     // (and skips the throughput metrics) for quick regression bisection
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -62,6 +62,23 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000
   ): DataFrame = {
+    val keyed = prodBandKeys(docs, id, text, shingleN, bands, rowsPerBand)
+    val candidates = bucketPairs(keyed, maxBucket)
+    verifyJaccard(candidates, docs, id, text, shingleN, threshold)
+  }
+
+  /** The xxhash64 rotate-XOR band keys of [[minhashLsh]] as a reusable
+    * (id, key) frame — the production form of the persisted signature
+    * index the incremental path probes.
+    */
+  private[graft] def prodBandKeys(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int,
+      bands: Int,
+      rowsPerBand: Int
+  ): DataFrame = {
     val k = bands * rowsPerBand
     // The shingle sets feed three consumers (signature, verify-a, verify-b).
     // Deliberately NOT cached: a corpus-sized persist would spill ~corpus
@@ -99,10 +116,8 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       hash((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
     }
-    val keyed = sig.select(col("id"), posexplode(array(bandCols: _*)))
+    sig.select(col("id"), posexplode(array(bandCols: _*)))
       .select(col("id"), concat_ws(":", col("pos"), col("col")).as("key"))
-    val candidates = bucketPairs(keyed, maxBucket)
-    verifyJaccard(candidates, docs, id, text, shingleN, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs, computed AFTER the
@@ -650,9 +665,50 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       maxBucket: Int = 1000
+  ): DataFrame =
+    incrementalVerify(
+      portableBandKeys(corpus, id, text, shingleN, bands, rowsPerBand),
+      portableBandKeys(batch, id, text, shingleN, bands, rowsPerBand),
+      corpus, batch, id, text, shingleN, threshold, maxBucket)
+
+  /** Production-hash twin of [[minhashLshIncrementalPortable]]: the same
+    * batch-probes-index join shape over the xxhash64 rotate-XOR band keys
+    * of [[minhashLsh]] — the variant to run (and the one the bench times)
+    * when the signature index is built by the production ingest path.
+    * Correctness is carried by the portable twin's oracle plus the shared
+    * verify stage (identical exact-Jaccard on candidates).
+    */
+  def minhashLshIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000
+  ): DataFrame =
+    incrementalVerify(
+      prodBandKeys(corpus, id, text, shingleN, bands, rowsPerBand),
+      prodBandKeys(batch, id, text, shingleN, bands, rowsPerBand),
+      corpus, batch, id, text, shingleN, threshold, maxBucket)
+
+  /** Shared incremental candidate join + exact-Jaccard verify: batch band
+    * keys probe corpus band keys (degenerate corpus buckets dropped),
+    * candidate pairs fetch text from their own side only.
+    */
+  private def incrementalVerify(
+      corpusKeys: DataFrame,
+      batchKeys: DataFrame,
+      corpus: DataFrame,
+      batch: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int,
+      threshold: Double,
+      maxBucket: Int
   ): DataFrame = {
-    val corpusKeys = portableBandKeys(corpus, id, text, shingleN, bands, rowsPerBand)
-    val batchKeys = portableBandKeys(batch, id, text, shingleN, bands, rowsPerBand)
     val okKeys = corpusKeys
       .groupBy("key")
       .agg(count(lit(1)).as("__n"))

@@ -345,5 +345,15 @@ class DedupSpec extends SparkSpec {
     // batch doc 7 pairs with nothing; no corpus-corpus or batch-batch pairs
     assert(!out.keys.exists(_._1 == 7L))
     assert(out.keys.forall { case (b, c) => b >= 6L && c <= 5L })
+    // production xxhash64 twin: same planted dups, same verified values on
+    // shared pairs (verify stage is common; only the band-key family differs)
+    val prod = Dedup
+      .minhashLshIncremental(corpus, batch, "doc_id", "text", threshold = 0.2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(prod((6L, 1L)) == 1000L && prod((6L, 4L)) == 1000L)
+    prod.keySet.intersect(out.keySet).foreach(p => assert(prod(p) == out(p), s"pair $p"))
+    assert(prod.keys.forall { case (b, c) => b >= 6L && c <= 5L })
   }
 }
