@@ -292,6 +292,56 @@ object Ann {
     * parameters: each corpus vector lives in exactly one partition, so no
     * duplicate (qid, neighbor) pair.
     */
+  /** Incremental index maintenance: append a batch of new vectors into an
+    * existing [[writeLshIndex]] layout. Each appended vector lands in its
+    * bucket's directory as a new file group — the corpus partitions already
+    * on disk are never read or rewritten, so the cost is O(batch), not
+    * O(index): the same never-rescan-the-corpus contract as
+    * `Dedup.exactIncremental`. Partition pruning in [[lshTopKIndexed]] is
+    * unaffected (pruning is directory-level). Each append adds one file per
+    * touched bucket; after many batches run [[compactLshIndex]] to restore
+    * the one-file-per-bucket bound.
+    */
+  def appendLshIndex(
+      batch: DataFrame,
+      path: String,
+      id: String,
+      vec: String,
+      planes: Int = 6,
+      dim: Int = 64
+  ): Unit =
+    batch
+      .filter(col(vec).isNotNull)
+      .select(
+        col(id).as("neighbor_id"),
+        col(vec).as("v"),
+        VF.hyperplaneBucket(col(vec), planes, dim).as("bucket")
+      )
+      .repartition(col("bucket"))
+      .write
+      .mode("append")
+      .partitionBy("bucket")
+      .parquet(path)
+
+  /** Rewrite an appended-to index back to one file group per bucket. The
+    * compacted layout goes to `stagingPath` (a path cannot be overwritten
+    * while it is being read); the caller swaps directories when the write
+    * completes — at scale that swap is a metastore partition-location flip,
+    * here a filesystem rename.
+    */
+  def compactLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      stagingPath: String
+  ): Unit =
+    spark.read
+      .parquet(path)
+      .repartition(col("bucket"))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(stagingPath)
+
   def lshTopKIndexed(
       indexPath: String,
       queries: DataFrame,

@@ -271,6 +271,41 @@ class DedupSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("LSH index append + compact: incremental batches match a full rebuild") {
+    val mk = (range: Range) => range.map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat))
+    }
+    val base = mk(0 until 60).toDF("vec_id", "embedding")
+    val batch = mk(60 until 90).toDF("vec_id", "embedding")
+    val all = base.union(batch)
+    val queries = base.filter(col("vec_id") < 4)
+    val dir = graft.util.TempDirs.scratch("ann-lsh-append").toString
+    Ann.writeLshIndex(base, dir, "vec_id", "embedding", planes = 6, dim = 16)
+    Ann.appendLshIndex(batch, dir, "vec_id", "embedding", planes = 6, dim = 16)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val appended =
+      Ann.lshTopKIndexed(dir, queries, "vec_id", "embedding", 5, planes = 6, dim = 16)
+    val rebuilt = Ann.lshTopK(
+      all, queries, "vec_id", "embedding", "vec_id", "embedding", 5, planes = 6, dim = 16)
+    assert(rows(appended) == rows(rebuilt))
+    // compaction restores one file group per bucket and preserves results
+    val staged = graft.util.TempDirs.scratch("ann-lsh-compact").toString
+    Ann.compactLshIndex(spark, dir, staged)
+    val compacted =
+      Ann.lshTopKIndexed(staged, queries, "vec_id", "embedding", 5, planes = 6, dim = 16)
+    assert(rows(compacted) == rows(rebuilt))
+    val bucketDirs = new java.io.File(staged).listFiles().filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { b =>
+      val files = b.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"bucket ${b.getName} has ${files.length} file groups")
+    }
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(staged))
+  }
+
   test("LSH probe expansion yields a candidate superset of exact-bucket probing") {
     // with k >= corpus size the top-k result IS the candidate set, so the
     // Hamming-1 expansion must return a superset of the exact-bucket pairs

@@ -243,4 +243,52 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("n_events") == 2L))
     query.stop()
   }
+
+  test("streaming dedup (external index): first writer wins across batches, index is the state") {
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val query = DedupStream.start(
+      docs, s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+      survivors => emitted ++= survivors.collect().map(r => (r.getLong(0), r.getString(1)))
+    )
+    // batch 1: within-batch dup (1,3 same text) → canonical min id survives
+    stream.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    query.processAllAvailable()
+    assert(emitted.toSet == Set((1L, "alpha"), (2L, "beta")))
+    // batch 2: cross-batch dup (alpha again) dropped, new text survives
+    emitted.clear()
+    stream.addData((4L, "alpha"), (5L, "gamma"))
+    query.processAllAvailable()
+    assert(emitted.toSet == Set((5L, "gamma")))
+    query.stop()
+    // the index holds one row per distinct digest, canonical ids
+    val idx = spark.read.parquet(s"$dir/index")
+      .collect().map(r => r.getAs[Long]("keep_id")).toSet
+    assert(idx == Set(1L, 2L, 5L))
+    // a batch-mode backfill over already-seen texts yields zero survivors
+    val n = DedupStream.applyBatch(
+      spark, Seq((6L, "alpha"), (7L, "beta")).toDF("doc_id", "text"),
+      s"$dir/index", "doc_id", "text", _ => ())
+    assert(n == 0L)
+  }
+
+  test("streaming dedup (state-store form): dropDuplicates keeps first per digest") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val deduped = DedupStream.distinct(docs, "text")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_distinct").outputMode("append").start()
+    stream.addData((1L, "alpha"), (2L, "beta"))
+    query.processAllAvailable()
+    stream.addData((3L, "alpha"), (4L, "gamma")) // 3 is a cross-batch dup
+    query.processAllAvailable()
+    val kept = spark.table("dedup_distinct")
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L, 4L))
+    query.stop()
+  }
 }
