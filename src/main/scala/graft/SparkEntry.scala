@@ -330,6 +330,25 @@ object SparkEntry {
       graft.functions.TermStats
         .topTerms(loader(s, dir)("documents"), "doc_id", "text", 3)
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"))),
+    // ---- sparse retrieval: BM25 top-k over a term-filtered inverted view ---
+    "q_bm25" -> ((s, dir) =>
+      graft.functions.Retrieval
+        .bm25TopK(loader(s, dir)("documents"), "doc_id", "text", "spark vector join query window", 25)
+        .select(col("id").as("doc_id"), col("score_micro"), col("rank"))),
+    // ---- chunking: fixed-size overlapping windows (map-side only) ----------
+    "q_chunk" -> ((s, dir) =>
+      graft.functions.Retrieval
+        .chunk(loader(s, dir)("documents"), "doc_id", "text", 120, 24)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("n_chunks"), col("chunk_len"), col("chunk_md5"))),
+    // ---- duplicated-substring spans (Lee et al. 2022 signal) ---------------
+    "q_dedup_span" -> ((s, dir) =>
+      Dedup
+        .duplicatedSpans(loader(s, dir)("documents"), "doc_id", "text", window = 16)
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_dup_windows"), col("dup_milli"))),
+    // ---- exact per-group percentile report (value-compressed order stats) --
+    "q_corpus_stats" -> ((s, dir) =>
+      graft.functions.CorpusStats
+        .exactPercentiles(loader(s, dir)("documents"), Seq("lang", "source"), "n_chars")),
     // ---- corpus subsampling / mixing ---------------------------------------
     "q_sample_hash" -> ((s, dir) =>
       graft.functions.Sampling
@@ -883,6 +902,78 @@ object SparkEntry {
          SELECT r.doc_id, r.term, r.tf, d.df
          FROM ranked r JOIN dfreq d USING (term)
          WHERE r.rn <= 3""",
+    // Float arithmetic mirrors the Spark expression shape exactly (same
+    // association), and the cross-term reduction is an integer sum, so the
+    // hash compare is stable across engines.
+    "q_bm25" ->
+      """WITH dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN ('spark', 'vector', 'join', 'query', 'window') GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id,
+                  CAST(sum(CAST(round(
+                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+                  ) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+           GROUP BY 1)
+         SELECT doc_id, score_micro,
+                CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+         FROM scored ORDER BY score_micro DESC, doc_id LIMIT 25""",
+    "q_chunk" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  greatest(1, (greatest(length(text) - 24, 1) + 95) // 96) AS n_chunks
+           FROM documents),
+         e AS (
+           SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, text,
+                  unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+           FROM d)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_chunks,
+                CAST(length(substr(text, CAST(chunk_idx * 96 + 1 AS INTEGER), 120)) AS BIGINT) AS chunk_len,
+                md5(substr(text, CAST(chunk_idx * 96 + 1 AS INTEGER), 120)) AS chunk_md5
+         FROM e""",
+    "q_dedup_span" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         idx AS (
+           SELECT doc_id, t,
+                  unnest(generate_series(1, greatest(len(t) - 16, 0) + 1)) AS i
+           FROM toks),
+         w AS (
+           SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 15], ' ')) AS h
+           FROM idx),
+         sized AS (
+           SELECT doc_id, h, CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_win
+           FROM w),
+         dup AS (
+           SELECT h FROM w GROUP BY h HAVING count(*) BETWEEN 2 AND 100000)
+         SELECT s.doc_id, max(s.n_win) AS n_windows,
+                CAST(count(*) AS BIGINT) AS n_dup_windows,
+                CAST(round(1000.0 * count(*) / max(s.n_win)) AS BIGINT) AS dup_milli
+         FROM sized s JOIN dup USING (h) GROUP BY 1""",
+    "q_corpus_stats" ->
+      """WITH counts AS (
+           SELECT lang, source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT lang, source, v, c,
+                  sum(c) OVER (PARTITION BY lang, source ORDER BY v) AS cum,
+                  sum(c) OVER (PARTITION BY lang, source) AS n
+           FROM counts)
+         SELECT lang, source, CAST(max(n) AS BIGINT) AS n_rows,
+                min(v) AS min_v, max(v) AS max_v,
+                min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50,
+                min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS p90
+         FROM cum GROUP BY 1, 2""",
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE md5(CAST(doc_id AS VARCHAR)) < '3333'""",

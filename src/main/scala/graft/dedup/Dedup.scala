@@ -480,6 +480,62 @@ object Dedup {
       )
   }
 
+  /** Duplicated-substring detection (the exact-substring dedup signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): hash the `window`-token gram starting at EVERY token position
+    * (stride 1 — Lee et al.'s 50-token formulation), find grams occurring in
+    * ≥ 2 distinct documents, and score each document by the fraction of its
+    * distinct grams that are so shared. Token anchoring makes detection
+    * alignment-free: a verbatim span embedded at any character offset in two
+    * documents produces identical grams, where fixed char-offset windows
+    * only match when the copies land at the same offset mod stride. Every
+    * duplicated span of ≥ `window` tokens is detected, with no span false
+    * positives — the signal set-level similarity (minhash / n-gram Jaccard)
+    * cannot give for a long quote inside an otherwise-unique page.
+    *
+    * Scale shape: grams are generated map-side by the single-pass
+    * [[graft.expr.WordShingles]] native expression (one gram per token — the
+    * window length is hashing cost only), reduced to md5 BEFORE the shuffle
+    * so shuffled width is 32 bytes + id regardless of window size; one
+    * groupBy on the gram hash with map-side partial counts (grams are
+    * distinct per doc, so `count = distinct docs` with no countDistinct),
+    * and the join back to per-doc scoring is a hash join on the same key.
+    * `maxPostings` drops viral boilerplate grams (site chrome shared by
+    * millions of pages) that would otherwise route their whole posting list
+    * through one reducer — the same cap contract as [[ngramJaccard]].
+    * Output: (id, n_windows, n_dup_windows, dup_milli), docs with ≥ 1
+    * duplicated gram only; docs shorter than `window` tokens degenerate to
+    * one whole-doc gram (short exact dups still caught).
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      window: Int = 16,
+      maxPostings: Int = 100000
+  ): DataFrame = {
+    require(window > 0, s"window $window must be positive")
+    val wins = docs
+      .select(col(id).as("id"), TF.wordShingles(col(text), window).as("sh"))
+      .select(col("id"), size(col("sh")).cast("long").as("n_win"), explode(col("sh")).as("s"))
+      .select(col("id"), col("n_win"), md5(col("s").cast("binary")).as("h"))
+    val dup = wins
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, maxPostings))
+      .select(col("h"))
+    wins
+      .join(dup, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_windows"), max(col("n_win")).as("n_windows"))
+      .select(
+        col("id"),
+        col("n_windows"),
+        col("n_dup_windows"),
+        round(lit(1000.0) * col("n_dup_windows") / col("n_windows")).cast("long").as("dup_milli")
+      )
+  }
+
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets → exact cosine
     * verify. `planes` controls bucket granularity (recall vs candidates).
     * Output: (id_a, id_b, cosine_e4).

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group distribution statistics (order-statistic percentiles) for
+  * corpus quality reporting — the batch report a pipeline runs before
+  * committing a mixing/filtering decision.
+  *
+  * Scale shape: the naive formulation (row_number over every row per group)
+  * sorts the whole corpus inside each group's single reducer. Instead we
+  * aggregate to (group, value) counts first — map-side combinable, and the
+  * per-group window then sorts DISTINCT VALUES (bounded by the value domain,
+  * e.g. document lengths), not rows. The k-th order statistic is recovered
+  * from the running count: p_q = min value whose cumulative count reaches
+  * ceil(q * n). All arithmetic is integer, so engines agree exactly.
+  */
+object CorpusStats {
+
+  /** Per-`keys` group: row count, min/max, exact p50 (lower median,
+    * k = ceil(n/2)) and exact p90 (k = ceil(0.9 n)) of `value`.
+    * Output: (keys..., n_rows, min_v, max_v, p50, p90).
+    */
+  def exactPercentiles(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
+    val k = keys.map(col)
+    val counts = df
+      .groupBy(k :+ col(value).cast("long").as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy(k: _*).orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(k: _*)))
+    cum
+      .groupBy(k: _*)
+      .agg(
+        max(col("n")).as("n_rows"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        min(when(col("cum") >= floor((col("n") + 1) / lit(2L)), col("v"))).as("p50"),
+        min(when(col("cum") >= floor((col("n") * 9 + 9) / lit(10L)), col("v"))).as("p90")
+      )
+  }
+}

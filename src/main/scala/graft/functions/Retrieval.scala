@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse retrieval + document chunking for the training-data pipeline:
+  * BM25 top-k over a term-filtered inverted view, and fixed-size overlapping
+  * chunking (the RAG/packing preprocessor).
+  *
+  * Scale shape (BM25): the corpus is never indexed wholesale — tokens are
+  * filtered to the query's terms BEFORE the (doc, term) aggregation, so the
+  * shuffled volume is O(matching postings), not O(corpus tokens). Document
+  * frequencies and corpus stats (N, avgdl) are tiny aggregates broadcast back;
+  * the final top-k is a TakeOrderedAndProject (per-partition heap + driver
+  * merge of k), not a global sort.
+  *
+  * Scale shape (chunking): pure map-side generate — no exchange at all; a
+  * 100 TB corpus chunks at scan throughput.
+  */
+object Retrieval {
+
+  /** BM25 (Robertson/Spärck Jones, the standard `ln(1+(N-df+.5)/(df+.5))`
+    * idf) top-`k` documents for a whitespace-tokenized `query`.
+    *
+    * Scores are emitted as integer micro-units (`round(1e6 * s)`) summed per
+    * document, so cross-engine comparison is exact: float arithmetic happens
+    * per (doc, term) in a fixed expression shape, and the cross-term
+    * reduction is an integer sum (associative, order-free).
+    * Output: (id, score_micro, rank) — rank 1-based, ties broken by id.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val qTerms = query.toLowerCase.trim.split("\\s+").toSeq.distinct
+    val toks = docs.select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
+    val dl = toks.select(col("id"), size(col("toks")).cast("long").as("dl"))
+    // N and avgdl as a 1-row broadcast join, not a driver-side action
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df counts documents (one row per (doc, term) above), |df| <= |query|
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), round(lit(1e6) * idf * tfNorm).cast("long").as("s_micro"))
+      .groupBy(col("id"))
+      .agg(sum(col("s_micro")).as("score_micro"))
+    // TakeOrderedAndProject; the rank window then runs over k rows only
+    val top = scored.orderBy(col("score_micro").desc, col("id")).limit(k)
+    top.withColumn(
+      "rank",
+      row_number().over(Window.orderBy(col("score_micro").desc, col("id"))).cast("long")
+    )
+  }
+
+  /** Fixed-size overlapping character chunks: windows of `size` starting
+    * every `size - overlap` characters; every document yields at least one
+    * chunk (short docs yield exactly one). Chunk count is computed with
+    * integer arithmetic only (`ceil((len - overlap) / stride)` as
+    * `(max(len - overlap, 1) + stride - 1) div stride`), so engines agree
+    * bit-for-bit.
+    * Output: (id, chunk_idx, n_chunks, chunk_len, chunk_md5).
+    */
+  def chunk(docs: DataFrame, id: String, text: String, size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < size, s"overlap $overlap must be in [0, $size)")
+    val stride = size - overlap
+    val len = length(col(text)).cast("long")
+    val nChunks =
+      greatest(
+        lit(1L),
+        floor((greatest(len - lit(overlap.toLong), lit(1L)) + lit(stride - 1L)) / lit(stride.toLong))
+      ).cast("long")
+    val chunkText = col("t").substr((col("chunk_idx") * stride + 1).cast("int"), lit(size))
+    docs
+      .select(col(id).as("id"), col(text).as("t"), nChunks.as("n_chunks"))
+      .select(
+        col("id"),
+        col("n_chunks"),
+        col("t"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx")
+      )
+      .select(
+        col("id"),
+        col("chunk_idx"),
+        col("n_chunks"),
+        length(chunkText).cast("long").as("chunk_len"),
+        md5(chunkText.cast("binary")).as("chunk_md5")
+      )
+  }
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval, chunking, duplicated-span dedup, exact percentiles. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BM25 ---------------------------------------------------------------
+
+  test("bm25 ranks the term-dense short doc above a diluted long one") {
+    val docs = Seq(
+      (1L, "spark spark spark"), // dense in the query term
+      (2L, "spark " + Seq.fill(50)("filler").mkString(" ")), // diluted
+      (3L, "nothing relevant here"),
+      (4L, "spark spark other words")
+    ).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text", "spark", 10).collect()
+    // doc 3 has no query term: absent
+    assert(!top.map(_.getLong(0)).contains(3L))
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 4L, 2L))
+    // ranks are 1..n in score order
+    assert(top.map(r => r.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    val scores = top.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("bm25 matches a hand-computed score on a 2-doc corpus") {
+    val docs = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")
+    val top = Retrieval
+      .bm25TopK(docs, "doc_id", "text", "a", 10, k1 = 1.2, b = 0.75)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // N=2, df=2, idf = ln(1 + 0.5/2.5); avgdl = 2, dl = 2 for both
+    // (written in the engine's exact double-op order)
+    val idf = math.log(1.0 + (2L - 2L + 0.5) / (2L + 0.5))
+    def s(tf: Int): Long =
+      math.round(1e6 * idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 2.0 / 2.0))))
+    assert(top(1L) == s(1))
+    assert(top(2L) == s(2))
+  }
+
+  // ---- chunking -----------------------------------------------------------
+
+  test("chunks cover the document: stitching strides back together recovers the text") {
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val docs = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val size = 120
+    val overlap = 24
+    val stride = size - overlap
+    val out = Retrieval
+      .chunk(docs, "doc_id", "text", size, overlap)
+      .orderBy("id", "chunk_idx")
+      .collect()
+    val short = out.filter(_.getLong(0) == 2L)
+    assert(short.length == 1 && short.head.getLong(3) == 5L) // one whole chunk
+    val long = out.filter(_.getLong(0) == 1L)
+    assert(long.forall(_.getLong(2) == long.length.toLong)) // n_chunks consistent
+    // every chunk starts where the previous one's stride ended, and the md5s
+    // match a direct recomputation of the same windows
+    long.zipWithIndex.foreach { case (r, i) =>
+      val expected = text.substring(i * stride, math.min(i * stride + size, text.length))
+      assert(r.getLong(3) == expected.length.toLong)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(4) == hex)
+    }
+    // chunk starts cover the full text: last start + size >= length
+    assert((long.length - 1) * stride + size >= text.length)
+  }
+
+  test("chunking is exchange-free (pure map-side generate)") {
+    val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
+    val plan = Retrieval.chunk(docs, "doc_id", "text", 120, 24).queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"), s"chunk plan must not shuffle:\n$plan")
+  }
+
+  // ---- duplicated spans ---------------------------------------------------
+
+  test("duplicated spans: a shared 20-token span is detected at ANY offset, unique docs are not") {
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      // the copies sit at different token AND char offsets — token anchoring
+      // must still align them
+      (1L, "unique prefix one two three " + shared),
+      (2L, shared + " unique suffix four five six seven"),
+      (3L, (1 to 40).map(i => s"only$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .duplicatedSpans(docs, "doc_id", "text", window = 16)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(out.contains(1L) && out.contains(2L), s"docs sharing the span must be flagged: $out")
+    assert(!out.contains(3L), "unique doc must not be flagged")
+    // the shared 20-token span yields exactly 5 shared 16-grams per doc
+    assert(out(2L) == 5L, s"expected 5 shared grams, got ${out(2L)}")
+  }
+
+  test("duplicated spans: identical docs share every gram; short docs degenerate to whole-doc") {
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t), (3L, "tiny doc"), (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup
+      .duplicatedSpans(docs, "doc_id", "text", window = 16)
+      .collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "all grams duplicated")
+      assert(r.getLong(3) == 1000L, "dup_milli = 1000 for a full duplicate")
+    }
+  }
+
+  // ---- exact percentiles --------------------------------------------------
+
+  test("exact percentiles match a direct sort on skewed groups") {
+    val rows =
+      (1 to 101).map(i => ("a", i.toLong)) ++ // odd count
+        (1 to 10).map(_ => ("b", 7L)) ++ // all ties
+        Seq(("c", 42L)) // singleton
+    val df = rows.toDF("g", "v")
+    val out = CorpusStats
+      .exactPercentiles(df, Seq("g"), "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    def orderStat(vs: Seq[Long], k: Long): Long = vs.sorted.apply((k - 1).toInt)
+    for ((g, vs) <- rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap) {
+      val n = vs.length.toLong
+      val (nRows, minV, maxV, p50, p90) = out(g)
+      assert(nRows == n)
+      assert(minV == vs.min && maxV == vs.max)
+      assert(p50 == orderStat(vs, (n + 1) / 2), s"p50 for $g")
+      assert(p90 == orderStat(vs, (9 * n + 9) / 10), s"p90 for $g")
+    }
+  }
+}
