@@ -345,6 +345,16 @@ object SparkEntry {
       Dedup
         .duplicatedSpans(loader(s, dir)("documents"), "doc_id", "text", window = 16)
         .select(col("id").as("doc_id"), col("n_windows"), col("n_dup_windows"), col("dup_milli"))),
+    // ---- maximal duplicated-span ranges (islands merge, cut-the-span form) -
+    "q_dedup_span_ranges" -> ((s, dir) =>
+      Dedup
+        .duplicatedSpanRanges(loader(s, dir)("documents"), "doc_id", "text", window = 16)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))),
+    // ---- unigram-LM surprisal quality score (CCNet-style, self-trained) ----
+    "q_lm_score" -> ((s, dir) =>
+      graft.functions.LanguageModel
+        .unigramSurprisal(loader(s, dir)("documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("dl"), col("surprisal_micro"), col("mean_milli"))),
     // ---- exact per-group percentile report (value-compressed order stats) --
     "q_corpus_stats" -> ((s, dir) =>
       graft.functions.CorpusStats
@@ -960,6 +970,45 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_dup_windows,
                 CAST(round(1000.0 * count(*) / max(s.n_win)) AS BIGINT) AS dup_milli
          FROM sized s JOIN dup USING (h) GROUP BY 1""",
+    "q_dedup_span_ranges" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         g AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, t,
+                  unnest(generate_series(0, greatest(len(t) - 16, 0))) AS p
+           FROM toks),
+         h AS (
+           SELECT doc_id, n_tok, CAST(p AS BIGINT) AS p,
+                  md5(array_to_string(t[p + 1 : p + 16], ' ')) AS h
+           FROM g),
+         dup AS (
+           SELECT h FROM h GROUP BY h
+           HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100000),
+         pos AS (
+           SELECT doc_id, p, n_tok,
+                  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM h JOIN dup USING (h))
+         SELECT doc_id, min(p) AS span_start,
+                least(max(p) + 15, max(n_tok) - 1) AS span_end,
+                least(max(p) + 15, max(n_tok) - 1) - min(p) + 1 AS span_tokens
+         FROM pos GROUP BY doc_id, island""",
+    "q_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         model AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+         total AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM model),
+         scored AS (
+           SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS dl,
+                  CAST(sum(CAST(round(
+                    1000000.0 * (t.tf * ln(s.total / m.cf))
+                  ) AS BIGINT)) AS BIGINT) AS surprisal_micro
+           FROM tf t JOIN model m USING (term) CROSS JOIN total s
+           GROUP BY 1)
+         SELECT doc_id, dl, surprisal_micro,
+                CAST(round(surprisal_micro / (1000.0 * dl)) AS BIGINT) AS mean_milli
+         FROM scored""",
     "q_corpus_stats" ->
       """WITH counts AS (
            SELECT lang, source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c

@@ -536,6 +536,74 @@ object Dedup {
       )
   }
 
+  /** Maximal duplicated span RANGES — the actionable output of exact-substring
+    * dedup: not just "this doc contains duplicated material"
+    * ([[duplicatedSpans]]) but WHERE, as token offsets, so a pipeline can cut
+    * the span and keep the rest of the document (Lee et al. 2022 remove the
+    * duplicated substring, not the page).
+    *
+    * Stride-1 grams make the span algebra exact: a duplicated span of T ≥
+    * `window` tokens produces T - window + 1 CONSECUTIVE duplicated gram
+    * positions, so maximal spans are recovered by merging consecutive runs —
+    * the classic islands trick (`pos - row_number()` is constant within a
+    * run) — and a run [a, b] maps back to token range [a, b + window - 1].
+    *
+    * Scale shape: gram hashing is map-side (md5 before the shuffle); the
+    * duplicate-gram set needs countDistinct(doc) (positions repeat a gram
+    * within a doc, unlike the distinct-set variant) which Spark plans as two
+    * partial aggregates; the islands window partitions by doc and sorts each
+    * doc's duplicated positions only — bounded by doc length, never corpus
+    * length. `maxPostings` caps viral-gram posting lists as in
+    * [[duplicatedSpans]].
+    * Output: (id, span_start, span_end, span_tokens) — token offsets
+    * 0-based inclusive.
+    */
+  def duplicatedSpanRanges(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      window: Int = 16,
+      maxPostings: Int = 100000
+  ): DataFrame = {
+    require(window > 0, s"window $window must be positive")
+    val toks = docs.select(col(id).as("id"), TF.tokens(col(text)).as("t"))
+    val grams = toks
+      .select(
+        col("id"),
+        col("t"),
+        explode(sequence(lit(0), greatest(size(col("t")) - window, lit(0)))).as("p")
+      )
+      .select(
+        col("id"),
+        col("p").cast("long").as("p"),
+        size(col("t")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(window))).cast("binary")).as("h")
+      )
+    val dup = grams
+      .groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd").between(2, maxPostings))
+      .select(col("h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id")).orderBy(col("p"))
+    grams
+      .join(dup, "h")
+      .select(col("id"), col("p"), col("n_tok"))
+      .withColumn("island", col("p") - row_number().over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(
+        min(col("p")).as("span_start"),
+        // clamp: a degenerate whole-doc gram (doc shorter than the window)
+        // must not report a span past the last token
+        least(max(col("p")) + (window - 1), max(col("n_tok")) - 1).as("span_end")
+      )
+      .select(
+        col("id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens")
+      )
+  }
+
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets → exact cosine
     * verify. `planes` controls bucket granularity (recall vs candidates).
     * Output: (id_a, id_b, cosine_e4).

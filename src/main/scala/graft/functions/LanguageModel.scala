@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistical quality scoring: unigram language-model surprisal —
+  * the in-engine degenerate of the CCNet-style perplexity filter (Wenzek et
+  * al. 2020 rank Common Crawl paragraphs by KenLM perplexity; a unigram
+  * model needs no external artifact and already separates natural prose
+  * from keyboard-mash and boilerplate).
+  *
+  * Scale shape: the model IS a (term, count) aggregate — one map-side
+  * combinable shuffle at vocabulary cardinality, not corpus cardinality;
+  * the corpus total is a 1-row broadcast. Scoring joins per-document term
+  * counts against the model on the term key (AQE broadcasts the model when
+  * it is small; a 100 TB-corpus vocabulary shuffles — still vocab-sized).
+  * Per-(doc, term) surprisal is rounded to integer micro-nats before the
+  * per-document reduction, so the cross-engine compare stays exact: floats
+  * never cross an aggregation boundary.
+  */
+object LanguageModel {
+
+  /** Per-document total and mean unigram surprisal, in micro-nats
+    * (`round(1e6 * tf * ln(total_tokens / corpus_tf))` summed over the
+    * document's terms) and milli-nats-per-token respectively. Rare-term-heavy
+    * documents score HIGH (surprising ≈ unnatural under the corpus model);
+    * the model is self-trained on the scored corpus, the standard
+    * quality-filter setup.
+    * Output: (id, dl, surprisal_micro, mean_milli).
+    */
+  def unigramSurprisal(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tf = docs
+      .select(col(id).as("id"), explode(TextFunctions.tokens(lower(col(text)))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = model.agg(sum(col("cf")).as("total"))
+    val scored = tf
+      .join(model, "term")
+      .crossJoin(broadcast(total))
+      .select(
+        col("id"),
+        col("tf"),
+        round(lit(1e6) * (col("tf") * log(col("total") / col("cf")))).cast("long").as("s_micro")
+      )
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("dl"), sum(col("s_micro")).as("surprisal_micro"))
+    scored.select(
+      col("id"),
+      col("dl"),
+      col("surprisal_micro"),
+      round(col("surprisal_micro") / (lit(1000.0) * col("dl"))).cast("long").as("mean_milli")
+    )
+  }
+}

@@ -113,7 +113,67 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
-  // ---- exact percentiles --------------------------------------------------
+  // ---- duplicated span ranges ---------------------------------------------
+
+  test("span ranges recover the exact token extent of a shared span, merged maximally") {
+    val shared = (1 to 24).map(i => s"sh$i").mkString(" ") // 24-token shared span
+    val docs = Seq(
+      (1L, "p1 p2 p3 " + shared + " s1 s2"), // span at tokens [3, 26]
+      (2L, shared), // span IS the doc: [0, 23]
+      (3L, (1 to 40).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .duplicatedSpanRanges(docs, "doc_id", "text", window = 16)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((3L, 26L, 24L)), s"doc 1 span: ${out.get(1L)}")
+    assert(out(2L) == ((0L, 23L, 24L)), s"doc 2 span: ${out.get(2L)}")
+    assert(!out.contains(3L))
+  }
+
+  test("span ranges: two disjoint shared spans stay two islands; short-doc clamp holds") {
+    val a = (1 to 18).map(i => s"a$i").mkString(" ")
+    val b = (1 to 18).map(i => s"b$i").mkString(" ")
+    val gap = (1 to 20).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (1L, a + " " + gap + " " + b), // spans [0,17] and [38,55]
+      (2L, b + " mid1 mid2 " + a), // same spans, swapped order
+      (3L, "tiny doc"),
+      (4L, "tiny doc") // degenerate whole-doc gram; clamp to n_tok-1
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .duplicatedSpanRanges(docs, "doc_id", "text", window = 16)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet)
+      .toMap
+    assert(out(1L) == Set((0L, 17L), (38L, 55L)), s"doc 1 spans: ${out.get(1L)}")
+    assert(out(2L) == Set((0L, 17L), (20L, 37L)), s"doc 2 spans: ${out.get(2L)}")
+    assert(out(3L) == Set((0L, 1L)), "degenerate span clamps to the last token")
+    assert(out(4L) == Set((0L, 1L)))
+  }
+
+  // ---- unigram LM surprisal -----------------------------------------------
+
+  test("unigram surprisal: rare-term docs score higher than common-term docs") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rare"),
+      (3L, "weird obscure unheard singular")
+    ).toDF("doc_id", "text")
+    val out = LanguageModel
+      .unigramSurprisal(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+      .toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L), s"ordering: $out")
+    // hand-check doc 1: total=12 tokens, cf(common)=7 → 4 × ln(12/7)
+    val sMicro = math.round(1e6 * (4L * math.log(12.0 / 7L)))
+    val expected = math.round(sMicro / (1000.0 * 4L))
+    assert(out(1L) == expected)
+  }
 
   test("exact percentiles match a direct sort on skewed groups") {
     val rows =
