@@ -350,6 +350,14 @@ object SparkEntry {
       Dedup
         .duplicatedSpanRanges(loader(s, dir)("documents"), "doc_id", "text", window = 16)
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))),
+    // ---- span removal: cut located duplicated spans, keep the page ---------
+    "q_dedup_cut" -> ((s, dir) => {
+      val docs = loader(s, dir)("documents")
+      val spans = Dedup.duplicatedSpanRanges(docs, "doc_id", "text", window = 16)
+      Dedup
+        .cutSpans(docs, "doc_id", "text", spans)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"), col("clean_md5"))
+    }),
     // ---- unigram-LM surprisal quality score (CCNet-style, self-trained) ----
     "q_lm_score" -> ((s, dir) =>
       graft.functions.LanguageModel
@@ -992,6 +1000,45 @@ object SparkEntry {
                 least(max(p) + 15, max(n_tok) - 1) AS span_end,
                 least(max(p) + 15, max(n_tok) - 1) - min(p) + 1 AS span_tokens
          FROM pos GROUP BY doc_id, island""",
+    "q_dedup_cut" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         g AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, t,
+                  unnest(generate_series(0, greatest(len(t) - 16, 0))) AS p
+           FROM toks),
+         h AS (
+           SELECT doc_id, n_tok, CAST(p AS BIGINT) AS p,
+                  md5(array_to_string(t[p + 1 : p + 16], ' ')) AS h
+           FROM g),
+         dup AS (
+           SELECT h FROM h GROUP BY h
+           HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100000),
+         pos AS (
+           SELECT doc_id, p, n_tok,
+                  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM h JOIN dup USING (h)),
+         spans AS (
+           SELECT doc_id, min(p) AS span_start,
+                  least(max(p) + 15, max(n_tok) - 1) AS span_end
+           FROM pos GROUP BY doc_id, island),
+         tpos AS (
+           SELECT doc_id, unnest(t) AS tok,
+                  unnest(generate_series(0, len(t) - 1)) AS i
+           FROM toks),
+         kept AS (
+           SELECT tp.doc_id, tp.tok, tp.i FROM tpos tp
+           WHERE NOT EXISTS (
+             SELECT 1 FROM spans s
+             WHERE s.doc_id = tp.doc_id AND tp.i BETWEEN s.span_start AND s.span_end)),
+         agg AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt,
+                  CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY 1)
+         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+                md5(coalesce(a.txt, '')) AS clean_md5
+         FROM toks t LEFT JOIN agg a USING (doc_id)""",
     "q_lm_score" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

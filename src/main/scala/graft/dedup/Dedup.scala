@@ -604,6 +604,57 @@ object Dedup {
       )
   }
 
+  /** Cut duplicated spans out of documents — the final step of the
+    * Lee et al. 2022 loop (detect → locate → REMOVE the duplicated
+    * substring, keep the page). `spans` is [[duplicatedSpanRanges]] output
+    * (or any (id, span_start, span_end) token ranges); tokens whose index
+    * falls inside any span are dropped and the remainder re-joined.
+    *
+    * Scale shape: spans aggregate to one small array per affected document
+    * (a document has few maximal spans by construction — they are disjoint
+    * and ≥ window tokens each), so the join adds one array column to the
+    * scan and the cut itself is a per-row array filter — no per-token
+    * shuffle, no explode. Documents with no spans pass through the left
+    * join untouched; a fully-duplicated document cleans to the empty
+    * string (and is dropped by `keepEmpty = false`).
+    * Output: (id, n_tokens, n_removed, clean_md5).
+    */
+  def cutSpans(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      spans: DataFrame,
+      keepEmpty: Boolean = true
+  ): DataFrame = {
+    val sp = spans
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toks = docs.select(col(id).as("id"), TF.tokens(col(text)).as("t"))
+    val cut = toks
+      .join(sp, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("t"),
+        coalesce(col("spans"), array().cast("array<struct<span_start:long,span_end:long>>"))
+          .as("sp")
+      )
+      .select(
+        col("id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        filter(
+          col("t"),
+          (_, i) => !exists(col("sp"), s => i >= s("span_start") && i <= s("span_end"))
+        ).as("kept")
+      )
+      .select(
+        col("id"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept")).cast("binary")).as("clean_md5")
+      )
+    if (keepEmpty) cut else cut.filter(col("n_removed") < col("n_tokens"))
+  }
+
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets → exact cosine
     * verify. `planes` controls bucket granularity (recall vs candidates).
     * Output: (id_a, id_b, cosine_e4).

@@ -155,6 +155,42 @@ class RetrievalSpec extends SparkSpec {
     assert(out(4L) == Set((0L, 1L)))
   }
 
+  // ---- span removal -------------------------------------------------------
+
+  test("cutSpans removes exactly the located span and keeps the rest verbatim") {
+    val shared = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, "keep1 keep2 " + shared + " keep3"),
+      (2L, shared),
+      (3L, "fully unique document with enough tokens to stand alone")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpanRanges(docs, "doc_id", "text", window = 16)
+    val out = Dedup
+      .cutSpans(docs, "doc_id", "text", spans)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    // doc 1: span [2, 21] cut → "keep1 keep2 keep3"
+    assert(out(1L) == ((23L, 20L, md5hex("keep1 keep2 keep3"))), s"doc1: ${out(1L)}")
+    // doc 2 is entirely the span → cleans to empty
+    assert(out(2L) == ((20L, 20L, md5hex(""))), s"doc2: ${out(2L)}")
+    // doc 3 untouched
+    assert(out(3L)._2 == 0L && out(3L)._3 == md5hex("fully unique document with enough tokens to stand alone"))
+    // keepEmpty = false drops the fully-duplicated doc
+    val keptIds = Dedup
+      .cutSpans(docs, "doc_id", "text", spans, keepEmpty = false)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(keptIds == Set(1L, 3L))
+  }
+
   // ---- unigram LM surprisal -----------------------------------------------
 
   test("unigram surprisal: rare-term docs score higher than common-term docs") {
