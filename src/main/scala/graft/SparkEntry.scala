@@ -350,6 +350,18 @@ object SparkEntry {
       Dedup
         .duplicatedSpanRanges(loader(s, dir)("documents"), "doc_id", "text", window = 16)
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))),
+    // ---- incremental span dedup: new batch vs persisted gram index ---------
+    "q_dedup_span_incr" -> ((s, dir) => {
+      val d = loader(s, dir)("documents")
+      Dedup
+        .spansAgainstIndex(
+          Dedup.spanGramIndex(d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id",
+          "text"
+        )
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_dup_windows"), col("dup_milli"))
+    }),
     // ---- span removal: cut located duplicated spans, keep the page ---------
     "q_dedup_cut" -> ((s, dir) => {
       val docs = loader(s, dir)("documents")
@@ -1000,6 +1012,30 @@ object SparkEntry {
                 least(max(p) + 15, max(n_tok) - 1) AS span_end,
                 least(max(p) + 15, max(n_tok) - 1) - min(p) + 1 AS span_tokens
          FROM pos GROUP BY doc_id, island""",
+    "q_dedup_span_incr" ->
+      """WITH ctoks AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE doc_id % 2 = 0),
+         cidx AS (
+           SELECT t, unnest(generate_series(1, greatest(len(t) - 16, 0) + 1)) AS i
+           FROM ctoks),
+         idx AS (
+           SELECT DISTINCT md5(array_to_string(t[i : i + 15], ' ')) AS h FROM cidx),
+         btoks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE doc_id % 2 = 1),
+         bidx AS (
+           SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 16, 0) + 1)) AS i
+           FROM btoks),
+         w AS (
+           SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 15], ' ')) AS h FROM bidx),
+         sized AS (
+           SELECT doc_id, h, CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_win
+           FROM w)
+         SELECT s.doc_id, max(s.n_win) AS n_windows,
+                CAST(count(*) AS BIGINT) AS n_dup_windows,
+                CAST(round(1000.0 * count(*) / max(s.n_win)) AS BIGINT) AS dup_milli
+         FROM sized s JOIN idx USING (h) GROUP BY 1""",
     "q_dedup_cut" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -604,6 +604,52 @@ object Dedup {
       )
   }
 
+  /** Distinct gram-hash index for INCREMENTAL span dedup: the persistable
+    * corpus side of [[spansAgainstIndex]]. At scale, write this bucketed on
+    * `h` (the same layout contract as the LSH-partitioned ANN index) so
+    * batch probes co-partition with the index and the semi join shuffles
+    * only the batch side.
+    * Output: (h) — one row per distinct gram hash in the corpus.
+    */
+  def spanGramIndex(docs: DataFrame, id: String, text: String, window: Int = 16): DataFrame =
+    docs
+      .select(TF.wordShingles(col(text), window).as("sh"))
+      .select(explode(col("sh")).as("s"))
+      .select(md5(col("s").cast("binary")).as("h"))
+      .distinct()
+
+  /** Incremental [[duplicatedSpans]]: score a NEW batch of documents
+    * against a persisted corpus gram index without touching corpus text —
+    * the arriving-data form of substring dedup (mirrors `exactIncremental` /
+    * the minhash incremental twins). A left-semi join keeps it idempotent
+    * under duplicate index rows and shuffles nothing of the corpus beyond
+    * the probe keys.
+    * Output: (id, n_windows, n_dup_windows, dup_milli) for batch docs with
+    * ≥ 1 gram already present in the corpus.
+    */
+  def spansAgainstIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      id: String,
+      text: String,
+      window: Int = 16
+  ): DataFrame = {
+    val wins = batch
+      .select(col(id).as("id"), TF.wordShingles(col(text), window).as("sh"))
+      .select(col("id"), size(col("sh")).cast("long").as("n_win"), explode(col("sh")).as("s"))
+      .select(col("id"), col("n_win"), md5(col("s").cast("binary")).as("h"))
+    wins
+      .join(index.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_windows"), max(col("n_win")).as("n_windows"))
+      .select(
+        col("id"),
+        col("n_windows"),
+        col("n_dup_windows"),
+        round(lit(1000.0) * col("n_dup_windows") / col("n_windows")).cast("long").as("dup_milli")
+      )
+  }
+
   /** Cut duplicated spans out of documents — the final step of the
     * Lee et al. 2022 loop (detect → locate → REMOVE the duplicated
     * substring, keep the page). `spans` is [[duplicatedSpanRanges]] output

@@ -155,6 +155,27 @@ class RetrievalSpec extends SparkSpec {
     assert(out(4L) == Set((0L, 1L)))
   }
 
+  // ---- incremental span dedup ---------------------------------------------
+
+  test("spansAgainstIndex flags batch docs overlapping the CORPUS, not each other") {
+    val corpusSpan = (1 to 20).map(i => s"c$i").mkString(" ")
+    val batchOnlySpan = (1 to 20).map(i => s"b$i").mkString(" ")
+    val corpus = Seq((100L, "corpus head " + corpusSpan)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, corpusSpan + " tail tokens here"), // overlaps corpus → flagged
+      (2L, batchOnlySpan + " one two three"), // overlaps doc 3 only → NOT flagged
+      (3L, "x y z " + batchOnlySpan)
+    ).toDF("doc_id", "text")
+    val idx = Dedup.spanGramIndex(corpus, "doc_id", "text", window = 16)
+    val out = Dedup
+      .spansAgainstIndex(idx, batch, "doc_id", "text", window = 16)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(out.contains(1L) && out(1L) == 5L, s"batch doc 1 shares 5 grams with corpus: $out")
+    assert(!out.contains(2L) && !out.contains(3L), "batch-internal overlap must not flag")
+  }
+
   // ---- span removal -------------------------------------------------------
 
   test("cutSpans removes exactly the located span and keeps the rest verbatim") {
