@@ -490,6 +490,13 @@ object SparkEntry {
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10,
         refine = 0)
     }),
+    // product quantization at refine=0: codebooks are subspace slices of the
+    // first 16 corpus vectors, so the oracle rebuilds codes + reconstruction
+    "q_ann_pq" -> ((s, dir) => {
+      val e = loader(s, dir)("embeddings")
+      Ann.pqTopKEndToEnd(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
+    }),
     // the zero-training LSH-bucketed ANN variant (plan-time hyperplane
     // literals, so the oracle rebuilds the buckets exactly)
     "q_ann_lsh" -> ((s, dir) => {
@@ -1348,6 +1355,41 @@ object SparkEntry {
          scored AS (
            SELECT p.qid, a.cid AS neighbor_id, list_cosine_similarity(a.cv, p.qv) AS cos
            FROM assigned a JOIN probes p ON a.cell = p.cell AND a.cid <> p.qid),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    "q_ann_pq" ->
+      // refine=0 ⇒ codebook j = slice j of the first 16 corpus vectors;
+      // code = argmin subspace L2 (ties → smallest code, Ann.nearestCodeL2);
+      // ranking = cosine against the concatenated reconstruction
+      """WITH seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS sv
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         corpus AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE embedding IS NOT NULL),
+         sub AS (SELECT cid, cv, j FROM corpus, generate_series(0, 7) AS gs(j)),
+         codes AS (
+           SELECT s.cid, s.j,
+                  (SELECT d.c FROM seeds d
+                   ORDER BY list_distance(s.cv[s.j*8 + 1 : s.j*8 + 8],
+                                          d.sv[s.j*8 + 1 : s.j*8 + 8]), d.c
+                   LIMIT 1) AS code
+           FROM sub s),
+         recon AS (
+           SELECT c.cid, flatten(list(d.sv[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j)) AS rv
+           FROM codes c JOIN seeds d ON d.c = c.code
+           GROUP BY c.cid),
+         scored AS (
+           SELECT q.vec_id AS qid, r.cid AS neighbor_id,
+                  list_cosine_similarity(r.rv, q.embedding) AS cos
+           FROM recon r, embeddings q
+           WHERE q.vec_id < 5 AND q.embedding IS NOT NULL AND r.cid <> q.vec_id),
          ranked AS (
            SELECT qid, neighbor_id, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
