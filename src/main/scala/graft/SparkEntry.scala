@@ -497,6 +497,14 @@ object SparkEntry {
       Ann.pqTopKEndToEnd(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
     }),
+    // two-stage PQ: approximate candidates from codes, exact rerank on the
+    // candidate set only (true-vector reads are candidate-bounded)
+    "q_ann_pq_rerank" -> ((s, dir) => {
+      val e = loader(s, dir)("embeddings")
+      val books = Ann.pqTrain(e, "vec_id", "embedding")
+      Ann.pqTopKRefined(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10, books)
+    }),
     // the zero-training LSH-bucketed ANN variant (plan-time hyperplane
     // literals, so the oracle rebuilds the buckets exactly)
     "q_ann_lsh" -> ((s, dir) => {
@@ -1394,6 +1402,47 @@ object SparkEntry {
            SELECT qid, neighbor_id, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
            FROM scored)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    "q_ann_pq_rerank" ->
+      // stage 1 = the q_ann_pq ranking kept to 4k candidates per query;
+      // stage 2 = exact cosine on candidates' true vectors only
+      """WITH seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS sv
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         corpus AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE embedding IS NOT NULL),
+         sub AS (SELECT cid, cv, j FROM corpus, generate_series(0, 7) AS gs(j)),
+         codes AS (
+           SELECT s.cid, s.j,
+                  (SELECT d.c FROM seeds d
+                   ORDER BY list_distance(s.cv[s.j*8 + 1 : s.j*8 + 8],
+                                          d.sv[s.j*8 + 1 : s.j*8 + 8]), d.c
+                   LIMIT 1) AS code
+           FROM sub s),
+         recon AS (
+           SELECT c.cid, flatten(list(d.sv[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j)) AS rv
+           FROM codes c JOIN seeds d ON d.c = c.code
+           GROUP BY c.cid),
+         approx AS (
+           SELECT q.vec_id AS qid, q.embedding AS qv, r.cid AS neighbor_id,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(r.rv, q.embedding) DESC, r.cid) AS arank
+           FROM recon r, embeddings q
+           WHERE q.vec_id < 5 AND q.embedding IS NOT NULL AND r.cid <> q.vec_id),
+         cand AS (SELECT qid, qv, neighbor_id FROM approx WHERE arank <= 40),
+         exact AS (
+           SELECT c.qid, c.neighbor_id,
+                  list_cosine_similarity(v.cv, c.qv) AS cos
+           FROM cand c JOIN corpus v ON v.cid = c.neighbor_id),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM exact)
          SELECT qid, neighbor_id,
                 CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
                 CAST(rank AS BIGINT) AS rank

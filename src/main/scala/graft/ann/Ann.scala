@@ -506,6 +506,55 @@ object Ann {
       )
   }
 
+  /** Two-stage PQ retrieval: rank ALL codes by reconstruction cosine
+    * (cheap — the scan reads m ints per vector), keep the top
+    * `candidateFactor × k` per query, then exact-rank ONLY those candidates
+    * against their true vectors. The standard production deployment: the
+    * full-precision column is read for `candidateFactor × k × |queries|`
+    * rows total, not the corpus — at 100 TB the true-vector fetch is a
+    * semi-join-pruned scan (DPP on an id-partitioned layout), everything
+    * else rides the 8-byte codes. Exactness on what it returns: scores are
+    * true cosines; approximation only affects which candidates are seen
+    * (misses are vectors whose code-cosine underestimates badly).
+    * Output: (qid, neighbor_id, cosine_e4, rank).
+    */
+  def pqTopKRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      qid: String,
+      qvec: String,
+      k: Int,
+      books: Seq[Seq[Seq[Double]]],
+      candidateFactor: Int = 4
+  ): DataFrame = {
+    val v = corpus.filter(col(vec).isNotNull).select(col(id).as("cid"), col(vec).as("cv"))
+    val codes = pqEncode(corpus, id, vec, books)
+    val recon = codes.select(col("cid"), pqReconstruct(col("code"), books).as("rv"))
+    val q = queries.filter(col(qvec).isNotNull).select(col(qid).as("qid"), col(qvec).as("qv"))
+    val wApprox = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("neighbor_id"))
+    val candidates = recon
+      .crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("acos"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * candidateFactor)
+      .select(col("qid"), col("qv"), col("neighbor_id"))
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(v.withColumnRenamed("cid", "neighbor_id"), "neighbor_id")
+      .select(col("qid"), col("neighbor_id"), VF.cosine(col("cv"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(
+        col("qid"),
+        col("neighbor_id"),
+        round(col("cos") * 10000).cast("long").as("cosine_e4"),
+        col("rank").cast("long").as("rank")
+      )
+  }
+
   /** Train → encode → rank in one call (the graded end-to-end shape).
     * Empty corpus degrades to the exact scan like [[ivfTopK]].
     */

@@ -441,5 +441,18 @@ class DedupSpec extends SparkSpec {
       Ann.pqTopKEndToEnd(empty, queries, "vec_id", "embedding", "vec_id", "embedding", 3)
         .collect().isEmpty
     )
+    // two-stage rerank: scores are TRUE cosines (match brute force exactly
+    // for every neighbor both return) and recall ≥ the code-only ranking
+    val bfScores = Ann
+      .bruteForceTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rr = Ann
+      .pqTopKRefined(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rr.keySet.intersect(bfScores.keySet).foreach { p =>
+      assert(rr(p) == bfScores(p), s"rerank score for $p must be the exact cosine")
+    }
+    val rrRecall = rr.keySet.intersect(bfScores.keySet).size.toDouble / bfScores.size
+    assert(rrRecall >= r0, s"rerank recall $rrRecall below code-only $r0")
   }
 }
