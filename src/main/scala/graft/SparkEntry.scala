@@ -497,6 +497,12 @@ object SparkEntry {
       Ann.pqTopKEndToEnd(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
     }),
+    // IVF-PQ composition: cells prune the scan, codes compress it
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = loader(s, dir)("embeddings")
+      Ann.ivfPqTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
+    }),
     // two-stage PQ: approximate candidates from codes, exact rerank on the
     // candidate set only (true-vector reads are candidate-bounded)
     "q_ann_pq_rerank" -> ((s, dir) => {
@@ -1398,6 +1404,55 @@ object SparkEntry {
                   list_cosine_similarity(r.rv, q.embedding) AS cos
            FROM recon r, embeddings q
            WHERE q.vec_id < 5 AND q.embedding IS NOT NULL AND r.cid <> q.vec_id),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    "q_ann_ivfpq" ->
+      // refine=0 twice over: IVF cells AND PQ codebooks both derive from the
+      // first 16 corpus vectors; candidates from the probed cells are ranked
+      // by cosine against the PQ reconstruction
+      """WITH seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS sv
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         corpus AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE embedding IS NOT NULL),
+         assigned AS (
+           SELECT a.cid, a.cv,
+                  (SELECT s.c FROM seeds s
+                   ORDER BY list_cosine_similarity(a.cv, s.sv) DESC, s.c
+                   LIMIT 1) AS cell
+           FROM corpus a),
+         sub AS (SELECT cid, cv, j FROM corpus, generate_series(0, 7) AS gs(j)),
+         codes AS (
+           SELECT s.cid, s.j,
+                  (SELECT d.c FROM seeds d
+                   ORDER BY list_distance(s.cv[s.j*8 + 1 : s.j*8 + 8],
+                                          d.sv[s.j*8 + 1 : s.j*8 + 8]), d.c
+                   LIMIT 1) AS code
+           FROM sub s),
+         recon AS (
+           SELECT c.cid, flatten(list(d.sv[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j)) AS rv
+           FROM codes c JOIN seeds d ON d.c = c.code
+           GROUP BY c.cid),
+         probes AS (
+           SELECT q.vec_id AS qid, q.embedding AS qv, s.c AS cell
+           FROM embeddings q,
+                LATERAL (SELECT c FROM seeds s
+                         ORDER BY list_cosine_similarity(q.embedding, s.sv) DESC, s.c
+                         LIMIT 4) s
+           WHERE q.vec_id < 5 AND q.embedding IS NOT NULL),
+         scored AS (
+           SELECT p.qid, a.cid AS neighbor_id,
+                  list_cosine_similarity(r.rv, p.qv) AS cos
+           FROM assigned a
+           JOIN probes p ON a.cell = p.cell AND a.cid <> p.qid
+           JOIN recon r ON r.cid = a.cid),
          ranked AS (
            SELECT qid, neighbor_id, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank

@@ -452,17 +452,15 @@ object Ann {
     * from literal codebooks). Pure map-side expression.
     * Output: (cid, code array<int> of length m).
     */
-  def pqEncode(corpus: DataFrame, id: String, vec: String, books: Seq[Seq[Seq[Double]]]): DataFrame = {
+  private def pqCodeColumn(vecCol: Column, books: Seq[Seq[Seq[Double]]]): Column = {
     val sub = books.head.head.length
+    array(books.indices.map(j => nearestCodeL2(slice(vecCol, j * sub + 1, sub), books(j))): _*)
+  }
+
+  def pqEncode(corpus: DataFrame, id: String, vec: String, books: Seq[Seq[Seq[Double]]]): DataFrame =
     corpus
       .filter(col(vec).isNotNull)
-      .select(
-        col(id).as("cid"),
-        array(books.indices.map(j =>
-          nearestCodeL2(slice(col(vec), j * sub + 1, sub), books(j))
-        ): _*).as("code")
-      )
-  }
+      .select(col(id).as("cid"), pqCodeColumn(col(vec), books).as("code"))
 
   /** Reconstruction: concatenate the codebook entries the code selects —
     * asymmetric-distance PQ ranking IS `metric(q, reconstruction)` because
@@ -546,6 +544,65 @@ object Ann {
       .join(v.withColumnRenamed("cid", "neighbor_id"), "neighbor_id")
       .select(col("qid"), col("neighbor_id"), VF.cosine(col("cv"), col("qv")).as("cos"))
       .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(
+        col("qid"),
+        col("neighbor_id"),
+        round(col("cos") * 10000).cast("long").as("cosine_e4"),
+        col("rank").cast("long").as("rank")
+      )
+  }
+
+  /** IVF-PQ (the composed large-scale architecture): coarse cells prune
+    * WHICH vectors are scanned (nprobe/nlists of the corpus, written as a
+    * cell-partitioned layout at scale), PQ codes compress WHAT the scan
+    * reads (m ints per vector). Assignment, encoding, probing and
+    * reconstruction are all literal-model map-side expressions; the only
+    * shuffle is the per-query top-k window. Compose with [[pqTopKRefined]]'s
+    * exact-rerank stage when true scores are required.
+    * Output: (qid, neighbor_id, cosine_e4, rank) — cosine against the
+    * reconstruction.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      qid: String,
+      qvec: String,
+      k: Int,
+      nlists: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      codeK: Int = 16,
+      refine: Int = 0,
+      pqRefine: Int = 0
+  ): DataFrame = {
+    val v = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    val seeds = collectSeedVectors(
+      v.filter(col("cv").isNotNull).orderBy(col("cid")).limit(nlists).select(col("cv"))
+    )
+    val cells = refineCentroidsLocal(v, seeds, refine)
+    val books = pqTrain(corpus, id, vec, m, codeK, pqRefine)
+    if (cells.isEmpty || books.isEmpty)
+      return bruteForceTopK(corpus.filter(col(vec).isNotNull), queries, id, vec, qid, qvec, k)
+    val assigned = corpus
+      .filter(col(vec).isNotNull)
+      .select(
+        col(id).as("cid"),
+        nearestCell(col(vec), cells).as("cell"),
+        pqReconstruct(pqCodeColumn(col(vec), books), books).as("rv")
+      )
+    val q = queries.filter(col(qvec).isNotNull).select(col(qid).as("qid"), col(qvec).as("qv"))
+    val probes = q
+      .select(col("qid"), col("qv"), explode(topCells(col("qv"), cells, nprobe)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc").getField("cell").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(
         col("qid"),

@@ -454,5 +454,21 @@ class DedupSpec extends SparkSpec {
     }
     val rrRecall = rr.keySet.intersect(bfScores.keySet).size.toDouble / bfScores.size
     assert(rrRecall >= r0, s"rerank recall $rrRecall below code-only $r0")
+    // IVF-PQ composition: probing under a pruned cell set still returns
+    // k in-cluster neighbors per query (clusters are well separated here)
+    val ivfpq = Ann
+      .ivfPqTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5,
+        nlists = 6, nprobe = 3, m = 4, codeK = 8)
+      .collect()
+    assert(ivfpq.length == 10, "5 neighbors per query through the probed cells")
+    assert(
+      ivfpq.forall(r => r.getLong(1) % 3 == r.getLong(0) % 3),
+      "IVF-PQ neighbors must come from the query's cluster"
+    )
+    // empty corpus falls back to the exact scan
+    assert(
+      Ann.ivfPqTopK(empty, queries, "vec_id", "embedding", "vec_id", "embedding", 3)
+        .collect().isEmpty
+    )
   }
 }
