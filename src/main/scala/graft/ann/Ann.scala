@@ -612,6 +612,99 @@ object Ann {
       )
   }
 
+  /** Train IVF coarse cells as a reusable model value (deterministic
+    * first-`nlists` seeds + Lloyd refinement) — the driver-literal half of a
+    * persisted IVF-PQ index.
+    */
+  def trainIvfCells(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      nlists: Int = 16,
+      refine: Int = 0
+  ): Seq[(Long, Seq[Double])] = {
+    val v = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    val seeds = collectSeedVectors(
+      v.filter(col("cv").isNotNull).orderBy(col("cid")).limit(nlists).select(col("cv"))
+    )
+    refineCentroidsLocal(v, seeds, refine)
+  }
+
+  /** Write a persisted IVF-PQ index: CELL-partitioned parquet holding only
+    * (neighbor_id, code) — m small ints per vector. The data on disk is the
+    * compressed index; the models (`cells`, `books`) are driver-sized values
+    * the caller persists however it stores model bytes. Probing reads only
+    * the probed cell directories ([[pqTopKIndexed]]) and each vector lives
+    * in exactly one cell, so no duplicate pairs — the same layout contract
+    * as [[writeLshIndex]], with PQ compression on top.
+    */
+  def writePqIndex(
+      corpus: DataFrame,
+      path: String,
+      id: String,
+      vec: String,
+      cells: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[Seq[Double]]]
+  ): Unit =
+    corpus
+      .filter(col(vec).isNotNull)
+      .select(
+        col(id).as("neighbor_id"),
+        pqCodeColumn(col(vec), books).as("code"),
+        nearestCell(col(vec), cells).as("cell")
+      )
+      .repartition(col("cell"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(path)
+
+  /** Probe a [[writePqIndex]] layout: the queries' `nprobe` nearest cells
+    * are collected on the driver (bounded: |queries| × nprobe longs) and
+    * pushed as a STATIC `cell IN (…)` partition filter, so the scan plans
+    * only the probed directories and reads only code columns; vectors are
+    * reconstructed from literal codebooks at probe time. Same semantics and
+    * output as [[ivfPqTopK]] at equal models.
+    */
+  def pqTopKIndexed(
+      indexPath: String,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      k: Int,
+      cells: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[Seq[Double]]],
+      nprobe: Int = 4
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.filter(col(qvec).isNotNull).select(col(qid).as("qid"), col(qvec).as("qv"))
+    val probes = q
+      .select(col("qid"), col("qv"), explode(topCells(col("qv"), cells, nprobe)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc").getField("cell").as("cell"))
+    val keys = probes.select(col("cell")).distinct().collect().map(_.getLong(0)).sorted
+    val corpus = spark.read.parquet(indexPath)
+    val pruned =
+      if (keys.isEmpty) corpus.filter(lit(false))
+      else corpus.filter(col("cell").isInCollection(keys.toSeq))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    pruned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("neighbor_id"),
+        VF.cosine(pqReconstruct(col("code"), books), col("qv")).as("cos")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("qid"),
+        col("neighbor_id"),
+        round(col("cos") * 10000).cast("long").as("cosine_e4"),
+        col("rank").cast("long").as("rank")
+      )
+  }
+
   /** Train → encode → rank in one call (the graded end-to-end shape).
     * Empty corpus degrades to the exact scan like [[ivfTopK]].
     */

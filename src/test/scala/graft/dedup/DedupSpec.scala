@@ -471,4 +471,31 @@ class DedupSpec extends SparkSpec {
         .collect().isEmpty
     )
   }
+
+  test("persisted IVF-PQ index: partition-pruned probe matches the in-memory plan") {
+    import graft.ann.Ann
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 5 + j) + 0.01 * math.sin(i * 13 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 2)
+    val cells = Ann.trainIvfCells(df, "vec_id", "embedding", nlists = 6)
+    val books = Ann.pqTrain(df, "vec_id", "embedding", m = 4, codeK = 8)
+    val dir = graft.util.TempDirs.scratch("ann-pq-index").toString
+    Ann.writePqIndex(df, dir, "vec_id", "embedding", cells, books)
+    val indexed =
+      Ann.pqTopKIndexed(dir, queries, "vec_id", "embedding", 5, cells, books, nprobe = 3)
+    val direct = Ann.ivfPqTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5,
+      nlists = 6, nprobe = 3, m = 4, codeK = 8)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(indexed) == rows(direct))
+    // probe keys reach the scan as a static partition filter over `cell`,
+    // and the scan reads codes, not vectors
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p)
+    assert(!p.contains("embedding"), "indexed probe must not read a vector column")
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
 }
