@@ -464,15 +464,16 @@ object Ann {
 
   /** Reconstruction: concatenate the codebook entries the code selects —
     * asymmetric-distance PQ ranking IS `metric(q, reconstruction)` because
-    * subspace distances sum. A literal CASE ladder per subspace (m × codeK
-    * branches of small array literals) keeps it map-side and codegen-able.
+    * subspace distances sum. Each subspace is ONE literal array-of-arrays
+    * indexed by the code (`element_at`), not a CASE ladder — a ladder's
+    * m × codeK branches of array literals blow the generated method past
+    * codegen limits once combined with cell assignment in the same
+    * projection (ivfPq's corpus select), costing seconds of janino
+    * compilation per run; the indexed form stays small and constant-time.
     */
   private def pqReconstruct(codeCol: Column, books: Seq[Seq[Seq[Double]]]): Column =
     concat(books.zipWithIndex.map { case (book, j) =>
-      val cj = element_at(codeCol, j + 1)
-      book.zipWithIndex.init.foldRight(typedlit(book.last): Column) { case ((cv, c), acc) =>
-        when(cj === c, typedlit(cv)).otherwise(acc)
-      }
+      element_at(typedlit(book), element_at(codeCol, j + 1) + 1)
     }: _*)
 
   /** Rank a PQ-coded corpus against broadcast queries by approximate cosine
