@@ -48,6 +48,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("word_shingles"),
+        info(
+          "word_shingles",
+          "word_shingles(text, n) - distinct word n-gram shingles (single pass); n must be a literal"
+        ),
+        (args: Seq[Expression]) =>
+          graft.expr.WordShingles(args(0), args(1).eval().asInstanceOf[Number].intValue())
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("squash_meta"),
         info(
           "squash_meta",

@@ -62,6 +62,15 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(out(2L) - 1.0) < 1e-12)
   }
 
+  test("SQL surface: word_shingles registered via SparkSessionExtensions") {
+    val sh = spark
+      .sql("SELECT word_shingles('a b c d', 3) AS sh")
+      .collect()
+      .head
+      .getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
   test("SQL surface: vec_cosine / vec_dot / squash_meta registered via SparkSessionExtensions") {
     Seq((1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("id", "a", "b")
       .createOrReplaceTempView("v")

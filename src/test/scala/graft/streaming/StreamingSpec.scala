@@ -291,4 +291,37 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L))
     query.stop()
   }
+
+  test("streaming ANN ingest: appended micro-batches probe like a full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    def mk(range: Range) = range.map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat))
+    }
+    val indexDir = graft.util.TempDirs.scratch("ann-stream-index").toString
+    val ckpt = graft.util.TempDirs.scratch("ann-stream-ckpt").toString
+    // seed the layout with a batch write, then stream two micro-batches in
+    graft.ann.Ann.writeLshIndex(
+      mk(0 until 40).toDF("vec_id", "embedding"), indexDir, "vec_id", "embedding",
+      planes = 6, dim = 16)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val vecs = stream.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val query = AnnStream.start(vecs, indexDir, ckpt, "vec_id", "embedding", planes = 6, dim = 16)
+    stream.addData(mk(40 until 60): _*)
+    query.processAllAvailable()
+    stream.addData(mk(60 until 80): _*)
+    query.processAllAvailable()
+    query.stop()
+    val all = mk(0 until 80).toDF("vec_id", "embedding")
+    val queries = all.filter(col("vec_id") < 4)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val probed = graft.ann.Ann.lshTopKIndexed(
+      indexDir, queries, "vec_id", "embedding", 5, planes = 6, dim = 16)
+    val rebuilt = graft.ann.Ann.lshTopK(
+      all, queries, "vec_id", "embedding", "vec_id", "embedding", 5, planes = 6, dim = 16)
+    assert(rows(probed) == rows(rebuilt))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(indexDir))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(ckpt))
+  }
 }
