@@ -45,8 +45,8 @@ object Bench {
     // box) shows up as a high 1-min loadavg in the JSON instead of burning a
     // round of cross-run drift triage
     def loadAvg(): Double =
-      scala.util.Try(
-        scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0).toDouble
+      scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
+        _.getLines().next().split(" ")(0).toDouble
       ).getOrElse(
         java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)
     val loadBefore = loadAvg()

@@ -407,10 +407,23 @@ object GraftSync {
         reporter.foreach(_.shutdown())
         throw e
     } finally pool.shutdown()
-    // phase 2: continuous maintenance for docs with a feed
-    val queries = syncs.map { s =>
-      changeFeed(s).map(feed => s.stream(feed, s"$checkpointBase/${s.indexName}", opsSink(s)))
+    // phase 2: continuous maintenance for docs with a feed. A throw here
+    // (bad checkpoint dir, non-streaming feed) must stop the queries already
+    // started AND the status reporter — `started` is never set on this path,
+    // so without the catch the daemon task would fire forever and earlier
+    // streams would leak
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Option[StreamingQuery]]
+    try
+      syncs.foreach { s =>
+        acc += changeFeed(s).map(feed => s.stream(feed, s"$checkpointBase/${s.indexName}", opsSink(s)))
+      }
+    catch {
+      case e: Throwable =>
+        acc.flatten.foreach(q => try q.stop() catch { case _: Throwable => () })
+        reporter.foreach(_.shutdown())
+        throw e
     }
+    val queries = acc.toSeq
     started = Some(queries.flatten)
     queries
   }

@@ -217,10 +217,6 @@ object Ann {
       dim: Int = 64,
       probeHamming: Int = 1
   ): DataFrame = {
-    require(
-      probeHamming >= 0 && probeHamming <= 1,
-      s"probeHamming must be 0 (exact bucket) or 1 (flip each plane bit), got $probeHamming"
-    )
     val bucketed = corpus.select(
       col(id).as("neighbor_id"),
       col(vec).as("v"),
@@ -231,13 +227,24 @@ object Ann {
       col(qvec).as("qv"),
       VF.hyperplaneBucket(col(qvec), planes, dim).as("bucket")
     )
-    val probeKeys =
-      if (probeHamming == 0) array(col("bucket"))
-      else array(col("bucket") +: (0 until planes).map(p =>
-        col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val q = qKeyed
-      .select(col("qid"), col("qv"), explode(probeKeys).as("bucket"))
+      .select(col("qid"), col("qv"), explode(lshProbeKeys(planes, probeHamming)).as("bucket"))
     rankCandidates(bucketed, q, k)
+  }
+
+  /** Probe-key expansion shared by the in-memory and indexed LSH paths —
+    * one definition so the "same output at equal parameters" contract
+    * between them cannot drift.
+    */
+  private def lshProbeKeys(planes: Int, probeHamming: Int): Column = {
+    require(
+      probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming must be 0 (exact bucket) or 1 (flip each plane bit), got $probeHamming"
+    )
+    if (probeHamming == 0) array(col("bucket"))
+    else
+      array(col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
   }
 
   private def rankCandidates(bucketed: DataFrame, probes: DataFrame, k: Int): DataFrame = {
@@ -352,21 +359,14 @@ object Ann {
       dim: Int = 64,
       probeHamming: Int = 1
   ): DataFrame = {
-    require(
-      probeHamming >= 0 && probeHamming <= 1,
-      s"probeHamming must be 0 (exact bucket) or 1 (flip each plane bit), got $probeHamming"
-    )
     val spark = queries.sparkSession
     val qKeyed = queries.select(
       col(qid).as("qid"),
       col(qvec).as("qv"),
       VF.hyperplaneBucket(col(qvec), planes, dim).as("bucket")
     )
-    val probeKeys =
-      if (probeHamming == 0) array(col("bucket"))
-      else array(col("bucket") +: (0 until planes).map(p =>
-        col("bucket").bitwiseXOR(lit(1L << p))): _*)
-    val q = qKeyed.select(col("qid"), col("qv"), explode(probeKeys).as("bucket"))
+    val q =
+      qKeyed.select(col("qid"), col("qv"), explode(lshProbeKeys(planes, probeHamming)).as("bucket"))
     val keys = q.select(col("bucket")).distinct().collect().map(_.getLong(0)).sorted
     val corpus = spark.read.parquet(indexPath)
     val pruned =
@@ -394,13 +394,22 @@ object Ann {
       refine: Int = 0
   ): Seq[Seq[Seq[Double]]] = {
     val v = corpus.select(col(id).as("cid"), col(vec).as("cv")).filter(col("cv").isNotNull)
-    val seeds = v
-      .orderBy(col("cid"))
-      .limit(codeK)
-      .select(col("cv"))
-      .collect()
-      .toSeq
-      .map(r => toDoubles(r.getSeq[Any](0)))
+    val seeds =
+      collectSeedVectors(v.orderBy(col("cid")).limit(codeK).select(col("cv"))).map(_._2)
+    pqTrainFromSeeds(v, seeds, m, refine)
+  }
+
+  /** Codebooks from an already-collected seed prefix — lets callers that
+    * also train IVF cells ([[ivfPqTopK]]) collect the corpus prefix ONCE
+    * instead of running two full-corpus TakeOrdered jobs for overlapping
+    * first-k-by-id sets.
+    */
+  private def pqTrainFromSeeds(
+      v: DataFrame,
+      seeds: Seq[Seq[Double]],
+      m: Int,
+      refine: Int
+  ): Seq[Seq[Seq[Double]]] = {
     if (seeds.isEmpty) return Seq.empty
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -453,6 +462,10 @@ object Ann {
     * Output: (cid, code array<int> of length m).
     */
   private def pqCodeColumn(vecCol: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    require(
+      books.nonEmpty && books.head.nonEmpty,
+      "empty PQ codebooks (train saw an empty/all-null corpus) — guard with books.isEmpty and degrade to bruteForceTopK"
+    )
     val sub = books.head.head.length
     array(books.indices.map(j => nearestCodeL2(slice(vecCol, j * sub + 1, sub), books(j))): _*)
   }
@@ -528,6 +541,10 @@ object Ann {
       books: Seq[Seq[Seq[Double]]],
       candidateFactor: Int = 4
   ): DataFrame = {
+    // same degrade contract as pqTopKEndToEnd/ivfPqTopK: no codebooks (empty
+    // or all-null corpus at train time) ⇒ exact scan, not a plan-build crash
+    if (books.isEmpty)
+      return bruteForceTopK(corpus.filter(col(vec).isNotNull), queries, id, vec, qid, qvec, k)
     val v = corpus.filter(col(vec).isNotNull).select(col(id).as("cid"), col(vec).as("cv"))
     val codes = pqEncode(corpus, id, vec, books)
     val recon = codes.select(col("cid"), pqReconstruct(col("code"), books).as("rv"))
@@ -580,11 +597,19 @@ object Ann {
       pqRefine: Int = 0
   ): DataFrame = {
     val v = corpus.select(col(id).as("cid"), col(vec).as("cv"))
-    val seeds = collectSeedVectors(
-      v.filter(col("cv").isNotNull).orderBy(col("cid")).limit(nlists).select(col("cv"))
+    // one corpus prefix collect serves both models (first-k-by-id sets nest)
+    val prefix = collectSeedVectors(
+      v.filter(col("cv").isNotNull)
+        .orderBy(col("cid"))
+        .limit(math.max(nlists, codeK))
+        .select(col("cv"))
+    ).map(_._2)
+    val cells = refineCentroidsLocal(
+      v,
+      prefix.take(nlists).zipWithIndex.map { case (sv, i) => (i.toLong, sv) },
+      refine
     )
-    val cells = refineCentroidsLocal(v, seeds, refine)
-    val books = pqTrain(corpus, id, vec, m, codeK, pqRefine)
+    val books = pqTrainFromSeeds(v.filter(col("cv").isNotNull), prefix.take(codeK), m, pqRefine)
     if (cells.isEmpty || books.isEmpty)
       return bruteForceTopK(corpus.filter(col(vec).isNotNull), queries, id, vec, qid, qvec, k)
     val assigned = corpus

@@ -80,6 +80,11 @@ object GeoFunctions {
     // inner = "(ring1),(ring2)…" — the outer POLYGON parens stripped
     val inner = regexp_extract(wkt, "(?i)^\\s*POLYGON\\s*\\((.*)\\)\\s*$", 1)
     val rings = split(inner, "\\)\\s*,\\s*\\(")
+    // ANSI-safe token parsing: cast only regex-validated numerics (a bare
+    // cast of a garbage token THROWS under ANSI mode — the exact job-failing
+    // behavior the bad-row contract forbids), and index with 0-based get()
+    // which nulls on out-of-bounds where element_at raises
+    def numOrNull(s: Column): Column = when(s.rlike(s"^$Num$$"), s.cast("double"))
     val coords = transform(
       rings,
       ring =>
@@ -87,10 +92,21 @@ object GeoFunctions {
           split(regexp_replace(ring, "[()]", ""), "\\s*,\\s*"),
           pt => {
             val xy = split(trim(pt), "\\s+")
-            array(element_at(xy, 1).cast("double"), element_at(xy, 2).cast("double"))
+            array(numOrNull(get(xy, lit(0))), numOrNull(get(xy, lit(1))))
           }
         )
     )
-    when(inner =!= "", struct(lit("Polygon").as("type"), coords.as("coordinates")))
+    // a malformed polygon body ("POLYGON ((garbage))") parses to null
+    // coordinate doubles — emit null for the whole shape rather than a
+    // struct of nulls the sink would reject (the bad-row contract: one bad
+    // WKT value must not fail a bulk index)
+    val wellFormed = !exists(
+      flatten(coords),
+      pt => element_at(pt, 1).isNull || element_at(pt, 2).isNull
+    )
+    when(
+      inner =!= "" && wellFormed,
+      struct(lit("Polygon").as("type"), coords.as("coordinates"))
+    )
   }
 }

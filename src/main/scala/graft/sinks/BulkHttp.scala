@@ -81,14 +81,26 @@ object BulkHttp {
   // receive the resolved booleans through the action plan, never the probe
   private val infoCache = new java.util.concurrent.ConcurrentHashMap[String, ServerInfo]()
 
-  /** `GET /` once per endpoint (cached). Unreachable or unparseable info
-    * degrades to modern ES (major 8, no legacy shims) — the version-agnostic
-    * behavior a stub/test endpoint gets.
+  /** `GET /` once per endpoint, cached ONLY on a successful probe. An
+    * unreachable endpoint or a non-2xx (e.g. a cluster still booting)
+    * degrades to modern ES (major 8, no legacy shims) for THIS call but is
+    * NOT cached — caching a failed probe would pin an ES 6 endpoint that was
+    * briefly down to the wrong wire format for the JVM's lifetime; the next
+    * call re-probes.
     */
-  def serverInfo(endpoint: String, timeoutMs: Long = 10000): ServerInfo =
-    infoCache.computeIfAbsent(endpoint, ep => fetchInfo(ep, timeoutMs))
+  def serverInfo(endpoint: String, timeoutMs: Long = 10000): ServerInfo = {
+    val cached = infoCache.get(endpoint)
+    if (cached != null) cached
+    else
+      fetchInfo(endpoint, timeoutMs) match {
+        case Some(info) =>
+          val prev = infoCache.putIfAbsent(endpoint, info)
+          if (prev != null) prev else info
+        case None => ServerInfo("elasticsearch", 8)
+      }
+  }
 
-  private def fetchInfo(endpoint: String, timeoutMs: Long): ServerInfo =
+  private def fetchInfo(endpoint: String, timeoutMs: Long): Option[ServerInfo] =
     try {
       val req = HttpRequest
         .newBuilder(URI.create(s"$endpoint/"))
@@ -96,7 +108,7 @@ object BulkHttp {
         .GET()
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() >= 300) ServerInfo("elasticsearch", 8)
+      if (resp.statusCode() >= 300) None
       else {
         val root = mapper.readTree(resp.body())
         val version = root.path("version")
@@ -107,9 +119,9 @@ object BulkHttp {
               root.path("tagline").asText("").toLowerCase.contains("opensearch"))
             "opensearch"
           else "elasticsearch"
-        ServerInfo(distro, major)
+        Some(ServerInfo(distro, major))
       }
-    } catch { case _: Exception => ServerInfo("elasticsearch", 8) }
+    } catch { case _: Exception => None }
 
   /** Wrap the create body's `mappings` in the `_doc` type for ES < 7
     * (`search_client.py:349-351` does the same to the derived mapping).

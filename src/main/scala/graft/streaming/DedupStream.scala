@@ -89,15 +89,20 @@ object DedupStream {
       text: String,
       onSurvivors: DataFrame => Unit
   ): Long = {
+    // null text has no content to dedup on: such docs pass through as
+    // survivors and are never indexed — md5(null) = null would otherwise
+    // never equi-join (silently dropping the doc from survivors) while
+    // appending a garbage null-digest row to the index EVERY batch
+    val withText = batch.filter(col(text).isNotNull)
     val index = readIndex(spark, indexPath)
-    val resolved = Dedup.exactIncremental(index, batch, id, text)
+    val resolved = Dedup.exactIncremental(index, withText, id, text)
     val newDigests = resolved
       .filter(col("corpus_keep_id").isNull)
       .select(col("h"), col("keep_id"))
       .cache()
     try {
       // survivors = the canonical (min-id) document of each new digest
-      val survivors = batch
+      val survivors = withText
         .withColumn("__h", md5(col(text).cast("binary")))
         .join(
           newDigests.select(col("h").as("__h"), col("keep_id")),
@@ -105,7 +110,7 @@ object DedupStream {
         )
         .filter(col(id) === col("keep_id"))
         .drop("__h", "keep_id")
-      onSurvivors(survivors)
+      onSurvivors(survivors.unionByName(batch.filter(col(text).isNull)))
       val n = newDigests.count()
       if (n > 0) newDigests.write.mode("append").parquet(indexPath)
       n

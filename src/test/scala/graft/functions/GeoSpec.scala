@@ -48,7 +48,8 @@ class GeoSpec extends SparkSpec {
     val df = Seq(
       (1L, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
       (2L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 2))"),
-      (3L, "POINT (1 2)")
+      (3L, "POINT (1 2)"),
+      (4L, "POLYGON ((garbage here))") // parses to null doubles → whole shape null
     ).toDF("id", "wkt")
     val out = df
       .select(col("id"), GeoFunctions.geoShapeFromWkt(col("wkt")).as("shape"))
@@ -64,6 +65,7 @@ class GeoSpec extends SparkSpec {
     val rings2 = out(1).getStruct(1).getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](1)
     assert(rings2.length == 2 && rings2(1).length == 4)
     assert(out(2).isNullAt(1))
+    assert(out(3).isNullAt(1), "malformed polygon body must be null, not a struct of nulls")
   }
 
   test("GeoJSON sources parse like the reference's Geometry plugin (sample.py:87-95)") {

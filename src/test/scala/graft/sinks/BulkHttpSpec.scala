@@ -309,6 +309,21 @@ class BulkHttpSpec extends SparkSpec {
     finally mute.stop()
   }
 
+  test("version negotiation: failed probes are not cached — endpoint renegotiates once it responds") {
+    val stub = new Stub(_ => None)
+    try {
+      // GET / answers 400 (cluster "still booting"): degrade to modern for
+      // this call, but do NOT pin it — an ES 6 endpoint briefly down at
+      // first contact must not keep modern wire format for the JVM's life
+      assert(BulkHttp.serverInfo(stub.endpoint) == BulkHttp.ServerInfo("elasticsearch", 8))
+      stub.infoJson = """{"version":{"number":"6.8.23"}}"""
+      assert(BulkHttp.serverInfo(stub.endpoint) == BulkHttp.ServerInfo("elasticsearch", 6))
+      // the successful probe IS cached: dropping the body changes nothing
+      stub.infoJson = null
+      assert(BulkHttp.serverInfo(stub.endpoint) == BulkHttp.ServerInfo("elasticsearch", 6))
+    } finally stub.stop()
+  }
+
   test("product loop: GraftSync publishes snapshot + incremental ops over HTTP") {
     import graft.GraftSync
     import graft.catalog.{Catalog, TableMeta}

@@ -273,6 +273,18 @@ class StreamingSpec extends SparkSpec {
       spark, Seq((6L, "alpha"), (7L, "beta")).toDF("doc_id", "text"),
       s"$dir/index", "doc_id", "text", _ => ())
     assert(n == 0L)
+    // null text passes through as a survivor and never pollutes the index
+    var got: Seq[Long] = Nil
+    val n2 = DedupStream.applyBatch(
+      spark, Seq((8L, null.asInstanceOf[String]), (9L, "alpha")).toDF("doc_id", "text"),
+      s"$dir/index", "doc_id", "text",
+      df => got = df.collect().map(_.getLong(0)).toSeq)
+    assert(n2 == 0L, "null digest must not count as a new digest")
+    assert(got == Seq(8L), s"null-text doc must survive, got $got")
+    assert(
+      !spark.read.parquet(s"$dir/index").collect().exists(_.isNullAt(0)),
+      "index must hold no null-digest rows"
+    )
   }
 
   test("streaming dedup (state-store form): dropDuplicates keeps first per digest") {
