@@ -685,6 +685,33 @@ object Ann {
       .partitionBy("cell")
       .parquet(path)
 
+  /** Incremental maintenance for a [[writePqIndex]] layout: append new
+    * vectors encoded under the SAME frozen models — O(batch), on-disk cell
+    * partitions are never read or rewritten (the [[appendLshIndex]]
+    * contract). Codebook drift under a shifting distribution is a model
+    * refresh: retrain and rewrite, don't mutate.
+    */
+  def appendPqIndex(
+      batch: DataFrame,
+      path: String,
+      id: String,
+      vec: String,
+      cells: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[Seq[Double]]]
+  ): Unit =
+    batch
+      .filter(col(vec).isNotNull)
+      .select(
+        col(id).as("neighbor_id"),
+        pqCodeColumn(col(vec), books).as("code"),
+        nearestCell(col(vec), cells).as("cell")
+      )
+      .repartition(col("cell"))
+      .write
+      .mode("append")
+      .partitionBy("cell")
+      .parquet(path)
+
   /** Probe a [[writePqIndex]] layout: the queries' `nprobe` nearest cells
     * are collected on the driver (bounded: |queries| × nprobe longs) and
     * pushed as a STATIC `cell IN (…)` partition filter, so the scan plans

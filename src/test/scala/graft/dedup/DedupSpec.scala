@@ -496,6 +496,21 @@ class DedupSpec extends SparkSpec {
     val p = indexed.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("cell"), p)
     assert(!p.contains("embedding"), "indexed probe must not read a vector column")
+    // incremental append under the frozen models == a full rebuild
+    val more = (60 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 5 + j) + 0.01 * math.sin(i * 13 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    Ann.appendPqIndex(more, dir, "vec_id", "embedding", cells, books)
+    val appended =
+      Ann.pqTopKIndexed(dir, queries, "vec_id", "embedding", 5, cells, books, nprobe = 3)
+    val all = df.union(more)
+    val rebuiltDir = graft.util.TempDirs.scratch("ann-pq-rebuild").toString
+    Ann.writePqIndex(all, rebuiltDir, "vec_id", "embedding", cells, books)
+    val rebuilt =
+      Ann.pqTopKIndexed(rebuiltDir, queries, "vec_id", "embedding", 5, cells, books, nprobe = 3)
+    assert(rows(appended) == rows(rebuilt))
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(rebuiltDir))
   }
 }
