@@ -411,6 +411,10 @@ object SparkEntry {
           TF.meanWordLenC(col("text")).as("mean_wlen_c"),
           TF.spaceRatioC(col("text")).as("space_ratio_c")
         )),
+    // ---- quality: the Gopher rule gate (integer-exact signals + verdict) ---
+    "q_quality_gopher" -> ((s, dir) =>
+      graft.functions.QualityRules
+        .gopher(loader(s, dir)("documents"), "doc_id", "text")),
     // ---- text analysis: language-ID + fingerprint --------------------------
     "q_text_langid" -> ((s, dir) =>
       loader(s, dir)("documents")
@@ -631,6 +635,17 @@ object SparkEntry {
           defaultBudget = 15000L
         )
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // ---- corpus mixing by TEMPERATURE (α=0.5): targets computed from the
+    // stratum counts themselves, integer-exact end to end ---------------------
+    "q_mix_temperature" -> ((s, dir) =>
+      graft.functions.Sampling
+        .temperatureMix(
+          loader(s, dir)("documents"),
+          col("doc_id"),
+          col("source"),
+          budget = 300L
+        )
+        .select(col("doc_id"), col("source"))),
     // ---- incremental dedup: new batch (odd ids) vs persisted corpus index
     // (even ids) — the steady-state shape at 100 TB: the corpus is never
     // rescanned, the batch joins the digest / band-key index ------------------
@@ -1149,6 +1164,47 @@ object SparkEntry {
                 CAST(round(100.0 * length(text) / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS mean_wlen_c,
                 CAST(round(1000.0 * (length(text) - length(replace(text, ' ', ''))) / length(text)) AS BIGINT) AS space_ratio_c
          FROM documents WHERE length(text) > 0""",
+    "q_quality_gopher" ->
+      // integer-exact replay of QualityRules.gopher: every ratio threshold is
+      // a cross-multiplication, '#'/'…'/'...' counting is literal replace
+      // (non-overlapping left-to-right in both engines), and stop_hits sums
+      // per-word presence (list_contains) rather than intersect, whose dedup
+      // semantics vary by engine
+      """WITH d AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS w,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS word_chars,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS ellipsis_lines,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '…', '')))
+                  + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS symbol_count,
+             CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+           FROM d)
+         SELECT doc_id, n_words, word_chars, alpha_words, n_lines, bullet_lines, ellipsis_lines,
+                symbol_count, stop_hits,
+                (n_words BETWEEN 50 AND 100000
+                 AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+                 AND symbol_count * 10 <= n_words
+                 AND bullet_lines * 10 <= n_lines * 9
+                 AND ellipsis_lines * 10 <= n_lines * 3
+                 AND alpha_words * 5 >= n_words * 4
+                 AND stop_hits >= 2) AS pass
+         FROM sig""",
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
          s AS (SELECT doc_id,
@@ -1653,6 +1709,25 @@ object SparkEntry {
          WHERE prev < CASE WHEN lang = 'en' THEN 30000
                            WHEN lang = 'zh' THEN 10000
                            ELSE 15000 END""",
+    "q_mix_temperature" ->
+      // integer-exact replay of Sampling.temperatureMix(α=0.5): weights are
+      // floor(sqrt(count)) — IEEE sqrt is exactly rounded, so identical in
+      // both engines — targets are integer division, and membership is the
+      // per-stratum md5-rank prefix
+      """WITH counts AS (
+           SELECT source AS s, count(*) AS n FROM documents GROUP BY source),
+         w AS (
+           SELECT s, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM counts),
+         t AS (
+           SELECT s, (300 * w) // (SELECT sum(w) FROM w) AS target FROM w),
+         r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+           FROM documents)
+         SELECT r.doc_id, r.source
+         FROM r JOIN t ON r.source = t.s
+         WHERE r.rn <= t.target""",
     "q_dedup_incr" ->
       """WITH idx AS (
            SELECT md5(text) AS h, min(doc_id) AS keep_id

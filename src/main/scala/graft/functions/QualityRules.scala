@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composite rule-based document quality filtering — the "Gopher rules"
+  * (Rae et al. 2021, "Scaling Language Models: Methods, Analysis & Insights
+  * from Training Gopher", §A1.1.1, public arXiv:2112.11446), the standard
+  * first-pass heuristic gate a large-scale training-data pipeline runs
+  * before any model-based scoring.
+  *
+  * The reference has no quality operators (pgsync delegates scalar compute
+  * to PostgreSQL — SURVEY.md §2.6); this extends the engine for the
+  * LLM-corpus north star alongside [[TextFunctions]].
+  *
+  * Design for the correctness gate AND for 100 TB:
+  *   - every signal is an INTEGER count and every threshold an integer
+  *     cross-multiplication (`10·symbols ≤ words` instead of
+  *     `symbols/words ≤ 0.1`), so an external engine replays the decision
+  *     bit-for-bit — no float division anywhere;
+  *   - everything is one map-side projection over the scan (pure column
+  *     expressions inside whole-stage codegen): no shuffle, no UDF, no
+  *     state — the filter runs at scan throughput on any corpus size.
+  */
+object QualityRules {
+
+  /** The Gopher "must contain" stopwords (Rae et al. §A1.1.1: a document
+    * must contain ≥ 2 of these common English words).
+    */
+  val RequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def words(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => length(w) > 0)
+
+  /** Per-document Gopher rule signals + verdict. Output columns (all
+    * BIGINT except the BOOLEAN `pass`):
+    *
+    *   - `n_words`, `word_chars` — token count and summed token lengths
+    *     (mean word length = word_chars / n_words, tested by
+    *     cross-multiplication);
+    *   - `alpha_words` — tokens containing ≥ 1 ASCII letter;
+    *   - `n_lines`, `bullet_lines`, `ellipsis_lines` — layout signals;
+    *   - `symbol_count` — '#' characters plus '…'/'...' ellipses;
+    *   - `stop_hits` — how many of [[RequiredStopwords]] appear as tokens;
+    *   - `pass` — the conjunction of the published thresholds:
+    *     50 ≤ n_words ≤ 100 000; 3 ≤ mean word length ≤ 10;
+    *     symbol-to-word ratio ≤ 0.1; ≤ 90% bullet lines;
+    *     ≤ 30% ellipsis-ending lines; ≥ 80% alphabetic words;
+    *     ≥ 2 required stopwords.
+    *
+    * `minWords`/`maxWords` are the only knobs pipelines commonly retune
+    * per corpus; the ratio thresholds are fixed to the published values.
+    */
+  def gopher(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L
+  ): DataFrame = {
+    val t = col(text)
+    val w = words(t)
+    val lines = split(t, "\n")
+    val nWords = size(w).cast("long")
+    val wordChars = coalesce(
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)),
+      lit(0L)
+    )
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val nLines = size(lines).cast("long")
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    // literal (non-regex) replace counting: non-overlapping left-to-right in
+    // every engine, so the counts replay exactly
+    val hashCount = length(t) - length(replace(t, lit("#"), lit("")))
+    val unicodeEllipses = length(t) - length(replace(t, lit("…"), lit("")))
+    val dotEllipses = floor(
+      (length(t) - length(replace(t, lit("..."), lit("")))).cast("double") / 3
+    ).cast("long")
+    val symbolCount = (hashCount + unicodeEllipses + dotEllipses).cast("long")
+    // presence (not frequency) per required stopword, summed — portable,
+    // unlike intersect whose dedup semantics vary by engine
+    val stopHits = RequiredStopwords
+      .map(sw => when(array_contains(w, sw), 1L).otherwise(0L))
+      .reduce(_ + _)
+      .cast("long")
+    docs.select(
+      col(id),
+      nWords.as("n_words"),
+      wordChars.as("word_chars"),
+      alphaWords.as("alpha_words"),
+      nLines.as("n_lines"),
+      bulletLines.as("bullet_lines"),
+      ellipsisLines.as("ellipsis_lines"),
+      symbolCount.as("symbol_count"),
+      stopHits.as("stop_hits"),
+      (nWords.between(minWords, maxWords) &&
+        wordChars >= nWords * 3 && wordChars <= nWords * 10 &&
+        symbolCount * 10 <= nWords &&
+        bulletLines * 10 <= nLines * 9 &&
+        ellipsisLines * 10 <= nLines * 3 &&
+        alphaWords * 5 >= nWords * 4 &&
+        stopHits >= 2).as("pass")
+    )
+  }
+}

@@ -153,6 +153,82 @@ object Sampling {
       .drop("__h", "__k", "__s", "__t", "__b", "__prev")
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual-corpus balancing
+    * rule of Conneau & Lample 2019 / mT5: sample stratum i with probability
+    * ∝ nᵢ^α, α < 1 upweighting low-resource strata): computes per-stratum
+    * document targets from the data itself — `targetᵢ = ⌊budget · wᵢ / Σwⱼ⌋`
+    * with `wᵢ = ⌊nᵢ^α⌋` — then keeps each stratum's first `targetᵢ`
+    * documents in md5-hash order of the key.
+    *
+    * PORTABILITY CONTRACT: with the default `alpha = 0.5` the weights are
+    * `⌊√nᵢ⌋` — IEEE sqrt is exactly rounded, so floor(sqrt) is bit-identical
+    * in every engine, and everything downstream (integer sums, integer
+    * division, md5 rank) replays exactly. `alpha = 1.0` (proportional) is
+    * likewise exact. Any other α goes through `pow`, which is NOT exactly
+    * rounded across engines — fine for production, excluded from the
+    * hash-gate contract.
+    *
+    * Scale shape: stratum counts are one map-side-combining aggregate; the
+    * weight/target table is stratum-cardinality-sized (model, not data) and
+    * broadcast back. Selection reuses the [[quota]] two-phase discipline — a
+    * no-exchange partition-local run-length prefix, then the exact window
+    * over ≤ target·numPartitions survivors per stratum — so no stratum ever
+    * funnels its full document set through one task.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      budget: Long,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    if (budget == 0) return df.limit(0)
+    val tagged = df
+      .withColumn("__h", md5(key.cast(StringType).cast(BinaryType)))
+      .withColumn("__k", key.cast(StringType))
+      .withColumn("__s", stratum.cast(StringType))
+    val weight = alpha match {
+      case 1.0 => col("__n")
+      case 0.5 => floor(sqrt(col("__n").cast("double"))).cast("long")
+      case a   => floor(pow(col("__n").cast("double"), a)).cast("long")
+    }
+    val weights = tagged
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__s"), weight.as("__w"))
+    val targets = weights
+      .crossJoin(broadcast(weights.agg(sum(col("__w")).as("__sw"))))
+      .select(col("__s"), expr(s"(${budget}L * __w) div __sw").as("__target"))
+    val budgeted = tagged.join(
+      broadcast(targets.withColumnRenamed("__s", "__ts")),
+      col("__s") <=> col("__ts"),
+      "inner"
+    )
+    // phase 1: per-partition run-length counter under the per-stratum target
+    val sorted = budgeted.sortWithinPartitions(col("__s"), col("__h"), col("__k"))
+    val schema = sorted.schema
+    val sIdx = schema.fieldIndex("__s")
+    val tIdx = schema.fieldIndex("__target")
+    val local = sorted.mapPartitions { it =>
+      var cur: Any = null
+      var seen = false
+      var n = 0L
+      it.filter { r =>
+        val s = r.get(sIdx)
+        if (!seen || s != cur) { cur = s; seen = true; n = 0L }
+        n += 1
+        n <= r.getLong(tIdx)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    // phase 2: exact rank over the bounded survivor set
+    val w = Window.partitionBy(col("__s")).orderBy(col("__h"), col("__k"))
+    local
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__h", "__k", "__s", "__ts", "__target", "__rn")
+  }
+
   def quota(df: DataFrame, groupCols: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     require(k >= 0, s"quota k must be >= 0, got $k")
     if (k == 0) return df.limit(0)

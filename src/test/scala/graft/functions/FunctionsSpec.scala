@@ -186,6 +186,39 @@ class FunctionsSpec extends SparkSpec {
       .select(col("lang")).distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
   }
 
+  test("temperatureMix: α=1 is proportional, α=0.5 upweights rare strata") {
+    import graft.functions.Sampling
+    // two strata, 1000 vs 3000 docs
+    val df = spark.range(0, 4000).select(
+      col("id"), when(col("id") < 1000, "rare").otherwise("big").as("s"))
+    val prop = Sampling.temperatureMix(df, col("id"), col("s"), budget = 300, alpha = 1.0)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    // w = (1000, 3000), targets = 300*w/4000 = (75, 225)
+    assert(prop == Map("rare" -> 75, "big" -> 225))
+    val temp = Sampling.temperatureMix(df, col("id"), col("s"), budget = 300, alpha = 0.5)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    // w = (floor√1000, floor√3000) = (31, 54): targets = (300·31/85, 300·54/85)
+    assert(temp == Map("rare" -> 109, "big" -> 190))
+    assert(temp("rare") > prop("rare")) // the point of the temperature
+  }
+
+  test("temperatureMix: deterministic membership, capped strata, zero budget") {
+    import graft.functions.Sampling
+    val df = spark.range(0, 1010).select(
+      col("id"), when(col("id") < 10, "tiny").otherwise("big").as("s"))
+    val a = Sampling.temperatureMix(df, col("id"), col("s"), budget = 400)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(df.repartition(13), col("id"), col("s"), budget = 400)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // membership independent of physical layout
+    // w = (3, 31); tiny's target = 400·3/34 = 35 > its 10 docs → fully kept
+    val byS = Sampling.temperatureMix(df, col("id"), col("s"), budget = 400)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(byS("tiny") == 10)
+    assert(byS("big") == 364) // 400·31/34
+    assert(Sampling.temperatureMix(df, col("id"), col("s"), budget = 0).count() == 0)
+  }
+
   test("quota keeps at most k rows per group in deterministic order") {
     import graft.functions.Sampling
     val df = Seq.tabulate(30)(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")

@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class QualityRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)]): Map[Long, Row] =
+    QualityRules
+      .gopher(docs.toDF("doc_id", "text"), "doc_id", "text", minWords = 5, maxWords = 100)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+
+  private val good =
+    "the quick brown fox jumps over that lazy dog and we have fun with words today here"
+
+  test("gopher passes clean prose and reports its signals") {
+    val out = run(Seq(1L -> good))
+    val r = out(1L)
+    assert(r.getAs[Long]("n_words") == 17)
+    assert(r.getAs[Long]("alpha_words") == 17)
+    assert(r.getAs[Long]("symbol_count") == 0)
+    assert(r.getAs[Long]("stop_hits") >= 2) // the, that, and, have, with
+    assert(r.getAs[Boolean]("pass"))
+  }
+
+  test("gopher fails documents outside the word-count bounds") {
+    val out = run(Seq(1L -> "too short", 2L -> Seq.fill(200)("and the fox ran").mkString(" ")))
+    assert(!out(1L).getAs[Boolean]("pass")) // 2 words < minWords
+    assert(!out(2L).getAs[Boolean]("pass")) // 800 words > maxWords
+  }
+
+  test("gopher fails on mean word length out of [3, 10]") {
+    // 8 one-char words: mean 1 < 3
+    val short = 1L -> "a b c d e f g h and the fox sat"
+    // long tokens: mean > 10
+    val long = 2L ->
+      ("the and " + Seq.fill(10)("supercalifragilisticexpialidocious").mkString(" "))
+    val out = run(Seq(short, long))
+    assert(!out(1L).getAs[Boolean]("pass"))
+    assert(!out(2L).getAs[Boolean]("pass"))
+  }
+
+  test("gopher counts symbols (#, unicode and dot ellipses) and fails dense ones") {
+    val out = run(
+      Seq(
+        1L -> "the fox ## jumps … over ... the dog and we have more words",
+        2L -> (good + " ###### ...... … … … …")
+      )
+    )
+    assert(out(1L).getAs[Long]("symbol_count") == 4) // two #, one …, one ...
+    assert(!out(2L).getAs[Boolean]("pass")) // 12 symbols > 10% of words
+  }
+
+  test("gopher line-shape rules: bullet and ellipsis-ending lines") {
+    val bullets = (1 to 10).map(i => s"- item $i the and").mkString("\n")
+    val dots = (1 to 10).map(i => s"line $i the and goes on...").mkString("\n")
+    val out = run(Seq(1L -> bullets, 2L -> dots))
+    assert(out(1L).getAs[Long]("bullet_lines") == 10)
+    assert(!out(1L).getAs[Boolean]("pass")) // 100% bullets > 90%
+    assert(out(2L).getAs[Long]("ellipsis_lines") == 10)
+    assert(!out(2L).getAs[Boolean]("pass")) // 100% ellipsis-ending > 30%
+  }
+
+  test("gopher alphabetic-word and stopword requirements") {
+    val numbers = 1L -> "the and 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18"
+    val noStops = 2L -> "quick brown foxes jump high over lazy sleeping dogs daily"
+    val out = run(Seq(numbers, noStops))
+    assert(!out(1L).getAs[Boolean]("pass")) // 2/20 alphabetic < 80%
+    assert(out(2L).getAs[Long]("stop_hits") == 0)
+    assert(!out(2L).getAs[Boolean]("pass")) // needs >= 2 required stopwords
+  }
+
+  test("gopher is whitespace-robust: empty and blank docs do not error") {
+    val out = run(Seq(1L -> "", 2L -> "   ", 3L -> "\n\n\n"))
+    assert(out.values.forall(!_.getAs[Boolean]("pass")))
+    assert(out(1L).getAs[Long]("n_words") == 0)
+    assert(out(2L).getAs[Long]("word_chars") == 0)
+  }
+}
