@@ -305,6 +305,19 @@ object SparkEntry {
       loader(s, dir)("documents")
         .groupBy(md5(col("text").cast("binary")).as("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))),
+    // ---- dedup: exact with quality-aware keep (best score wins, ties → min
+    // id). The corpus has no byte-identical docs, so the query unions a
+    // shifted copy: odd originals' copies score higher (copy must win), even
+    // ones tie (original must win) — both arms of the policy are gated ------
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = loader(s, dir)("documents").select(col("doc_id"), col("text"), col("n_chars"))
+      val copy = d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text"),
+        (col("n_chars") + pmod(col("doc_id"), lit(2))).as("n_chars")
+      )
+      Dedup.exactKeepBest(d.unionAll(copy), "doc_id", "text", col("n_chars"))
+    }),
     // ---- text analysis: token count + quality ratios -----------------------
     "q_text_tokens" -> ((s, dir) =>
       loader(s, dir)("documents")
@@ -462,6 +475,14 @@ object SparkEntry {
     // keys, so the 100 TB-safe plan is the hash-checked one) -----------------
     "q_dedup_embed_lsh" -> ((s, dir) =>
       Dedup.embeddingCosine(loader(s, dir)("embeddings"), "vec_id", "embedding", 0.4)),
+    // ---- dedup: semantic (SemDeDup — k-means cells confine the pair space;
+    // refine=0 keeps data-seeded centroids so DuckDB replays assignment,
+    // capped pairing, and the exact cosine verify; the Lloyd path (refine≥1,
+    // production default) is spec-covered like IVF's) -------------------------
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semantic(
+        loader(s, dir)("embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nlists = 16, refine = 0)),
     // ---- similarity search: brute-force top-k + IVF scale path -------------
     "q_ann_topk" -> ((s, dir) => {
       val e = loader(s, dir)("embeddings")
@@ -920,6 +941,20 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text)""",
+    "q_dedup_keep_best" ->
+      // keeper = max score, ties → min doc_id; one row per member of every
+      // duplicate group, keeper self-mapping included. Duplicates are
+      // synthesized exactly as the Spark side does: a +1000000-shifted copy
+      // whose score bumps by doc_id % 2
+      """WITH u AS (
+           SELECT doc_id, text, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text, n_chars + doc_id % 2 FROM documents),
+         d AS (SELECT doc_id, md5(text) AS h, n_chars AS score FROM u),
+         g AS (SELECT h, max(score) AS best FROM d GROUP BY h HAVING count(*) >= 2),
+         k AS (SELECT d.h, min(d.doc_id) AS keep_id
+               FROM d JOIN g ON d.h = g.h AND d.score = g.best GROUP BY d.h)
+         SELECT d.doc_id AS id, k.keep_id FROM d JOIN k ON d.h = k.h""",
     "q_text_tokens" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
          FROM documents""",
@@ -1358,6 +1393,28 @@ object SparkEntry {
          JOIN embeddings eb ON eb.vec_id = p.id_b
          WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4"""
     },
+    "q_dedup_semantic" ->
+      // SemDeDup replay at refine=0: centroids = first 16 corpus vectors by
+      // id (q_ann_ivf's seeds CTE), assignment = argmax cosine with ties to
+      // the smallest cell (Ann.nearestCell), then within-cell pairs under
+      // the bucket cap and the exact cosine verify (q_dedup_embed_lsh's tail)
+      """WITH seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS centroid
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         assigned AS (
+           SELECT vec_id, embedding,
+                  (SELECT s.cell FROM seeds s
+                   ORDER BY list_cosine_similarity(c.embedding, s.centroid) DESC, s.cell
+                   LIMIT 1) AS cell
+           FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL) c),
+         ok AS (
+           SELECT cell FROM assigned GROUP BY cell HAVING count(*) BETWEEN 2 AND 10000)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                CAST(round(10000 * list_cosine_similarity(a.embedding, b.embedding)) AS BIGINT) AS cosine_e4
+         FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE a.cell IN (SELECT cell FROM ok)
+           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
     "q_ann_topk" ->
       """WITH scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,

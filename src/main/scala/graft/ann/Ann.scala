@@ -52,7 +52,7 @@ object Ann {
     * cell assignment into a pure map-side codegen expression over the corpus
     * scan instead of a corpus × nlists crossJoin + window shuffle.
     */
-  private type Cells = Seq[(Long, Seq[Double])]
+  private[graft] type Cells = Seq[(Long, Seq[Double])]
 
   private def toDoubles(xs: Seq[Any]): Seq[Double] = xs.map {
     case f: Float  => f.toDouble
@@ -69,7 +69,7 @@ object Ann {
   /** Collect seed vectors only (no id column — cells are keyed by ordinal
     * index, so corpus ids can be any type, strings/UUIDs included).
     */
-  private def collectSeedVectors(df: DataFrame): Cells =
+  private[graft] def collectSeedVectors(df: DataFrame): Cells =
     df.collect().toSeq.collect { case r if !r.isNullAt(0) => toDoubles(r.getSeq[Any](0)) }
       .zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
@@ -77,7 +77,7 @@ object Ann {
   /** Nearest cell by cosine as a literal-centroid argmax: `array_max` over
     * struct(sim, -cell) picks the max similarity, ties → smallest cell.
     */
-  private def nearestCell(vecCol: Column, cells: Cells): Column = {
+  private[graft] def nearestCell(vecCol: Column, cells: Cells): Column = {
     val scored = array(cells.map { case (cell, cv) =>
       struct(VF.cosine(vecCol, typedlit(cv)).as("sim"), lit(-cell).as("negcell"))
     }: _*)
@@ -103,7 +103,7 @@ object Ann {
     slice(sorted, 1, n)
   }
 
-  private def refineCentroidsLocal(v: DataFrame, start: Cells, iterations: Int): Cells = {
+  private[graft] def refineCentroidsLocal(v: DataFrame, start: Cells, iterations: Int): Cells = {
     var cells = start
     for (_ <- 0 until iterations) {
       // assign map-side against literal centroids; the per-cell mean uses

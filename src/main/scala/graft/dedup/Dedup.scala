@@ -30,6 +30,42 @@ object Dedup {
       .groupBy(md5(col(text).cast("binary")).as("h"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup with a QUALITY-AWARE keep policy: within each group of
+    * byte-identical documents, keep the member with the highest `score`
+    * (ties → smallest id) instead of [[exact]]'s smallest-id rule — the
+    * policy real pipelines want once a quality signal exists (keep the
+    * best-scored copy of a page, drop its mirrors).
+    *
+    * Emits one row per member of every duplicate group (n ≥ 2):
+    * (id, keep_id) — the self-mapping row for the keeper included, so
+    * `filter(id =!= keep_id)` is the drop list.
+    *
+    * Scale shape: all three aggregates shuffle on the same 16-byte digest
+    * (map-side combinable; Catalyst reuses the exchange), and the
+    * keeper-selection avoids any per-group window — a digest duplicated
+    * millions of times (empty pages, boilerplate) never funnels its members
+    * through one task's sort, it just takes a max and a min.
+    */
+  def exactKeepBest(docs: DataFrame, id: String, text: String, score: Column): DataFrame = {
+    val d = docs.select(
+      col(id).as("id"),
+      md5(col(text).cast("binary")).as("h"),
+      score.as("score")
+    )
+    val groups = d
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), max(col("score")).as("best"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("best"))
+    // null-safe: a group whose scores are all null still elects min(id)
+    val keepers = d
+      .join(groups, "h")
+      .filter(col("score") <=> col("best"))
+      .groupBy(col("h"))
+      .agg(min(col("id")).as("keep_id"))
+    d.join(keepers, "h").select(col("id"), col("keep_id"))
+  }
+
   /** Candidate pairs sharing an LSH key, capped per bucket. `keyed` must
     * have columns (id, key); self-join per key with id_a < id_b.
     */
@@ -722,6 +758,55 @@ object Dedup {
     val candidates = bucketPairs(keyed, maxBucket)
     val a = v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a")
     val b = v.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b")
+    candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(col("id_a"), col("id_b"), VF.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos") * 10000).cast("long").as("cosine_e4"))
+  }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, public arXiv:2303.09540):
+    * cluster the embedding space with k-means, then compare pairs ONLY
+    * within a cluster — semantically unrelated documents never meet, so the
+    * pair space shrinks from O(n²) to Σ|cell|², tunable via `nlists`
+    * (SemDeDup's recipe: k scales with n so cells stay bounded).
+    *
+    * Same structure as [[embeddingCosine]] with the LSH hyperplane bucket
+    * replaced by a LEARNED partition: centroids are seeded from the first
+    * `nlists` vectors (by id) and refined with `refine` Lloyd iterations
+    * ([[graft.ann.Ann.refineCentroidsLocal]] — centroids are driver-literal
+    * model bytes, assignment is a map-side codegen argmax, the only shuffle
+    * per iteration carries nlists × dim doubles). `refine = 0` keeps the
+    * raw data seeds, making the whole pipeline — assignment, capped
+    * within-cell pairing, exact cosine verify — replayable by an external
+    * engine for the hash gate. `maxCell` is the same degenerate-bucket cap
+    * as [[bucketPairs]] everywhere else.
+    * Output: (id_a, id_b, cosine_e4).
+    */
+  def semantic(
+      vecs: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      nlists: Int = 16,
+      refine: Int = 1,
+      maxCell: Int = 10000
+  ): DataFrame = {
+    import graft.ann.Ann
+    val v = vecs.select(col(id).as("id"), col(vec).as("cv")).filter(col("cv").isNotNull)
+    val seeds = Ann.collectSeedVectors(
+      v.orderBy(col("id")).limit(nlists).select(col("cv"))
+    )
+    val cells = Ann.refineCentroidsLocal(v, seeds, refine)
+    if (cells.isEmpty)
+      return v
+        .limit(0)
+        .select(col("id").as("id_a"), col("id").as("id_b"), lit(0L).as("cosine_e4"))
+    val keyed = v.select(col("id"), Ann.nearestCell(col("cv"), cells).cast("string").as("key"))
+    val candidates = bucketPairs(keyed, maxCell)
+    val a = v.select(col("id").as("id_a"), col("cv").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("cv").as("v_b"))
     candidates
       .join(a, "id_a")
       .join(b, "id_b")

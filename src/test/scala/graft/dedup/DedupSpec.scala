@@ -86,6 +86,52 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact)) // verification step removes false positives
   }
 
+  test("exactKeepBest keeps the highest-scored copy, ties fall to min id") {
+    val scored = Seq(
+      (1L, "same text", 10L), (2L, "same text", 30L), (3L, "same text", 30L), // 2 wins (tie w/ 3)
+      (4L, "other text", 5L), (5L, "other text", 5L), // tie → 4
+      (6L, "unique text", 99L) // no group → absent
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.exactKeepBest(scored, "doc_id", "text", col("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 4L))
+    // null scores: a group of nulls still elects min id; mixed group ignores nulls
+    val nulls = Seq(
+      (1L, "a", None), (2L, "a", None),
+      (3L, "b", Some(1L)), (4L, "b", None)
+    ).toDF("doc_id", "text", "score")
+    val out2 = Dedup.exactKeepBest(nulls, "doc_id", "text", col("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("semantic dedup: no false positives vs exact, full recall on tight clusters") {
+    // 4 tight clusters of 10 vectors each: near-dup pairs live inside a
+    // cluster, so any sane cell assignment keeps them together
+    val vecs = (0 until 40).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(16)(j => math.cos(c * 31 + j).toFloat)
+      base(i / 4 % 16) += 0.02f * (i / 4)
+      (i.toLong, base)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingCosineExact(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    for (refine <- Seq(0, 2)) {
+      val sem = Dedup.semantic(df, "vec_id", "embedding", 0.99, nlists = 4, refine = refine)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sem.subsetOf(exact), s"refine=$refine: verify must kill false positives")
+      assert(sem == exact, s"refine=$refine: tight clusters must not be split")
+    }
+    // degenerate inputs: empty corpus and all-null embeddings return empty
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semantic(empty, "vec_id", "embedding", 0.5).count() == 0)
+    val nulls = Seq((1L, null: Array[Float]), (2L, null: Array[Float]))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.semantic(nulls, "vec_id", "embedding", 0.5).count() == 0)
+  }
+
   test("simhash banding recall is exact vs exhaustive hamming pairs") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
