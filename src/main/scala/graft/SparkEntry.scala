@@ -428,6 +428,9 @@ object SparkEntry {
     "q_quality_gopher" -> ((s, dir) =>
       graft.functions.QualityRules
         .gopher(loader(s, dir)("documents"), "doc_id", "text")),
+    "q_quality_repetition" -> ((s, dir) =>
+      graft.functions.QualityRules
+        .repetition(loader(s, dir)("documents"), "doc_id", "text")),
     // ---- text analysis: language-ID + fingerprint --------------------------
     "q_text_langid" -> ((s, dir) =>
       loader(s, dir)("documents")
@@ -1239,6 +1242,66 @@ object SparkEntry {
                  AND ellipsis_lines * 10 <= n_lines * 3
                  AND alpha_words * 5 >= n_words * 4
                  AND stop_hits >= 2) AS pass
+         FROM sig""",
+    "q_quality_repetition" ->
+      // integer-exact replay of QualityRules.repetition: the Spark side's
+      // map-side run-length passes reduce to per-group counts here —
+      // dup chars = Σ (count−1)·len over repeated values, top-n-gram chars =
+      // max(count·len) over REPEATED grams only (a numeric max, no tie-break)
+      """WITH d AS (
+           SELECT doc_id, text,
+                  string_split(text, chr(10)) AS lines,
+                  regexp_split_to_array(text, '\n{2,}') AS paras,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS w
+           FROM documents),
+         lc AS (
+           SELECT doc_id, CAST(coalesce(sum((c - 1) * length(line)), 0) AS BIGINT) AS dup_line_chars
+           FROM (SELECT doc_id, line, count(*) AS c
+                 FROM (SELECT doc_id, unnest(lines) AS line FROM d) GROUP BY doc_id, line)
+           GROUP BY doc_id),
+         pc AS (
+           SELECT doc_id, CAST(coalesce(sum((c - 1) * length(para)), 0) AS BIGINT) AS dup_para_chars
+           FROM (SELECT doc_id, para, count(*) AS c
+                 FROM (SELECT doc_id, unnest(paras) AS para FROM d) GROUP BY doc_id, para)
+           GROUP BY doc_id),
+         g2 AS (
+           SELECT doc_id, CAST(max(CASE WHEN c >= 2 THEN c * length(gram) END) AS BIGINT) AS top2_chars
+           FROM (SELECT doc_id, gram, count(*) AS c
+                 FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+                       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM d))
+                 GROUP BY doc_id, gram)
+           GROUP BY doc_id),
+         g3 AS (
+           SELECT doc_id, CAST(max(CASE WHEN c >= 2 THEN c * length(gram) END) AS BIGINT) AS top3_chars
+           FROM (SELECT doc_id, gram, count(*) AS c
+                 FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d))
+                 GROUP BY doc_id, gram)
+           GROUP BY doc_id),
+         sig AS (
+           SELECT d.doc_id,
+                  CAST(length(d.text) AS BIGINT) AS n_chars_t,
+                  CAST(len(d.lines) AS BIGINT) AS n_lines,
+                  CAST(len(d.lines) - len(list_distinct(d.lines)) AS BIGINT) AS dup_lines,
+                  lc.dup_line_chars,
+                  CAST(len(d.paras) AS BIGINT) AS n_paras,
+                  CAST(len(d.paras) - len(list_distinct(d.paras)) AS BIGINT) AS dup_paras,
+                  pc.dup_para_chars,
+                  coalesce(g2.top2_chars, 0) AS top2_chars,
+                  coalesce(g3.top3_chars, 0) AS top3_chars
+           FROM d
+           JOIN lc ON d.doc_id = lc.doc_id
+           JOIN pc ON d.doc_id = pc.doc_id
+           LEFT JOIN g2 ON d.doc_id = g2.doc_id
+           LEFT JOIN g3 ON d.doc_id = g3.doc_id)
+         SELECT doc_id, n_chars_t, n_lines, dup_lines, dup_line_chars,
+                n_paras, dup_paras, dup_para_chars, top2_chars, top3_chars,
+                (dup_lines * 10 <= n_lines * 3
+                 AND dup_paras * 10 <= n_paras * 3
+                 AND dup_line_chars * 5 <= n_chars_t
+                 AND dup_para_chars * 5 <= n_chars_t
+                 AND top2_chars * 5 <= n_chars_t
+                 AND top3_chars * 50 <= n_chars_t * 9) AS pass
          FROM sig""",
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

@@ -73,6 +73,40 @@ class QualityRulesSpec extends SparkSpec {
     assert(!out(2L).getAs[Boolean]("pass")) // needs >= 2 required stopwords
   }
 
+  private def runRep(docs: Seq[(Long, String)]): Map[Long, Row] =
+    QualityRules
+      .repetition(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+
+  test("repetition: duplicate lines and paragraphs are counted with their chars") {
+    val doc = "alpha beta\nalpha beta\ngamma delta\n\nsame para\n\nsame para"
+    val r = runRep(Seq(1L -> doc))(1L)
+    // lines: [alpha beta, alpha beta, gamma delta, , same para, , same para]
+    assert(r.getAs[Long]("n_lines") == 7)
+    assert(r.getAs[Long]("dup_lines") == 3) // one 'alpha beta', one '', one 'same para'
+    assert(r.getAs[Long]("dup_line_chars") == 10 + 0 + 9)
+    // paras (split on \n{2,}): [alpha beta\nalpha beta\ngamma delta, same para, same para]
+    assert(r.getAs[Long]("n_paras") == 3)
+    assert(r.getAs[Long]("dup_paras") == 1)
+    assert(r.getAs[Long]("dup_para_chars") == 9)
+  }
+
+  test("repetition: dominant n-gram character coverage and the pass verdict") {
+    val spam = 1L -> Seq.fill(20)("buy now").mkString(" ") // 'buy now' 2-gram dominates
+    val clean = 2L -> "the quick brown fox jumps over the lazy dog and then sleeps"
+    val out = runRep(Seq(spam, clean))
+    // 'now buy' appears 19x (len 7): 19*7=133; 'buy now' 20*7=140 → top2 = 140
+    assert(out(1L).getAs[Long]("top2_chars") == 140)
+    assert(!out(1L).getAs[Boolean]("pass")) // 140*5 > 159 chars
+    assert(out(2L).getAs[Boolean]("pass"))
+    // empty / single-word docs: no grams, zero coverage, no error
+    val tiny = runRep(Seq(3L -> "", 4L -> "word"))
+    assert(tiny(3L).getAs[Long]("top2_chars") == 0)
+    assert(tiny(4L).getAs[Long]("top3_chars") == 0)
+  }
+
   test("gopher is whitespace-robust: empty and blank docs do not error") {
     val out = run(Seq(1L -> "", 2L -> "   ", 3L -> "\n\n\n"))
     assert(out.values.forall(!_.getAs[Boolean]("pass")))
