@@ -197,8 +197,12 @@ object Sampling {
       .groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"))
       .select(col("__s"), weight.as("__w"))
+    // Σw via an empty-partition window: the counts table is model-sized
+    // (one row per stratum), so one task is fine — and unlike a second
+    // `weights.agg(sum)` branch it does NOT duplicate the weights subtree,
+    // which would re-scan the whole corpus for the total
     val targets = weights
-      .crossJoin(broadcast(weights.agg(sum(col("__w")).as("__sw"))))
+      .withColumn("__sw", sum(col("__w")).over(Window.partitionBy()))
       .select(col("__s"), expr(s"(${budget}L * __w) div __sw").as("__target"))
     val budgeted = tagged.join(
       broadcast(targets.withColumnRenamed("__s", "__ts")),

@@ -143,6 +143,56 @@ class PlanSpec extends SparkSpec {
       s"customer dim should broadcast:\n$p")
   }
 
+  /** Count physical nodes by their "(NN) Name" detail headers — the tree
+    * section repeats node names, so raw substring counts double-count.
+    */
+  private def nodeCount(s: String, name: String): Int =
+    s.split("\n").count(_.matches(s"""\\(\\d+\\) $name.*"""))
+
+  test("quality gates are shuffle-free single-scan projections") {
+    for (q <- Seq("q_quality_gopher", "q_quality_repetition")) {
+      val s = fmt(SparkEntry.queries(q)(spark, sf))
+      // one map-side pass: no shuffle, no UDF, a single parquet scan (the
+      // HOF run-length passes evaluate as expressions, never a second scan
+      // or an explode+regroup)
+      assert(!s.contains("Exchange"), s"$q must not shuffle — it is a map-side gate")
+      assert(!s.contains("ScalaUDF") && !s.contains("BatchEvalPython"), q)
+      assert(nodeCount(s, "Scan parquet") == 1, q)
+      assert(nodeCount(s, "Generate") == 0, s"$q must not explode")
+    }
+  }
+
+  test("temperatureMix broadcasts the target table; documents shuffle once") {
+    val df = SparkEntry.queries("q_mix_temperature")(spark, sf)
+    val s = fmt(df)
+    // the stratum-target table is model-sized → must come in as a broadcast,
+    // never a sort-merge join on the data
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("SortMergeJoin"), "targets must broadcast, not sort-merge")
+    // hash exchanges: the stratum-count aggregate (1), the tiny
+    // single-partition total window (2), the phase-2 rank window (3) — the
+    // document set itself crosses the wire exactly once
+    assert(nodeCount(s, "Exchange") <= 3, s)
+    // the corpus is scanned twice (count pass + data pass), never more —
+    // the weights subtree must not be duplicated into a third scan
+    assert(nodeCount(s, "Scan parquet") == 2, s)
+  }
+
+  test("semantic dedup assigns cells map-side: literal centroids, broadcast verify") {
+    val df = graft.dedup.Dedup.semantic(
+      Tables.load(spark, sf)("embeddings"), "vec_id", "embedding",
+      threshold = 0.4, nlists = 4, refine = 0)
+    val s = fmt(df)
+    // centroids are plan literals: assignment must be a Project, not a join
+    // against a centroid table
+    assert(!s.contains("ScalaUDF"), s)
+    val joins = nodeCount(s, "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)")
+    // exactly the two candidate→vector joins of the verify stage
+    assert(joins == 2, s"expected 2 joins (pair verify), got $joins\n$s")
+    // two hash exchanges: the bucket groupBy and the pair distinct
+    assert(nodeCount(s, "Exchange") == 2, s)
+  }
+
   test("vector operators compile to the native expression, not interpreted HOFs") {
     val s = plan(SparkEntry.queries("q_dedup_embed")(spark, sf))
     assert(s.toLowerCase.contains("vectorbinaryop(")) // graft.expr.VectorBinaryOp
