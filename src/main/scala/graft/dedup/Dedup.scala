@@ -888,6 +888,48 @@ object Dedup {
     (labels, converged)
   }
 
+  /** Quality-aware keep list over NEAR-duplicate components: the
+    * [[exactKeepBest]] policy lifted to fuzzy dedup. Pairs → connected
+    * components ([[connectedComponentsWithStatus]]), then each component
+    * elects the member with the highest `score` (ties → smallest id) —
+    * "of these 14 near-identical pages, keep the best-scored one".
+    *
+    * `scores` is (id, score). Members missing from `scores` participate
+    * with a null score (they can only win an all-null component, by min
+    * id). Output: (id, keep_id) for every doc appearing in `pairs`.
+    *
+    * Scale shape: after the CC label table (bounded by docs-in-pairs, not
+    * corpus), keeper election is the same three map-side-combinable
+    * aggregates on the component label as [[exactKeepBest]] — no per-group
+    * window, so a mega-component of boilerplate never funnels one task.
+    */
+  def keepBestList(pairs: DataFrame, scores: DataFrame, maxIter: Int = 10): DataFrame = {
+    val (labels, converged) = connectedComponentsWithStatus(pairs, maxIter)
+    if (!converged)
+      log.warn(
+        s"keepBestList: label propagation did not converge within $maxIter iterations; " +
+          "components may be split across keepers. Raise maxIter.")
+    val member = labels.select(col("id"), col("keep_id").as("comp"))
+    val scored = member.join(
+      scores.select(col(scores.columns.head).as("id"), col(scores.columns(1)).as("score")),
+      Seq("id"),
+      "left_outer"
+    )
+    val best = scored
+      .groupBy(col("comp"))
+      .agg(max(col("score")).as("best"))
+    val keepers = scored
+      .join(best, "comp")
+      .filter(col("score") <=> col("best"))
+      .groupBy(col("comp"))
+      .agg(min(col("id")).as("keep_id"))
+    val out = member.join(keepers, "comp").select(col("id"), col("keep_id"))
+    // the CC label table was left checkpointed for us to consume; release it
+    val materialized = out.localCheckpoint(true)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(labels)
+    materialized
+  }
+
   /** Exhaustive pairwise cosine near-dup (no LSH) via a block-nested
     * self-join — the exact oracle path; quadratic, use only for verification
     * or small partitions.

@@ -194,6 +194,23 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("keepBestList: each near-dup component keeps its best-scored member") {
+    // components: {1,2,3} (chain), {5,6}; 9 appears only in scores (ignored)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 10L), (2L, 99L), (3L, 50L), (6L, 7L), (9L, 1000L))
+      .toDF("doc_id", "quality")
+    val out = Dedup.keepBestList(pairs, scores)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // component {1,2,3}: 2 has the best score; {5,6}: 5 is unscored (null),
+    // so 6 wins on the only non-null score
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 5L -> 6L, 6L -> 6L))
+    // all-null component: min id wins
+    val noScores = Seq((7L, 0L)).toDF("doc_id", "quality")
+    val out2 = Dedup.keepBestList(Seq((1L, 2L)).toDF("id_a", "id_b"), noScores)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("IVF supports string ids, null embeddings, and empty corpora") {
     import graft.ann.Ann
     val vecs = (0 until 30).map { i =>
