@@ -956,7 +956,8 @@ object SparkEntry {
          d AS (SELECT doc_id, md5(text) AS h, n_chars AS score FROM u),
          g AS (SELECT h, max(score) AS best FROM d GROUP BY h HAVING count(*) >= 2),
          k AS (SELECT d.h, min(d.doc_id) AS keep_id
-               FROM d JOIN g ON d.h = g.h AND d.score = g.best GROUP BY d.h)
+               FROM d JOIN g ON d.h = g.h AND d.score IS NOT DISTINCT FROM g.best
+               GROUP BY d.h)
          SELECT d.doc_id AS id, k.keep_id FROM d JOIN k ON d.h = k.h""",
     "q_text_tokens" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
@@ -1235,13 +1236,13 @@ object SparkEntry {
            FROM d)
          SELECT doc_id, n_words, word_chars, alpha_words, n_lines, bullet_lines, ellipsis_lines,
                 symbol_count, stop_hits,
-                (n_words BETWEEN 50 AND 100000
+                coalesce(n_words BETWEEN 50 AND 100000
                  AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
                  AND symbol_count * 10 <= n_words
                  AND bullet_lines * 10 <= n_lines * 9
                  AND ellipsis_lines * 10 <= n_lines * 3
                  AND alpha_words * 5 >= n_words * 4
-                 AND stop_hits >= 2) AS pass
+                 AND stop_hits >= 2, false) AS pass
          FROM sig""",
     "q_quality_repetition" ->
       // integer-exact replay of QualityRules.repetition: the Spark side's
@@ -1290,18 +1291,18 @@ object SparkEntry {
                   coalesce(g2.top2_chars, 0) AS top2_chars,
                   coalesce(g3.top3_chars, 0) AS top3_chars
            FROM d
-           JOIN lc ON d.doc_id = lc.doc_id
-           JOIN pc ON d.doc_id = pc.doc_id
+           LEFT JOIN lc ON d.doc_id = lc.doc_id
+           LEFT JOIN pc ON d.doc_id = pc.doc_id
            LEFT JOIN g2 ON d.doc_id = g2.doc_id
            LEFT JOIN g3 ON d.doc_id = g3.doc_id)
          SELECT doc_id, n_chars_t, n_lines, dup_lines, dup_line_chars,
                 n_paras, dup_paras, dup_para_chars, top2_chars, top3_chars,
-                (dup_lines * 10 <= n_lines * 3
+                coalesce(dup_lines * 10 <= n_lines * 3
                  AND dup_paras * 10 <= n_paras * 3
                  AND dup_line_chars * 5 <= n_chars_t
                  AND dup_para_chars * 5 <= n_chars_t
                  AND top2_chars * 5 <= n_chars_t
-                 AND top3_chars * 50 <= n_chars_t * 9) AS pass
+                 AND top3_chars * 50 <= n_chars_t * 9, false) AS pass
          FROM sig""",
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -1846,7 +1847,7 @@ object SparkEntry {
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
            FROM documents)
          SELECT r.doc_id, r.source
-         FROM r JOIN t ON r.source = t.s
+         FROM r JOIN t ON r.source IS NOT DISTINCT FROM t.s
          WHERE r.rn <= t.target""",
     "q_dedup_incr" ->
       """WITH idx AS (

@@ -52,18 +52,31 @@ object Dedup {
       md5(col(text).cast("binary")).as("h"),
       score.as("score")
     )
-    val groups = d
+    val dups = d
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("n"), max(col("score")).as("best"))
+      .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
-      .select(col("h"), col("best"))
-    // null-safe: a group whose scores are all null still elects min(id)
-    val keepers = d
-      .join(groups, "h")
-      .filter(col("score") <=> col("best"))
-      .groupBy(col("h"))
-      .agg(min(col("id")).as("keep_id"))
+      .select(col("h"))
+    val keepers = electBest(d.join(dups, "h"), "h")
     d.join(keepers, "h").select(col("id"), col("keep_id"))
+  }
+
+  /** Keeper election within `group`-keyed rows (id, group, score): max
+    * score wins, ties → min id; null-safe, so an all-null group still
+    * elects min id and unscored members lose to any scored one. No
+    * per-group window — two map-side-combinable aggregates on the group
+    * key, so a mega-group never funnels one task. Shared by
+    * [[exactKeepBest]] and [[keepBestList]]: the tie/null policy must not
+    * diverge between the exact and fuzzy paths.
+    * Output: (group, keep_id).
+    */
+  private def electBest(scored: DataFrame, group: String): DataFrame = {
+    val best = scored.groupBy(col(group)).agg(max(col("score")).as("best"))
+    scored
+      .join(best, group)
+      .filter(col("score") <=> col("best"))
+      .groupBy(col(group))
+      .agg(min(col("id")).as("keep_id"))
   }
 
   /** Candidate pairs sharing an LSH key, capped per bucket. `keyed` must
@@ -794,6 +807,8 @@ object Dedup {
       maxCell: Int = 10000
   ): DataFrame = {
     import graft.ann.Ann
+    require(nlists >= 1, s"nlists must be >= 1, got $nlists")
+    require(maxCell >= 2, s"maxCell must be >= 2 (pairs need 2 members), got $maxCell")
     val v = vecs.select(col(id).as("id"), col(vec).as("cv")).filter(col("cv").isNotNull)
     val seeds = Ann.collectSeedVectors(
       v.orderBy(col("id")).limit(nlists).select(col("cv"))
@@ -915,14 +930,7 @@ object Dedup {
       Seq("id"),
       "left_outer"
     )
-    val best = scored
-      .groupBy(col("comp"))
-      .agg(max(col("score")).as("best"))
-    val keepers = scored
-      .join(best, "comp")
-      .filter(col("score") <=> col("best"))
-      .groupBy(col("comp"))
-      .agg(min(col("id")).as("keep_id"))
+    val keepers = electBest(scored, "comp")
     val out = member.join(keepers, "comp").select(col("id"), col("keep_id"))
     // the CC label table was left checkpointed for us to consume; release it
     val materialized = out.localCheckpoint(true)

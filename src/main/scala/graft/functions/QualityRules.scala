@@ -128,12 +128,16 @@ object QualityRules {
       dupParaChars.as("dup_para_chars"),
       top2.as("top2_chars"),
       top3.as("top3_chars"),
-      (dupLines * 10 <= nLines * 3 &&
-        dupParas * 10 <= nParas * 3 &&
-        dupLineChars * 5 <= nChars &&
-        dupParaChars * 5 <= nChars &&
-        top2 * 5 <= nChars &&
-        top3 * 50 <= nChars * 9).as("pass")
+      // never-null verdict: a NULL-text document fails the gate outright
+      coalesce(
+        dupLines * 10 <= nLines * 3 &&
+          dupParas * 10 <= nParas * 3 &&
+          dupLineChars * 5 <= nChars &&
+          dupParaChars * 5 <= nChars &&
+          top2 * 5 <= nChars &&
+          top3 * 50 <= nChars * 9,
+        lit(false)
+      ).as("pass")
     )
   }
 
@@ -201,13 +205,17 @@ object QualityRules {
       ellipsisLines.as("ellipsis_lines"),
       symbolCount.as("symbol_count"),
       stopHits.as("stop_hits"),
-      (nWords.between(minWords, maxWords) &&
-        wordChars >= nWords * 3 && wordChars <= nWords * 10 &&
-        symbolCount * 10 <= nWords &&
-        bulletLines * 10 <= nLines * 9 &&
-        ellipsisLines * 10 <= nLines * 3 &&
-        alphaWords * 5 >= nWords * 4 &&
-        stopHits >= 2).as("pass")
+      // never-null verdict: a NULL-text document fails the gate outright
+      coalesce(
+        nWords.between(minWords, maxWords) &&
+          wordChars >= nWords * 3 && wordChars <= nWords * 10 &&
+          symbolCount * 10 <= nWords &&
+          bulletLines * 10 <= nLines * 9 &&
+          ellipsisLines * 10 <= nLines * 3 &&
+          alphaWords * 5 >= nWords * 4 &&
+          stopHits >= 2,
+        lit(false)
+      ).as("pass")
     )
   }
 }

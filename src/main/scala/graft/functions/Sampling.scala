@@ -60,6 +60,34 @@ object Sampling {
     df.filter(pred)
   }
 
+  /** Phase 1 of the two-phase group-prefix discipline shared by [[quota]],
+    * [[tokenBudget]], and [[temperatureMix]]: `sorted` must already be
+    * partition-locally sorted on (group, order); one streaming pass keeps
+    * each group-run's prefix with O(1) state and NO exchange. `keep`
+    * inspects the row and the group accumulator BEFORE the row; `advance`
+    * returns the accumulator after a kept row.
+    */
+  private def localGroupPrefix(
+      sorted: DataFrame,
+      groupIdx: Int,
+      keep: (org.apache.spark.sql.Row, Long) => Boolean,
+      advance: (org.apache.spark.sql.Row, Long) => Long
+  ): DataFrame = {
+    val schema = sorted.schema
+    sorted.mapPartitions { it =>
+      var cur: Any = null
+      var seen = false
+      var acc = 0L
+      it.filter { r =>
+        val g = r.get(groupIdx)
+        if (!seen || g != cur) { cur = g; seen = true; acc = 0L }
+        val keepRow = keep(r, acc)
+        if (keepRow) acc = advance(r, acc)
+        keepRow
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Per-group quota (corpus mixing): keep at most `k` rows per group, in a
     * deterministic order. The standard balanced-mixture primitive ("≤ k docs
     * per domain/language").
@@ -126,22 +154,14 @@ object Sampling {
       .withColumn("__b", budgetCol)
     // phase 1: partition-local hash-order prefix under budget, no exchange
     val sorted = tagged.sortWithinPartitions(col("__s"), col("__h"), col("__k"))
-    val schema = sorted.schema
-    val sIdx = schema.fieldIndex("__s")
-    val tIdx = schema.fieldIndex("__t")
-    val bIdx = schema.fieldIndex("__b")
-    val local = sorted.mapPartitions { it =>
-      var cur: Any = null
-      var seen = false
-      var acc = 0L
-      it.filter { r =>
-        val s = r.get(sIdx)
-        if (!seen || s != cur) { cur = s; seen = true; acc = 0L }
-        val keep = acc < r.getLong(bIdx)
-        if (keep && !r.isNullAt(tIdx)) acc += r.getLong(tIdx)
-        keep
-      }
-    }(org.apache.spark.sql.Encoders.row(schema))
+    val tIdx = sorted.schema.fieldIndex("__t")
+    val bIdx = sorted.schema.fieldIndex("__b")
+    val local = localGroupPrefix(
+      sorted,
+      sorted.schema.fieldIndex("__s"),
+      keep = (r, acc) => acc < r.getLong(bIdx),
+      advance = (r, acc) => if (r.isNullAt(tIdx)) acc else acc + r.getLong(tIdx)
+    )
     // phase 2: exact global prefix sum over the bounded survivor set
     val w = Window
       .partitionBy(col("__s"))
@@ -183,6 +203,9 @@ object Sampling {
       alpha: Double = 0.5
   ): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    // α = 0 is legal (uniform weights); negative α floors every weight of a
+    // stratum with n ≥ 2 to zero and div-by-zeroes the targets
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
     if (budget == 0) return df.limit(0)
     val tagged = df
       .withColumn("__h", md5(key.cast(StringType).cast(BinaryType)))
@@ -211,20 +234,13 @@ object Sampling {
     )
     // phase 1: per-partition run-length counter under the per-stratum target
     val sorted = budgeted.sortWithinPartitions(col("__s"), col("__h"), col("__k"))
-    val schema = sorted.schema
-    val sIdx = schema.fieldIndex("__s")
-    val tIdx = schema.fieldIndex("__target")
-    val local = sorted.mapPartitions { it =>
-      var cur: Any = null
-      var seen = false
-      var n = 0L
-      it.filter { r =>
-        val s = r.get(sIdx)
-        if (!seen || s != cur) { cur = s; seen = true; n = 0L }
-        n += 1
-        n <= r.getLong(tIdx)
-      }
-    }(org.apache.spark.sql.Encoders.row(schema))
+    val tIdx = sorted.schema.fieldIndex("__target")
+    val local = localGroupPrefix(
+      sorted,
+      sorted.schema.fieldIndex("__s"),
+      keep = (r, n) => n < r.getLong(tIdx),
+      advance = (_, n) => n + 1
+    )
     // phase 2: exact rank over the bounded survivor set
     val w = Window.partitionBy(col("__s")).orderBy(col("__h"), col("__k"))
     local
@@ -238,19 +254,12 @@ object Sampling {
     if (k == 0) return df.limit(0)
     val tagged = df.withColumn("__gk", struct(groupCols: _*))
     val sorted = tagged.sortWithinPartitions(col("__gk") +: order: _*)
-    val schema = sorted.schema
-    val gkIdx = schema.fieldIndex("__gk")
-    val local = sorted.mapPartitions { it =>
-      var current: Any = null
-      var seen = false
-      var n = 0
-      it.filter { r =>
-        val g = r.get(gkIdx)
-        if (!seen || g != current) { current = g; seen = true; n = 0 }
-        n += 1
-        n <= k
-      }
-    }(org.apache.spark.sql.Encoders.row(schema))
+    val local = localGroupPrefix(
+      sorted,
+      sorted.schema.fieldIndex("__gk"),
+      keep = (_, n) => n < k,
+      advance = (_, n) => n + 1
+    )
     val w = Window.partitionBy(col("__gk")).orderBy(order: _*)
     local
       .withColumn("__rn", row_number().over(w))

@@ -107,10 +107,11 @@ class QualityRulesSpec extends SparkSpec {
     assert(tiny(4L).getAs[Long]("top3_chars") == 0)
   }
 
-  test("gopher is whitespace-robust: empty and blank docs do not error") {
-    val out = run(Seq(1L -> "", 2L -> "   ", 3L -> "\n\n\n"))
-    assert(out.values.forall(!_.getAs[Boolean]("pass")))
+  test("gopher is whitespace- and null-robust: empty, blank, null docs all fail") {
+    val out = run(Seq(1L -> "", 2L -> "   ", 3L -> "\n\n\n", 4L -> (null: String)))
+    assert(out.values.forall(!_.getAs[Boolean]("pass"))) // pass is never null
     assert(out(1L).getAs[Long]("n_words") == 0)
     assert(out(2L).getAs[Long]("word_chars") == 0)
+    assert(!runRep(Seq(1L -> (null: String)))(1L).getAs[Boolean]("pass"))
   }
 }
