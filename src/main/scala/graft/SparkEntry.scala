@@ -1288,8 +1288,10 @@ object SparkEntry {
                   CAST(len(d.paras) AS BIGINT) AS n_paras,
                   CAST(len(d.paras) - len(list_distinct(d.paras)) AS BIGINT) AS dup_paras,
                   pc.dup_para_chars,
-                  coalesce(g2.top2_chars, 0) AS top2_chars,
-                  coalesce(g3.top3_chars, 0) AS top3_chars
+                  CASE WHEN d.text IS NULL THEN NULL
+                       ELSE coalesce(g2.top2_chars, 0) END AS top2_chars,
+                  CASE WHEN d.text IS NULL THEN NULL
+                       ELSE coalesce(g3.top3_chars, 0) END AS top3_chars
            FROM d
            LEFT JOIN lc ON d.doc_id = lc.doc_id
            LEFT JOIN pc ON d.doc_id = pc.doc_id

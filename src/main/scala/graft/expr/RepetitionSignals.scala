@@ -1,0 +1,115 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All Gopher repetition signals (Rae et al. 2021 §A1.1.2) in ONE pass over
+  * the text — the native form of `QualityRules.repetition`'s sorted-array
+  * run-length formulation, which (like every higher-order-function chain —
+  * see [[WordShingles]] and BENCH history) evaluates interpreted and
+  * dominated the bench at 18.8 s for sf0.1's 50 k docs.
+  *
+  * Semantics are IDENTICAL to the declarative version (the DuckDB oracle
+  * replays them):
+  *   - lines = split on '\n' (trailing empties kept), paras = split on
+  *     '\n{2,}', words = whitespace split of the trimmed text, empties
+  *     dropped;
+  *   - dup counts = occurrences beyond each distinct value's first;
+  *   - dup chars = the code-point length mass of those extra occurrences
+  *     (code points, matching SQL `length` in both engines);
+  *   - topN chars = max over REPEATED (≥ 2 occurrences) word n-grams of
+  *     count × gram length; all-unique grams score 0.
+  *
+  * Output struct (all LongType): n_chars_t, n_lines, dup_lines,
+  * dup_line_chars, n_paras, dup_paras, dup_para_chars, top2_chars,
+  * top3_chars. Null text → null struct.
+  */
+case class RepetitionSignals(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(
+    Seq(
+      "n_chars_t",
+      "n_lines",
+      "dup_lines",
+      "dup_line_chars",
+      "n_paras",
+      "dup_paras",
+      "dup_para_chars",
+      "top2_chars",
+      "top3_chars"
+    ).map(StructField(_, LongType, nullable = false))
+  )
+
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** (extra occurrences, their code-point char mass) over an array. */
+  private def dupStats(values: Array[String]): (Long, Long) = {
+    val seen = new java.util.HashSet[String](values.length * 2)
+    var dups = 0L
+    var chars = 0L
+    var i = 0
+    while (i < values.length) {
+      if (!seen.add(values(i))) { dups += 1; chars += cpLen(values(i)) }
+      i += 1
+    }
+    (dups, chars)
+  }
+
+  /** max over grams with count ≥ 2 of count × gram code-point length. */
+  private def topGramChars(tokens: Array[String], n: Int): Long = {
+    if (tokens.length < n) return 0L
+    val counts = new java.util.HashMap[String, Int](tokens.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= tokens.length) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, Integer.sum)
+      i += 1
+    }
+    var best = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.toLong
+      if (c >= 2) {
+        val chars = c * cpLen(e.getKey)
+        if (chars > best) best = chars
+      }
+    }
+    best
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val lines = text.split("\n", -1)
+    val paras = text.split("\n{2,}", -1)
+    // Java trim removes all <= U+0020 where SQL trim removes only spaces,
+    // but the nonempty filter makes both produce the same token list
+    val tokens = text.trim.split("\\s+").filter(_.nonEmpty)
+    val (dupLines, dupLineChars) = dupStats(lines)
+    val (dupParas, dupParaChars) = dupStats(paras)
+    InternalRow(
+      cpLen(text),
+      lines.length.toLong,
+      dupLines,
+      dupLineChars,
+      paras.length.toLong,
+      dupParas,
+      dupParaChars,
+      topGramChars(tokens, 2),
+      topGramChars(tokens, 3)
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -33,69 +33,14 @@ object QualityRules {
   private def words(text: Column): Column =
     filter(split(trim(text), "\\s+"), w => length(w) > 0)
 
-  /** Chars duplicated beyond each distinct value's first occurrence:
-    * sort the array, then sum lengths of elements equal to their
-    * predecessor — one map-side pass, no shuffle.
-    */
-  private def dupChars(arr: Column): Column =
-    aggregate(
-      array_sort(arr),
-      struct(lit("").as("prev"), lit(false).as("started"), lit(0L).as("chars")),
-      (acc, x) =>
-        struct(
-          x.as("prev"),
-          lit(true).as("started"),
-          (acc.getField("chars") +
-            when(acc.getField("started") && x === acc.getField("prev"), length(x).cast("long"))
-              .otherwise(lit(0L))).as("chars")
-        ),
-      acc => acc.getField("chars")
-    )
-
-  /** max over REPEATED values (≥ 2 occurrences) of (occurrences × length) —
-    * the character coverage of the dominant repeated element. A document
-    * whose values are all unique scores 0: no repetition, no signal (a
-    * lone long n-gram in a short doc must not trip a repetition filter).
-    * Run-length over the sorted array, map-side.
-    */
-  private def topRunChars(arr: Column): Column =
-    aggregate(
-      array_sort(arr),
-      struct(lit("").as("prev"), lit(false).as("started"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(acc.getField("started") && x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(
-          x.as("prev"),
-          lit(true).as("started"),
-          run.as("run"),
-          greatest(
-            acc.getField("best"),
-            when(run >= 2L, run * length(x).cast("long")).otherwise(lit(0L))
-          ).as("best")
-        )
-      },
-      acc => acc.getField("best")
-    )
-
-  /** Overlapping word n-grams WITH multiplicity (unlike
-    * [[TextFunctions.wordShingles]], which is distinct-set for Jaccard) —
-    * frequency is the signal here.
-    */
-  private def grams(toks: Column, n: Int): Column =
-    when(
-      size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)
-      )
-    ).otherwise(array().cast("array<string>"))
-
   /** The Gopher REPETITION filters (Rae et al. §A1.1.2): duplicate lines,
-    * duplicate paragraphs, and dominant-n-gram character coverage. All
-    * signals are integer counts computed map-side (sorted-array run-length
-    * passes — no shuffle, no explode), thresholds are integer
-    * cross-multiplications; `pass` is the published conjunction:
+    * duplicate paragraphs, and dominant REPEATED-n-gram character coverage.
+    * All signals are integer counts computed in ONE pass per row by the
+    * native [[graft.expr.RepetitionSignals]] expression (the equivalent
+    * sorted-array HOF formulation evaluates interpreted and was 48× slower
+    * on the sf0.1 bench: 18.8 s → 0.39 s — same lesson as WordShingles);
+    * thresholds are
+    * integer cross-multiplications; `pass` is the published conjunction:
     * duplicate-line and duplicate-paragraph fractions ≤ 30%, duplicated
     * line/paragraph CHARACTER fractions ≤ 20%, top-2-gram character
     * coverage ≤ 20%, top-3-gram coverage ≤ 18%.
@@ -104,41 +49,33 @@ object QualityRules {
     * dup_paras, dup_para_chars, top2_chars, top3_chars, pass).
     */
   def repetition(docs: DataFrame, id: String, text: String): DataFrame = {
-    val t = col(text)
-    val lines = split(t, "\n")
-    val paras = split(t, "\n{2,}")
-    val toks = words(t)
-    val nChars = length(t).cast("long")
-    val nLines = size(lines).cast("long")
-    val dupLines = (size(lines) - size(array_distinct(lines))).cast("long")
-    val nParas = size(paras).cast("long")
-    val dupParas = (size(paras) - size(array_distinct(paras))).cast("long")
-    val dupLineChars = dupChars(lines)
-    val dupParaChars = dupChars(paras)
-    val top2 = topRunChars(grams(toks, 2))
-    val top3 = topRunChars(grams(toks, 3))
-    docs.select(
-      col(id),
-      nChars.as("n_chars_t"),
-      nLines.as("n_lines"),
-      dupLines.as("dup_lines"),
-      dupLineChars.as("dup_line_chars"),
-      nParas.as("n_paras"),
-      dupParas.as("dup_paras"),
-      dupParaChars.as("dup_para_chars"),
-      top2.as("top2_chars"),
-      top3.as("top3_chars"),
-      // never-null verdict: a NULL-text document fails the gate outright
-      coalesce(
-        dupLines * 10 <= nLines * 3 &&
-          dupParas * 10 <= nParas * 3 &&
-          dupLineChars * 5 <= nChars &&
-          dupParaChars * 5 <= nChars &&
-          top2 * 5 <= nChars &&
-          top3 * 50 <= nChars * 9,
-        lit(false)
-      ).as("pass")
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.RepetitionSignals(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(text))
+      )
     )
+    val fields = Seq(
+      "n_chars_t", "n_lines", "dup_lines", "dup_line_chars",
+      "n_paras", "dup_paras", "dup_para_chars", "top2_chars", "top3_chars"
+    )
+    // materialize the struct once per row, then project the fields — keeps
+    // the single-pass expression from being duplicated per output column
+    val withSig = docs.select(col(id), sig.as("__sig"))
+    val s = (f: String) => col("__sig").getField(f)
+    withSig
+      .select(
+        (col(id) +: fields.map(f => s(f).as(f))) :+
+          // never-null verdict: a NULL-text document fails the gate outright
+          coalesce(
+            s("dup_lines") * 10 <= s("n_lines") * 3 &&
+              s("dup_paras") * 10 <= s("n_paras") * 3 &&
+              s("dup_line_chars") * 5 <= s("n_chars_t") &&
+              s("dup_para_chars") * 5 <= s("n_chars_t") &&
+              s("top2_chars") * 5 <= s("n_chars_t") &&
+              s("top3_chars") * 50 <= s("n_chars_t") * 9,
+            lit(false)
+          ).as("pass"): _*
+      )
   }
 
   /** Per-document Gopher rule signals + verdict. Output columns (all
