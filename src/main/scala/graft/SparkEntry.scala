@@ -1217,7 +1217,8 @@ object SparkEntry {
          sig AS (
            SELECT doc_id,
              CAST(len(w) AS BIGINT) AS n_words,
-             CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS word_chars,
+             CAST(CASE WHEN text IS NULL THEN NULL
+                       ELSE coalesce(list_sum(list_transform(w, x -> length(x))), 0) END AS BIGINT) AS word_chars,
              CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
              CAST(len(lines) AS BIGINT) AS n_lines,
              CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullet_lines,
@@ -1225,14 +1226,15 @@ object SparkEntry {
              CAST((length(text) - length(replace(text, '#', '')))
                   + (length(text) - length(replace(text, '…', '')))
                   + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS symbol_count,
-             CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+             CAST(CASE WHEN text IS NULL THEN NULL ELSE
+                    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
                   + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
                   + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
                   + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
                   + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
                   + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
                   + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
-                  + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+                  + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) END AS BIGINT) AS stop_hits
            FROM d)
          SELECT doc_id, n_words, word_chars, alpha_words, n_lines, bullet_lines, ellipsis_lines,
                 symbol_count, stop_hits,

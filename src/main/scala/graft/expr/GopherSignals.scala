@@ -1,0 +1,119 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All Gopher rule signals (Rae et al. 2021 §A1.1.1) in ONE pass over the
+  * text — the native form of `QualityRules.gopher`'s column formulation
+  * (higher-order functions evaluate interpreted; see [[RepetitionSignals]]
+  * and [[WordShingles]] for the same lesson and BENCH history).
+  *
+  * Semantics are IDENTICAL to the declarative version (the DuckDB oracle
+  * replays them):
+  *   - words = whitespace split of the trimmed text, empties dropped;
+  *     word_chars in code points (SQL `length`);
+  *   - alpha_words = tokens containing an ASCII letter (`[A-Za-z]`);
+  *   - lines = split on '\n' (trailing empties kept); bullet lines match
+  *     `^\s*[-*•]`, ellipsis lines match `(\.\.\.|…)\s*$` (Java regex,
+  *     exactly what `rlike` evaluates);
+  *   - symbol_count = '#' chars + '…' chars + non-overlapping
+  *     left-to-right "..." occurrences (the replace-and-diff counting of
+  *     the column version);
+  *   - stop_hits = presence (not frequency) of each required stopword.
+  *
+  * Output struct (all LongType): n_words, word_chars, alpha_words,
+  * n_lines, bullet_lines, ellipsis_lines, symbol_count, stop_hits.
+  * Null text → null struct.
+  */
+case class GopherSignals(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(
+    Seq(
+      "n_words",
+      "word_chars",
+      "alpha_words",
+      "n_lines",
+      "bullet_lines",
+      "ellipsis_lines",
+      "symbol_count",
+      "stop_hits"
+    ).map(StructField(_, LongType, nullable = false))
+  )
+
+  @transient private lazy val bulletRe = java.util.regex.Pattern.compile("^\\s*[-*•]")
+  @transient private lazy val ellipsisRe = java.util.regex.Pattern.compile("(\\.\\.\\.|…)\\s*$")
+  @transient private lazy val stopSet = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  private def countChar(s: String, c: Char): Long = {
+    var n = 0L
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == c) n += 1; i += 1 }
+    n
+  }
+
+  /** Non-overlapping left-to-right occurrences, like replace-and-diff. */
+  private def countSubstring(s: String, sub: String): Long = {
+    var n = 0L
+    var i = s.indexOf(sub)
+    while (i >= 0) { n += 1; i = s.indexOf(sub, i + sub.length) }
+    n
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val tokens = text.trim.split("\\s+").filter(_.nonEmpty)
+    var wordChars = 0L
+    var alphaWords = 0L
+    val hits = new java.util.HashSet[String](stopwords.size * 2)
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      wordChars += cpLen(t)
+      var hasAlpha = false
+      var j = 0
+      while (!hasAlpha && j < t.length) {
+        val c = t.charAt(j)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) alphaWords += 1
+      if (stopSet.contains(t)) hits.add(t)
+      i += 1
+    }
+    val lines = text.split("\n", -1)
+    var bulletLines = 0L
+    var ellipsisLines = 0L
+    i = 0
+    while (i < lines.length) {
+      if (bulletRe.matcher(lines(i)).find()) bulletLines += 1
+      if (ellipsisRe.matcher(lines(i)).find()) ellipsisLines += 1
+      i += 1
+    }
+    val symbolCount =
+      countChar(text, '#') + countChar(text, '…') + countSubstring(text, "...")
+    InternalRow(
+      tokens.length.toLong,
+      wordChars,
+      alphaWords,
+      lines.length.toLong,
+      bulletLines,
+      ellipsisLines,
+      symbolCount,
+      hits.size().toLong
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

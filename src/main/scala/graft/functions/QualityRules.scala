@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *     cross-multiplication (`10·symbols ≤ words` instead of
   *     `symbols/words ≤ 0.1`), so an external engine replays the decision
   *     bit-for-bit — no float division anywhere;
-  *   - everything is one map-side projection over the scan (pure column
-  *     expressions inside whole-stage codegen): no shuffle, no UDF, no
-  *     state — the filter runs at scan throughput on any corpus size.
+  *   - everything is one map-side projection over the scan, with the
+  *     per-row signal extraction done in a single pass by the native
+  *     expressions [[graft.expr.GopherSignals]] /
+  *     [[graft.expr.RepetitionSignals]]: no shuffle, no UDF, no state —
+  *     the gates run at scan throughput on any corpus size.
   */
 object QualityRules {
 
@@ -29,9 +31,6 @@ object QualityRules {
     */
   val RequiredStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
-
-  private def words(text: Column): Column =
-    filter(split(trim(text), "\\s+"), w => length(w) > 0)
 
   /** The Gopher REPETITION filters (Rae et al. §A1.1.2): duplicate lines,
     * duplicate paragraphs, and dominant REPEATED-n-gram character coverage.
@@ -104,55 +103,35 @@ object QualityRules {
       minWords: Long = 50L,
       maxWords: Long = 100000L
   ): DataFrame = {
-    val t = col(text)
-    val w = words(t)
-    val lines = split(t, "\n")
-    val nWords = size(w).cast("long")
-    val wordChars = coalesce(
-      aggregate(w, lit(0L), (acc, x) => acc + length(x)),
-      lit(0L)
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.GopherSignals(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(text)),
+        RequiredStopwords
+      )
     )
-    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
-    val nLines = size(lines).cast("long")
-    val bulletLines =
-      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
-    val ellipsisLines =
-      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
-    // literal (non-regex) replace counting: non-overlapping left-to-right in
-    // every engine, so the counts replay exactly
-    val hashCount = length(t) - length(replace(t, lit("#"), lit("")))
-    val unicodeEllipses = length(t) - length(replace(t, lit("…"), lit("")))
-    val dotEllipses = floor(
-      (length(t) - length(replace(t, lit("..."), lit("")))).cast("double") / 3
-    ).cast("long")
-    val symbolCount = (hashCount + unicodeEllipses + dotEllipses).cast("long")
-    // presence (not frequency) per required stopword, summed — portable,
-    // unlike intersect whose dedup semantics vary by engine
-    val stopHits = RequiredStopwords
-      .map(sw => when(array_contains(w, sw), 1L).otherwise(0L))
-      .reduce(_ + _)
-      .cast("long")
-    docs.select(
-      col(id),
-      nWords.as("n_words"),
-      wordChars.as("word_chars"),
-      alphaWords.as("alpha_words"),
-      nLines.as("n_lines"),
-      bulletLines.as("bullet_lines"),
-      ellipsisLines.as("ellipsis_lines"),
-      symbolCount.as("symbol_count"),
-      stopHits.as("stop_hits"),
-      // never-null verdict: a NULL-text document fails the gate outright
-      coalesce(
-        nWords.between(minWords, maxWords) &&
-          wordChars >= nWords * 3 && wordChars <= nWords * 10 &&
-          symbolCount * 10 <= nWords &&
-          bulletLines * 10 <= nLines * 9 &&
-          ellipsisLines * 10 <= nLines * 3 &&
-          alphaWords * 5 >= nWords * 4 &&
-          stopHits >= 2,
-        lit(false)
-      ).as("pass")
+    val fields = Seq(
+      "n_words", "word_chars", "alpha_words", "n_lines",
+      "bullet_lines", "ellipsis_lines", "symbol_count", "stop_hits"
     )
+    // materialize the struct once per row, then project the fields — keeps
+    // the single-pass expression from being duplicated per output column
+    val withSig = docs.select(col(id), sig.as("__sig"))
+    val s = (f: String) => col("__sig").getField(f)
+    withSig
+      .select(
+        (col(id) +: fields.map(f => s(f).as(f))) :+
+          // never-null verdict: a NULL-text document fails the gate outright
+          coalesce(
+            s("n_words").between(minWords, maxWords) &&
+              s("word_chars") >= s("n_words") * 3 &&
+              s("word_chars") <= s("n_words") * 10 &&
+              s("symbol_count") * 10 <= s("n_words") &&
+              s("bullet_lines") * 10 <= s("n_lines") * 9 &&
+              s("ellipsis_lines") * 10 <= s("n_lines") * 3 &&
+              s("alpha_words") * 5 >= s("n_words") * 4 &&
+              s("stop_hits") >= 2,
+            lit(false)
+          ).as("pass"): _*
+      )
   }
 }

@@ -277,6 +277,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix property: two-phase == naive per-stratum md5-rank prefix") {
+    import graft.functions.Sampling
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Gen
+    val p0 = org.scalacheck.Gen.Parameters.default
+    val cases = Gen.zip(
+      Gen.chooseNum(1, 300), Gen.chooseNum(1, 7), Gen.chooseNum(1, 16), Gen.chooseNum(1, 200))
+    (0 until 6).flatMap(i => cases(p0, org.scalacheck.rng.Seed(11L + i))).foreach {
+      case (n, strata, parts, budget) =>
+        val df = spark.range(0, n.toLong)
+          .select(col("id"), concat(lit("s"), pmod(col("id") * 2654435761L, lit(strata))).as("s"))
+          .repartition(parts)
+        // naive reference: targets from floor(sqrt(count)) weights, then an
+        // exact global window in md5 order
+        val counts = df.groupBy(col("s")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val w = counts.view.mapValues(c => math.floor(math.sqrt(c.toDouble)).toLong).toMap
+        val sw = w.values.sum
+        val targets = w.map { case (s, wi) => s -> budget * wi / sw }
+        val ranked = df
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("s"))
+              .orderBy(md5(col("id").cast("string").cast("binary")), col("id").cast("string"))))
+          .collect()
+          .filter(r => r.getAs[Int]("__rn") <= targets(r.getString(1)))
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        val two = Sampling.temperatureMix(df, col("id"), col("s"), budget)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(two == ranked, s"mismatch at n=$n strata=$strata parts=$parts budget=$budget")
+    }
+  }
+
   test("quota plan: the only exchange runs over phase-1 survivors, not the corpus") {
     import graft.functions.Sampling
     val df = spark.range(0, 1000)
