@@ -431,6 +431,9 @@ object SparkEntry {
     "q_quality_repetition" -> ((s, dir) =>
       graft.functions.QualityRules
         .repetition(loader(s, dir)("documents"), "doc_id", "text")),
+    "q_quality_c4" -> ((s, dir) =>
+      graft.functions.QualityRules
+        .c4(loader(s, dir)("documents"), "doc_id", "text")),
     // ---- text analysis: language-ID + fingerprint --------------------------
     "q_text_langid" -> ((s, dir) =>
       loader(s, dir)("documents")
@@ -1245,6 +1248,32 @@ object SparkEntry {
                  AND ellipsis_lines * 10 <= n_lines * 3
                  AND alpha_words * 5 >= n_words * 4
                  AND stop_hits >= 2, false) AS pass
+         FROM sig""",
+    "q_quality_c4" ->
+      // integer-exact replay of QualityRules.c4: per-line counts via
+      // unnest + RE2 regex (the patterns are RE2-compatible by design),
+      // char counts via replace-and-diff, lorem-ipsum occurrences via
+      // non-overlapping case-insensitive extract
+      """WITH d AS (
+           SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
+         lc AS (
+           SELECT doc_id,
+                  CAST(coalesce(sum(CASE WHEN regexp_matches(line, '[.!?"]\s*$') THEN 1 ELSE 0 END), 0) AS BIGINT) AS terminal_lines,
+                  CAST(coalesce(sum(CASE WHEN len(list_filter(regexp_split_to_array(line, '\s+'), x -> length(x) > 0)) < 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS short_lines,
+                  CAST(coalesce(sum(CASE WHEN regexp_matches(line, '(?i)\bjavascript\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS js_lines
+           FROM (SELECT doc_id, unnest(lines) AS line FROM d)
+           GROUP BY doc_id),
+         sig AS (
+           SELECT d.doc_id,
+                  CAST(len(d.lines) AS BIGINT) AS n_lines,
+                  lc.terminal_lines, lc.short_lines, lc.js_lines,
+                  CAST(length(d.text) - length(replace(replace(replace(d.text, '.', ''), '!', ''), '?', '')) AS BIGINT) AS sentence_marks,
+                  CAST(len(regexp_extract_all(d.text, '(?i)lorem ipsum')) AS BIGINT) AS lorem_hits,
+                  CAST(length(d.text) - length(replace(d.text, '{', '')) AS BIGINT) AS brace_hits
+           FROM d LEFT JOIN lc ON d.doc_id = lc.doc_id)
+         SELECT doc_id, n_lines, terminal_lines, short_lines, js_lines,
+                sentence_marks, lorem_hits, brace_hits,
+                coalesce(lorem_hits = 0 AND brace_hits = 0 AND sentence_marks >= 5, false) AS pass
          FROM sig""",
     "q_quality_repetition" ->
       // integer-exact replay of QualityRules.repetition: the Spark side's

@@ -1,0 +1,101 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The C4 heuristic cleaning signals (Raffel et al. 2020, "Exploring the
+  * Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+  * §2.2, public arXiv:1910.10683) in ONE pass over the text — line-level
+  * edit counts plus the page-level drop signals:
+  *
+  *   - `n_lines`; `terminal_lines` — lines ending in terminal punctuation
+  *     (`[.!?"]\s*$`, C4's "period, exclamation mark, question mark, or
+  *     end quotation mark" rule); `short_lines` — lines with < 3
+  *     whitespace words; `js_lines` — lines containing the word
+  *     "javascript" (case-insensitive, word-bounded);
+  *   - `sentence_marks` — '.', '!', '?' characters (the ≥ 5-sentence page
+  *     rule's portable approximation);
+  *   - `lorem_hits` — occurrences of "lorem ipsum" (case-insensitive);
+  *     `brace_hits` — '{' characters (C4's code-page signal).
+  *
+  * All counts are integers; the page-level verdict is taken outside from
+  * the struct. Null text → null struct. Regex semantics are Java's —
+  * exactly what `rlike` would evaluate — and every pattern used is
+  * RE2-compatible so the DuckDB oracle replays it.
+  */
+case class C4Signals(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(
+    Seq(
+      "n_lines",
+      "terminal_lines",
+      "short_lines",
+      "js_lines",
+      "sentence_marks",
+      "lorem_hits",
+      "brace_hits"
+    ).map(StructField(_, LongType, nullable = false))
+  )
+
+  @transient private lazy val terminalRe = java.util.regex.Pattern.compile("[.!?\"]\\s*$")
+  @transient private lazy val jsRe =
+    java.util.regex.Pattern.compile("(?i)\\bjavascript\\b")
+  @transient private lazy val loremRe =
+    java.util.regex.Pattern.compile("(?i)lorem ipsum")
+
+  /** Exactly Java regex \\s = [ \\t\\n\\x0B\\f\\r] — the class every other
+    * operator tokenizes with — NOT Character.isWhitespace (which admits
+    * the U+001C-U+001F separators and would diverge from both the `rlike`
+    * column form and the oracle).
+    */
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private def wordCount(line: String): Int = {
+    var n = 0
+    var inWord = false
+    var i = 0
+    while (i < line.length) {
+      val ws = isSpace(line.charAt(i))
+      if (!ws && !inWord) { n += 1; inWord = true }
+      else if (ws) inWord = false
+      i += 1
+    }
+    n
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val lines = text.split("\n", -1)
+    var terminal = 0L
+    var short = 0L
+    var js = 0L
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (terminalRe.matcher(l).find()) terminal += 1
+      if (wordCount(l) < 3) short += 1
+      if (jsRe.matcher(l).find()) js += 1
+      i += 1
+    }
+    var marks = 0L
+    var braces = 0L
+    i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '.' || c == '!' || c == '?') marks += 1
+      if (c == '{') braces += 1
+      i += 1
+    }
+    var lorem = 0L
+    val m = loremRe.matcher(text)
+    while (m.find()) lorem += 1
+    InternalRow(lines.length.toLong, terminal, short, js, marks, lorem, braces)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -77,6 +77,42 @@ object QualityRules {
       )
   }
 
+  /** The C4 heuristic cleaning signals (Raffel et al. 2020 §2.2,
+    * arXiv:1910.10683) + page verdict: line-edit counts (lines ending in
+    * terminal punctuation, lines under 3 words, "javascript" lines) and
+    * the page-drop signals ("lorem ipsum", '{', sentence count). One pass
+    * per row via the native [[graft.expr.C4Signals]] expression; `pass`
+    * is C4's page gate — no lorem ipsum, no brace, ≥ 5 sentence marks —
+    * while the line counts quantify how much the line-level edits would
+    * remove (C4 edits lines, it does not drop the page for them).
+    *
+    * Output: (id, n_lines, terminal_lines, short_lines, js_lines,
+    * sentence_marks, lorem_hits, brace_hits, pass).
+    */
+  def c4(docs: DataFrame, id: String, text: String): DataFrame = {
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.C4Signals(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(text))
+      )
+    )
+    val fields = Seq(
+      "n_lines", "terminal_lines", "short_lines", "js_lines",
+      "sentence_marks", "lorem_hits", "brace_hits"
+    )
+    val withSig = docs.select(col(id), sig.as("__sig"))
+    val s = (f: String) => col("__sig").getField(f)
+    withSig
+      .select(
+        (col(id) +: fields.map(f => s(f).as(f))) :+
+          // never-null verdict: a NULL-text document fails the gate outright
+          coalesce(
+            s("lorem_hits") === 0 && s("brace_hits") === 0 &&
+              s("sentence_marks") >= 5,
+            lit(false)
+          ).as("pass"): _*
+      )
+  }
+
   /** Per-document Gopher rule signals + verdict. Output columns (all
     * BIGINT except the BOOLEAN `pass`):
     *

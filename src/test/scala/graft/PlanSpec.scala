@@ -150,7 +150,7 @@ class PlanSpec extends SparkSpec {
     s.split("\n").count(_.matches(s"""\\(\\d+\\) $name.*"""))
 
   test("quality gates are shuffle-free single-scan projections") {
-    for (q <- Seq("q_quality_gopher", "q_quality_repetition")) {
+    for (q <- Seq("q_quality_gopher", "q_quality_repetition", "q_quality_c4")) {
       val s = fmt(SparkEntry.queries(q)(spark, sf))
       // one map-side pass: no shuffle, no UDF, a single parquet scan (the
       // HOF run-length passes evaluate as expressions, never a second scan

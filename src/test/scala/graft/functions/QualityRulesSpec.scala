@@ -107,6 +107,44 @@ class QualityRulesSpec extends SparkSpec {
     assert(tiny(4L).getAs[Long]("top3_chars") == 0)
   }
 
+  private def runC4(docs: Seq[(Long, String)]): Map[Long, Row] =
+    QualityRules
+      .c4(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+
+  test("c4: line-edit counts — terminal punctuation, short lines, javascript") {
+    val doc = Seq(
+      "This line ends properly.",
+      "so does this one!",
+      "does it? \"yes.\"",
+      "no punctuation here at all",
+      "Enable JavaScript to view",
+      "ok"
+    ).mkString("\n")
+    val r = runC4(Seq(1L -> doc))(1L)
+    assert(r.getAs[Long]("n_lines") == 6)
+    assert(r.getAs[Long]("terminal_lines") == 3)
+    assert(r.getAs[Long]("short_lines") == 1) // "ok"
+    assert(r.getAs[Long]("js_lines") == 1) // case-insensitive, word-bounded
+  }
+
+  test("c4: page gate — lorem ipsum, braces, sentence minimum") {
+    val good = 1L -> "One. Two. Three. Four. Five sentences make the cut."
+    val lorem = 2L -> ("Lorem Ipsum dolor sit amet. " + good._2)
+    val code = 3L -> ("function f() { return 1; } " + good._2)
+    val thin = 4L -> "Only one sentence here."
+    val out = runC4(Seq(good, lorem, code, thin))
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(out(2L).getAs[Long]("lorem_hits") == 1 && !out(2L).getAs[Boolean]("pass"))
+    assert(out(3L).getAs[Long]("brace_hits") == 1 && !out(3L).getAs[Boolean]("pass"))
+    assert(out(4L).getAs[Long]("sentence_marks") == 1 && !out(4L).getAs[Boolean]("pass"))
+    // null text: null signals, verdict still a hard false
+    val nul = runC4(Seq(5L -> (null: String)))(5L)
+    assert(nul.isNullAt(nul.fieldIndex("n_lines")) && !nul.getAs[Boolean]("pass"))
+  }
+
   test("gopher is whitespace- and null-robust: empty, blank, null docs all fail") {
     val out = run(Seq(1L -> "", 2L -> "   ", 3L -> "\n\n\n", 4L -> (null: String)))
     assert(out.values.forall(!_.getAs[Boolean]("pass"))) // pass is never null
