@@ -489,6 +489,12 @@ object SparkEntry {
       Dedup.semantic(
         loader(s, dir)("embeddings"), "vec_id", "embedding",
         threshold = 0.4, nlists = 16, refine = 0)),
+    // ---- curation report: per-cluster size + cosine tightness over the
+    // same coarse cells (refine=0 → oracle-replayable, like q_ann_ivf) -------
+    "q_cluster_stats" -> ((s, dir) =>
+      Ann.clusterStats(
+        loader(s, dir)("embeddings"), "vec_id", "embedding",
+        nlists = 16, refine = 0)),
     // ---- similarity search: brute-force top-k + IVF scale path -------------
     "q_ann_topk" -> ((s, dir) => {
       val e = loader(s, dir)("embeddings")
@@ -1490,6 +1496,27 @@ object SparkEntry {
          JOIN embeddings eb ON eb.vec_id = p.id_b
          WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4"""
     },
+    "q_cluster_stats" ->
+      // q_ann_ivf's seeds/assignment CTEs, then per-cell count + min/max of
+      // the per-row e4-rounded cosine to the assigned centroid (rounding
+      // BEFORE min/max keeps the report order-free exact)
+      """WITH seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS centroid
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         assigned AS (
+           SELECT c.vec_id,
+                  (SELECT s.cell FROM seeds s
+                   ORDER BY list_cosine_similarity(c.embedding, s.centroid) DESC, s.cell
+                   LIMIT 1) AS cell,
+                  (SELECT CAST(round(10000 * list_cosine_similarity(c.embedding, s.centroid)) AS BIGINT)
+                   FROM seeds s
+                   ORDER BY list_cosine_similarity(c.embedding, s.centroid) DESC, s.cell
+                   LIMIT 1) AS cos_e4
+           FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL) c)
+         SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                min(cos_e4) AS min_cos_e4, max(cos_e4) AS max_cos_e4
+         FROM assigned GROUP BY cell""",
     "q_dedup_semantic" ->
       // SemDeDup replay at refine=0: centroids = first 16 corpus vectors by
       // id (q_ann_ivf's seeds CTE), assignment = argmax cosine with ties to

@@ -196,6 +196,55 @@ object Ann {
       )
   }
 
+  /** Per-cluster curation report over the same coarse cells IVF and
+    * SemDeDup use: size and cosine-tightness of every cell — the numbers
+    * cluster-pruning recipes rank on (drop the loosest/smallest clusters,
+    * budget dedup effort by cell mass). One map-side argmax per vector
+    * (the literal-centroid `array_max` yields the best similarity AND its
+    * cell in one expression), then a single map-side-combining aggregate
+    * on the cell id; cosines are rounded to e4 integers per row BEFORE
+    * min/max so the report is order-free exact and, at `refine = 0`,
+    * replayable by an external engine.
+    * Output: (cell, n, min_cos_e4, max_cos_e4).
+    */
+  def clusterStats(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      nlists: Int = 16,
+      refine: Int = 1
+  ): DataFrame = {
+    val v = corpus.select(col(id).as("cid"), col(vec).as("cv")).filter(col("cv").isNotNull)
+    val seeds = collectSeedVectors(
+      v.orderBy(col("cid")).limit(nlists).select(col("cv"))
+    )
+    val cells = refineCentroidsLocal(v, seeds, refine)
+    if (cells.isEmpty)
+      return v
+        .limit(0)
+        .select(
+          lit(0L).as("cell"),
+          lit(0L).as("n"),
+          lit(0L).as("min_cos_e4"),
+          lit(0L).as("max_cos_e4")
+        )
+    // same scored array as nearestCell, but keep BOTH fields of the argmax:
+    // (best sim, -cell) — ties resolve to the smallest cell like everywhere
+    val scored = array(cells.map { case (cell, cv) =>
+      struct(VF.cosine(col("cv"), typedlit(cv)).as("sim"), lit(-cell).as("negcell"))
+    }: _*)
+    val best = array_max(scored)
+    v.select(
+      (lit(0L) - best.getField("negcell")).as("cell"),
+      round(best.getField("sim") * 10000).cast("long").as("cos_e4")
+    ).groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("cos_e4")).as("min_cos_e4"),
+        max(col("cos_e4")).as("max_cos_e4")
+      )
+  }
+
   /** LSH-bucketed ANN: hyperplane signature as the cell id; probe the
     * query's bucket plus (with `probeHamming = 1`, the default) its `planes`
     * Hamming-1 neighbor buckets — single-bucket probing has recall cliffs

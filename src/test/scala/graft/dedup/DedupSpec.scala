@@ -211,6 +211,36 @@ class DedupSpec extends SparkSpec {
     assert(out2 == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("clusterStats: sizes partition the corpus, tightness brackets hold") {
+    // 4 tight clusters of 10; seeds 0..3 land one per cluster
+    val vecs = (0 until 40).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(16)(j => math.cos(c * 31 + j).toFloat)
+      base(i / 4 % 16) += 0.02f * (i / 4)
+      (i.toLong, base)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    for (refine <- Seq(0, 2)) {
+      val rows = graft.ann.Ann.clusterStats(df, "vec_id", "embedding", nlists = 4, refine = refine)
+        .collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 40, s"refine=$refine: sizes must partition")
+      assert(rows.map(_.getAs[Long]("cell")).toSet.subsetOf((0L until 4L).toSet))
+      rows.foreach { r =>
+        assert(r.getAs[Long]("min_cos_e4") <= r.getAs[Long]("max_cos_e4"))
+        assert(r.getAs[Long]("min_cos_e4") >= 9000L,
+          s"refine=$refine: tight clusters must stay tight, got $r")
+      }
+      // one cell per planted cluster, 10 members each
+      assert(rows.length == 4 && rows.forall(_.getAs[Long]("n") == 10L), s"refine=$refine")
+    }
+    // null embeddings excluded; empty corpus → empty report
+    val withNull = (vecs :+ (100L, null: Array[Float])).toDF("vec_id", "embedding")
+    assert(graft.ann.Ann.clusterStats(withNull, "vec_id", "embedding", nlists = 4)
+      .agg(sum(col("n"))).collect()(0).getLong(0) == 40)
+    val empty = df.filter(lit(false))
+    assert(graft.ann.Ann.clusterStats(empty, "vec_id", "embedding").count() == 0)
+  }
+
   test("IVF supports string ids, null embeddings, and empty corpora") {
     import graft.ann.Ann
     val vecs = (0 until 30).map { i =>
