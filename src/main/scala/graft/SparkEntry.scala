@@ -1266,7 +1266,7 @@ object SparkEntry {
            SELECT doc_id,
                   CAST(coalesce(sum(CASE WHEN regexp_matches(line, '[.!?"]\s*$') THEN 1 ELSE 0 END), 0) AS BIGINT) AS terminal_lines,
                   CAST(coalesce(sum(CASE WHEN len(list_filter(regexp_split_to_array(line, '\s+'), x -> length(x) > 0)) < 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS short_lines,
-                  CAST(coalesce(sum(CASE WHEN regexp_matches(line, '(?i)\bjavascript\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS js_lines
+                  CAST(coalesce(sum(CASE WHEN regexp_matches(line, '\b[jJ][aA][vV][aA][sS][cC][rR][iI][pP][tT]\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS js_lines
            FROM (SELECT doc_id, unnest(lines) AS line FROM d)
            GROUP BY doc_id),
          sig AS (
@@ -1274,7 +1274,7 @@ object SparkEntry {
                   CAST(len(d.lines) AS BIGINT) AS n_lines,
                   lc.terminal_lines, lc.short_lines, lc.js_lines,
                   CAST(length(d.text) - length(replace(replace(replace(d.text, '.', ''), '!', ''), '?', '')) AS BIGINT) AS sentence_marks,
-                  CAST(len(regexp_extract_all(d.text, '(?i)lorem ipsum')) AS BIGINT) AS lorem_hits,
+                  CAST(len(regexp_extract_all(d.text, '[lL][oO][rR][eE][mM] [iI][pP][sS][uU][mM]')) AS BIGINT) AS lorem_hits,
                   CAST(length(d.text) - length(replace(d.text, '{', '')) AS BIGINT) AS brace_hits
            FROM d LEFT JOIN lc ON d.doc_id = lc.doc_id)
          SELECT doc_id, n_lines, terminal_lines, short_lines, js_lines,

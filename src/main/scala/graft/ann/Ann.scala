@@ -214,6 +214,7 @@ object Ann {
       nlists: Int = 16,
       refine: Int = 1
   ): DataFrame = {
+    require(nlists >= 1, s"nlists must be >= 1, got $nlists")
     val v = corpus.select(col(id).as("cid"), col(vec).as("cv")).filter(col("cv").isNotNull)
     val seeds = collectSeedVectors(
       v.orderBy(col("cid")).limit(nlists).select(col("cv"))

@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (`[.!?"]\s*$`, C4's "period, exclamation mark, question mark, or
   *     end quotation mark" rule); `short_lines` — lines with < 3
   *     whitespace words; `js_lines` — lines containing the word
-  *     "javascript" (case-insensitive, word-bounded);
+  *     "javascript" (ASCII-case-insensitive, word-bounded);
   *   - `sentence_marks` — '.', '!', '?' characters (the ≥ 5-sentence page
   *     rule's portable approximation);
   *   - `lorem_hits` — occurrences of "lorem ipsum" (case-insensitive);
@@ -40,11 +40,16 @@ case class C4Signals(child: Expression) extends UnaryExpression with CodegenFall
     ).map(StructField(_, LongType, nullable = false))
   )
 
-  @transient private lazy val terminalRe = java.util.regex.Pattern.compile("[.!?\"]\\s*$")
+  // \z, not $: Java's $ also matches before a final U+0085/U+2028/U+2029
+  // line terminator, which RE2's $ (what the oracle evaluates) does not.
+  @transient private lazy val terminalRe = java.util.regex.Pattern.compile("[.!?\"]\\s*\\z")
+  // ASCII case classes, not (?i): Java's (?i) folds ASCII only while RE2's
+  // applies Unicode simple folding (U+017F matches 's') — spelled-out
+  // classes behave identically in both engines
   @transient private lazy val jsRe =
-    java.util.regex.Pattern.compile("(?i)\\bjavascript\\b")
+    java.util.regex.Pattern.compile("\\b[jJ][aA][vV][aA][sS][cC][rR][iI][pP][tT]\\b")
   @transient private lazy val loremRe =
-    java.util.regex.Pattern.compile("(?i)lorem ipsum")
+    java.util.regex.Pattern.compile("[lL][oO][rR][eE][mM] [iI][pP][sS][uU][mM]")
 
   /** Exactly Java regex \\s = [ \\t\\n\\x0B\\f\\r] — the class every other
     * operator tokenizes with — NOT Character.isWhitespace (which admits

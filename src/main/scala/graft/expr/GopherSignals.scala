@@ -13,12 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics are IDENTICAL to the declarative version (the DuckDB oracle
   * replays them):
-  *   - words = whitespace split of the trimmed text, empties dropped;
-  *     word_chars in code points (SQL `length`);
+  *   - words/lengths via [[TextPrimitives]] (SQL-exact space-only trim,
+  *     nonempty whitespace split, code-point lengths);
   *   - alpha_words = tokens containing an ASCII letter (`[A-Za-z]`);
   *   - lines = split on '\n' (trailing empties kept); bullet lines match
-  *     `^\s*[-*•]`, ellipsis lines match `(\.\.\.|…)\s*$` (Java regex,
-  *     exactly what `rlike` evaluates);
+  *     `^\s*[-*•]`, ellipsis lines end with `(\.\.\.|…)\s*` at true
+  *     end-of-line (Java `\z`, aligning with RE2's `$`);
   *   - symbol_count = '#' chars + '…' chars + non-overlapping
   *     left-to-right "..." occurrences (the replace-and-diff counting of
   *     the column version);
@@ -46,14 +46,14 @@ case class GopherSignals(child: Expression, stopwords: Seq[String])
   )
 
   @transient private lazy val bulletRe = java.util.regex.Pattern.compile("^\\s*[-*•]")
-  @transient private lazy val ellipsisRe = java.util.regex.Pattern.compile("(\\.\\.\\.|…)\\s*$")
+  // \z, not $: Java's $ also matches before a final U+0085/U+2028/U+2029
+  // line terminator, which RE2's $ (what the oracle evaluates) does not
+  @transient private lazy val ellipsisRe = java.util.regex.Pattern.compile("(\\.\\.\\.|…)\\s*\\z")
   @transient private lazy val stopSet = {
     val s = new java.util.HashSet[String](stopwords.size * 2)
     stopwords.foreach(s.add)
     s
   }
-
-  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
 
   private def countChar(s: String, c: Char): Long = {
     var n = 0L
@@ -72,14 +72,14 @@ case class GopherSignals(child: Expression, stopwords: Seq[String])
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val tokens = text.trim.split("\\s+").filter(_.nonEmpty)
+    val tokens = TextPrimitives.tokens(text)
     var wordChars = 0L
     var alphaWords = 0L
     val hits = new java.util.HashSet[String](stopwords.size * 2)
     var i = 0
     while (i < tokens.length) {
       val t = tokens(i)
-      wordChars += cpLen(t)
+      wordChars += TextPrimitives.cpLen(t)
       var hasAlpha = false
       var j = 0
       while (!hasAlpha && j < t.length) {

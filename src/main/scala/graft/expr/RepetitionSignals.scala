@@ -15,8 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are IDENTICAL to the declarative version (the DuckDB oracle
   * replays them):
   *   - lines = split on '\n' (trailing empties kept), paras = split on
-  *     '\n{2,}', words = whitespace split of the trimmed text, empties
-  *     dropped;
+  *     '\n{2,}', words via [[TextPrimitives]] (SQL-exact trim + split);
   *   - dup counts = occurrences beyond each distinct value's first;
   *   - dup chars = the code-point length mass of those extra occurrences
   *     (code points, matching SQL `length` in both engines);
@@ -43,8 +42,6 @@ case class RepetitionSignals(child: Expression) extends UnaryExpression with Cod
     ).map(StructField(_, LongType, nullable = false))
   )
 
-  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
-
   /** (extra occurrences, their code-point char mass) over an array. */
   private def dupStats(values: Array[String]): (Long, Long) = {
     val seen = new java.util.HashSet[String](values.length * 2)
@@ -52,7 +49,7 @@ case class RepetitionSignals(child: Expression) extends UnaryExpression with Cod
     var chars = 0L
     var i = 0
     while (i < values.length) {
-      if (!seen.add(values(i))) { dups += 1; chars += cpLen(values(i)) }
+      if (!seen.add(values(i))) { dups += 1; chars += TextPrimitives.cpLen(values(i)) }
       i += 1
     }
     (dups, chars)
@@ -81,7 +78,7 @@ case class RepetitionSignals(child: Expression) extends UnaryExpression with Cod
       val e = it.next()
       val c = e.getValue.toLong
       if (c >= 2) {
-        val chars = c * cpLen(e.getKey)
+        val chars = c * TextPrimitives.cpLen(e.getKey)
         if (chars > best) best = chars
       }
     }
@@ -92,13 +89,11 @@ case class RepetitionSignals(child: Expression) extends UnaryExpression with Cod
     val text = input.asInstanceOf[UTF8String].toString
     val lines = text.split("\n", -1)
     val paras = text.split("\n{2,}", -1)
-    // Java trim removes all <= U+0020 where SQL trim removes only spaces,
-    // but the nonempty filter makes both produce the same token list
-    val tokens = text.trim.split("\\s+").filter(_.nonEmpty)
+    val tokens = TextPrimitives.tokens(text)
     val (dupLines, dupLineChars) = dupStats(lines)
     val (dupParas, dupParaChars) = dupStats(paras)
     InternalRow(
-      cpLen(text),
+      TextPrimitives.cpLen(text),
       lines.length.toLong,
       dupLines,
       dupLineChars,

@@ -25,7 +25,10 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression with 
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val tokens = text.trim.split("\\s+") // [""] for empty, like Spark's split
+    // SQL-exact trim (spaces only) via TextPrimitives policy; keep the
+    // [""] degenerate form for empty text, like Spark's split
+    val trimmed = TextPrimitives.sqlTrim(text)
+    val tokens = trimmed.split("\\s+")
     val upper = math.max(tokens.length - n, 0)
     val seen = new java.util.LinkedHashSet[String](math.max(8, upper * 2))
     val sb = new java.lang.StringBuilder(64)

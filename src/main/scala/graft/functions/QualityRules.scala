@@ -32,6 +32,26 @@ object QualityRules {
   val RequiredStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Materialize a one-pass signal struct once per row, then project its
+    * fields plus the never-null `pass` verdict computed from them (a NULL
+    * verdict — null text — coalesces to a hard false). Shared by all three
+    * gates so the struct-once / fields / verdict policy is single-sourced.
+    */
+  private def projectSignals(
+      docs: DataFrame,
+      id: String,
+      sigExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+      fields: Seq[String]
+  )(pass: (String => Column) => Column): DataFrame = {
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(sigExpr)
+    val withSig = docs.select(col(id), sig.as("__sig"))
+    val s = (f: String) => col("__sig").getField(f)
+    withSig.select(
+      (col(id) +: fields.map(f => s(f).as(f))) :+
+        coalesce(pass(s), lit(false)).as("pass"): _*
+    )
+  }
+
   /** The Gopher REPETITION filters (Rae et al. §A1.1.2): duplicate lines,
     * duplicate paragraphs, and dominant REPEATED-n-gram character coverage.
     * All signals are integer counts computed in ONE pass per row by the
@@ -47,35 +67,25 @@ object QualityRules {
     * Output: (id, n_chars_t, n_lines, dup_lines, dup_line_chars, n_paras,
     * dup_paras, dup_para_chars, top2_chars, top3_chars, pass).
     */
-  def repetition(docs: DataFrame, id: String, text: String): DataFrame = {
-    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+  def repetition(docs: DataFrame, id: String, text: String): DataFrame =
+    projectSignals(
+      docs,
+      id,
       graft.expr.RepetitionSignals(
         org.apache.spark.sql.GraftColumnBridge.expression(col(text))
+      ),
+      Seq(
+        "n_chars_t", "n_lines", "dup_lines", "dup_line_chars",
+        "n_paras", "dup_paras", "dup_para_chars", "top2_chars", "top3_chars"
       )
-    )
-    val fields = Seq(
-      "n_chars_t", "n_lines", "dup_lines", "dup_line_chars",
-      "n_paras", "dup_paras", "dup_para_chars", "top2_chars", "top3_chars"
-    )
-    // materialize the struct once per row, then project the fields — keeps
-    // the single-pass expression from being duplicated per output column
-    val withSig = docs.select(col(id), sig.as("__sig"))
-    val s = (f: String) => col("__sig").getField(f)
-    withSig
-      .select(
-        (col(id) +: fields.map(f => s(f).as(f))) :+
-          // never-null verdict: a NULL-text document fails the gate outright
-          coalesce(
-            s("dup_lines") * 10 <= s("n_lines") * 3 &&
-              s("dup_paras") * 10 <= s("n_paras") * 3 &&
-              s("dup_line_chars") * 5 <= s("n_chars_t") &&
-              s("dup_para_chars") * 5 <= s("n_chars_t") &&
-              s("top2_chars") * 5 <= s("n_chars_t") &&
-              s("top3_chars") * 50 <= s("n_chars_t") * 9,
-            lit(false)
-          ).as("pass"): _*
-      )
-  }
+    ) { s =>
+      s("dup_lines") * 10 <= s("n_lines") * 3 &&
+        s("dup_paras") * 10 <= s("n_paras") * 3 &&
+        s("dup_line_chars") * 5 <= s("n_chars_t") &&
+        s("dup_para_chars") * 5 <= s("n_chars_t") &&
+        s("top2_chars") * 5 <= s("n_chars_t") &&
+        s("top3_chars") * 50 <= s("n_chars_t") * 9
+    }
 
   /** The C4 heuristic cleaning signals (Raffel et al. 2020 §2.2,
     * arXiv:1910.10683) + page verdict: line-edit counts (lines ending in
@@ -89,29 +99,20 @@ object QualityRules {
     * Output: (id, n_lines, terminal_lines, short_lines, js_lines,
     * sentence_marks, lorem_hits, brace_hits, pass).
     */
-  def c4(docs: DataFrame, id: String, text: String): DataFrame = {
-    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+  def c4(docs: DataFrame, id: String, text: String): DataFrame =
+    projectSignals(
+      docs,
+      id,
       graft.expr.C4Signals(
         org.apache.spark.sql.GraftColumnBridge.expression(col(text))
+      ),
+      Seq(
+        "n_lines", "terminal_lines", "short_lines", "js_lines",
+        "sentence_marks", "lorem_hits", "brace_hits"
       )
-    )
-    val fields = Seq(
-      "n_lines", "terminal_lines", "short_lines", "js_lines",
-      "sentence_marks", "lorem_hits", "brace_hits"
-    )
-    val withSig = docs.select(col(id), sig.as("__sig"))
-    val s = (f: String) => col("__sig").getField(f)
-    withSig
-      .select(
-        (col(id) +: fields.map(f => s(f).as(f))) :+
-          // never-null verdict: a NULL-text document fails the gate outright
-          coalesce(
-            s("lorem_hits") === 0 && s("brace_hits") === 0 &&
-              s("sentence_marks") >= 5,
-            lit(false)
-          ).as("pass"): _*
-      )
-  }
+    ) { s =>
+      s("lorem_hits") === 0 && s("brace_hits") === 0 && s("sentence_marks") >= 5
+    }
 
   /** Per-document Gopher rule signals + verdict. Output columns (all
     * BIGINT except the BOOLEAN `pass`):
@@ -138,36 +139,26 @@ object QualityRules {
       text: String,
       minWords: Long = 50L,
       maxWords: Long = 100000L
-  ): DataFrame = {
-    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+  ): DataFrame =
+    projectSignals(
+      docs,
+      id,
       graft.expr.GopherSignals(
         org.apache.spark.sql.GraftColumnBridge.expression(col(text)),
         RequiredStopwords
+      ),
+      Seq(
+        "n_words", "word_chars", "alpha_words", "n_lines",
+        "bullet_lines", "ellipsis_lines", "symbol_count", "stop_hits"
       )
-    )
-    val fields = Seq(
-      "n_words", "word_chars", "alpha_words", "n_lines",
-      "bullet_lines", "ellipsis_lines", "symbol_count", "stop_hits"
-    )
-    // materialize the struct once per row, then project the fields — keeps
-    // the single-pass expression from being duplicated per output column
-    val withSig = docs.select(col(id), sig.as("__sig"))
-    val s = (f: String) => col("__sig").getField(f)
-    withSig
-      .select(
-        (col(id) +: fields.map(f => s(f).as(f))) :+
-          // never-null verdict: a NULL-text document fails the gate outright
-          coalesce(
-            s("n_words").between(minWords, maxWords) &&
-              s("word_chars") >= s("n_words") * 3 &&
-              s("word_chars") <= s("n_words") * 10 &&
-              s("symbol_count") * 10 <= s("n_words") &&
-              s("bullet_lines") * 10 <= s("n_lines") * 9 &&
-              s("ellipsis_lines") * 10 <= s("n_lines") * 3 &&
-              s("alpha_words") * 5 >= s("n_words") * 4 &&
-              s("stop_hits") >= 2,
-            lit(false)
-          ).as("pass"): _*
-      )
-  }
+    ) { s =>
+      s("n_words").between(minWords, maxWords) &&
+        s("word_chars") >= s("n_words") * 3 &&
+        s("word_chars") <= s("n_words") * 10 &&
+        s("symbol_count") * 10 <= s("n_words") &&
+        s("bullet_lines") * 10 <= s("n_lines") * 9 &&
+        s("ellipsis_lines") * 10 <= s("n_lines") * 3 &&
+        s("alpha_words") * 5 >= s("n_words") * 4 &&
+        s("stop_hits") >= 2
+    }
 }

@@ -145,6 +145,26 @@ class QualityRulesSpec extends SparkSpec {
     assert(nul.isNullAt(nul.fieldIndex("n_lines")) && !nul.getAs[Boolean]("pass"))
   }
 
+  test("portability pins: SQL trim, RE2 anchors, ASCII case folding") {
+    // SQL trim strips spaces ONLY: a control-char-led token stays intact,
+    // so it is NOT a stopword hit and its length includes the control char
+    // (what the DuckDB oracle computes; Java String.trim would strip it)
+    val ctl = run(Seq(1L -> "\u0001the be to of and more words here now ok"))(1L)
+    assert(ctl.getAs[Long]("n_words") == 10)
+    assert(ctl.getAs[Long]("stop_hits") == 4) // be/to/of/and — NOT \u0001the
+    assert(ctl.getAs[Long]("word_chars") == 31) // counts the \u0001
+    // RE2's $ matches only true end-of-input: a U+2028-terminated line is
+    // NOT terminal-punctuated (Java's $ would match before the terminator)
+    val c4 = runC4(Seq(1L -> "A proper sentence.\u2028", 2L -> "A proper sentence."))
+    assert(c4(1L).getAs[Long]("terminal_lines") == 0)
+    assert(c4(2L).getAs[Long]("terminal_lines") == 1)
+    // ASCII case classes, not (?i): Unicode folds (U+017F long s) must NOT
+    // match, plain case variants must
+    val lorem = runC4(Seq(1L -> "LOREM IPSUM dolor", 2L -> "lorem ip\u017Fum dolor"))
+    assert(lorem(1L).getAs[Long]("lorem_hits") == 1)
+    assert(lorem(2L).getAs[Long]("lorem_hits") == 0)
+  }
+
   test("gopher is whitespace- and null-robust: empty, blank, null docs all fail") {
     val out = run(Seq(1L -> "", 2L -> "   ", 3L -> "\n\n\n", 4L -> (null: String)))
     assert(out.values.forall(!_.getAs[Boolean]("pass"))) // pass is never null
