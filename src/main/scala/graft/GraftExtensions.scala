@@ -53,8 +53,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingles",
           "word_shingles(text, n) - distinct word n-gram shingles (single pass); n must be a literal"
         ),
-        (args: Seq[Expression]) =>
-          graft.expr.WordShingles(args(0), args(1).eval().asInstanceOf[Number].intValue())
+        (args: Seq[Expression]) => {
+          // validate before eval(): a non-foldable second arg (a column) or a
+          // non-numeric literal would otherwise fail at plan time with an
+          // opaque unresolved-eval/ClassCastException instead of the
+          // documented contract
+          val n = args(1)
+          if (!n.foldable)
+            throw new org.apache.spark.sql.AnalysisException(
+              "USER_RAISED_EXCEPTION",
+              Map("errorMessage" -> "word_shingles(text, n): n must be a literal")
+            )
+          n.eval() match {
+            case num: Number => graft.expr.WordShingles(args(0), num.intValue())
+            case other =>
+              throw new org.apache.spark.sql.AnalysisException(
+                "USER_RAISED_EXCEPTION",
+                Map(
+                  "errorMessage" ->
+                    s"word_shingles(text, n): n must be a numeric literal, got $other"
+                )
+              )
+          }
+        }
       )
     )
     ext.injectFunction(

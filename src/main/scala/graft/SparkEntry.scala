@@ -323,7 +323,7 @@ object SparkEntry {
       loader(s, dir)("documents")
         .select(
           col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")
+          size(split(trim(col("text")), graft.expr.TextPrimitives.WsPlus)).cast("long").as("n_tokens")
         )),
     "q_text_bpe" -> ((s, dir) =>
       loader(s, dir)("documents")
@@ -434,6 +434,11 @@ object SparkEntry {
     "q_quality_c4" -> ((s, dir) =>
       graft.functions.QualityRules
         .c4(loader(s, dir)("documents"), "doc_id", "text")),
+    // all three gates fused into ONE corpus scan + one tokenization
+    // (graft.expr.QualitySignals); a curation pipeline's single-pass filter
+    "q_quality_all" -> ((s, dir) =>
+      graft.functions.QualityRules
+        .all(loader(s, dir)("documents"), "doc_id", "text")),
     // ---- text analysis: language-ID + fingerprint --------------------------
     "q_text_langid" -> ((s, dir) =>
       loader(s, dir)("documents")
@@ -621,7 +626,7 @@ object SparkEntry {
         .pack(
           loader(s, dir)("documents"),
           col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long"),
+          size(split(trim(col("text")), graft.expr.TextPrimitives.WsPlus)).cast("long"),
           pmod(col("doc_id"), lit(8)),
           col("doc_id"),
           budget = 512L
@@ -632,7 +637,7 @@ object SparkEntry {
         graft.functions.Packing.pack(
           loader(s, dir)("documents"),
           col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long"),
+          size(split(trim(col("text")), graft.expr.TextPrimitives.WsPlus)).cast("long"),
           pmod(col("doc_id"), lit(8)),
           col("doc_id"),
           budget = 512L
@@ -649,7 +654,7 @@ object SparkEntry {
         .packGreedy(
           loader(s, dir)("documents"),
           col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long"),
+          size(split(trim(col("text")), graft.expr.TextPrimitives.WsPlus)).cast("long"),
           pmod(col("doc_id"), lit(8)),
           col("doc_id"),
           budget = 512L
@@ -1177,9 +1182,12 @@ object SparkEntry {
                 CAST(round(surprisal_micro / (1000.0 * dl)) AS BIGINT) AS mean_milli
          FROM scored""",
     "q_corpus_stats" ->
+      // n_chars IS NOT NULL mirrors exactPercentiles' null policy (nulls are
+      // dropped before aggregating on both sides; engines disagree on null
+      // ORDER BY placement, so excluding them is the only portable choice)
       """WITH counts AS (
            SELECT lang, source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
-           FROM documents GROUP BY 1, 2, 3),
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2, 3),
          cum AS (
            SELECT lang, source, v, c,
                   sum(c) OVER (PARTITION BY lang, source ORDER BY v) AS cum,
@@ -1343,6 +1351,112 @@ object SparkEntry {
                  AND top2_chars * 5 <= n_chars_t
                  AND top3_chars * 50 <= n_chars_t * 9, false) AS pass
          FROM sig""",
+    "q_quality_all" ->
+      // the three gate oracles above composed over ONE shared tokenization
+      // CTE and joined on doc_id — replaying the fused QualitySignals
+      // struct + the three verdicts + their conjunction
+      """WITH d AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS w,
+                  string_split(text, chr(10)) AS lines,
+                  regexp_split_to_array(text, '\n{2,}') AS paras
+           FROM documents),
+         gsig AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(CASE WHEN text IS NULL THEN NULL
+                       ELSE coalesce(list_sum(list_transform(w, x -> length(x))), 0) END AS BIGINT) AS word_chars,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS ellipsis_lines,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '…', '')))
+                  + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS symbol_count,
+             CAST(CASE WHEN text IS NULL THEN NULL ELSE
+                    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) END AS BIGINT) AS stop_hits
+           FROM d),
+         lc AS (
+           SELECT doc_id, CAST(coalesce(sum((c - 1) * length(line)), 0) AS BIGINT) AS dup_line_chars
+           FROM (SELECT doc_id, line, count(*) AS c
+                 FROM (SELECT doc_id, unnest(lines) AS line FROM d) GROUP BY doc_id, line)
+           GROUP BY doc_id),
+         pc AS (
+           SELECT doc_id, CAST(coalesce(sum((c - 1) * length(para)), 0) AS BIGINT) AS dup_para_chars
+           FROM (SELECT doc_id, para, count(*) AS c
+                 FROM (SELECT doc_id, unnest(paras) AS para FROM d) GROUP BY doc_id, para)
+           GROUP BY doc_id),
+         g2 AS (
+           SELECT doc_id, CAST(max(CASE WHEN c >= 2 THEN c * length(gram) END) AS BIGINT) AS top2_chars
+           FROM (SELECT doc_id, gram, count(*) AS c
+                 FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+                       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM d))
+                 GROUP BY doc_id, gram)
+           GROUP BY doc_id),
+         g3 AS (
+           SELECT doc_id, CAST(max(CASE WHEN c >= 2 THEN c * length(gram) END) AS BIGINT) AS top3_chars
+           FROM (SELECT doc_id, gram, count(*) AS c
+                 FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d))
+                 GROUP BY doc_id, gram)
+           GROUP BY doc_id),
+         c4lc AS (
+           SELECT doc_id,
+                  CAST(coalesce(sum(CASE WHEN regexp_matches(line, '[.!?"]\s*$') THEN 1 ELSE 0 END), 0) AS BIGINT) AS terminal_lines,
+                  CAST(coalesce(sum(CASE WHEN len(list_filter(regexp_split_to_array(line, '\s+'), x -> length(x) > 0)) < 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS short_lines,
+                  CAST(coalesce(sum(CASE WHEN regexp_matches(line, '\b[jJ][aA][vV][aA][sS][cC][rR][iI][pP][tT]\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS js_lines
+           FROM (SELECT doc_id, unnest(lines) AS line FROM d)
+           GROUP BY doc_id),
+         sig AS (
+           SELECT d.doc_id,
+                  CAST(length(d.text) AS BIGINT) AS n_chars_t,
+                  CAST(len(d.lines) AS BIGINT) AS n_lines,
+                  gsig.n_words, gsig.word_chars, gsig.alpha_words,
+                  gsig.bullet_lines, gsig.ellipsis_lines, gsig.symbol_count, gsig.stop_hits,
+                  CAST(len(d.lines) - len(list_distinct(d.lines)) AS BIGINT) AS dup_lines,
+                  lc.dup_line_chars,
+                  CAST(len(d.paras) AS BIGINT) AS n_paras,
+                  CAST(len(d.paras) - len(list_distinct(d.paras)) AS BIGINT) AS dup_paras,
+                  pc.dup_para_chars,
+                  CASE WHEN d.text IS NULL THEN NULL
+                       ELSE coalesce(g2.top2_chars, 0) END AS top2_chars,
+                  CASE WHEN d.text IS NULL THEN NULL
+                       ELSE coalesce(g3.top3_chars, 0) END AS top3_chars,
+                  c4lc.terminal_lines, c4lc.short_lines, c4lc.js_lines,
+                  CAST(length(d.text) - length(replace(replace(replace(d.text, '.', ''), '!', ''), '?', '')) AS BIGINT) AS sentence_marks,
+                  CAST(len(regexp_extract_all(d.text, '[lL][oO][rR][eE][mM] [iI][pP][sS][uU][mM]')) AS BIGINT) AS lorem_hits,
+                  CAST(length(d.text) - length(replace(d.text, '{', '')) AS BIGINT) AS brace_hits
+           FROM d
+           LEFT JOIN gsig ON d.doc_id = gsig.doc_id
+           LEFT JOIN lc ON d.doc_id = lc.doc_id
+           LEFT JOIN pc ON d.doc_id = pc.doc_id
+           LEFT JOIN g2 ON d.doc_id = g2.doc_id
+           LEFT JOIN g3 ON d.doc_id = g3.doc_id
+           LEFT JOIN c4lc ON d.doc_id = c4lc.doc_id),
+         verdicts AS (
+           SELECT sig.*,
+                  coalesce(n_words BETWEEN 50 AND 100000
+                   AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+                   AND symbol_count * 10 <= n_words
+                   AND bullet_lines * 10 <= n_lines * 9
+                   AND ellipsis_lines * 10 <= n_lines * 3
+                   AND alpha_words * 5 >= n_words * 4
+                   AND stop_hits >= 2, false) AS pass_gopher,
+                  coalesce(dup_lines * 10 <= n_lines * 3
+                   AND dup_paras * 10 <= n_paras * 3
+                   AND dup_line_chars * 5 <= n_chars_t
+                   AND dup_para_chars * 5 <= n_chars_t
+                   AND top2_chars * 5 <= n_chars_t
+                   AND top3_chars * 50 <= n_chars_t * 9, false) AS pass_repetition,
+                  coalesce(lorem_hits = 0 AND brace_hits = 0 AND sentence_marks >= 5, false) AS pass_c4
+           FROM sig)
+         SELECT *, (pass_gopher AND pass_repetition AND pass_c4) AS pass FROM verdicts""",
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
          s AS (SELECT doc_id,
@@ -1628,8 +1742,14 @@ object SparkEntry {
          codes AS (
            SELECT s.cid, s.j,
                   (SELECT d.c FROM seeds d
-                   ORDER BY list_distance(s.cv[s.j*8 + 1 : s.j*8 + 8],
-                                          d.sv[s.j*8 + 1 : s.j*8 + 8]), d.c
+                   -- squared L2, not list_distance: sqrt can round two
+                   -- distinct squared distances to the same double and fall
+                   -- to the code tie-break where the engine (which argmins
+                   -- on the exact squared sum, Ann.nearestCodeL2) does not
+                   ORDER BY list_sum(list_transform(
+                              list_zip(s.cv[s.j*8 + 1 : s.j*8 + 8], d.sv[s.j*8 + 1 : s.j*8 + 8]),
+                              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), d.c
                    LIMIT 1) AS code
            FROM sub s),
          recon AS (
@@ -1669,8 +1789,14 @@ object SparkEntry {
          codes AS (
            SELECT s.cid, s.j,
                   (SELECT d.c FROM seeds d
-                   ORDER BY list_distance(s.cv[s.j*8 + 1 : s.j*8 + 8],
-                                          d.sv[s.j*8 + 1 : s.j*8 + 8]), d.c
+                   -- squared L2, not list_distance: sqrt can round two
+                   -- distinct squared distances to the same double and fall
+                   -- to the code tie-break where the engine (which argmins
+                   -- on the exact squared sum, Ann.nearestCodeL2) does not
+                   ORDER BY list_sum(list_transform(
+                              list_zip(s.cv[s.j*8 + 1 : s.j*8 + 8], d.sv[s.j*8 + 1 : s.j*8 + 8]),
+                              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), d.c
                    LIMIT 1) AS code
            FROM sub s),
          recon AS (
@@ -1711,8 +1837,14 @@ object SparkEntry {
          codes AS (
            SELECT s.cid, s.j,
                   (SELECT d.c FROM seeds d
-                   ORDER BY list_distance(s.cv[s.j*8 + 1 : s.j*8 + 8],
-                                          d.sv[s.j*8 + 1 : s.j*8 + 8]), d.c
+                   -- squared L2, not list_distance: sqrt can round two
+                   -- distinct squared distances to the same double and fall
+                   -- to the code tie-break where the engine (which argmins
+                   -- on the exact squared sum, Ann.nearestCodeL2) does not
+                   ORDER BY list_sum(list_transform(
+                              list_zip(s.cv[s.j*8 + 1 : s.j*8 + 8], d.sv[s.j*8 + 1 : s.j*8 + 8]),
+                              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), d.c
                    LIMIT 1) AS code
            FROM sub s),
          recon AS (

@@ -327,7 +327,7 @@ object Ann {
       vec: String,
       planes: Int = 6,
       dim: Int = 64
-  ): Unit =
+  ): Unit = {
     corpus
       .filter(col(vec).isNotNull)
       .select(
@@ -340,6 +340,18 @@ object Ann {
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(path)
+    // model sidecar: a restarted pipeline probes/appends with the exact
+    // parameters the buckets were built under (AnnModels)
+    AnnModels.writeLsh(corpus.sparkSession, path, planes, dim)
+  }
+
+  /** [[appendLshIndex]] under the parameters persisted at
+    * [[writeLshIndex]] time — the restart path: no caller-held model state.
+    */
+  def appendLshIndexResumed(batch: DataFrame, path: String, id: String, vec: String): Unit = {
+    val (planes, dim) = AnnModels.readLsh(batch.sparkSession, path)
+    appendLshIndex(batch, path, id, vec, planes, dim)
+  }
 
   /** Probe a [[writeLshIndex]] layout. The probe keys are collected on the
     * driver (bounded: |queries| × (planes+1) longs — queries are
@@ -390,7 +402,7 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       stagingPath: String
-  ): Unit =
+  ): Unit = {
     spark.read
       .parquet(path)
       .repartition(col("bucket"))
@@ -398,6 +410,29 @@ object Ann {
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(stagingPath)
+    // carry the model sidecar: the compacted copy must stay probe-able
+    // after the directory swap (pre-sidecar indexes have nothing to carry)
+    try {
+      val (planes, dim) = AnnModels.readLsh(spark, path)
+      AnnModels.writeLsh(spark, stagingPath, planes, dim)
+    } catch { case _: IllegalStateException => () }
+  }
+
+  /** [[lshTopKIndexed]] under the parameters persisted at
+    * [[writeLshIndex]] time — the restart path: a new session probes an
+    * existing index with zero caller-held model state.
+    */
+  def lshTopKIndexedResumed(
+      indexPath: String,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      k: Int,
+      probeHamming: Int = 1
+  ): DataFrame = {
+    val (planes, dim) = AnnModels.readLsh(queries.sparkSession, indexPath)
+    lshTopKIndexed(indexPath, queries, qid, qvec, k, planes, dim, probeHamming)
+  }
 
   def lshTopKIndexed(
       indexPath: String,
@@ -708,11 +743,13 @@ object Ann {
 
   /** Write a persisted IVF-PQ index: CELL-partitioned parquet holding only
     * (neighbor_id, code) — m small ints per vector. The data on disk is the
-    * compressed index; the models (`cells`, `books`) are driver-sized values
-    * the caller persists however it stores model bytes. Probing reads only
-    * the probed cell directories ([[pqTopKIndexed]]) and each vector lives
-    * in exactly one cell, so no duplicate pairs — the same layout contract
-    * as [[writeLshIndex]], with PQ compression on top.
+    * compressed index; the models (`cells`, `books`) are persisted alongside
+    * as a versioned sidecar ([[AnnModels]]), so a restarted pipeline probes
+    * and appends without retraining (retraining would corrupt the frozen
+    * positional code meanings). Probing reads only the probed cell
+    * directories ([[pqTopKIndexed]]) and each vector lives in exactly one
+    * cell, so no duplicate pairs — the same layout contract as
+    * [[writeLshIndex]], with PQ compression on top.
     */
   def writePqIndex(
       corpus: DataFrame,
@@ -721,7 +758,7 @@ object Ann {
       vec: String,
       cells: Seq[(Long, Seq[Double])],
       books: Seq[Seq[Seq[Double]]]
-  ): Unit =
+  ): Unit = {
     corpus
       .filter(col(vec).isNotNull)
       .select(
@@ -734,6 +771,33 @@ object Ann {
       .mode("overwrite")
       .partitionBy("cell")
       .parquet(path)
+    AnnModels.writeIvfPq(corpus.sparkSession, path, cells, books)
+  }
+
+  /** [[appendPqIndex]] under the models persisted at [[writePqIndex]] time —
+    * the restart path for incremental maintenance: the frozen-model append
+    * contract holds across process death with zero caller-held state.
+    */
+  def appendPqIndexResumed(batch: DataFrame, path: String, id: String, vec: String): Unit = {
+    val (cells, books) = AnnModels.readIvfPq(batch.sparkSession, path)
+    appendPqIndex(batch, path, id, vec, cells, books)
+  }
+
+  /** [[pqTopKIndexed]] under the models persisted at [[writePqIndex]] time —
+    * the restart path: a new session probes an existing index with zero
+    * caller-held model state.
+    */
+  def pqTopKIndexedResumed(
+      indexPath: String,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val (cells, books) = AnnModels.readIvfPq(queries.sparkSession, indexPath)
+    pqTopKIndexed(indexPath, queries, qid, qvec, k, cells, books, nprobe)
+  }
 
   /** Incremental maintenance for a [[writePqIndex]] layout: append new
     * vectors encoded under the SAME frozen models — O(batch), on-disk cell

@@ -2,7 +2,6 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly what `rlike` would evaluate — and every pattern used is
   * RE2-compatible so the DuckDB oracle replays it.
   */
-case class C4Signals(child: Expression) extends UnaryExpression with CodegenFallback {
+case class C4Signals(child: Expression) extends UnaryExpression with NativeKernelCodegen {
 
   override def dataType: DataType = StructType(
     Seq(
@@ -40,9 +39,24 @@ case class C4Signals(child: Expression) extends UnaryExpression with CodegenFall
     ).map(StructField(_, LongType, nullable = false))
   )
 
+  override def kernel(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val v = C4Signals.compute(text, text.split("\n", -1))
+    InternalRow(v(0), v(1), v(2), v(3), v(4), v(5), v(6))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object C4Signals {
+
   // \z, not $: Java's $ also matches before a final U+0085/U+2028/U+2029
   // line terminator, which RE2's $ (what the oracle evaluates) does not.
-  @transient private lazy val terminalRe = java.util.regex.Pattern.compile("[.!?\"]\\s*\\z")
+  // Whitespace spelled as TextPrimitives.WsClass, not \s: Java's \s admits
+  // U+000B, RE2's (the oracle's) does not.
+  @transient private lazy val terminalRe =
+    java.util.regex.Pattern.compile("[.!?\"]" + TextPrimitives.WsClass + "*\\z")
   // ASCII case classes, not (?i): Java's (?i) folds ASCII only while RE2's
   // applies Unicode simple folding (U+017F matches 's') — spelled-out
   // classes behave identically in both engines
@@ -51,13 +65,13 @@ case class C4Signals(child: Expression) extends UnaryExpression with CodegenFall
   @transient private lazy val loremRe =
     java.util.regex.Pattern.compile("[lL][oO][rR][eE][mM] [iI][pP][sS][uU][mM]")
 
-  /** Exactly Java regex \\s = [ \\t\\n\\x0B\\f\\r] — the class every other
-    * operator tokenizes with — NOT Character.isWhitespace (which admits
-    * the U+001C-U+001F separators and would diverge from both the `rlike`
-    * column form and the oracle).
+  /** Exactly RE2's \\s = [ \\t\\n\\f\\r] ([[TextPrimitives.isWs]]) — the
+    * class every other operator tokenizes with — NOT Java's \\s (which adds
+    * U+000B and would diverge from the RE2-backed oracle on vertical-tab
+    * text) and NOT Character.isWhitespace (which admits the U+001C-U+001F
+    * separators).
     */
-  private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isSpace(c: Char): Boolean = TextPrimitives.isWs(c)
 
   private def wordCount(line: String): Int = {
     var n = 0
@@ -72,9 +86,10 @@ case class C4Signals(child: Expression) extends UnaryExpression with CodegenFall
     n
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val lines = text.split("\n", -1)
+  /** The 7 signal values, from pre-split lines so the fused
+    * [[QualitySignals]] shares one line split across all three gates.
+    */
+  private[expr] def compute(text: String, lines: Array[String]): Array[Long] = {
     var terminal = 0L
     var short = 0L
     var js = 0L
@@ -98,9 +113,6 @@ case class C4Signals(child: Expression) extends UnaryExpression with CodegenFall
     var lorem = 0L
     val m = loremRe.matcher(text)
     while (m.find()) lorem += 1
-    InternalRow(lines.length.toLong, terminal, short, js, marks, lorem, braces)
+    Array(lines.length.toLong, terminal, short, js, marks, lorem, braces)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

@@ -2,7 +2,6 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -30,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class GopherSignals(child: Expression, stopwords: Seq[String])
     extends UnaryExpression
-    with CodegenFallback {
+    with NativeKernelCodegen {
 
   override def dataType: DataType = StructType(
     Seq(
@@ -45,11 +44,35 @@ case class GopherSignals(child: Expression, stopwords: Seq[String])
     ).map(StructField(_, LongType, nullable = false))
   )
 
-  @transient private lazy val bulletRe = java.util.regex.Pattern.compile("^\\s*[-*•]")
+  @transient private lazy val stopSet = GopherSignals.stopSet(stopwords)
+
+  override def kernel(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val v = GopherSignals.compute(
+      text,
+      TextPrimitives.tokens(text),
+      text.split("\n", -1),
+      stopSet
+    )
+    InternalRow(v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GopherSignals {
+
+  // Whitespace spelled as TextPrimitives.WsClass, not \s: Java's \s admits
+  // U+000B, RE2's (the oracle's) does not.
+  @transient private lazy val bulletRe =
+    java.util.regex.Pattern.compile("^" + TextPrimitives.WsClass + "*[-*•]")
   // \z, not $: Java's $ also matches before a final U+0085/U+2028/U+2029
   // line terminator, which RE2's $ (what the oracle evaluates) does not
-  @transient private lazy val ellipsisRe = java.util.regex.Pattern.compile("(\\.\\.\\.|…)\\s*\\z")
-  @transient private lazy val stopSet = {
+  @transient private lazy val ellipsisRe =
+    java.util.regex.Pattern.compile("(\\.\\.\\.|…)" + TextPrimitives.WsClass + "*\\z")
+
+  private[expr] def stopSet(stopwords: Seq[String]): java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](stopwords.size * 2)
     stopwords.foreach(s.add)
     s
@@ -70,12 +93,18 @@ case class GopherSignals(child: Expression, stopwords: Seq[String])
     n
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val tokens = TextPrimitives.tokens(text)
+  /** The 8 signal values, from pre-split tokens/lines so the fused
+    * [[QualitySignals]] shares one tokenization across all three gates.
+    */
+  private[expr] def compute(
+      text: String,
+      tokens: Array[String],
+      lines: Array[String],
+      stopSet: java.util.HashSet[String]
+  ): Array[Long] = {
     var wordChars = 0L
     var alphaWords = 0L
-    val hits = new java.util.HashSet[String](stopwords.size * 2)
+    val hits = new java.util.HashSet[String](stopSet.size * 2)
     var i = 0
     while (i < tokens.length) {
       val t = tokens(i)
@@ -91,7 +120,6 @@ case class GopherSignals(child: Expression, stopwords: Seq[String])
       if (stopSet.contains(t)) hits.add(t)
       i += 1
     }
-    val lines = text.split("\n", -1)
     var bulletLines = 0L
     var ellipsisLines = 0L
     i = 0
@@ -102,7 +130,7 @@ case class GopherSignals(child: Expression, stopwords: Seq[String])
     }
     val symbolCount =
       countChar(text, '#') + countChar(text, '…') + countSubstring(text, "...")
-    InternalRow(
+    Array(
       tokens.length.toLong,
       wordChars,
       alphaWords,
@@ -113,7 +141,4 @@ case class GopherSignals(child: Expression, stopwords: Seq[String])
       hits.size().toLong
     )
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

@@ -2,7 +2,6 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * dup_line_chars, n_paras, dup_paras, dup_para_chars, top2_chars,
   * top3_chars. Null text → null struct.
   */
-case class RepetitionSignals(child: Expression) extends UnaryExpression with CodegenFallback {
+case class RepetitionSignals(child: Expression) extends UnaryExpression with NativeKernelCodegen {
 
   override def dataType: DataType = StructType(
     Seq(
@@ -41,6 +40,18 @@ case class RepetitionSignals(child: Expression) extends UnaryExpression with Cod
       "top3_chars"
     ).map(StructField(_, LongType, nullable = false))
   )
+
+  override def kernel(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val v = RepetitionSignals.compute(text, TextPrimitives.tokens(text), text.split("\n", -1))
+    InternalRow(v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionSignals {
 
   /** (extra occurrences, their code-point char mass) over an array. */
   private def dupStats(values: Array[String]): (Long, Long) = {
@@ -85,14 +96,19 @@ case class RepetitionSignals(child: Expression) extends UnaryExpression with Cod
     best
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val lines = text.split("\n", -1)
+  /** The 9 signal values, from pre-split tokens/lines so the fused
+    * [[QualitySignals]] shares one tokenization across all three gates
+    * (paragraphs are split here — no other gate needs them).
+    */
+  private[expr] def compute(
+      text: String,
+      tokens: Array[String],
+      lines: Array[String]
+  ): Array[Long] = {
     val paras = text.split("\n{2,}", -1)
-    val tokens = TextPrimitives.tokens(text)
     val (dupLines, dupLineChars) = dupStats(lines)
     val (dupParas, dupParaChars) = dupStats(paras)
-    InternalRow(
+    Array(
       TextPrimitives.cpLen(text),
       lines.length.toLong,
       dupLines,
@@ -104,7 +120,4 @@ case class RepetitionSignals(child: Expression) extends UnaryExpression with Cod
       topGramChars(tokens, 3)
     )
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

@@ -1,7 +1,6 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,7 +26,7 @@ import scala.collection.mutable
   * sorted distinct (`transform.py:287`).
   */
 case class SquashMeta(child: Expression, dict: Seq[(String, String)] = Nil)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeKernelCodegen {
 
   private implicit val utf8Ord: Ordering[UTF8String] = (a, b) => a.compareTo(b)
 
@@ -39,7 +38,7 @@ case class SquashMeta(child: Expression, dict: Seq[(String, String)] = Nil)
   override def dataType: DataType =
     MapType(StringType, MapType(StringType, ArrayType(StringType)))
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val encoded = dict.nonEmpty

@@ -10,8 +10,28 @@ package graft.expr
   *   - [[tokens]] = `list_filter(regexp_split_to_array(trim(text),
   *     '\s+'), x -> length(x) > 0)`;
   *   - [[cpLen]] counts code points (SQL `length`), not UTF-16 units.
+  *
+  * WHITESPACE CLASS — pinned to RE2's `\s` = `[ \t\n\f\r]` (space, tab,
+  * newline, form feed, carriage return; NO U+000B vertical tab). Java's
+  * regex `\s` additionally includes U+000B, so a `"\\s"`-based split on the
+  * JVM tokenizes \x0B-bearing text (common in web scrapes) differently from
+  * the RE2-backed DuckDB oracles. Every engine-side tokenizer therefore
+  * spells [[WsClass]]/[[WsPlus]] literally instead of `\s`; the oracle SQL
+  * may keep `'\s'` because in RE2 that IS this class by definition.
   */
-private[expr] object TextPrimitives {
+private[graft] object TextPrimitives {
+
+  /** RE2's `\s` character class, spelled explicitly (excludes U+000B). Valid
+    * verbatim in both Java regex and RE2.
+    */
+  val WsClass: String = "[ \\t\\n\\f\\r]"
+
+  /** `WsClass+` — the token separator used by every whitespace split. */
+  val WsPlus: String = WsClass + "+"
+
+  /** Is `c` whitespace under the pinned class (NOT Java `\s`: no \x0B). */
+  def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   def sqlTrim(s: String): String = {
     var start = 0
@@ -22,7 +42,7 @@ private[expr] object TextPrimitives {
   }
 
   def tokens(text: String): Array[String] =
-    sqlTrim(text).split("\\s+").filter(_.nonEmpty)
+    sqlTrim(text).split(WsPlus).filter(_.nonEmpty)
 
   def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
 }

@@ -1,7 +1,6 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,18 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * runtime, see BENCH history); this is a single tokenize + windowed join +
   * hash-set dedup.
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression with NativeKernelCodegen {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     // SQL-exact trim (spaces only) via TextPrimitives policy; keep the
     // [""] degenerate form for empty text, like Spark's split
     val trimmed = TextPrimitives.sqlTrim(text)
-    val tokens = trimmed.split("\\s+")
+    val tokens = trimmed.split(TextPrimitives.WsPlus)
     val upper = math.max(tokens.length - n, 0)
     val seen = new java.util.LinkedHashSet[String](math.max(8, upper * 2))
     val sb = new java.lang.StringBuilder(64)

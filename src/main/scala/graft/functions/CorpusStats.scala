@@ -21,10 +21,19 @@ object CorpusStats {
   /** Per-`keys` group: row count, min/max, exact p50 (lower median,
     * k = ceil(n/2)) and exact p90 (k = ceil(0.9 n)) of `value`.
     * Output: (keys..., n_rows, min_v, max_v, p50, p90).
+    *
+    * NULL POLICY: null values are dropped before aggregating — `n_rows`
+    * counts only rows with a value, and percentiles are over present values.
+    * (Engines also disagree on null placement in ORDER BY — Spark defaults
+    * NULLS FIRST, DuckDB NULLS LAST — so keeping nulls would silently skew
+    * `cum` differently per engine; dropping them makes the stats
+    * engine-independent and honest: a null has no place in a length
+    * distribution.)
     */
   def exactPercentiles(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
     val k = keys.map(col)
     val counts = df
+      .filter(col(value).isNotNull)
       .groupBy(k :+ col(value).cast("long").as("v"): _*)
       .agg(count(lit(1)).as("c"))
     val cum = counts

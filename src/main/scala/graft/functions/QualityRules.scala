@@ -151,14 +151,70 @@ object QualityRules {
         "n_words", "word_chars", "alpha_words", "n_lines",
         "bullet_lines", "ellipsis_lines", "symbol_count", "stop_hits"
       )
-    ) { s =>
-      s("n_words").between(minWords, maxWords) &&
-        s("word_chars") >= s("n_words") * 3 &&
-        s("word_chars") <= s("n_words") * 10 &&
-        s("symbol_count") * 10 <= s("n_words") &&
-        s("bullet_lines") * 10 <= s("n_lines") * 9 &&
-        s("ellipsis_lines") * 10 <= s("n_lines") * 3 &&
-        s("alpha_words") * 5 >= s("n_words") * 4 &&
-        s("stop_hits") >= 2
-    }
+    )(gopherPass(minWords, maxWords))
+
+  // The three published verdicts, factored so `all` applies the exact same
+  // threshold arithmetic to the fused signal struct.
+  private def gopherPass(minWords: Long, maxWords: Long)(s: String => Column): Column =
+    s("n_words").between(minWords, maxWords) &&
+      s("word_chars") >= s("n_words") * 3 &&
+      s("word_chars") <= s("n_words") * 10 &&
+      s("symbol_count") * 10 <= s("n_words") &&
+      s("bullet_lines") * 10 <= s("n_lines") * 9 &&
+      s("ellipsis_lines") * 10 <= s("n_lines") * 3 &&
+      s("alpha_words") * 5 >= s("n_words") * 4 &&
+      s("stop_hits") >= 2
+
+  private def repetitionPass(s: String => Column): Column =
+    s("dup_lines") * 10 <= s("n_lines") * 3 &&
+      s("dup_paras") * 10 <= s("n_paras") * 3 &&
+      s("dup_line_chars") * 5 <= s("n_chars_t") &&
+      s("dup_para_chars") * 5 <= s("n_chars_t") &&
+      s("top2_chars") * 5 <= s("n_chars_t") &&
+      s("top3_chars") * 50 <= s("n_chars_t") * 9
+
+  private def c4Pass(s: String => Column): Column =
+    s("lorem_hits") === 0 && s("brace_hits") === 0 && s("sentence_marks") >= 5
+
+  /** ALL THREE gates in one scan: the fused
+    * [[graft.expr.QualitySignals]] expression materializes, tokenizes and
+    * line-splits each document exactly once and runs the three gate kernels
+    * over the shared arrays — a curation pipeline applies the gates
+    * together, and running the standalone operators costs three corpus
+    * scans where this costs one (PlanSpec asserts one scan, zero
+    * exchanges, inside WholeStageCodegen).
+    *
+    * Output: (id, <the 22 fused signals>, pass_gopher, pass_repetition,
+    * pass_c4, pass) where `pass` is the conjunction — exactly the rows a
+    * Gopher+C4-filtered corpus would keep. Null text → all-false verdicts.
+    */
+  def all(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L
+  ): DataFrame = {
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.QualitySignals(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(text)),
+        RequiredStopwords
+      )
+    )
+    val withSig = docs.select(col(id), sig.as("__sig"))
+    val s = (f: String) => col("__sig").getField(f)
+    // gopher's n_lines lives at the shared slot in the fused struct
+    val fields = graft.expr.QualitySignals.FieldNames
+    val pg = coalesce(gopherPass(minWords, maxWords)(s), lit(false))
+    val pr = coalesce(repetitionPass(s), lit(false))
+    val pc = coalesce(c4Pass(s), lit(false))
+    withSig.select(
+      (col(id) +: fields.map(f => s(f).as(f))) ++ Seq(
+        pg.as("pass_gopher"),
+        pr.as("pass_repetition"),
+        pc.as("pass_c4"),
+        (pg && pr && pc).as("pass")
+      ): _*
+    )
+  }
 }

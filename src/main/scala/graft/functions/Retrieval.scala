@@ -38,7 +38,7 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    val qTerms = query.toLowerCase.trim.split("\\s+").toSeq.distinct
+    val qTerms = query.toLowerCase.trim.split(graft.expr.TextPrimitives.WsPlus).toSeq.distinct
     val toks = docs.select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
     val dl = toks.select(col("id"), size(col("toks")).cast("long").as("dl"))
     // N and avgdl as a 1-row broadcast join, not a driver-side action

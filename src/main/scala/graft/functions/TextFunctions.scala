@@ -16,18 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens (the baseline tokenizer). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens (the baseline tokenizer). Separator spelled as the
+    * explicit RE2 `\s` class ([[graft.expr.TextPrimitives.WsPlus]]) — Spark's
+    * `split` runs Java regex, whose `\s` also admits U+000B and would
+    * tokenize vertical-tab text differently from the RE2-backed oracles.
+    */
+  def tokens(text: Column): Column = split(trim(text), graft.expr.TextPrimitives.WsPlus)
 
   /** BPE-style pre-tokenization (the public GPT-2 pre-tokenizer pattern,
     * minus its trailing-space lookahead so the same pattern runs identically
     * under RE2-based engines): English contractions, letter runs, digit
     * runs, punctuation runs, each optionally absorbing one leading space.
     * Pre-tokens are the units BPE merges operate on, so their count is the
-    * standard corpus-budget estimator.
+    * standard corpus-budget estimator. The whitespace exclusion in the
+    * punctuation-run class is spelled as the explicit RE2 `\s` set
+    * `[ \t\n\f\r]` (Spark evaluates this pattern under Java regex, whose
+    * `\s` also admits U+000B; the oracle's RE2 `[^\s...]` does not).
     */
   val BpePretokenPattern: String =
-    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+"""
 
   /** All BPE pre-tokens (leading space retained, as BPE vocabularies do). */
   def bpeTokens(text: Column): Column =

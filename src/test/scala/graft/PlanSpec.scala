@@ -159,7 +159,35 @@ class PlanSpec extends SparkSpec {
       assert(!s.contains("ScalaUDF") && !s.contains("BatchEvalPython"), q)
       assert(nodeCount(s, "Scan parquet") == 1, q)
       assert(nodeCount(s, "Generate") == 0, s"$q must not explode")
+      // the native signal structs generate a direct kernel call
+      // (NativeKernelCodegen), they are NOT CodegenFallback — which would
+      // exclude the whole projection stage from WholeStageCodegen
+      assert(wscgProjects(SparkEntry.queries(q)(spark, sf)), s"$q projection left WholeStageCodegen")
     }
+  }
+
+  /** Every ProjectExec in the plan sits under a WholeStageCodegenExec. */
+  private def wscgProjects(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+    val p = df.queryExecution.executedPlan
+    val inWscg = p.collect { case w: WholeStageCodegenExec => w }
+      .flatMap(_.collect { case pr: ProjectExec => pr })
+    val all = p.collect { case pr: ProjectExec => pr }
+    all.nonEmpty && all.size == inWscg.size
+  }
+
+  test("fused quality gate: one scan, zero exchanges, inside WholeStageCodegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.functions.QualityRules.all(docs, "doc_id", "text")
+    val s = fmt(df)
+    // all three gates from ONE scan of the corpus with zero exchanges —
+    // running them separately costs three scans
+    assert(nodeCount(s, "Scan parquet") == 1, s)
+    assert(!s.contains("Exchange"), "fused gate must not shuffle")
+    assert(!s.contains("ScalaUDF") && !s.contains("BatchEvalPython"))
+    assert(wscgProjects(df), s"fused projection left WholeStageCodegen:\n${plan(df)}")
+    // the scan reads only (doc_id, text) — signals don't widen the scan
+    assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s)
   }
 
   test("temperatureMix broadcasts the target table; documents shuffle once") {

@@ -606,4 +606,59 @@ class DedupSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
     graft.util.TempDirs.delete(java.nio.file.Paths.get(rebuiltDir))
   }
+
+  test("ANN model persistence: a restarted session probes and appends with no caller state") {
+    import graft.ann.{Ann, AnnModels}
+    val mk = (range: Range) => range.map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 5 + j) + 0.01 * math.sin(i * 13 + j)).toFloat))
+    }
+    val df = mk(0 until 60).toDF("vec_id", "embedding")
+    val cells = Ann.trainIvfCells(df, "vec_id", "embedding", nlists = 6)
+    val books = Ann.pqTrain(df, "vec_id", "embedding", m = 4, codeK = 8)
+    val dir = graft.util.TempDirs.scratch("ann-model-restart").toString
+    Ann.writePqIndex(df, dir, "vec_id", "embedding", cells, books)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // "kill" the pipeline: a FRESH session holds no cells/books — everything
+    // must come back from the on-disk sidecar, bit-exact
+    val restarted = spark.newSession()
+    import restarted.implicits.{localSeqToDatasetHolder => _}
+    val (loadedCells, loadedBooks) = AnnModels.readIvfPq(restarted, dir)
+    assert(loadedCells == cells, "IVF cells must round-trip exactly")
+    assert(loadedBooks == books, "PQ codebooks must round-trip exactly")
+
+    val queriesNew = restarted.createDataFrame(mk(0 until 2)).toDF("vec_id", "embedding")
+    val resumed = Ann.pqTopKIndexedResumed(dir, queriesNew, "vec_id", "embedding", 5, nprobe = 3)
+    val inMemory = Ann.pqTopKIndexed(dir, queriesNew, "vec_id", "embedding", 5, cells, books, nprobe = 3)
+    assert(rows(resumed) == rows(inMemory), "restart probe must equal the in-memory run")
+
+    // frozen-model append from the restarted session == full rebuild
+    val more = restarted.createDataFrame(mk(60 until 90)).toDF("vec_id", "embedding")
+    Ann.appendPqIndexResumed(more, dir, "vec_id", "embedding")
+    val appended = Ann.pqTopKIndexedResumed(dir, queriesNew, "vec_id", "embedding", 5, nprobe = 3)
+    val rebuiltDir = graft.util.TempDirs.scratch("ann-model-rebuild").toString
+    val all = restarted.createDataFrame(mk(0 until 90)).toDF("vec_id", "embedding")
+    Ann.writePqIndex(all, rebuiltDir, "vec_id", "embedding", cells, books)
+    val rebuilt = Ann.pqTopKIndexedResumed(rebuiltDir, queriesNew, "vec_id", "embedding", 5, nprobe = 3)
+    assert(rows(appended) == rows(rebuilt), "resumed append must equal a full rebuild")
+
+    // LSH sidecar: restart probe under persisted (planes, dim); compaction
+    // carries the sidecar; kind mismatches fail loudly
+    val lshDir = graft.util.TempDirs.scratch("ann-lsh-model").toString
+    Ann.writeLshIndex(df, lshDir, "vec_id", "embedding", planes = 6, dim = 16)
+    assert(AnnModels.readLsh(restarted, lshDir) == ((6, 16)))
+    val lshResumed = Ann.lshTopKIndexedResumed(lshDir, queriesNew, "vec_id", "embedding", 5)
+    val lshDirect = Ann.lshTopKIndexed(lshDir, queriesNew, "vec_id", "embedding", 5, planes = 6, dim = 16)
+    assert(rows(lshResumed) == rows(lshDirect))
+    val staged = graft.util.TempDirs.scratch("ann-lsh-model-compact").toString
+    Ann.compactLshIndex(restarted, lshDir, staged)
+    assert(AnnModels.readLsh(restarted, staged) == ((6, 16)), "compaction must carry the sidecar")
+    intercept[IllegalArgumentException](AnnModels.readLsh(restarted, dir)) // ivfpq, not lsh
+    intercept[IllegalStateException](AnnModels.readIvfPq(restarted, staged + "/nope"))
+
+    Seq(dir, rebuiltDir, lshDir, staged)
+      .foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
+  }
 }

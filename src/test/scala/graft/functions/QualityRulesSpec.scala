@@ -165,6 +165,52 @@ class QualityRulesSpec extends SparkSpec {
     assert(lorem(2L).getAs[Long]("lorem_hits") == 0)
   }
 
+  test("whitespace class is RE2's \\s: vertical tab is NOT a separator") {
+    // U+000B is whitespace to Java's \s but not to RE2's (the oracle's):
+    // "a\u000Bb" must tokenize as ONE token on both sides
+    val r = run(Seq(1L -> "the be to of and more\u000Bwords here now ok"))(1L)
+    assert(r.getAs[Long]("n_words") == 9) // "more words" joined by U+000B is one token
+    val c4 = runC4(Seq(1L -> "ends fine.\u000B", 2L -> "one two\u000Bthree"))
+    // trailing U+000B is not \s* before the terminal anchor
+    assert(c4(1L).getAs[Long]("terminal_lines") == 0)
+    // C4 word counting: U+000B does not separate words → 2 words < 3 → short
+    assert(c4(2L).getAs[Long]("short_lines") == 1)
+  }
+
+  test("fused `all` gate equals the standalone gates, signal for signal") {
+    val docs = Seq(
+      1L -> good,
+      2L -> "alpha beta\nalpha beta\ngamma delta\n\nsame para\n\nsame para",
+      3L -> ("Lorem Ipsum dolor sit amet. " + good),
+      4L -> Seq.fill(20)("buy now").mkString(" "),
+      5L -> "",
+      6L -> (null: String),
+      7L -> "- bullet one the and\n- bullet two the and\nOne. Two. Three. Four. Five."
+    )
+    val df = docs.toDF("doc_id", "text")
+    val a = QualityRules.all(df, "doc_id", "text", minWords = 5, maxWords = 100)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = run(docs)
+    val r = runRep(docs)
+    val c = runC4(docs)
+    def eq(row: Row, other: Row, f: String, asName: String): Unit =
+      assert(row.get(row.fieldIndex(asName)) == other.get(other.fieldIndex(f)),
+        s"field $f: ${row.get(row.fieldIndex(asName))} != ${other.get(other.fieldIndex(f))}")
+    for (id <- docs.map(_._1)) {
+      for (f <- Seq("n_words", "word_chars", "alpha_words", "n_lines", "bullet_lines",
+          "ellipsis_lines", "symbol_count", "stop_hits")) eq(a(id), g(id), f, f)
+      for (f <- Seq("n_chars_t", "dup_lines", "dup_line_chars", "n_paras", "dup_paras",
+          "dup_para_chars", "top2_chars", "top3_chars")) eq(a(id), r(id), f, f)
+      for (f <- Seq("terminal_lines", "short_lines", "js_lines", "sentence_marks",
+          "lorem_hits", "brace_hits")) eq(a(id), c(id), f, f)
+      eq(a(id), g(id), "pass", "pass_gopher")
+      eq(a(id), r(id), "pass", "pass_repetition")
+      eq(a(id), c(id), "pass", "pass_c4")
+      assert(a(id).getAs[Boolean]("pass") ==
+        (g(id).getAs[Boolean]("pass") && r(id).getAs[Boolean]("pass") && c(id).getAs[Boolean]("pass")))
+    }
+  }
+
   test("gopher is whitespace- and null-robust: empty, blank, null docs all fail") {
     val out = run(Seq(1L -> "", 2L -> "   ", 3L -> "\n\n\n", 4L -> (null: String)))
     assert(out.values.forall(!_.getAs[Boolean]("pass"))) // pass is never null
