@@ -92,6 +92,50 @@ final class GraftSync(
     progress.phaseName = "live"
   }
 
+  /** RESUMABLE snapshot — the ctid-resume analogue
+    * (`/root/reference/bin/parallel_sync:66-97` records completed ctid
+    * pages; a crashed run resumes at the first incomplete page). The
+    * document space is chunked by the index's own root-id bucket hash;
+    * each completed chunk is a SNAPSHOT_PROGRESS line, so a process that
+    * dies mid-snapshot loses at most one chunk's work. The index becomes
+    * visible (CURRENT flip) only when every chunk is done — identical
+    * content to [[snapshot]].
+    *
+    * The chunk predicate is pushed into the ROOT table scan (it is an
+    * expression over the root's primary-key columns), so the joins,
+    * aggregation shuffles and writes of each chunk process only that
+    * chunk's roots — total shuffle/write work stays ~1× the unchunked
+    * snapshot; only the raw scans repeat.
+    */
+  def snapshotResumable(nChunks: Int = 8): Unit = {
+    progress.phaseName = "snapshot"
+    val done = state.beginResumableSnapshot(nChunks)
+    (0 until nChunks).filterNot(done).foreach(c => snapshotChunk(c, nChunks))
+    state.finalizeSnapshot()
+    progress.snapshotDocs.set(state.docs.count())
+    progress.phaseName = "live"
+  }
+
+  /** One chunk of [[snapshotResumable]] — public as the unit of
+    * kill-and-resume (an external scheduler can drive chunks itself and
+    * call `state.finalizeSnapshot()` when all report complete). Completed
+    * chunks are skipped, so replays are no-ops.
+    */
+  def snapshotChunk(chunk: Int, nChunks: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val pks = DocAssembler.primaryKeys(schema.root, catalog)
+    // the same `_id` bytes the assembler builds (concat_ws on PK strings),
+    // expressed over the raw root scan so the restriction pushes down
+    val idExpr = concat_ws(DocAssembler.IdDelimiter, pks.map(p => col(p).cast("string")): _*)
+    val docs = DocAssembler.assemble(
+      schema.root,
+      load,
+      catalog,
+      rootScanFilter = df => df.filter(state.chunkPredicate(idExpr, chunk, nChunks))
+    )
+    state.initializeChunk(chunk, nChunks, Plugins(docs, plugins))
+  }
+
   /** The changed-column guard set per tree table (P9): each node's
     * configured column base names — what the reference's trigger compares
     * (`pgsync/trigger.py:58-71`, columns from `sync.py:412-419`) — PLUS the

@@ -110,6 +110,41 @@ object SparkEntry {
             transform(col("suppliers"), x => x("s_suppkey").cast("string"))
           ).as("supp_keys")
         )),
+    // ---- citext parity: case-folded FK join (base.py:61-69) ----------------
+    // documents' lang is case-mangled per row; the dim table holds UPPER
+    // codes. With `case_insensitive` on both leg columns the assembler joins
+    // lower()==lower(), so every case variant resolves to its one dim row.
+    "q_ci_join" -> ((s, dir) => {
+      import graft.catalog.{ForeignKey, TableMeta}
+      val base = loader(s, dir)("documents")
+      val docs = base.select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, upper(col("lang")))
+          .otherwise(col("lang")).as("lang")
+      )
+      val dim = base.select(upper(col("lang")).as("code")).distinct()
+        .withColumn("family", concat(lit("fam_"), lower(col("code"))))
+      val cat = Catalog(Map(
+        "docs_ci" -> TableMeta(
+          "docs_ci", Seq("doc_id"),
+          Seq(ForeignKey("docs_ci", Seq("lang"), "lang_dim", Seq("code"))),
+          caseInsensitive = Seq("lang")
+        ),
+        "lang_dim" -> TableMeta("lang_dim", Seq("code"), caseInsensitive = Seq("code"))
+      ))
+      val ld: String => DataFrame = { case "docs_ci" => docs; case "lang_dim" => dim }
+      val nodes = SchemaDef.parseNodes(
+        """{
+          "table": "docs_ci", "columns": ["doc_id", "lang"],
+          "children": [
+            {"table": "lang_dim", "label": "family", "columns": ["family"],
+             "relationship": {"type": "one_to_one", "variant": "scalar"}}
+          ]
+        }"""
+      )
+      DocAssembler.assemble(nodes, ld, cat)
+        .select(col("_id"), col("doc_id"), col("lang"), col("family"))
+    }),
     // ---- one_to_many scalar variant ----------------------------------------
     "q_scalar_array" -> ((s, dir) =>
       assembled(s, dir, Fixtures.scalarArray)
@@ -771,6 +806,18 @@ object SparkEntry {
                 COALESCE(len(sup.sks), 0) AS n_suppliers,
                 COALESCE(array_to_string(sup.sks, ','), '') AS supp_keys
          FROM part p LEFT JOIN sup ON sup.pk = p.p_partkey""",
+    "q_ci_join" ->
+      // case-folded join replay: both sides lower() exactly like the
+      // citext-aware assembler leg
+      """WITH docs_ci AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang
+           FROM documents),
+         dim AS (
+           SELECT code, 'fam_' || lower(code) AS family
+           FROM (SELECT DISTINCT upper(lang) AS code FROM documents))
+         SELECT CAST(d.doc_id AS VARCHAR) AS _id, d.doc_id, d.lang, dim.family
+         FROM docs_ci d LEFT JOIN dim ON lower(d.lang) = lower(dim.code)""",
     "q_scalar_array" ->
       """WITH pk AS (
            SELECT l_orderkey, list(CAST(l_partkey AS VARCHAR) ORDER BY l_partkey) AS pks

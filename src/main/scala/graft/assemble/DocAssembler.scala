@@ -54,8 +54,21 @@ object DocAssembler {
       parentCols: Seq[String],
       label: String,
       lineageCol: String,
-      isMany: Boolean
+      isMany: Boolean,
+      /** Per-leg citext flag, aligned with keyCols/parentCols: the child
+        * side was already lower()ed at the source, the parent side folds in
+        * the join condition.
+        */
+      foldKeys: Seq[Boolean] = Nil
   )
+
+  /** citext membership: comparisons on this column fold case
+    * (`pgsync/base.py:61-69`; [[graft.catalog.TableMeta.caseInsensitive]]).
+    * A leg folds when EITHER side's column is citext, like Postgres type
+    * promotion for citext = text.
+    */
+  private def citext(catalog: Catalog, table: String, column: String): Boolean =
+    catalog.tables.get(table).exists(_.caseInsensitive.contains(column))
 
   /** Assemble the document DataFrame for `root`'s tree: `_id`, doc fields,
     * child labels, `_meta`. `load` maps table name → DataFrame.
@@ -223,17 +236,35 @@ object DocAssembler {
       val selfRefMany = childNode.table == node.table && throughInfo.isEmpty &&
         childNode.relationship.get.relType == RelType.OneToMany &&
         spec.parentColumns.length > 1
+      // citext legs (per join column pair): parent side folds in the join
+      // condition, child side folds at its key source (finishChild) so
+      // case-variant FK values aggregate as ONE key. Self-referencing
+      // OR-joins rejoin the parent on its PK and are not folded.
+      val foldLegs: Seq[Boolean] = throughInfo match {
+        case Some((through, _)) =>
+          spec.parentColumns.zip(spec.childColumns).map { case (p, c) =>
+            citext(catalog, node.table, p) || citext(catalog, through, c)
+          }
+        case None =>
+          spec.parentColumns.zip(spec.childColumns).map { case (p, c) =>
+            citext(catalog, node.table, p) || citext(catalog, childNode.table, c)
+          }
+      }
       val plan = throughInfo match {
         case Some((through, childLeg)) =>
-          buildThroughChild(childNode, through, spec, childLeg, load, catalog, i, dictIdx)
+          buildThroughChild(childNode, through, spec, childLeg, load, catalog, i, dictIdx, foldLegs)
         case None if selfRefMany =>
           buildSelfRefChild(childNode, spec, df, pks, load, catalog, i, dictIdx)
         case None =>
-          buildDirectChild(childNode, spec, load, catalog, i, dictIdx)
+          buildDirectChild(childNode, spec, load, catalog, i, dictIdx, foldLegs)
       }
       val cond = plan.parentCols
         .zip(plan.keyCols)
-        .map { case (p, k) => df(p) === plan.df(k) }
+        .zipAll(plan.foldKeys, ("", ""), false)
+        .map {
+          case ((p, k), fold) if fold => lower(df(p)) === plan.df(k)
+          case ((p, k), _)            => df(p) === plan.df(k)
+        }
         .reduce { (a, b) =>
           // one_to_one self-reference keeps the reference's OR-join row
           // semantics (row per match, like the SQL join it compiles to).
@@ -270,13 +301,15 @@ object DocAssembler {
       load: String => DataFrame,
       catalog: Catalog,
       idx: Int,
-      dictIdx: Map[(String, String), Int]
+      dictIdx: Map[(String, String), Int],
+      foldKeys: Seq[Boolean] = Nil
   ): ChildPlan = {
     val keyNames = spec.childColumns.indices.map(i => s"__k${idx}_$i")
     val built =
       buildNode(child, load, catalog, extraKeep = spec.childColumns.zip(keyNames),
         dictIdx = dictIdx)
-    finishChild(child, built, keyNames, spec.parentColumns, s"__lineage_c$idx")
+    finishChild(child, built, keyNames, spec.parentColumns, s"__lineage_c$idx",
+      foldKeys = foldKeys)
   }
 
   /** Self-referencing one_to_many child (`querybuilder.py:575-577` OR
@@ -343,7 +376,8 @@ object DocAssembler {
       load: String => DataFrame,
       catalog: Catalog,
       idx: Int,
-      dictIdx: Map[(String, String), Int]
+      dictIdx: Map[(String, String), Int],
+      foldKeys: Seq[Boolean] = Nil
   ): ChildPlan = {
     val cNames = childLeg.childColumns.indices.map(i => s"__c${idx}_$i")
     val built =
@@ -377,7 +411,8 @@ object DocAssembler {
       keyNames,
       parentLeg.parentColumns,
       s"__lineage_c$idx",
-      extraLineage = Some(col("__through_lineage"))
+      extraLineage = Some(col("__through_lineage")),
+      foldKeys = foldKeys
     )
   }
 
@@ -391,9 +426,18 @@ object DocAssembler {
       keyNames: Seq[String],
       parentCols: Seq[String],
       lineageName: String,
-      extraLineage: Option[Column] = None
+      extraLineage: Option[Column] = None,
+      foldKeys: Seq[Boolean] = Nil
   ): ChildPlan = {
     val rel = child.relationship.get
+    // citext legs: lower() the child key AT THE SOURCE so case-variant FK
+    // values group/join as one key (the parent side folds in the caller's
+    // join condition)
+    val builtDf = keyNames.zip(foldKeys).foldLeft(built.df) {
+      case (d, (k, true)) => d.withColumn(k, lower(col(k)))
+      case (d, _)         => d
+    }
+    val built2 = Built(builtDf, built.fieldNames)
     val docValue: Column = rel.variant match {
       case Variant.Scalar =>
         // scalar variant: bare value of the (single) configured column
@@ -413,18 +457,20 @@ object DocAssembler {
 
     rel.relType match {
       case RelType.OneToOne =>
-        val out = built.df.select(
+        val out = built2.df.select(
           keyNames.map(col) ++ Seq(docValue.as(child.label), rowLineage.as(lineageName)): _*
         )
-        ChildPlan(out, keyNames, parentCols, child.label, lineageName, isMany = false)
+        ChildPlan(out, keyNames, parentCols, child.label, lineageName, isMany = false,
+          foldKeys = foldKeys)
       case RelType.OneToMany =>
-        val out = built.df
+        val out = built2.df
           .groupBy(keyNames.map(col): _*)
           .agg(
             sort_array(collect_list(docValue)).as(child.label),
             flatten(collect_list(rowLineage)).as(lineageName)
           )
-        ChildPlan(out, keyNames, parentCols, child.label, lineageName, isMany = true)
+        ChildPlan(out, keyNames, parentCols, child.label, lineageName, isMany = true,
+          foldKeys = foldKeys)
     }
   }
 

@@ -21,12 +21,28 @@ object Filters {
 
   /** OR-of-ANDs equality filter. Returns FALSE for an empty list (the
     * reference yields no rows when every filter chunk is exhausted).
+    * `caseInsensitive` names the citext columns
+    * ([[graft.catalog.TableMeta.caseInsensitive]]): their string equality
+    * folds case on both sides, like the reference comparing against a
+    * citext column (`pgsync/base.py:61-69`).
     */
-  def build(df: DataFrame, orOfAnds: Seq[Map[String, Any]]): Column =
+  def build(
+      df: DataFrame,
+      orOfAnds: Seq[Map[String, Any]],
+      caseInsensitive: Set[String] = Set.empty
+  ): Column =
     orOfAnds
       .map { conj =>
         conj
-          .map { case (name, value) => typedEq(df, name, value) }
+          .map { case (name, value) =>
+            val eq = typedEq(df, name, value)
+            if (caseInsensitive.contains(name) && df.schema(name).dataType == StringType)
+              value match {
+                case s: String => lower(df(name)) === lit(s.toLowerCase)
+                case _         => eq
+              }
+            else eq
+          }
           .reduceOption(_ && _)
           .getOrElse(lit(true))
       }

@@ -23,7 +23,15 @@ final case class ForeignKey(
 final case class TableMeta(
     name: String,
     primaryKeys: Seq[String],
-    foreignKeys: Seq[ForeignKey] = Nil
+    foreignKeys: Seq[ForeignKey] = Nil,
+    /** Columns with case-insensitive comparison semantics — the citext
+      * analogue (`pgsync/base.py:61-69` registers the citext type so
+      * SQLAlchemy comparisons fold case). Joins and equality filters on
+      * these columns lower() both sides; like Postgres citext, values that
+      * differ only in case are the SAME key (a citext unique/PK index
+      * would never admit both).
+      */
+    caseInsensitive: Seq[String] = Nil
 )
 
 /** Join keys between a parent node and a child node, as resolved from the
@@ -99,7 +107,12 @@ object Catalog {
               parentColumns = strings(fk.get("parent_columns"))
             )
           }
-        name -> TableMeta(name, strings(t.get("primary_key")), fks)
+        name -> TableMeta(
+          name,
+          strings(t.get("primary_key")),
+          fks,
+          caseInsensitive = strings(t.get("case_insensitive"))
+        )
       }
       .toMap
     Catalog(tables)

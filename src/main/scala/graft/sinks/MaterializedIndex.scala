@@ -193,6 +193,133 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
     } finally cached.unpersist(false)
   }
 
+  // ---- resumable snapshot (the ctid-resume analogue) -----------------------
+  //
+  // The reference's parallel snapshot records completed ctid pages in a
+  // progress file and resumes after a crash (`bin/parallel_sync:66-97`);
+  // idempotent upserts make a naive re-run CORRECT here, but at 100 TB
+  // re-running a half-finished snapshot from zero is an operational cliff.
+  // Spark-native form: the document space is chunked BY THE INDEX'S OWN
+  // BUCKET HASH (chunk c owns buckets `b % nChunks == c`), so chunks write
+  // disjoint bucket directories under v_0 — one write, no finalize rewrite,
+  // and hash chunking keeps chunk sizes uniform under any root-key skew
+  // (which physical ctid ranges do not guarantee). A completed chunk is a
+  // line in SNAPSHOT_PROGRESS; a crashed chunk's bucket dirs are deleted
+  // and rewritten on resume (the write is deterministic); the manifest and
+  // CURRENT pointer appear only at [[finalizeSnapshot]], so the index is
+  // never visible half-built. Work lost to a crash is bounded by one chunk
+  // (1/nChunks of the snapshot).
+  //
+  // Cost shape at scale: each chunk re-plans the assembly with the chunk
+  // predicate pushed into the ROOT scan; the expensive stages (joins,
+  // aggregation shuffles, JSON build, writes) process only the chunk's
+  // roots, so TOTAL shuffle/write work stays ~1× the unchunked snapshot —
+  // only the raw table scans repeat per chunk (scan being the cheapest
+  // per-byte stage, and prunable when sources are bucketed on the keys).
+
+  private val snapshotProgressPtr = new Path(dir, "SNAPSHOT_PROGRESS")
+
+  /** Bucket-aligned chunk membership for a root-id expression — the ONE
+    * predicate both the root-scan restriction and the chunk write derive
+    * from, so a chunk's rows land exactly in the chunk's bucket dirs.
+    */
+  def chunkPredicate(idExpr: org.apache.spark.sql.Column, chunk: Int, nChunks: Int): org.apache.spark.sql.Column =
+    pmod(bucketOf(idExpr), lit(nChunks)) === lit(chunk)
+
+  /** Begin (or re-join) a resumable snapshot: creates SNAPSHOT_PROGRESS on
+    * first call, validates the chunk count on resume (a changed nChunks
+    * would re-partition the chunk↔bucket map and corrupt the write set),
+    * and returns the chunks already completed. Idempotent.
+    */
+  def beginResumableSnapshot(nChunks: Int): Set[Int] = {
+    require(nChunks >= 1 && nChunks <= nBuckets, s"nChunks must be in [1, $nBuckets], got $nChunks")
+    if (fs.exists(snapshotProgressPtr)) {
+      val lines = readText(snapshotProgressPtr).split("\n", -1)
+      val stored = lines(0).trim.toInt
+      require(
+        stored == nChunks,
+        s"resumable snapshot in progress with nChunks=$stored; resume must use the same value (got $nChunks)"
+      )
+      if (lines.length < 2 || lines(1).trim.isEmpty) Set.empty
+      else lines(1).trim.split(",").map(_.trim.toInt).toSet
+    } else {
+      // fresh start: clear any stale v_0 left by an aborted prior init so
+      // finalize's directory listing sees only this snapshot's buckets
+      fs.delete(new Path(s"$dir/v_0"), true)
+      writeText(snapshotProgressPtr, s"$nChunks\n")
+      Set.empty
+    }
+  }
+
+  /** Write one chunk's docs+lineage buckets under v_0 and record it
+    * complete. Deletes the chunk's own bucket dirs first, so re-running a
+    * crashed chunk replaces its partial files instead of duplicating rows.
+    */
+  def initializeChunk(chunk: Int, nChunks: Int, structuredDocs: DataFrame): Unit = {
+    val done = beginResumableSnapshot(nChunks)
+    if (done.contains(chunk)) return
+    val cached = structuredDocs
+      // defense in depth: the write set must be exactly the chunk's buckets
+      // even if the caller's root-scan restriction drifts from the predicate
+      .filter(chunkPredicate(col(DocAssembler.IdColumn), chunk, nChunks))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val payload = cached.columns.filterNot(_ == DocAssembler.IdColumn).map(col).toIndexedSeq
+      val flat = cached.select(
+        col(DocAssembler.IdColumn),
+        to_json(struct(payload: _*)).as("doc")
+      )
+      def writeChunk(kind: String, df: DataFrame, idCol: String): Unit = {
+        val out = s"$dir/v_0/$kind"
+        (0 until nBuckets).filter(_ % nChunks == chunk)
+          .foreach(b => fs.delete(new Path(s"$out/bucket=$b"), true))
+        df.withColumn("bucket", bucketOf(col(idCol)))
+          .repartition(math.max(1, nBuckets / nChunks), col("bucket"))
+          .write.mode(SaveMode.Append).partitionBy("bucket").parquet(out)
+      }
+      inParallel(
+        writeChunk("docs", flat, DocAssembler.IdColumn),
+        writeChunk("lineage", Lineage.fromDocs(cached), "root_id")
+      )
+      writeText(snapshotProgressPtr, s"$nChunks\n${(done + chunk).toSeq.sorted.mkString(",")}")
+    } finally cached.unpersist(false)
+  }
+
+  /** Publish a completed resumable snapshot: manifest every bucket dir
+    * written under v_0, flip CURRENT, drop the progress file. Callers run
+    * this once after every chunk reports complete.
+    */
+  def finalizeSnapshot(): Unit = {
+    def listBuckets(kind: String): Set[Int] = {
+      val p = new Path(s"$dir/v_0/$kind")
+      if (!fs.exists(p)) Set.empty[Int]
+      else
+        fs.listStatus(p)
+          .map(_.getPath.getName)
+          .collect { case s if s.startsWith("bucket=") => s.stripPrefix("bucket=").toInt }
+          .toSet
+    }
+    val d = listBuckets("docs")
+    val l = listBuckets("lineage")
+    writeManifest(0L, (d.map(b => ("docs", b) -> 0L) ++ l.map(b => ("lineage", b) -> 0L)).toMap)
+    flipCurrent(0L)
+    fs.delete(snapshotProgressPtr, false)
+  }
+
+  /** Chunks still to run for an in-progress resumable snapshot (None when
+    * no resumable snapshot is in flight).
+    */
+  def pendingSnapshotChunks: Option[Seq[Int]] =
+    if (!fs.exists(snapshotProgressPtr)) None
+    else {
+      val lines = readText(snapshotProgressPtr).split("\n", -1)
+      val n = lines(0).trim.toInt
+      val done =
+        if (lines.length < 2 || lines(1).trim.isEmpty) Set.empty[Int]
+        else lines(1).trim.split(",").map(_.trim.toInt).toSet
+      Some((0 until n).filterNot(done))
+    }
+
   /** Apply one batch: delete + upsert by `_id`, rewriting ONLY the buckets
     * that contain affected roots. `newDocs` = (`_id`, doc JSON) for the
     * re-assembled roots; `newLineage` = lineage rows for those roots only.

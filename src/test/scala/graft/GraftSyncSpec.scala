@@ -67,6 +67,56 @@ class GraftSyncSpec extends SparkSpec {
     assert(docs == Set("1", "2"))
   }
 
+  test("resumable snapshot: a killed run resumes at the first incomplete chunk, result identical") {
+    tables = Map(
+      "order_summary" -> (1L to 40L).map(i => (i, s"st$i")).toDF("id", "status"),
+      "item" -> (1L to 120L).map(i => (i, (i % 40) + 1, s"sku$i")).toDF("id", "order_id", "sku")
+    )
+    // uninterrupted reference run
+    val refDir = Files.createTempDirectory("graft-snap-ref").toString
+    val ref = GraftSync(spark, schemaJson, cat, load, refDir)
+    ref.snapshot()
+    def docRows(s: GraftSync): Set[(String, String)] =
+      s.state.docs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    // resumable run "killed" after 2 of 4 chunks (plus a partial file a
+    // crashed chunk-2 write could have left behind)
+    val dir = Files.createTempDirectory("graft-snap-resume").toString
+    val sync1 = GraftSync(spark, schemaJson, cat, load, dir)
+    sync1.snapshotChunk(0, 4)
+    sync1.snapshotChunk(1, 4)
+    Seq(("junk-id", "junk-doc")).toDF("_id", "doc")
+      .write.parquet(s"$dir/v_0/docs/bucket=2") // chunk 2's partial debris
+    assert(!sync1.state.exists, "index must not be visible half-built (no CURRENT)")
+    assert(sync1.state.pendingSnapshotChunks.contains(Seq(2, 3)))
+
+    // restart: a NEW facade over the same dir skips the completed chunks,
+    // replaces the crashed chunk's debris, finishes, and flips CURRENT
+    val sync2 = GraftSync(spark, schemaJson, cat, load, dir)
+    sync2.snapshotResumable(4)
+    assert(sync2.state.exists)
+    assert(sync2.state.pendingSnapshotChunks.isEmpty)
+    assert(docRows(sync2) == docRows(ref), "resumed index must equal the uninterrupted run")
+    assert(!docRows(sync2).exists(_._1 == "junk-id"))
+
+    // a resume with a different chunk count must fail loudly, not corrupt
+    val dir2 = Files.createTempDirectory("graft-snap-mismatch").toString
+    val sync3 = GraftSync(spark, schemaJson, cat, load, dir2)
+    sync3.snapshotChunk(0, 4)
+    intercept[IllegalArgumentException](sync3.snapshotResumable(8))
+    // replaying a completed chunk is a no-op
+    sync3.snapshotChunk(0, 4)
+    sync3.snapshotResumable(4)
+    assert(docRows(sync3) == docRows(ref))
+
+    // the resumed index is live: incremental batches apply on top of it
+    tables += "order_summary" -> ((1L to 41L).map(i => (i, s"st$i"))).toDF("id", "status")
+    sync2.applyChanges(
+      Changes.of(spark, Seq((Changes.Insert, "order_summary", null, """{"id": 41}""", 7L)))
+    )
+    assert(sync2.state.docs.count() == 41)
+  }
+
   test("txid checkpoint: replayed batches are filtered out (sync.py:1581-1656)") {
     tables = Map(
       "order_summary" -> Seq((1L, "open")).toDF("id", "status"),

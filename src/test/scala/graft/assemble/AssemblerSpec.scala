@@ -337,4 +337,55 @@ class AssemblerSpec extends SparkSpec {
     val b = dump(DocAssembler.assemble(SchemaDef.parseNodes(s), load, cat))
     assert(a == b && a.nonEmpty)
   }
+
+  test("citext join legs fold case: one_to_many groups variants, one_to_one resolves dims") {
+    // citext analogue (base.py:61-69): tag.book_ref values vary in case but
+    // reference the same book code
+    val bookC = Seq(("Ab", "T1"), ("cd", "T2")).toDF("code", "title")
+    val tag = Seq((1L, "AB", "t1"), (2L, "ab", "t2"), (3L, "CD", "t3"))
+      .toDF("id", "book_ref", "tag")
+    val dim = Seq(("AB", "genre-x"), ("CD", "genre-y")).toDF("code2", "genre")
+    val ciCat = Catalog(Map(
+      "book_c" -> TableMeta(
+        "book_c", Seq("code"),
+        Seq(ForeignKey("book_c", Seq("code"), "dim_c", Seq("code2"))),
+        caseInsensitive = Seq("code")
+      ),
+      "tag" -> TableMeta(
+        "tag", Seq("id"),
+        Seq(ForeignKey("tag", Seq("book_ref"), "book_c", Seq("code"))),
+        caseInsensitive = Seq("book_ref")
+      ),
+      "dim_c" -> TableMeta("dim_c", Seq("code2"))
+    ))
+    val loadCi: String => DataFrame =
+      Map("book_c" -> bookC, "tag" -> tag, "dim_c" -> dim)
+    val nodes = SchemaDef.parseNodes(
+      """{
+        "table": "book_c", "columns": ["code", "title"],
+        "children": [
+          {"table": "tag", "label": "tags", "columns": ["tag"],
+           "relationship": {"type": "one_to_many", "variant": "scalar"}},
+          {"table": "dim_c", "label": "genre", "columns": ["genre"],
+           "relationship": {"type": "one_to_one", "variant": "scalar"}}
+        ]}"""
+    )
+    val out = DocAssembler.assemble(nodes, loadCi, ciCat)
+      .select(col("code"), col("tags"), col("genre"))
+      .collect().map(r => (r.getString(0), (r.getSeq[String](1).toList, r.getString(2)))).toMap
+
+    // "Ab" gathers BOTH case variants AB and ab as one aggregated key —
+    // and the root's own value keeps its original case (_id semantics)
+    assert(out.keySet == Set("Ab", "cd"))
+    assert(out("Ab")._1 == List("t1", "t2"))
+    assert(out("cd")._1 == List("t3"))
+    // the one_to_one dim resolves through the folded FK
+    assert(out("Ab")._2 == "genre-x")
+    assert(out("cd")._2 == "genre-y")
+
+    // equality filters fold only flagged columns
+    val f = Filters.build(tag, Seq(Map("book_ref" -> "aB")), caseInsensitive = Set("book_ref"))
+    assert(tag.filter(f).count() == 2)
+    assert(tag.filter(Filters.build(tag, Seq(Map("book_ref" -> "aB")))).count() == 0)
+  }
 }

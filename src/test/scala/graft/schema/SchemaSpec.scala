@@ -132,6 +132,21 @@ class SchemaSpec extends AnyFunSuite {
     assert(c4.jsonPath == "$.x[0].y")
   }
 
+  test("catalog JSON parses per-column case_insensitive (citext parity, base.py:61-69)") {
+    val cat = graft.catalog.Catalog.fromJson(
+      """{
+        "tables": {
+          "book": {"primary_key": ["code"], "case_insensitive": ["code", "alt_code"]},
+          "tag": {"primary_key": ["id"],
+                  "foreign_keys": [{"columns": ["book_ref"], "parent_table": "book",
+                                    "parent_columns": ["code"]}]}
+        }}"""
+    )
+    assert(cat("book").caseInsensitive == Seq("code", "alt_code"))
+    assert(cat("tag").caseInsensitive.isEmpty)
+    assert(cat.resolveJoin("book", "tag").childColumns == Seq("book_ref"))
+  }
+
   test("full schema document parses database/index wrapper (sync.py:114-121)") {
     val d = SchemaDef.parse(
       """{"database": "db", "index": "idx", "routing": "r",
