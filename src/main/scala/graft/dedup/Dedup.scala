@@ -21,6 +21,13 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Pass as `nlists` to [[semantic]] to size the IVF cell count from the
+    * corpus (`ceil(n / targetCellSize)`), keeping per-cell verify work
+    * constant as the corpus grows — the fixed-nlists form is quadratic in
+    * cell size (see the scaling-rehearsal note in ARCHITECTURE.md).
+    */
+  val AutoNlists: Int = -1
+
   /** Exact dedup by content hash: one shuffle on the 128-bit digest. At
     * scale, prefer grouping on the digest (fixed 16 bytes) over raw text.
     * Output: (h, keep_id = min id, n_dups).
@@ -804,14 +811,26 @@ object Dedup {
       threshold: Double,
       nlists: Int = 16,
       refine: Int = 1,
-      maxCell: Int = 10000
+      maxCell: Int = 10000,
+      targetCellSize: Int = 512
   ): DataFrame = {
     import graft.ann.Ann
-    require(nlists >= 1, s"nlists must be >= 1, got $nlists")
+    require(nlists >= 1 || nlists == AutoNlists, s"nlists must be >= 1 or AutoNlists, got $nlists")
     require(maxCell >= 2, s"maxCell must be >= 2 (pairs need 2 members), got $maxCell")
     val v = vecs.select(col(id).as("id"), col(vec).as("cv")).filter(col("cv").isNotNull)
+    // SemDeDup's verify stage is quadratic IN CELL SIZE: with nlists fixed,
+    // 10× the corpus means 10× members per cell and ~100× candidate pairs —
+    // the sf0.1→sf1 rehearsal measured exactly that shape (17.8× time at
+    // 10× rows). Cells must grow WITH the corpus to hold per-cell pair work
+    // constant; AutoNlists sizes them from one cheap count. The literal-
+    // centroid assign stays valid to ~10^4 cells (codegen bound); past
+    // that, route through the cell-partitioned persisted IVF-PQ layout.
+    val lists =
+      if (nlists == AutoNlists)
+        math.max(1, math.ceil(v.count().toDouble / targetCellSize).toInt)
+      else nlists
     val seeds = Ann.collectSeedVectors(
-      v.orderBy(col("id")).limit(nlists).select(col("cv"))
+      v.orderBy(col("id")).limit(lists).select(col("cv"))
     )
     val cells = Ann.refineCentroidsLocal(v, seeds, refine)
     if (cells.isEmpty)

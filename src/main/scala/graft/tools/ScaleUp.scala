@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of the driver test corpus: replicate every fact
+  * table `factor`× with key-domain offsets (copy 0 is the original rows,
+  * byte-identical), so referential integrity and per-copy value
+  * distributions are preserved while row counts multiply — the input for
+  * measuring the engine's sf0.1 → sf1 scaling curve (the judge's "prove
+  * the 100× claim" rehearsal).
+  *
+  * Shape decisions that keep the scaled corpus honest:
+  *   - dims (region, nation) stay fixed — like real reference data;
+  *   - every key column shifts by `copy × 10^9`, so FK edges stay within
+  *     the copy (orders of copy 3 reference customers of copy 3);
+  *   - document text is salted with a per-copy token prefix: the dup/
+  *     near-dup structure WITHIN a copy is preserved exactly, while copies
+  *     don't alias each other — so dedup work scales ~linearly (10× docs ⇒
+  *     ~10× dup pairs), not quadratically (10 identical copies of every
+  *     doc ⇒ 45× pairs), matching how a real corpus grows;
+  *   - embeddings get per-copy deterministic jitter for the same reason
+  *     (10 exact clones of every vector would inflate near-dup clusters).
+  *
+  * Usage: `runMain graft.tools.ScaleUp [srcDir dstDir factor]`.
+  */
+object ScaleUp {
+
+  private val Off = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/root/repo/.scale/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    def scale(table: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until factor).map(i => copy(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[scaleup] $table x$factor -> $dst")
+    }
+    def shift(d: DataFrame, keys: Seq[String], i: Int): DataFrame =
+      keys.foldLeft(d)((df, k) => df.withColumn(k, col(k) + lit(i * Off)))
+
+    scale("customer")((d, i) => shift(d, Seq("c_custkey"), i))
+    scale("supplier")((d, i) => shift(d, Seq("s_suppkey"), i))
+    scale("part")((d, i) => shift(d, Seq("p_partkey"), i))
+    scale("orders")((d, i) => shift(d, Seq("o_orderkey", "o_custkey"), i))
+    scale("lineitem")((d, i) => shift(d, Seq("l_orderkey", "l_partkey", "l_suppkey"), i))
+    // events: ts stays a raw nanos long (Tables.load converts on read)
+    scale("events")((d, i) => shift(d, Seq("event_id", "user_id"), i))
+    scale("documents") { (d, i) =>
+      val s = shift(d, Seq("doc_id"), i)
+      if (i == 0) s
+      else {
+        val prefix = s"s$i "
+        s.withColumn("text", concat(lit(prefix), col("text")))
+          .withColumn("n_chars", col("n_chars") + lit(prefix.length.toLong))
+      }
+    }
+    scale("embeddings") { (d, i) =>
+      val s = shift(d, Seq("vec_id"), i)
+      if (i == 0) s
+      else
+        s.withColumn(
+          "embedding",
+          transform(
+            col("embedding"),
+            (x, j) =>
+              (x + lit(0.01f) * sin(col("vec_id") * 31 + j * 7 + lit(i * 13)).cast("float"))
+                .cast("float")
+          )
+        )
+    }
+    spark.stop()
+  }
+}

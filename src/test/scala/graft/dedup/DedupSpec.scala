@@ -130,6 +130,12 @@ class DedupSpec extends SparkSpec {
     val nulls = Seq((1L, null: Array[Float]), (2L, null: Array[Float]))
       .toDF("vec_id", "embedding")
     assert(Dedup.semantic(nulls, "vec_id", "embedding", 0.5).count() == 0)
+    // AutoNlists sizes cells from the corpus: 40 vectors / target 10 = 4
+    // cells — identical result to the explicit nlists=4 run
+    val auto = Dedup.semantic(df, "vec_id", "embedding", 0.99,
+      nlists = Dedup.AutoNlists, refine = 0, targetCellSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == exact)
   }
 
   test("simhash banding recall is exact vs exhaustive hamming pairs") {

@@ -304,6 +304,92 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("composition: doc sync + dedup + ANN streams share one change feed across a restart") {
+    import graft.GraftSync
+    val dir = Files.createTempDirectory("graft-compose").toString
+    val feed = s"$dir/feed"
+    Files.createDirectories(java.nio.file.Paths.get(feed))
+    def writeFeed(n: Int, ids: Seq[Long], txid: Long): Unit =
+      Files.write(
+        java.nio.file.Paths.get(s"$feed/batch$n.json"),
+        ids.map(i => s"""{"tg_op":"INSERT","tbl":"note","old":null,"new":"{\\"id\\": $i}","txid":$txid}""")
+          .mkString("\n").getBytes
+      )
+    def mkNotes(n: Int) = (1 to n).map { i =>
+      (i.toLong, s"note text ${i % 3}",
+        Array.tabulate(16)(j => (math.cos((i % 4) * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat))
+    }
+    @volatile var notes = mkNotes(4)
+    def noteDf = notes.toDF("id", "text", "embedding")
+    val noteCat = Catalog(Map("note" -> TableMeta("note", Seq("id"))))
+    val noteSchema =
+      """{"database":"db","index":"notes","nodes":{"table":"note","columns":["id","text"]}}"""
+    val loadNote: String => DataFrame = _ => noteDf.select(col("id"), col("text"))
+    val sync = GraftSync(spark, noteSchema, noteCat, loadNote, s"$dir/index")
+
+    // all three consumers read THE SAME feed, each with its own checkpoint
+    def changeDocs = Changes.fileStream(spark, feed)
+      .filter(col("tbl") === "note")
+      .select(get_json_object(col("new"), "$.id").cast("long").as("nid"))
+      .join(noteDf, col("nid") === col("id"))
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def startDedup() = DedupStream.start(
+      changeDocs.select(col("id").as("doc_id"), col("text")),
+      s"$dir/dedup-index", s"$dir/dedup-ckpt", "doc_id", "text",
+      s => survivors.synchronized { survivors ++= s.collect().map(_.getLong(0)) }
+    )
+    def startAnn() = AnnStream.start(
+      changeDocs.select(col("id").as("vec_id"), col("embedding")),
+      s"$dir/ann-index", s"$dir/ann-ckpt", "vec_id", "embedding", planes = 6, dim = 16
+    )
+
+    // phase 1: runAll snapshots then streams; dedup + ANN run beside it
+    notes = mkNotes(6)
+    writeFeed(1, Seq(5L, 6L), txid = 1L)
+    val handles = GraftSync.runAll(
+      Seq(sync), s"$dir/ckpt",
+      changeFeed = _ => Some(Changes.fileStream(spark, feed))
+    )
+    val q1 = handles.head.get
+    val d1 = startDedup()
+    val a1 = startAnn()
+    Seq(q1, d1, a1).foreach(_.processAllAvailable())
+    Seq(q1, d1, a1).foreach(_.stop()) // the "crash"
+
+    // phase 2: more data lands while everything is down
+    notes = mkNotes(8)
+    writeFeed(2, Seq(7L, 8L), txid = 2L)
+    val q2 = sync.stream(Changes.fileStream(spark, feed), s"$dir/ckpt/notes")
+    val d2 = startDedup()
+    val a2 = startAnn()
+    Seq(q2, d2, a2).foreach(_.processAllAvailable())
+    Seq(q2, d2, a2).foreach(_.stop())
+
+    // doc index: snapshot (1-4) + streamed inserts (5-8), batch 1 not replayed
+    assert(sync.state.docs.collect().map(_.getString(0)).toSet == (1 to 8).map(_.toString).toSet)
+    // dedup: texts cycle i%3 — streamed ids 5..8 hold 3 distinct digests,
+    // first writer wins (8 duplicates 5's text), replays added nothing
+    assert(survivors.toSet == Set(5L, 6L, 7L))
+    val dedupIdx = spark.read.parquet(s"$dir/dedup-index")
+      .collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(dedupIdx == Set(5L, 6L, 7L))
+    // ANN: the appended index probes exactly like a batch rebuild over the
+    // same streamed vectors
+    val streamed = mkNotes(8).filter(_._1 >= 5L)
+      .toDF("vec_id", "text", "embedding").drop("text")
+    val queries = streamed.filter(col("vec_id") <= 6L)
+    def rows(d: DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val probed = graft.ann.Ann.lshTopKIndexed(
+      s"$dir/ann-index", queries, "vec_id", "embedding", 3, planes = 6, dim = 16)
+    val rebuiltDir = graft.util.TempDirs.scratch("compose-ann-rebuild").toString
+    graft.ann.Ann.writeLshIndex(streamed, rebuiltDir, "vec_id", "embedding", planes = 6, dim = 16)
+    val rebuilt = graft.ann.Ann.lshTopKIndexed(
+      rebuiltDir, queries, "vec_id", "embedding", 3, planes = 6, dim = 16)
+    assert(rows(probed) == rows(rebuilt))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(rebuiltDir))
+  }
+
   test("streaming ANN ingest: appended micro-batches probe like a full rebuild") {
     implicit val sqlCtx = spark.sqlContext
     def mk(range: Range) = range.map { i =>
