@@ -50,6 +50,13 @@ object Bench {
       ).getOrElse(
         java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)
     val loadBefore = loadAvg()
+    // act on the self-labeling, don't just record it: a contended run's
+    // per-query mins drift 2-10x and read as regressions (round-6 verdict)
+    if (loadBefore > 1.5)
+      System.err.println(
+        f"[bench] WARNING: load_before=$loadBefore%.2f > 1.5 — this run is CONTENDED; " +
+          "re-run on a quiet machine before committing its numbers"
+      )
     // Verification-only plans stay in SparkEntry.queries (they are oracle
     // ground-truth) but are excluded from timing: the bench measures
     // production shapes only.
