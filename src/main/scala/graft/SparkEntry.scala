@@ -459,6 +459,16 @@ object SparkEntry {
           TF.meanWordLenC(col("text")).as("mean_wlen_c"),
           TF.spaceRatioC(col("text")).as("space_ratio_c")
         )),
+    // ---- CCNet-style per-language perplexity strata (Wenzek et al. 2020) ---
+    "q_lm_buckets" -> ((s, dir) =>
+      graft.functions.LanguageModel
+        .perplexityBuckets(loader(s, dir)("documents"), "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("lang"), col("mean_milli"), col("bucket"))),
+    // ---- DSIR importance resampling toward a target slice (Xie et al. 2023)
+    "q_dsir" -> ((s, dir) =>
+      graft.functions.Dsir
+        .resample(loader(s, dir)("documents"), "doc_id", "text", col("lang") === "en", k = 100)
+        .select(col("id").as("doc_id"), col("weight_micro"), col("score_micro"), col("rank"))),
     // ---- quality: the Gopher rule gate (integer-exact signals + verdict) ---
     "q_quality_gopher" -> ((s, dir) =>
       graft.functions.QualityRules
@@ -1228,6 +1238,76 @@ object SparkEntry {
          SELECT doc_id, dl, surprisal_micro,
                 CAST(round(surprisal_micro / (1000.0 * dl)) AS BIGINT) AS mean_milli
          FROM scored""",
+    "q_lm_buckets" ->
+      // q_lm_score's model/scoring CTEs + per-language value-tertile
+      // thresholds (cumulative over DISTINCT score values, ties share a
+      // bucket) — integer comparisons end to end
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         model AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+         total AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM model),
+         scored AS (
+           SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS dl,
+                  CAST(sum(CAST(round(
+                    1000000.0 * (t.tf * ln(s.total / m.cf))
+                  ) AS BIGINT)) AS BIGINT) AS surprisal_micro
+           FROM tf t JOIN model m USING (term) CROSS JOIN total s
+           GROUP BY 1),
+         sc AS (SELECT s.doc_id, d.lang,
+                       CAST(round(s.surprisal_micro / (1000.0 * s.dl)) AS BIGINT) AS mean_milli
+                FROM scored s JOIN documents d USING (doc_id)),
+         counts AS (SELECT lang, mean_milli AS v, CAST(count(*) AS BIGINT) AS c
+                    FROM sc GROUP BY 1, 2),
+         cum AS (SELECT lang, v, c,
+                        sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                        sum(c) OVER (PARTITION BY lang) AS n
+                 FROM counts),
+         thr AS (SELECT lang,
+                        min(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS t1,
+                        min(CASE WHEN cum >= (n * 2 + 2) // 3 THEN v END) AS t2
+                 FROM cum GROUP BY 1)
+         SELECT sc.doc_id, sc.lang, sc.mean_milli,
+                CASE WHEN sc.mean_milli <= thr.t1 THEN 'head'
+                     WHEN sc.mean_milli <= thr.t2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM sc JOIN thr USING (lang)""",
+    "q_dsir" ->
+      // hashed unigram+bigram features via the md5-prefix portable bucket,
+      // Laplace-smoothed target/raw log-ratio in micro-nats per bucket,
+      // integer per-doc weight sum, deterministic Knuth-hash Gumbel draw
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         uni AS (SELECT doc_id, 'u|' || unnest(toks) AS f FROM t),
+         bi AS (SELECT doc_id, 'b|' || toks[i] || ' ' || toks[i+1] AS f
+                FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM t WHERE len(toks) >= 2)),
+         feat AS (SELECT doc_id, substr(md5(f), 1, 3) AS bucket, CAST(count(*) AS BIGINT) AS tf
+                  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1, 2),
+         rawm AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cr FROM feat GROUP BY 1),
+         tgtm AS (SELECT f.bucket, CAST(sum(f.tf) AS BIGINT) AS ct
+                  FROM feat f JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rawm) AS totr,
+                        (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgtm) AS tott),
+         ratio AS (SELECT r.bucket,
+                          CAST(round(1000000.0 * (ln((coalesce(g.ct, 0) + 1.0) / (tot.tott + 4096.0))
+                                                - ln((r.cr + 1.0) / (tot.totr + 4096.0)))) AS BIGINT) AS ratio_micro
+                   FROM rawm r LEFT JOIN tgtm g USING (bucket) CROSS JOIN tot),
+         w AS (SELECT f.doc_id, CAST(sum(f.tf * ratio.ratio_micro) AS BIGINT) AS weight_micro
+               FROM feat f JOIN ratio USING (bucket) GROUP BY 1),
+         sc AS (SELECT d.doc_id, coalesce(w.weight_micro, 0) AS weight_micro,
+                       coalesce(w.weight_micro, 0)
+                         + CAST(round(-1000000.0 * ln(-ln(
+                             (((d.doc_id * 2654435761) % 1000003) + 0.5) / 1000003.0
+                           ))) AS BIGINT) AS score_micro
+                FROM documents d LEFT JOIN w USING (doc_id) WHERE d.doc_id IS NOT NULL),
+         ranked AS (SELECT doc_id, weight_micro, score_micro,
+                           row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+                    FROM sc)
+         SELECT doc_id, weight_micro, score_micro, CAST(rnk AS BIGINT) AS rank
+         FROM ranked WHERE rnk <= 100""",
     "q_corpus_stats" ->
       // n_chars IS NOT NULL mirrors exactPercentiles' null policy (nulls are
       // dropped before aggregating on both sides; engines disagree on null

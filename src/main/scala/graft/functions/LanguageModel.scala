@@ -52,4 +52,50 @@ object LanguageModel {
       round(col("surprisal_micro") / (lit(1000.0) * col("dl"))).cast("long").as("mean_milli")
     )
   }
+
+  /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", §4.3, public arXiv:1911.00359): per LANGUAGE, split documents
+    * into thirds by language-model score — head = best (lowest surprisal)
+    * third, the standard coarse quality strata a curation pipeline then
+    * samples from ([[Sampling]] quota/temperature ops compose directly).
+    *
+    * Thresholds are VALUE-based per-language tertiles (smallest score `v`
+    * whose cumulative doc count reaches ⌈n/3⌉ / ⌈2n/3⌉): ties share a
+    * bucket, the decision is pure integer comparison, and the cumulative
+    * window runs over DISTINCT SCORE VALUES per language (the
+    * [[CorpusStats]] trick), never a per-language row sort — so no
+    * single-reducer stage at corpus scale; the per-language threshold
+    * table is tiny and broadcast back onto the scored docs.
+    *
+    * Output: (id, lang, mean_milli, bucket ∈ head|middle|tail).
+    */
+  def perplexityBuckets(docs: DataFrame, id: String, text: String, lang: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramSurprisal(docs, id, text)
+      .join(docs.select(col(id).as("id"), col(lang).as("lang")), "id")
+    val counts = scored
+      .groupBy(col("lang"), col("mean_milli").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val thresholds = cum
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") >= floor((col("n") + 2) / lit(3L)), col("v"))).as("t1"),
+        min(when(col("cum") >= floor((col("n") * 2 + 2) / lit(3L)), col("v"))).as("t2")
+      )
+    scored
+      .join(broadcast(thresholds), "lang")
+      .select(
+        col("id"),
+        col("lang"),
+        col("mean_milli"),
+        when(col("mean_milli") <= col("t1"), lit("head"))
+          .when(col("mean_milli") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail"))
+          .as("bucket")
+      )
+  }
 }

@@ -458,6 +458,57 @@ class FunctionsSpec extends SparkSpec {
     assert(topk.count() == 6) // 2 queries × top-3
   }
 
+  test("perplexityBuckets: per-language value tertiles, head = most natural third") {
+    // lang A: 9 docs in three clear surprisal strata (repetitive common
+    // words score LOW = head; rare-token docs score HIGH = tail)
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "the the the the the the", "aa")) ++
+        (4 to 6).map(i => (i.toLong, "the cat sat on a mat", "aa")) ++
+        (7 to 9).map(i => (i.toLong, s"zyx$i qwv$i mmop$i strange$i", "aa")) ++
+        Seq((10L, "uno dos tres", "bb"), (11L, "uno uno uno", "bb"), (12L, "cuatro cinco seis siete", "bb"))
+    ).toDF("doc_id", "text", "lang")
+    val out = LanguageModel.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.size == 12)
+    // strata land in order: repeated-stopword docs head, rare-token docs tail
+    assert((1L to 3L).forall(out(_)._3 == "head"))
+    assert((7L to 9L).forall(out(_)._3 == "tail"))
+    // thresholds are PER LANGUAGE: bb's 3 docs split into three buckets of
+    // their own, independent of aa's score range
+    assert(Set("head", "middle", "tail").subsetOf((10L to 12L).map(out(_)._3).toSet))
+    // buckets are value-deterministic: equal scores share a bucket
+    val byScore = out.values.groupBy(v => (v._1, v._2)).values
+    assert(byScore.forall(_.map(_._3).toSet.size == 1))
+  }
+
+  test("DSIR: target-like docs outweigh off-target docs; resample is deterministic and bounded") {
+    val target = (1 to 10).map(i => (i.toLong, "the quick brown fox jumps over lazy dogs", "en"))
+    val offTgt = (11 to 20).map(i => (i.toLong, "der schnelle braune fuchs springt darüber", "de"))
+    // two held-out candidates: one speaks the target vocabulary, one does not
+    val docs = (target ++ offTgt ++ Seq(
+      (21L, "quick brown fox jumps high", "xx"),
+      (22L, "schnelle braune fuchs springt hoch", "xx")
+    )).toDF("doc_id", "text", "lang")
+    val w = Dsir.importanceWeights(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == 22)
+    assert(w(21L) > w(22L), s"target-vocabulary doc must outweigh off-target: ${w(21L)} vs ${w(22L)}")
+    // resampling: deterministic across runs, exactly k rows, ranks 1..k,
+    // scores non-increasing
+    val r1 = Dsir.resample(docs, "doc_id", "text", col("lang") === "en", k = 5).collect()
+    val r2 = Dsir.resample(docs, "doc_id", "text", col("lang") === "en", k = 5).collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    assert(r1.length == 5)
+    assert(r1.map(_.getLong(3)).toSeq == (1L to 5L))
+    val scores = r1.map(_.getLong(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // empty/null text weighs 0, never crashes
+    val degen = Seq((1L, null.asInstanceOf[String], "en"), (2L, "", "de")).toDF("doc_id", "text", "lang")
+    val dw = Dsir.importanceWeights(degen, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dw(1L) == 0L)
+  }
+
   test("multimodal stub pipeline: per-partition decoder, deterministic features") {
     val docs = Seq((0L, "abcd"), (1L, ""), (2L, "x" * 1000)).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
