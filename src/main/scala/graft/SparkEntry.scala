@@ -590,6 +590,13 @@ object SparkEntry {
       Ann.ivfPqTopK(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
     }),
+    // residual IVF-PQ (the full Jégou design): codes quantize v − centroid,
+    // reconstruction adds the centroid back — finer at equal budget
+    "q_ann_ivfpq_residual" -> ((s, dir) => {
+      val e = loader(s, dir)("embeddings")
+      Ann.ivfPqResidualTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
+    }),
     // two-stage PQ: approximate candidates from codes, exact rerank on the
     // candidate set only (true-vector reads are candidate-bounded)
     "q_ann_pq_rerank" -> ((s, dir) => {
@@ -1943,6 +1950,75 @@ object SparkEntry {
            FROM assigned a
            JOIN probes p ON a.cell = p.cell AND a.cid <> p.qid
            JOIN recon r ON r.cid = a.cid),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    "q_ann_ivfpq_residual" ->
+      // like q_ann_ivfpq, but the PQ codebooks are RESIDUAL seeds (seed
+      // vector minus its nearest cell centroid), codes argmin subspace
+      // squared-L2 on the corpus residual v − centroid(cell), and the
+      // reconstruction is centroid + decoded residual. All residual
+      // arithmetic is in DOUBLE on both engines (float→double is exact).
+      """WITH seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS sv
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         corpus AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE embedding IS NOT NULL),
+         residseeds AS (
+           SELECT p.c,
+                  list_transform(list_zip(p.sv, cs.csv),
+                                 x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS sv
+           FROM seeds p,
+                LATERAL (SELECT s2.sv AS csv FROM seeds s2
+                         ORDER BY list_cosine_similarity(p.sv, s2.sv) DESC, s2.c
+                         LIMIT 1) cs),
+         assigned AS (
+           SELECT a.cid, a.cv,
+                  (SELECT s.c FROM seeds s
+                   ORDER BY list_cosine_similarity(a.cv, s.sv) DESC, s.c
+                   LIMIT 1) AS cell
+           FROM corpus a),
+         resid AS (
+           SELECT a.cid, a.cell,
+                  list_transform(list_zip(a.cv, s.sv),
+                                 x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv0
+           FROM assigned a JOIN seeds s ON s.c = a.cell),
+         sub AS (SELECT cid, cell, rv0, j FROM resid, generate_series(0, 7) AS gs(j)),
+         codes AS (
+           SELECT s.cid, s.j,
+                  (SELECT d.c FROM residseeds d
+                   -- squared L2 on doubles, mirroring Ann.nearestCodeL2
+                   ORDER BY list_sum(list_transform(
+                              list_zip(s.rv0[s.j*8 + 1 : s.j*8 + 8], d.sv[s.j*8 + 1 : s.j*8 + 8]),
+                              x -> (x[1] - x[2]) * (x[1] - x[2]))), d.c
+                   LIMIT 1) AS code
+           FROM sub s),
+         dec AS (
+           SELECT c.cid, flatten(list(d.sv[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j)) AS dv
+           FROM codes c JOIN residseeds d ON d.c = c.code
+           GROUP BY c.cid),
+         recon AS (
+           SELECT r.cid, a.cell,
+                  list_transform(list_zip(s.sv, r.dv),
+                                 x -> CAST(x[1] AS DOUBLE) + x[2]) AS rv
+           FROM dec r JOIN assigned a ON a.cid = r.cid JOIN seeds s ON s.c = a.cell),
+         probes AS (
+           SELECT q.vec_id AS qid, q.embedding AS qv, s.c AS cell
+           FROM embeddings q,
+                LATERAL (SELECT c FROM seeds s
+                         ORDER BY list_cosine_similarity(q.embedding, s.sv) DESC, s.c
+                         LIMIT 4) s
+           WHERE q.vec_id < 5 AND q.embedding IS NOT NULL),
+         scored AS (
+           SELECT p.qid, r.cid AS neighbor_id,
+                  list_cosine_similarity(r.rv, p.qv) AS cos
+           FROM recon r JOIN probes p ON r.cell = p.cell AND r.cid <> p.qid),
          ranked AS (
            SELECT qid, neighbor_id, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank

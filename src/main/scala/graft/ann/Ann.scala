@@ -723,6 +723,98 @@ object Ann {
       )
   }
 
+  /** Residual IVF-PQ (Jégou et al. 2011 §III, the full published design):
+    * PQ codes approximate the RESIDUAL `v − c(cell)` instead of the raw
+    * vector. Residual magnitudes are a fraction of vector magnitudes —
+    * coarse position is already carried by the cell id — so the same
+    * (m, codeK) codebook budget quantizes far finer and recall at equal
+    * parameters dominates the raw-vector [[ivfPqTopK]] (spec-asserted).
+    *
+    * Same scale shape as [[ivfPqTopK]]: models are driver literals
+    * (residual seeds derive from the same first-k corpus prefix, assigned
+    * and subtracted with the exact double arithmetic the executors use);
+    * residual + encode + reconstruct(+centroid) are map-side expressions;
+    * candidates come only from the probed cells; one top-k window.
+    * Residual arithmetic runs in DOUBLE on both engines (float→double is
+    * exact), so the DuckDB oracle replays code assignment bit-for-bit.
+    */
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      qid: String,
+      qvec: String,
+      k: Int,
+      nlists: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      codeK: Int = 16,
+      pqRefine: Int = 0
+  ): DataFrame = {
+    val v = corpus.select(col(id).as("cid"), col(vec).as("cv")).filter(col("cv").isNotNull)
+    val prefix = collectSeedVectors(
+      v.orderBy(col("cid")).limit(math.max(nlists, codeK)).select(col("cv"))
+    ).map(_._2)
+    val cells: Cells = prefix.take(nlists).zipWithIndex.map { case (sv, i) => (i.toLong, sv) }
+    // driver-side residual seeds: assign each prefix vector to its cell with
+    // the SAME dot/(√na·√nb) arithmetic VF.cosine evaluates, then subtract
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val residSeeds = prefix.take(codeK).map { sv =>
+      val cell = cells.minBy { case (c, cv) => (-cosine(sv, cv), c) }._2
+      sv.zip(cell).map { case (a, b) => a - b }
+    }
+    val centroidArr = typedlit(cells.map(_._2))
+    def residOf(vecCol: Column, cellCol: Column): Column =
+      zip_with(
+        transform(vecCol, x => x.cast("double")),
+        element_at(centroidArr, (cellCol + 1).cast("int")),
+        (a, b) => a - b
+      )
+    val vResid = v
+      .select(col("cid"), col("cv"), nearestCell(col("cv"), cells).as("cell"))
+      .select(residOf(col("cv"), col("cell")).as("cv"))
+    val books = pqTrainFromSeeds(vResid, residSeeds, m, pqRefine)
+    if (cells.isEmpty || books.isEmpty)
+      return bruteForceTopK(corpus.filter(col(vec).isNotNull), queries, id, vec, qid, qvec, k)
+    val assigned = corpus
+      .filter(col(vec).isNotNull)
+      .select(col(id).as("cid"), col(vec).as("cv"), nearestCell(col(vec), cells).as("cell"))
+      .select(
+        col("cid"),
+        col("cell"),
+        // reconstruction = centroid + decoded residual
+        zip_with(
+          element_at(centroidArr, (col("cell") + 1).cast("int")),
+          pqReconstruct(pqCodeColumn(residOf(col("cv"), col("cell")), books), books),
+          (a, b) => a + b
+        ).as("rv")
+      )
+    val q = queries.filter(col(qvec).isNotNull).select(col(qid).as("qid"), col(qvec).as("qv"))
+    val probes = q
+      .select(col("qid"), col("qv"), explode(topCells(col("qv"), cells, nprobe)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc").getField("cell").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("qid"),
+        col("neighbor_id"),
+        round(col("cos") * 10000).cast("long").as("cosine_e4"),
+        col("rank").cast("long").as("rank")
+      )
+  }
+
   /** Train IVF coarse cells as a reusable model value (deterministic
     * first-`nlists` seeds + Lloyd refinement) — the driver-literal half of a
     * persisted IVF-PQ index.

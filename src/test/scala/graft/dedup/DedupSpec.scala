@@ -667,4 +667,30 @@ class DedupSpec extends SparkSpec {
     Seq(dir, rebuiltDir, lshDir, staged)
       .foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
   }
+
+  test("residual IVF-PQ: recall >= raw-vector IVF-PQ at equal (m, codeK) budget") {
+    // clustered vectors: residual magnitudes (jitter scale) are far below
+    // vector magnitudes, which is precisely the regime residual coding wins
+    val vecs = (0 until 120).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 3 + j) + 0.08 * math.sin(i * 17 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 4)
+    def pairs(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(
+      Ann.bruteForceTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 10))
+    // nprobe = nlists probes every cell, so recall differences come ONLY
+    // from code fidelity (raw-vector codes vs residual codes)
+    val raw = pairs(Ann.ivfPqTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 10,
+      nlists = 4, nprobe = 4, m = 8, codeK = 8))
+    val res = pairs(Ann.ivfPqResidualTopK(
+      df, queries, "vec_id", "embedding", "vec_id", "embedding", 10,
+      nlists = 4, nprobe = 4, m = 8, codeK = 8))
+    val rRaw = (bf intersect raw).size.toDouble / bf.size
+    val rRes = (bf intersect res).size.toDouble / bf.size
+    assert(rRes >= rRaw, s"residual recall $rRes < raw-vector recall $rRaw")
+    assert(rRes >= 0.6, s"residual recall $rRes")
+  }
 }
