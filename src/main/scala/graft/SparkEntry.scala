@@ -521,6 +521,39 @@ object SparkEntry {
         threshold = 0.3
       )
     }),
+    // ---- decontamination at eval-suite scale: Bloom-filter prefilter ------
+    // identical output to q_decontaminate by construction (Bloom false
+    // positives are discarded by the exact postings join), so the same
+    // oracle certifies it — what changes is the broadcast: a fixed-size
+    // filter binary instead of the probe shingle set itself
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = loader(s, dir)("documents")
+      Dedup.containmentBloom(
+        docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text",
+        threshold = 0.3
+      )
+    }),
+    // ---- hybrid retrieval: RRF fusion of a sparse (BM25) + dense (ANN) run -
+    // query-by-example: doc 0 is the probe — its text drives the BM25 run,
+    // its embedding the dense run (documents.doc_id aligns 1:1 with
+    // embeddings.vec_id in the testdata); the probe doc itself is excluded
+    // from both runs. The probe text is a one-row driver lookup by contract.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = loader(s, dir)("documents")
+      val emb = loader(s, dir)("embeddings")
+      val qtext = docs.filter(col("doc_id") === 0).select(col("text")).head().getString(0)
+      val sparse = graft.functions.Retrieval
+        .bm25TopK(docs.filter(col("doc_id") =!= 0), "doc_id", "text", qtext, 20)
+        .select(col("id"), col("rank"))
+      val dense = Ann
+        .bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      graft.functions.Retrieval
+        .rrfFuse(Seq(sparse, dense), 10)
+        .select(col("id").as("doc_id"), col("rrf_nano"), col("rank"))
+    }),
     // ---- dedup: embedding cosine (exact pair scan — VERIFICATION PATH ONLY;
     // quadratic, never run at scale; kept under the oracle as the ground
     // truth the LSH path is judged against) ----------------------------------
@@ -773,6 +806,27 @@ object SparkEntry {
       )
     })
   )
+
+  // shared by q_decontaminate and q_decontaminate_bloom (identical output
+  // contracts; only the prefilter transport differs engine-side)
+  private val decontaminateSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+                FROM t WHERE len(toks) > 0),
+         p AS (SELECT doc_id AS probe_id, shingles FROM sh WHERE doc_id % 20 = 0),
+         psz AS (SELECT probe_id, len(shingles) AS pn FROM p),
+         cpost AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         ppost AS (SELECT probe_id, unnest(shingles) AS s FROM p),
+         inter AS (
+           SELECT c.doc_id, q.probe_id, count(*) AS inter
+           FROM cpost c JOIN ppost q ON c.s = q.s AND c.doc_id <> q.probe_id
+           GROUP BY c.doc_id, q.probe_id)
+         SELECT i.doc_id, i.probe_id,
+                CAST(round(1000.0 * i.inter / z.pn) AS BIGINT) AS containment_milli
+         FROM inter i JOIN psz z USING (probe_id)
+         WHERE CAST(i.inter AS DOUBLE) / z.pn >= 0.3"""
 
   def oracleSql: Map[String, String] = Map(
     "q_project" ->
@@ -1692,24 +1746,59 @@ object SparkEntry {
                 JOIN sg sb ON sb.doc_id = pr.id_b)
          SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3"""
     },
-    "q_decontaminate" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-         sh AS (SELECT doc_id,
-                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
-                                               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-                FROM t WHERE len(toks) > 0),
-         p AS (SELECT doc_id AS probe_id, shingles FROM sh WHERE doc_id % 20 = 0),
-         psz AS (SELECT probe_id, len(shingles) AS pn FROM p),
-         cpost AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         ppost AS (SELECT probe_id, unnest(shingles) AS s FROM p),
-         inter AS (
-           SELECT c.doc_id, q.probe_id, count(*) AS inter
-           FROM cpost c JOIN ppost q ON c.s = q.s AND c.doc_id <> q.probe_id
-           GROUP BY c.doc_id, q.probe_id)
-         SELECT i.doc_id, i.probe_id,
-                CAST(round(1000.0 * i.inter / z.pn) AS BIGINT) AS containment_milli
-         FROM inter i JOIN psz z USING (probe_id)
-         WHERE CAST(i.inter AS DOUBLE) / z.pn >= 0.3""",
+    "q_decontaminate" -> decontaminateSql,
+    // output-identical to q_decontaminate by construction (the Bloom filter
+    // is a prefilter whose false positives the exact postings join removes),
+    // so the same oracle certifies the Bloom path
+    "q_decontaminate_bloom" -> decontaminateSql,
+    "q_hybrid_rrf" ->
+      // sparse run = the q_bm25 replay with doc 0's distinct terms as the
+      // query and doc 0 excluded from the corpus; dense run = brute-force
+      // cosine from doc 0's embedding; fusion = integer sum of
+      // round(1e9/(60+rank)) per run — order-free, exact on both engines
+      """WITH qterms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE doc_id = 0),
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <> 0),
+         dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS dl
+           FROM corpus),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM corpus),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         sparse AS (
+           SELECT t.doc_id,
+                  CAST(sum(CAST(round(
+                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+                  ) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+           GROUP BY 1),
+         sparse_run AS (
+           SELECT doc_id AS id,
+                  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+           FROM sparse ORDER BY score_micro DESC, doc_id LIMIT 20),
+         dense_run AS (
+           SELECT id, rank FROM (
+             SELECT c.vec_id AS id,
+                    CAST(row_number() OVER (
+                      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                               c.vec_id) AS BIGINT) AS rank
+             FROM embeddings c JOIN embeddings q ON q.vec_id = 0 AND c.vec_id <> 0)
+           WHERE rank <= 20),
+         contrib AS (
+           SELECT id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c FROM sparse_run
+           UNION ALL
+           SELECT id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c FROM dense_run),
+         fused AS (SELECT id, CAST(sum(c) AS BIGINT) AS rrf_nano FROM contrib GROUP BY 1)
+         SELECT id AS doc_id, rrf_nano,
+                CAST(row_number() OVER (ORDER BY rrf_nano DESC, id) AS BIGINT) AS rank
+         FROM fused ORDER BY rrf_nano DESC, id LIMIT 10""",
     "q_dedup_embed" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 CAST(round(10000 * list_cosine_similarity(a.embedding, b.embedding)) AS BIGINT) AS cosine_e4

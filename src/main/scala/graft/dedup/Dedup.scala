@@ -516,6 +516,76 @@ object Dedup {
     val cpost = csh
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(broadcast(probeShingles), Seq("s"), "left_semi")
+    containmentScore(cpost, psh, psizes, threshold)
+  }
+
+  /** [[containment]] with the probe-shingle prefilter carried as a BLOOM
+    * FILTER instead of the distinct shingle set: a full eval-suite's
+    * shingle set can run to hundreds of millions of strings (GBs
+    * broadcast), while a 1%
+    * Bloom filter over the same set is ~1.2 bytes/shingle — a fixed-size
+    * binary literal every executor holds once. False positives only let
+    * extra corpus shingles PAST the prefilter; the exact join against the
+    * real probe postings downstream discards them, so output is identical
+    * to [[containment]] (same oracle certifies both). Shingles are reduced
+    * to xxhash64 on BOTH build and probe sides (the filter stores longs —
+    * insertion and lookup hash identically regardless of string encoding).
+    *
+    * The filter is built distributed (map-side partial filters OR-merged on
+    * the driver by `stat.bloomFilter`) and probed by the native
+    * `BloomFilterMightContain` predicate — codegen'd, no UDF in the scan.
+    */
+  def containmentBloom(
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      probes: DataFrame,
+      probeId: String,
+      probeText: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      expectedShingles: Long = 1L << 20,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val csh = corpus
+      .select(col(id).as("doc_id"), TF.wordShingles(col(text), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val psh = probes
+      .select(col(probeId).as("probe_id"), TF.wordShingles(col(probeText), shingleN).as("psh"))
+      .filter(size(col("psh")) > 0)
+    val psizes = psh.select(col("probe_id"), size(col("psh")).as("pn"))
+    val bloom = psh
+      .select(explode(col("psh")).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+      .stat
+      .bloomFilter("h", expectedShingles, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.GraftColumnBridge
+    val mightContain = GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftColumnBridge.expression(lit(bytes)),
+        GraftColumnBridge.expression(xxhash64(col("s")))
+      )
+    )
+    val cpost = csh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .filter(mightContain)
+    containmentScore(cpost, psh, psizes, threshold)
+  }
+
+  /** Shared containment tail: exact intersection counts over prefiltered
+    * corpus postings, normalized by probe size, thresholded.
+    */
+  private def containmentScore(
+      cpost: DataFrame,
+      psh: DataFrame,
+      psizes: DataFrame,
+      threshold: Double
+  ): DataFrame = {
     val inter = cpost
       .join(psh.select(col("probe_id"), explode(col("psh")).as("s")), "s")
       .filter(col("doc_id") =!= col("probe_id"))

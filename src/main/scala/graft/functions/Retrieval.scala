@@ -69,6 +69,41 @@ object Retrieval {
     )
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * `fused(d) = Σ_runs 1/(rrfK + rank_run(d))` over the union of each
+    * run's candidates; a document absent from a run contributes nothing for
+    * it. The standard way to combine a sparse (BM25) and dense (ANN) run
+    * without score calibration — only ranks matter.
+    *
+    * Each run's contribution is emitted in integer NANO-units
+    * (`round(1e9 / (rrfK + rank))`) and the cross-run reduction is an
+    * integer sum — associative and order-free, so engines agree exactly
+    * (the [[bm25TopK]] micro-unit convention).
+    *
+    * Scale shape: inputs are already top-k-bounded runs (k rows per query
+    * per run), so fusion cost is O(Σ run sizes) regardless of corpus size —
+    * the expensive retrieval happened upstream; this is a tiny union +
+    * groupBy + TakeOrdered.
+    * Input runs: (id, rank). Output: (id, rrf_nano, rank) — rank 1-based,
+    * ties broken by id.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    val contribs = runs.map(
+      _.select(
+        col("id"),
+        round(lit(1e9) / (lit(rrfK.toDouble) + col("rank"))).cast("long").as("c")
+      )
+    )
+    val fused =
+      contribs.reduce(_ unionByName _).groupBy(col("id")).agg(sum(col("c")).as("rrf_nano"))
+    val top = fused.orderBy(col("rrf_nano").desc, col("id")).limit(k)
+    top.withColumn(
+      "rank",
+      row_number().over(Window.orderBy(col("rrf_nano").desc, col("id"))).cast("long")
+    )
+  }
+
   /** Fixed-size overlapping character chunks: windows of `size` starting
     * every `size - overlap` characters; every document yields at least one
     * chunk (short docs yield exactly one). Chunk count is computed with

@@ -520,4 +520,49 @@ class FunctionsSpec extends SparkSpec {
     assert(out(2L).width == 1000 % 640 && out(2L).height == 1000 % 480)
     assert(out(2L).frames == Seq(0L, 250L, 500L, 750L))
   }
+
+  test("rrfFuse: exact nano contributions, cross-run consensus wins, k-bounded") {
+    val runA = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val runB = Seq((20L, 1L), (40L, 2L), (10L, 3L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(runA, runB), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def c(rank: Long): Long = math.round(1e9 / (60.0 + rank))
+    val expected = Map(
+      10L -> (c(1) + c(3)), // in both runs
+      20L -> (c(2) + c(1)),
+      30L -> c(3), // single-run docs score one contribution only
+      40L -> c(2)
+    )
+    assert(out.map(r => r._1 -> r._2).toMap == expected)
+    // consensus docs (both runs) outrank single-run docs; rank follows
+    // score desc with id tie-break
+    val ranked = out.sortBy(_._3).map(_._1)
+    assert(ranked.take(2).toSet == Set(10L, 20L))
+    assert(ranked.toSeq == out.sortBy(r => (-r._2, r._1)).map(_._1).toSeq)
+    // k bounds the output
+    assert(Retrieval.rrfFuse(Seq(runA, runB), k = 2).count() == 2)
+  }
+
+  test("containmentBloom matches the exact broadcast-set containment") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "the embedded probe text sits inside this much longer page of filler words"),
+      (3L, "completely unrelated content with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "embedded probe text sits inside")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = graft.dedup.Dedup.containment(
+      corpus, "doc_id", "text", probes, "doc_id", "text", threshold = 0.5)
+    val bloom = graft.dedup.Dedup.containmentBloom(
+      corpus, "doc_id", "text", probes, "doc_id", "text", threshold = 0.5)
+    assert(rows(bloom) == rows(exact))
+    assert(rows(bloom).nonEmpty, "the embedded probe must be detected")
+    // even a deliberately tiny, collision-heavy filter stays exact: false
+    // positives only admit extra postings that the exact join then drops
+    val tiny = graft.dedup.Dedup.containmentBloom(
+      corpus, "doc_id", "text", probes, "doc_id", "text", threshold = 0.5,
+      expectedShingles = 4L, fpp = 0.5)
+    assert(rows(tiny) == rows(exact))
+  }
 }
