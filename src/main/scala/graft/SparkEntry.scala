@@ -534,6 +534,20 @@ object SparkEntry {
         threshold = 0.3
       )
     }),
+    // ---- CCNet line dedup: first-occurrence-wins cross-doc boilerplate cut -
+    // the synthetic docs are single-line, so the graded query constructs
+    // 2-line documents deterministically (doc i's text + '\n' + doc i+7's)
+    // on BOTH engines — every original line then occurs in two constructed
+    // docs and the keeper election is exercised across docs and positions
+    "q_dedup_lines" -> ((s, dir) => {
+      val d = loader(s, dir)("documents").select(col("doc_id"), col("text"))
+      val multi = d.as("a")
+        .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 7)
+        .select(
+          col("a.doc_id").as("doc_id"),
+          concat_ws("\n", col("a.text"), col("b.text")).as("text"))
+      Dedup.dedupLines(multi, "doc_id", "text")
+    }),
     // ---- hybrid retrieval: RRF fusion of a sparse (BM25) + dense (ANN) run -
     // query-by-example: doc 0 is the probe — its text drives the BM25 run,
     // its embedding the dense run (documents.doc_id aligns 1:1 with
@@ -1751,6 +1765,30 @@ object SparkEntry {
     // is a prefilter whose false positives the exact postings join removes),
     // so the same oracle certifies the Bloom path
     "q_decontaminate_bloom" -> decontaminateSql,
+    "q_dedup_lines" ->
+      // keeper = first (doc_id, pos) in total order per line hash, replayed
+      // with a row_number window; cleaned text re-joined in pos order
+      """WITH base AS (
+           SELECT a.doc_id AS doc_id, a.text || chr(10) || b.text AS text
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base),
+         lines AS (
+           SELECT doc_id, CAST(pos AS BIGINT) - 1 AS pos, ls[CAST(pos AS INTEGER)] AS line
+           FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS pos FROM ls)),
+         ranked AS (
+           SELECT doc_id, pos, line,
+                  row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+           FROM lines),
+         kept AS (SELECT doc_id, pos, line FROM ranked WHERE rn = 1),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+           FROM kept GROUP BY doc_id),
+         nl AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM ls)
+         SELECT n.doc_id, n.n_lines,
+                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(a.clean_md5, md5('')) AS clean_md5
+         FROM nl n LEFT JOIN agg a USING (doc_id)""",
     "q_hybrid_rrf" ->
       // sparse run = the q_bm25 replay with doc 0's distinct terms as the
       // query and doc 0 excluded from the corpus; dense run = brute-force

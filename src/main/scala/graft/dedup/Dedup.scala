@@ -577,6 +577,60 @@ object Dedup {
     containmentScore(cpost, psh, psizes, threshold)
   }
 
+  /** Cross-document line dedup (CCNet, Wenzek et al. 2020 §4.1): hash every
+    * line, keep only the globally FIRST occurrence of each distinct line —
+    * first in the total order on (doc, position) — and drop every other
+    * copy. The standard boilerplate-removal pass: site chrome, cookie
+    * banners, and blank lines dedup away corpus-wide while each keeps one
+    * representative. Callers wanting CCNet's normalization (lowercase,
+    * strip digits) pre-normalize the text column; the hash is over the
+    * line as given. Output is a compact audit row per doc — original/kept
+    * line counts plus md5 of the cleaned text (survivors re-joined with
+    * `\n` in original order) — not the full rewritten text.
+    *
+    * Scale shape: lines reduce to md5 BEFORE the shuffle (32-byte key
+    * regardless of line length); keeper election is one
+    * `min(struct(doc, pos))` aggregate per hash — map-side combining, no
+    * per-hash window, so a line duplicated across millions of pages never
+    * funnels one task; survivors join back on the same hash key and the
+    * per-doc rebuild is one aggregation.
+    * Output: (doc_id, n_lines, n_kept, clean_md5).
+    */
+  def dedupLines(docs: DataFrame, id: String, text: String): DataFrame = {
+    val hashed = docs
+      .select(col(id).as("doc_id"), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), col("line"), md5(col("line")).as("h"))
+    val keeper = hashed
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+    val keptAgg = hashed
+      .join(keeper, "h")
+      .filter(col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(
+          concat_ws(
+            "\n",
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("line")))),
+              s => s.getField("line")
+            )
+          )
+        ).as("clean_md5")
+      )
+    docs
+      .select(col(id).as("doc_id"), size(split(col(text), "\n")).cast("long").as("n_lines"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5")
+      )
+  }
+
   /** Shared containment tail: exact intersection counts over prefiltered
     * corpus postings, normalized by probe size, thresholded.
     */

@@ -668,6 +668,29 @@ class DedupSpec extends SparkSpec {
       .foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
   }
 
+  test("dedupLines: first (doc,pos) occurrence wins corpus-wide, cleaned hash matches") {
+    val docs = Seq(
+      (1L, "header\nunique one\nfooter"),
+      (2L, "header\nunique two\nfooter"),
+      (3L, "unique three\nheader")
+    ).toDF("doc_id", "text")
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Dedup.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the first occurrence of header and footer: keeps all 3
+    assert(out(1L) == ((3L, 3L, m("header\nunique one\nfooter"))))
+    // doc 2 loses header and footer to doc 1
+    assert(out(2L) == ((3L, 1L, m("unique two"))))
+    // doc 3 loses header (doc 1 pos 0 precedes doc 3 pos 1 in total order)
+    assert(out(3L) == ((2L, 1L, m("unique three"))))
+    // a doc that is pure boilerplate reduces to zero lines + empty-text hash
+    val withPure = docs.union(Seq((4L, "header\nfooter")).toDF("doc_id", "text"))
+    val out2 = Dedup.dedupLines(withPure, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out2(4L) == ((0L, m(""))))
+  }
+
   test("residual IVF-PQ: recall >= raw-vector IVF-PQ at equal (m, codeK) budget") {
     // clustered vectors: residual magnitudes (jitter scale) are far below
     // vector magnitudes, which is precisely the regime residual coding wins
