@@ -2087,10 +2087,12 @@ object SparkEntry {
          FROM ranked WHERE rank <= 10""",
     "q_ann_ivfpq_residual" ->
       // like q_ann_ivfpq, but the PQ codebooks are RESIDUAL seeds (seed
-      // vector minus its nearest cell centroid), codes argmin subspace
-      // squared-L2 on the corpus residual v − centroid(cell), and the
-      // reconstruction is centroid + decoded residual. All residual
-      // arithmetic is in DOUBLE on both engines (float→double is exact).
+      // vector minus its nearest cell centroid) applied via the shift
+      // identity the engine uses: ||(v-c)-b||^2 = ||v-(c+b)||^2, so codes
+      // argmin subspace squared-L2 between the RAW vector and the
+      // cell-shifted codebook (centroid + residual seed), and the
+      // reconstruction IS the selected shifted entry. All shift arithmetic
+      // is in DOUBLE on both engines (float→double is exact).
       """WITH seeds AS (
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS sv
            FROM (SELECT vec_id, embedding FROM embeddings
@@ -2105,36 +2107,33 @@ object SparkEntry {
                 LATERAL (SELECT s2.sv AS csv FROM seeds s2
                          ORDER BY list_cosine_similarity(p.sv, s2.sv) DESC, s2.c
                          LIMIT 1) cs),
+         shifted AS (
+           SELECT s.c AS cell, r.c AS code,
+                  list_transform(list_zip(s.sv, r.sv),
+                                 x -> CAST(x[1] AS DOUBLE) + x[2]) AS sv
+           FROM seeds s CROSS JOIN residseeds r),
          assigned AS (
            SELECT a.cid, a.cv,
                   (SELECT s.c FROM seeds s
                    ORDER BY list_cosine_similarity(a.cv, s.sv) DESC, s.c
                    LIMIT 1) AS cell
            FROM corpus a),
-         resid AS (
-           SELECT a.cid, a.cell,
-                  list_transform(list_zip(a.cv, s.sv),
-                                 x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv0
-           FROM assigned a JOIN seeds s ON s.c = a.cell),
-         sub AS (SELECT cid, cell, rv0, j FROM resid, generate_series(0, 7) AS gs(j)),
+         sub AS (SELECT cid, cv, cell, j FROM assigned, generate_series(0, 7) AS gs(j)),
          codes AS (
-           SELECT s.cid, s.j,
-                  (SELECT d.c FROM residseeds d
+           SELECT s.cid, s.cell, s.j,
+                  (SELECT d.code FROM shifted d WHERE d.cell = s.cell
                    -- squared L2 on doubles, mirroring Ann.nearestCodeL2
                    ORDER BY list_sum(list_transform(
-                              list_zip(s.rv0[s.j*8 + 1 : s.j*8 + 8], d.sv[s.j*8 + 1 : s.j*8 + 8]),
-                              x -> (x[1] - x[2]) * (x[1] - x[2]))), d.c
+                              list_zip(s.cv[s.j*8 + 1 : s.j*8 + 8], d.sv[s.j*8 + 1 : s.j*8 + 8]),
+                              x -> (CAST(x[1] AS DOUBLE) - x[2])
+                                 * (CAST(x[1] AS DOUBLE) - x[2]))), d.code
                    LIMIT 1) AS code
            FROM sub s),
-         dec AS (
-           SELECT c.cid, flatten(list(d.sv[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j)) AS dv
-           FROM codes c JOIN residseeds d ON d.c = c.code
-           GROUP BY c.cid),
          recon AS (
-           SELECT r.cid, a.cell,
-                  list_transform(list_zip(s.sv, r.dv),
-                                 x -> CAST(x[1] AS DOUBLE) + x[2]) AS rv
-           FROM dec r JOIN assigned a ON a.cid = r.cid JOIN seeds s ON s.c = a.cell),
+           SELECT c.cid, c.cell,
+                  flatten(list(d.sv[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j)) AS rv
+           FROM codes c JOIN shifted d ON d.cell = c.cell AND d.code = c.code
+           GROUP BY c.cid, c.cell),
          probes AS (
            SELECT q.vec_id AS qid, q.embedding AS qv, s.c AS cell
            FROM embeddings q,

@@ -730,13 +730,17 @@ object Ann {
     * (m, codeK) codebook budget quantizes far finer and recall at equal
     * parameters dominates the raw-vector [[ivfPqTopK]] (spec-asserted).
     *
-    * Same scale shape as [[ivfPqTopK]]: models are driver literals
-    * (residual seeds derive from the same first-k corpus prefix, assigned
-    * and subtracted with the exact double arithmetic the executors use);
-    * residual + encode + reconstruct(+centroid) are map-side expressions;
-    * candidates come only from the probed cells; one top-k window.
-    * Residual arithmetic runs in DOUBLE on both engines (float→double is
-    * exact), so the DuckDB oracle replays code assignment bit-for-bit.
+    * The scan never materializes a residual: `‖(v−c)−b‖² = ‖v−(c+b)‖²`,
+    * so each codebook entry is shifted by every cell centroid ONCE on the
+    * driver (an nlists × m × codeK literal) and both code assignment and
+    * reconstruction run native [[graft.expr.VectorBinaryOp]] `l2Sq` /
+    * `element_at` directly on the raw vector column — the same
+    * codegen-friendly per-row shape (and cost) as [[ivfPqTopK]]. The naive
+    * residual-column formulation duplicates an interpreted `zip_with`
+    * subtraction into all m × codeK distance evaluations (measured 12×
+    * slower at sf0.1); the shift identity removes it exactly. All shift
+    * arithmetic is in DOUBLE (float→double is exact), so the DuckDB oracle
+    * replays code assignment bit-for-bit from the same shifted books.
     */
   def ivfPqResidualTopK(
       corpus: DataFrame,
@@ -771,31 +775,59 @@ object Ann {
       sv.zip(cell).map { case (a, b) => a - b }
     }
     val centroidArr = typedlit(cells.map(_._2))
-    def residOf(vecCol: Column, cellCol: Column): Column =
-      zip_with(
-        transform(vecCol, x => x.cast("double")),
-        element_at(centroidArr, (cellCol + 1).cast("int")),
-        (a, b) => a - b
-      )
-    val vResid = v
+    // Lloyd refinement (pqRefine > 0) is the one place a residual column is
+    // genuinely needed — it is evaluated ONCE per row per training job, not
+    // per distance, so the HOF subtraction is fine there
+    lazy val vResid = v
       .select(col("cid"), col("cv"), nearestCell(col("cv"), cells).as("cell"))
-      .select(residOf(col("cv"), col("cell")).as("cv"))
-    val books = pqTrainFromSeeds(vResid, residSeeds, m, pqRefine)
+      .select(
+        zip_with(
+          transform(col("cv"), x => x.cast("double")),
+          element_at(centroidArr, (col("cell") + 1).cast("int")),
+          (a, b) => a - b
+        ).as("cv")
+      )
+    val books =
+      if (pqRefine == 0 && residSeeds.nonEmpty) {
+        val dim = residSeeds.head.length
+        require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+        (0 until m).map(j => residSeeds.map(_.slice(j * (dim / m), (j + 1) * (dim / m))))
+      } else pqTrainFromSeeds(vResid, residSeeds, m, pqRefine)
     if (cells.isEmpty || books.isEmpty)
       return bruteForceTopK(corpus.filter(col(vec).isNotNull), queries, id, vec, qid, qvec, k)
+    val sub = books.head.head.length
+    // shifted(cell)(j)(c) = centroid(cell).slice(j) + books(j)(c): the whole
+    // model pre-summed driver-side (nlists × m × codeK × sub doubles)
+    val shifted: Seq[Seq[Seq[Seq[Double]]]] = cells.map { case (_, cv) =>
+      (0 until m).map { j =>
+        books(j).map(b => cv.slice(j * sub, (j + 1) * sub).zip(b).map { case (a, x) => a + x })
+      }
+    }
+    // one literal per subspace: nlists × codeK × sub, indexed by (cell, code)
+    val shiftedLit = (0 until m).map(j => typedlit(shifted.map(_(j))))
+    def codeJ(vecCol: Column, cellCol: Column, j: Int): Column = {
+      val bookForCell = element_at(shiftedLit(j), (cellCol + 1).cast("int"))
+      val subVec = slice(vecCol, j * sub + 1, sub)
+      val scored = array((0 until codeK).map { c =>
+        struct(
+          (lit(0.0) - VF.l2Sq(subVec, element_at(bookForCell, c + 1))).as("sim"),
+          lit(-c.toLong).as("negcell")
+        )
+      }: _*)
+      (lit(0L) - array_max(scored).getField("negcell")).cast("int")
+    }
+    // reconstruction = centroid + decoded residual = the shifted entry itself
+    def reconstruct(vecCol: Column, cellCol: Column): Column =
+      concat((0 until m).map { j =>
+        element_at(
+          element_at(shiftedLit(j), (cellCol + 1).cast("int")),
+          codeJ(vecCol, cellCol, j) + 1
+        )
+      }: _*)
     val assigned = corpus
       .filter(col(vec).isNotNull)
       .select(col(id).as("cid"), col(vec).as("cv"), nearestCell(col(vec), cells).as("cell"))
-      .select(
-        col("cid"),
-        col("cell"),
-        // reconstruction = centroid + decoded residual
-        zip_with(
-          element_at(centroidArr, (col("cell") + 1).cast("int")),
-          pqReconstruct(pqCodeColumn(residOf(col("cv"), col("cell")), books), books),
-          (a, b) => a + b
-        ).as("rv")
-      )
+      .select(col("cid"), col("cell"), reconstruct(col("cv"), col("cell")).as("rv"))
     val q = queries.filter(col(qvec).isNotNull).select(col(qid).as("qid"), col(qvec).as("qv"))
     val probes = q
       .select(col("qid"), col("qv"), explode(topCells(col("qv"), cells, nprobe)).as("pc"))
