@@ -236,4 +236,38 @@ class PlanSpec extends SparkSpec {
     // quantization itself (prep path) must not fall back to UDFs
     assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"))
   }
+
+  test("residual IVF-PQ scan is HOF-free: the shift identity keeps it native") {
+    // regression guard for the 29.2 s -> 3.4 s rewrite: the naive residual
+    // column duplicated an interpreted zip_with into all m × codeK distance
+    // evaluations (1025 nodes in the optimized plan). The shifted-codebook
+    // form must contain NO higher-order functions at all — only the native
+    // VectorBinaryOp distances and literal element_at lookups.
+    val df = SparkEntry.queries("q_ann_ivfpq_residual")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("zip_with") && !opt.contains("transform("),
+      "residual IVF-PQ must not materialize residuals per distance")
+    assert(opt.toLowerCase.contains("vectorbinaryop("), "distances must be native")
+  }
+
+  test("Bloom decontamination prefilters with a predicate, not a shingle-set join") {
+    val df = SparkEntry.queries("q_decontaminate_bloom")(spark, sf)
+    val s = plan(df)
+    // the probe-shingle prefilter is the codegen BloomFilterMightContain
+    // predicate over a filter binary — at eval-suite scale this is a
+    // fixed-size literal per executor, never a broadcast of the shingle set
+    assert(s.contains("might_contain"), s)
+    // exactly one left-semi-free corpus posting path: the only joins left
+    // are the exact intersection + probe-size joins
+    assert(!s.contains("LeftSemi"), "Bloom path must not also semi-join the shingle set")
+  }
+
+  test("dedupLines elects keepers with an aggregate, not a per-hash window") {
+    val df = SparkEntry.queries("q_dedup_lines")(spark, sf)
+    val s = plan(df)
+    // keeper election must be min(struct(doc,pos)) — map-side combining —
+    // not a row_number window per hash (a viral line would funnel one task)
+    assert(!s.contains("Window"), s"keeper election must not be a window:\n$s")
+    assert(s.contains("partial_min") || s.contains("min(struct"), s)
+  }
 }
