@@ -383,6 +383,16 @@ object SparkEntry {
       graft.functions.Retrieval
         .bm25TopK(loader(s, dir)("documents"), "doc_id", "text", "spark vector join query window", 25)
         .select(col("id").as("doc_id"), col("score_micro"), col("rank"))),
+    // ---- batch BM25: a query WORKLOAD scored in one corpus pass ------------
+    // queries are docs 0..2 used as free-text probes over the full corpus
+    // (self-match allowed: the probe doc ranks itself first, deterministic)
+    "q_bm25_batch" -> ((s, dir) => {
+      val docs = loader(s, dir)("documents")
+      graft.functions.Retrieval
+        .bm25TopKBatch(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 3), "doc_id", "text", 10)
+    }),
     // ---- chunking: fixed-size overlapping windows (map-side only) ----------
     "q_chunk" -> ((s, dir) =>
       graft.functions.Retrieval
@@ -1179,6 +1189,39 @@ object SparkEntry {
          SELECT doc_id, score_micro,
                 CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
          FROM scored ORDER BY score_micro DESC, doc_id LIMIT 25""",
+    "q_bm25_batch" ->
+      // the q_bm25 replay generalized to a query set: per-query distinct
+      // terms, shared corpus stats, rank partitioned by qid
+      """WITH q AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 3),
+         qterms AS (
+           SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM q),
+         dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT qt.qid, t.doc_id AS id,
+                  CAST(sum(CAST(round(
+                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+                  ) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM tf t JOIN dfreq f USING (term) JOIN dl d ON d.doc_id = t.doc_id
+                CROSS JOIN stats s JOIN qterms qt ON qt.term = t.term
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, id, score_micro,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id)
+                       AS BIGINT) AS rank
+           FROM scored)
+         SELECT qid, id, score_micro, rank FROM ranked WHERE rank <= 10""",
     "q_chunk" ->
       """WITH d AS (
            SELECT doc_id, text,

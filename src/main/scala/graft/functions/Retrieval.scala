@@ -69,6 +69,65 @@ object Retrieval {
     )
   }
 
+  /** Batch BM25: per-query top-`k` for a whole QUERY WORKLOAD in one job —
+    * the production retrieval shape ([[bm25TopK]] is one driver-literal
+    * query per plan; a workload of thousands of queries must amortize the
+    * corpus pass). Scoring is identical to [[bm25TopK]] (same idf/tf
+    * normalization, same integer micro-units, query terms deduplicated per
+    * query before matching).
+    *
+    * Scale shape: the DISTINCT term set across all queries broadcasts and
+    * semi-filters corpus tokens before the (doc, term) aggregation — one
+    * corpus pass total, shuffle O(postings matching ANY query); per-term
+    * scores then join the (qid, term) pairs (broadcast — workload-sized)
+    * and reduce per (qid, doc); the final per-query top-k is one window
+    * over each query's candidate set.
+    * Output: (qid, id, score_micro, rank) — rank 1-based per qid, ties by id.
+    */
+  def bm25TopKBatch(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      queries: DataFrame,
+      qid: String,
+      qtext: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val toks = docs.select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
+    val dl = toks.select(col("id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qterms = queries
+      .select(
+        col(qid).as("qid"),
+        explode(array_distinct(TextFunctions.tokens(lower(col(qtext))))).as("term")
+      )
+    val termSet = qterms.select(col("term")).distinct()
+    val tf = toks
+      .select(col("id"), explode(col("toks")).as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("term"), round(lit(1e6) * idf * tfNorm).cast("long").as("s_micro"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("s_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score_micro").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * `fused(d) = Σ_runs 1/(rrfK + rank_run(d))` over the union of each
     * run's candidates; a document absent from a run contributes nothing for

@@ -27,6 +27,26 @@ class RetrievalSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("bm25 batch: each query scores exactly as the single-query plan") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark " + Seq.fill(50)("filler").mkString(" ")),
+      (3L, "window join window"),
+      (4L, "spark spark other words")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark"), (200L, "window join"), (300L, "")).toDF("qid", "qtext")
+    val batch = Retrieval.bm25TopKBatch(docs, "doc_id", "text", queries, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-query results == the single-query operator run per query
+    for ((q, text) <- Seq(100L -> "spark", 200L -> "window join")) {
+      val single = Retrieval.bm25TopK(docs, "doc_id", "text", text, 10)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.filter(_._1 == q).toSet == single, s"qid $q diverges from single-query")
+    }
+    // an empty query contributes no rows (no terms to match)
+    assert(!batch.exists(_._1 == 300L))
+  }
+
   test("bm25 matches a hand-computed score on a 2-doc corpus") {
     val docs = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")
     val top = Retrieval
