@@ -393,6 +393,23 @@ object SparkEntry {
           docs, "doc_id", "text",
           docs.filter(col("doc_id") < 3), "doc_id", "text", 10)
     }),
+    // ---- batch hybrid: workload BM25 + workload ANN fused per query --------
+    // docs 0..2 probe by text AND by embedding; one sparse pass + one dense
+    // pass + one per-qid fusion for the whole workload
+    "q_hybrid_rrf_batch" -> ((s, dir) => {
+      val docs = loader(s, dir)("documents")
+      val emb = loader(s, dir)("embeddings")
+      val sparse = graft.functions.Retrieval
+        .bm25TopKBatch(docs, "doc_id", "text", docs.filter(col("doc_id") < 3), "doc_id", "text", 20)
+        .select(col("qid"), col("id"), col("rank"))
+      val dense = Ann
+        .bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id", "embedding", 20)
+        .select(col("qid"), col("neighbor_id").as("id"), col("rank"))
+      graft.functions.Retrieval
+        .rrfFuseByQuery(Seq(sparse, dense), 10)
+        .select(col("qid"), col("id").as("doc_id"), col("rrf_nano"), col("rank"))
+    }),
     // ---- chunking: fixed-size overlapping windows (map-side only) ----------
     "q_chunk" -> ((s, dir) =>
       graft.functions.Retrieval
@@ -1222,6 +1239,59 @@ object SparkEntry {
                        AS BIGINT) AS rank
            FROM scored)
          SELECT qid, id, score_micro, rank FROM ranked WHERE rank <= 10""",
+    "q_hybrid_rrf_batch" ->
+      // the q_bm25_batch replay at k=20 fused per qid with a per-qid dense
+      // run (brute-force cosine, self excluded), nano-unit integer fusion
+      """WITH q AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 3),
+         qterms AS (
+           SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM q),
+         dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         sparse_scored AS (
+           SELECT qt.qid, t.doc_id AS id,
+                  CAST(sum(CAST(round(
+                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+                  ) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM tf t JOIN dfreq f USING (term) JOIN dl d ON d.doc_id = t.doc_id
+                CROSS JOIN stats s JOIN qterms qt ON qt.term = t.term
+           GROUP BY 1, 2),
+         sparse_run AS (
+           SELECT qid, id, rank FROM (
+             SELECT qid, id,
+                    CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id)
+                         AS BIGINT) AS rank
+             FROM sparse_scored)
+           WHERE rank <= 20),
+         dense_run AS (
+           SELECT qid, id, rank FROM (
+             SELECT e.vec_id AS qid, c.vec_id AS id,
+                    CAST(row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(c.embedding, e.embedding) DESC,
+                               c.vec_id) AS BIGINT) AS rank
+             FROM embeddings c JOIN embeddings e ON e.vec_id < 3 AND c.vec_id <> e.vec_id)
+           WHERE rank <= 20),
+         contrib AS (
+           SELECT qid, id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c FROM sparse_run
+           UNION ALL
+           SELECT qid, id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c FROM dense_run),
+         fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_nano FROM contrib GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, id, rrf_nano,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_nano DESC, id)
+                       AS BIGINT) AS rank
+           FROM fused)
+         SELECT qid, id AS doc_id, rrf_nano, rank FROM ranked WHERE rank <= 10""",
     "q_chunk" ->
       """WITH d AS (
            SELECT doc_id, text,

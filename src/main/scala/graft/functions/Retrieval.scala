@@ -163,6 +163,30 @@ object Retrieval {
     )
   }
 
+  /** [[rrfFuse]] for a QUERY WORKLOAD: runs carry (qid, id, rank) and
+    * fusion + top-k happen independently per query — the batch companion
+    * of [[bm25TopKBatch]], closing the hybrid loop at workload scale (one
+    * sparse pass + one dense pass + one fusion job for thousands of
+    * queries). Same integer nano-unit contract as [[rrfFuse]].
+    * Output: (qid, id, rrf_nano, rank).
+    */
+  def rrfFuseByQuery(runs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuseByQuery needs at least one run")
+    val contribs = runs.map(
+      _.select(
+        col("qid"),
+        col("id"),
+        round(lit(1e9) / (lit(rrfK.toDouble) + col("rank"))).cast("long").as("c")
+      )
+    )
+    val fused = contribs
+      .reduce(_ unionByName _)
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("c")).as("rrf_nano"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf_nano").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
   /** Fixed-size overlapping character chunks: windows of `size` starting
     * every `size - overlap` characters; every document yields at least one
     * chunk (short docs yield exactly one). Chunk count is computed with

@@ -543,6 +543,20 @@ class FunctionsSpec extends SparkSpec {
     assert(Retrieval.rrfFuse(Seq(runA, runB), k = 2).count() == 2)
   }
 
+  test("rrfFuseByQuery: per-query fusion equals rrfFuse run per query") {
+    val runA = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 30L, 1L)).toDF("qid", "id", "rank")
+    val runB = Seq((1L, 20L, 1L), (2L, 30L, 2L), (2L, 40L, 1L)).toDF("qid", "id", "rank")
+    val batch = Retrieval.rrfFuseByQuery(Seq(runA, runB), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val perQuery = Seq(1L, 2L).flatMap { q =>
+      Retrieval.rrfFuse(
+        Seq(runA.filter(col("qid") === q).drop("qid"), runB.filter(col("qid") === q).drop("qid")),
+        k = 10
+      ).collect().map(r => (q, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(batch == perQuery)
+  }
+
   test("containmentBloom matches the exact broadcast-set containment") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
