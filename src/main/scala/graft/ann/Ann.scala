@@ -796,32 +796,43 @@ object Ann {
     if (cells.isEmpty || books.isEmpty)
       return bruteForceTopK(corpus.filter(col(vec).isNotNull), queries, id, vec, qid, qvec, k)
     val sub = books.head.head.length
-    // shifted(cell)(j)(c) = centroid(cell).slice(j) + books(j)(c): the whole
-    // model pre-summed driver-side (nlists × m × codeK × sub doubles)
-    val shifted: Seq[Seq[Seq[Seq[Double]]]] = cells.map { case (_, cv) =>
-      (0 until m).map { j =>
-        books(j).map(b => cv.slice(j * sub, (j + 1) * sub).zip(b).map { case (a, x) => a + x })
+    // shifted(j)(c)(cell) = centroid(cell).slice(j) + books(j)(c): the whole
+    // model pre-summed driver-side. Grouped per (subspace, code) and indexed
+    // by CELL so each expression reference embeds one nlists × sub literal
+    // (128 doubles), not the full model — 16× smaller plan/codegen payload
+    // than a per-subspace 3-D literal across the ~m × codeK references.
+    val shifted: Seq[Seq[Seq[Seq[Double]]]] = (0 until m).map { j =>
+      books(j).map { b =>
+        cells.map { case (_, cv) =>
+          cv.slice(j * sub, (j + 1) * sub).zip(b).map { case (a, x) => a + x }
+        }
       }
     }
-    // one literal per subspace: nlists × codeK × sub, indexed by (cell, code)
-    val shiftedLit = (0 until m).map(j => typedlit(shifted.map(_(j))))
+    val shiftedLit = shifted.map(_.map(byCell => typedlit(byCell)))
+    def entry(j: Int, c: Int, cellCol: Column): Column =
+      element_at(shiftedLit(j)(c), (cellCol + 1).cast("int"))
     def codeJ(vecCol: Column, cellCol: Column, j: Int): Column = {
-      val bookForCell = element_at(shiftedLit(j), (cellCol + 1).cast("int"))
       val subVec = slice(vecCol, j * sub + 1, sub)
-      val scored = array((0 until codeK).map { c =>
+      // books may hold fewer than codeK entries (short seed prefix)
+      val scored = array(shifted(j).indices.map { c =>
         struct(
-          (lit(0.0) - VF.l2Sq(subVec, element_at(bookForCell, c + 1))).as("sim"),
+          (lit(0.0) - VF.l2Sq(subVec, entry(j, c, cellCol))).as("sim"),
           lit(-c.toLong).as("negcell")
         )
       }: _*)
       (lit(0L) - array_max(scored).getField("negcell")).cast("int")
     }
-    // reconstruction = centroid + decoded residual = the shifted entry itself
+    // reconstruction = centroid + decoded residual = the shifted entry
+    // itself; the code is data-dependent, so this one lookup keeps the
+    // codeK-wide literal array indexed by (code, cell)
     def reconstruct(vecCol: Column, cellCol: Column): Column =
       concat((0 until m).map { j =>
         element_at(
-          element_at(shiftedLit(j), (cellCol + 1).cast("int")),
-          codeJ(vecCol, cellCol, j) + 1
+          element_at(
+            typedlit(shifted(j)),
+            codeJ(vecCol, cellCol, j) + 1
+          ),
+          (cellCol + 1).cast("int")
         )
       }: _*)
     val assigned = corpus
