@@ -595,6 +595,11 @@ object SparkEntry {
         .rrfFuse(Seq(sparse, dense), 10)
         .select(col("id").as("doc_id"), col("rrf_nano"), col("rank"))
     }),
+    // ---- cluster-balanced curation: per-cell quota in portable hash order -
+    "q_sample_cluster" -> ((s, dir) =>
+      Ann.clusterBalancedSample(
+          loader(s, dir)("embeddings"), "vec_id", "embedding", perCell = 10, nlists = 8)
+        .select(col("cid").as("vec_id"), col("cell"))),
     // ---- dedup: embedding cosine (exact pair scan — VERIFICATION PATH ONLY;
     // quadratic, never run at scale; kept under the oracle as the ground
     // truth the LSH path is judged against) ----------------------------------
@@ -1873,6 +1878,26 @@ object SparkEntry {
                 JOIN sg sb ON sb.doc_id = pr.id_b)
          SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3"""
     },
+    "q_sample_cluster" ->
+      // refine=0 cells = first 8 corpus vectors; assignment replayed by
+      // cosine argmax (ties → smallest cell); per-cell pick = smallest
+      // md5(id-as-string) first (the engine's portable hash order)
+      """WITH seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS sv
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+         assigned AS (
+           SELECT e.vec_id,
+                  (SELECT s.c FROM seeds s
+                   ORDER BY list_cosine_similarity(e.embedding, s.sv) DESC, s.c
+                   LIMIT 1) AS cell
+           FROM embeddings e WHERE e.embedding IS NOT NULL),
+         ranked AS (
+           SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY cell
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM assigned)
+         SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM ranked WHERE rn <= 10""",
     "q_decontaminate" -> decontaminateSql,
     // output-identical to q_decontaminate by construction (the Bloom filter
     // is a prefilter whose false positives the exact postings join removes),

@@ -876,6 +876,36 @@ object Ann {
     refineCentroidsLocal(v, seeds, refine)
   }
 
+  /** Cluster-balanced curation subset: up to `perCell` vectors per coarse
+    * cell, picked in portable md5(id) hash order — the standard diversity
+    * sampler (cap the dominant modes of the corpus, keep every rare one;
+    * the subset-selection complement of [[clusterStats]]' report). Cell
+    * assignment is the map-side literal-centroid argmax; the per-cell cap
+    * is [[graft.functions.Sampling.quota]]'s two-phase no-exchange local
+    * prefix, so a mega-cell never funnels one task and per-group work is
+    * bounded by `perCell × partitions`, not cell size.
+    * Output: (cid, cell).
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      perCell: Int,
+      nlists: Int = 16,
+      refine: Int = 0
+  ): DataFrame = {
+    val v = corpus.select(col(id).as("cid"), col(vec).as("cv")).filter(col("cv").isNotNull)
+    val cells = trainIvfCells(corpus, id, vec, nlists, refine)
+    if (cells.isEmpty) return v.select(col("cid"), lit(0L).as("cell")).limit(0)
+    val assigned = v.select(col("cid"), nearestCell(col("cv"), cells).as("cell"))
+    graft.functions.Sampling.quota(
+      assigned,
+      Seq(col("cell")),
+      Seq(md5(col("cid").cast("string")), col("cid")),
+      perCell
+    )
+  }
+
   /** Write a persisted IVF-PQ index: CELL-partitioned parquet holding only
     * (neighbor_id, code) — m small ints per vector. The data on disk is the
     * compressed index; the models (`cells`, `books`) are persisted alongside

