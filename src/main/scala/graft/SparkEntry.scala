@@ -410,6 +410,17 @@ object SparkEntry {
         .rrfFuseByQuery(Seq(sparse, dense), 10)
         .select(col("qid"), col("id").as("doc_id"), col("rrf_nano"), col("rank"))
     }),
+    // ---- persisted BM25 index: term-bucket partition-pruned workload probe -
+    // builds the index into a scratch dir, then probes it — same scoring
+    // contract as q_bm25_batch, so the same oracle certifies it; the probe
+    // reads ONLY the partitions the workload's terms hash into
+    "q_bm25_indexed" -> ((s, dir) => {
+      val docs = loader(s, dir)("documents")
+      val idx = graft.util.TempDirs.scratch("bm25-index").toString
+      graft.functions.Retrieval.writeBm25Index(docs, "doc_id", "text", idx)
+      graft.functions.Retrieval
+        .bm25TopKIndexedBatch(idx, docs.filter(col("doc_id") < 3), "doc_id", "text", 10)
+    }),
     // ---- chunking: fixed-size overlapping windows (map-side only) ----------
     "q_chunk" -> ((s, dir) =>
       graft.functions.Retrieval
@@ -874,6 +885,42 @@ object SparkEntry {
          FROM inter i JOIN psz z USING (probe_id)
          WHERE CAST(i.inter AS DOUBLE) / z.pn >= 0.3"""
 
+  // shared by q_bm25_batch (in-memory workload plan) and q_bm25_indexed
+  // (persisted term-bucket index probe): identical scoring contracts.
+  // The q_bm25 replay generalized to a query set: per-query distinct terms,
+  // shared corpus stats, rank partitioned by qid.
+  private val bm25BatchSql =
+    """WITH q AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 3),
+         qterms AS (
+           SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM q),
+         dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT qt.qid, t.doc_id AS id,
+                  CAST(sum(CAST(round(
+                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+                  ) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM tf t JOIN dfreq f USING (term) JOIN dl d ON d.doc_id = t.doc_id
+                CROSS JOIN stats s JOIN qterms qt ON qt.term = t.term
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, id, score_micro,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id)
+                       AS BIGINT) AS rank
+           FROM scored)
+         SELECT qid, id, score_micro, rank FROM ranked WHERE rank <= 10"""
+
   def oracleSql: Map[String, String] = Map(
     "q_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
@@ -1211,39 +1258,11 @@ object SparkEntry {
          SELECT doc_id, score_micro,
                 CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
          FROM scored ORDER BY score_micro DESC, doc_id LIMIT 25""",
-    "q_bm25_batch" ->
-      // the q_bm25 replay generalized to a query set: per-query distinct
-      // terms, shared corpus stats, rank partitioned by qid
-      """WITH q AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 3),
-         qterms AS (
-           SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-           FROM q),
-         dl AS (
-           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS dl
-           FROM documents),
-         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
-         toks AS (
-           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-           FROM documents),
-         tf AS (
-           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
-         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         scored AS (
-           SELECT qt.qid, t.doc_id AS id,
-                  CAST(sum(CAST(round(
-                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
-                  ) AS BIGINT)) AS BIGINT) AS score_micro
-           FROM tf t JOIN dfreq f USING (term) JOIN dl d ON d.doc_id = t.doc_id
-                CROSS JOIN stats s JOIN qterms qt ON qt.term = t.term
-           GROUP BY 1, 2),
-         ranked AS (
-           SELECT qid, id, score_micro,
-                  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id)
-                       AS BIGINT) AS rank
-           FROM scored)
-         SELECT qid, id, score_micro, rank FROM ranked WHERE rank <= 10""",
+    "q_bm25_batch" -> bm25BatchSql,
+    // the persisted-index probe scores identically to the in-memory batch
+    // plan by construction (same tokenization, tf, df, sidecar-exact
+    // n_docs/avgdl), so the same oracle certifies it
+    "q_bm25_indexed" -> bm25BatchSql,
     "q_hybrid_rrf_batch" ->
       // the q_bm25_batch replay at k=20 fused per qid with a per-qid dense
       // run (brute-force cosine, self excluded), nano-unit integer fusion

@@ -163,6 +163,94 @@ object Retrieval {
     )
   }
 
+  /** Persisted inverted index for BM25: term-bucket-partitioned postings —
+    * `bucket = pmod(xxhash64(term), buckets)`, each row
+    * (term, id, tf, dl) — plus a one-row stats sidecar (n_docs, avgdl,
+    * buckets) under `_graft_stats` (underscore-prefixed: invisible to the
+    * partitioned read, the [[graft.ann.AnnModels]] sidecar discipline).
+    * `dl` is denormalized onto every posting so scoring needs no second
+    * corpus read. This is the production retrieval shape at 100 TB: the
+    * corpus is tokenized ONCE at index time; every subsequent workload
+    * probes only the partitions its terms hash into.
+    */
+  def writeBm25Index(docs: DataFrame, id: String, text: String, path: String, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val withDl = docs
+      .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    withDl
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+    val s = withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).collect()(0)
+    import spark.implicits._
+    Seq((s.getLong(0), s.getDouble(1), buckets))
+      .toDF("n_docs", "avgdl", "buckets")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_graft_stats")
+  }
+
+  /** Probe a [[writeBm25Index]] layout with a query workload: the
+    * workload's term BUCKETS are driver-collected (bounded by
+    * min(distinct workload terms, buckets)) and pushed as a static
+    * partition filter, so only matching file groups are read — never the
+    * full postings. Scoring is identical to [[bm25TopKBatch]] (n_docs /
+    * avgdl come from the sidecar as exact round-tripped doubles), so
+    * results equal the in-memory batch operator exactly (spec-asserted).
+    * Output: (qid, id, score_micro, rank).
+    */
+  def bm25TopKIndexedBatch(
+      path: String,
+      queries: DataFrame,
+      qid: String,
+      qtext: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val st = spark.read.parquet(s"$path/_graft_stats").collect()(0)
+    val nDocs = st.getLong(st.fieldIndex("n_docs"))
+    val avgdl = st.getDouble(st.fieldIndex("avgdl"))
+    val buckets = st.getInt(st.fieldIndex("buckets"))
+    val qterms = queries
+      .select(
+        col(qid).as("qid"),
+        explode(array_distinct(TextFunctions.tokens(lower(col(qtext))))).as("term")
+      )
+    val bucketKeys = qterms
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val post = spark.read.parquet(path)
+    val pruned =
+      if (bucketKeys.isEmpty) post.filter(lit(false))
+      else post.filter(col("bucket").isInCollection(bucketKeys.toSeq))
+    val tf = pruned.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf =
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .select(col("id"), col("term"), round(lit(1e6) * idf * tfNorm).cast("long").as("s_micro"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("s_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score_micro").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** [[rrfFuse]] for a QUERY WORKLOAD: runs carry (qid, id, rank) and
     * fusion + top-k happen independently per query — the batch companion
     * of [[bm25TopKBatch]], closing the hybrid loop at workload scale (one

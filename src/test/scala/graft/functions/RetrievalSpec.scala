@@ -47,6 +47,28 @@ class RetrievalSpec extends SparkSpec {
     assert(!batch.exists(_._1 == 300L))
   }
 
+  test("bm25 persisted index: pruned probe equals the in-memory batch plan") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark " + Seq.fill(50)("filler").mkString(" ")),
+      (3L, "window join window"),
+      (4L, "spark spark other words")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark"), (200L, "window join")).toDF("qid", "qtext")
+    val dir = graft.util.TempDirs.scratch("bm25-index-spec").toString
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir, buckets = 8)
+    val indexed = Retrieval.bm25TopKIndexedBatch(dir, queries, "qid", "qtext", 10)
+    val direct = Retrieval.bm25TopKBatch(docs, "doc_id", "text", queries, "qid", "qtext", 10)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(indexed) == rows(direct))
+    // the workload's term buckets reach the scan as a STATIC partition
+    // filter — at 100 TB probing reads only the matching file groups
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bucket"), p)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("bm25 matches a hand-computed score on a 2-doc corpus") {
     val docs = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")
     val top = Retrieval
