@@ -188,14 +188,69 @@ object Retrieval {
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(path)
-    val s = withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).collect()(0)
+    // the sidecar stores the integer dl SUM, not the average: integer sums
+    // update exactly under append, and avgdl = dl_sum/n_docs reproduces the
+    // in-memory avg bit-for-bit (token-length partial sums stay below 2^53,
+    // so double accumulation of the longs is exact regardless of order)
+    val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
+    writeBm25Stats(spark, path, s.getLong(0), s.getLong(1), buckets)
+  }
+
+  private def writeBm25Stats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nDocs: Long,
+      dlSum: Long,
+      buckets: Int
+  ): Unit = {
     import spark.implicits._
-    Seq((s.getLong(0), s.getDouble(1), buckets))
-      .toDF("n_docs", "avgdl", "buckets")
+    Seq((nDocs, dlSum, buckets))
+      .toDF("n_docs", "dl_sum", "buckets")
       .coalesce(1)
       .write
       .mode("overwrite")
       .parquet(s"$path/_graft_stats")
+  }
+
+  private def readBm25Stats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): (Long, Long, Int) = {
+    val st = spark.read.parquet(s"$path/_graft_stats").collect()(0)
+    (
+      st.getLong(st.fieldIndex("n_docs")),
+      st.getLong(st.fieldIndex("dl_sum")),
+      st.getInt(st.fieldIndex("buckets"))
+    )
+  }
+
+  /** Append a document batch into a [[writeBm25Index]] layout: O(batch)
+    * postings land in their term buckets (existing file groups are never
+    * read or rewritten) and the integer stats update exactly, so a probe
+    * after append equals a probe of a full rebuild bit-for-bit
+    * (spec-asserted). df needs no maintenance — it is derived from the
+    * postings at probe time. The incremental shape at 100 TB: the corpus
+    * is never re-tokenized when new documents arrive.
+    */
+  def appendBm25Index(docs: DataFrame, id: String, text: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
+    val withDl = docs
+      .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    withDl
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .write
+      .mode("append")
+      .partitionBy("bucket")
+      .parquet(path)
+    val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
+    val (bn, bs) = if (s.isNullAt(0) || s.isNullAt(1)) (0L, 0L) else (s.getLong(0), s.getLong(1))
+    writeBm25Stats(spark, path, nDocs + bn, dlSum + bs, buckets)
   }
 
   /** Probe a [[writeBm25Index]] layout with a query workload: the
@@ -217,10 +272,8 @@ object Retrieval {
       b: Double = 0.75
   ): DataFrame = {
     val spark = queries.sparkSession
-    val st = spark.read.parquet(s"$path/_graft_stats").collect()(0)
-    val nDocs = st.getLong(st.fieldIndex("n_docs"))
-    val avgdl = st.getDouble(st.fieldIndex("avgdl"))
-    val buckets = st.getInt(st.fieldIndex("buckets"))
+    val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
+    val avgdl = dlSum.toDouble / nDocs
     val qterms = queries
       .select(
         col(qid).as("qid"),

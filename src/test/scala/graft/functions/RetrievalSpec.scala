@@ -66,7 +66,20 @@ class RetrievalSpec extends SparkSpec {
     // filter — at 100 TB probing reads only the matching file groups
     val p = indexed.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("bucket"), p)
-    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+    // O(batch) append: postings land in their buckets, integer stats update
+    // exactly — probe after append == probe of a full rebuild
+    val more = Seq((5L, "spark window spark"), (6L, "join join filler")).toDF("doc_id", "text")
+    Retrieval.appendBm25Index(more, "doc_id", "text", dir)
+    val appended = Retrieval.bm25TopKIndexedBatch(dir, queries, "qid", "qtext", 10)
+    val rebuiltDir = graft.util.TempDirs.scratch("bm25-index-rebuild").toString
+    Retrieval.writeBm25Index(docs.union(more), "doc_id", "text", rebuiltDir, buckets = 8)
+    val rebuilt = Retrieval.bm25TopKIndexedBatch(rebuiltDir, queries, "qid", "qtext", 10)
+    assert(rows(appended) == rows(rebuilt), "append must equal a full rebuild")
+    // and still equals the in-memory batch plan over the grown corpus
+    val directGrown =
+      Retrieval.bm25TopKBatch(docs.union(more), "doc_id", "text", queries, "qid", "qtext", 10)
+    assert(rows(appended) == rows(directGrown))
+    Seq(dir, rebuiltDir).foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
   }
 
   test("bm25 matches a hand-computed score on a 2-doc corpus") {
