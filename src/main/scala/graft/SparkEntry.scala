@@ -502,6 +502,11 @@ object SparkEntry {
       graft.functions.LanguageModel
         .perplexityBuckets(loader(s, dir)("documents"), "doc_id", "text", "lang")
         .select(col("id").as("doc_id"), col("lang"), col("mean_milli"), col("bucket"))),
+    // ---- interpolated bigram LM surprisal (word-salad catcher) -------------
+    "q_lm_bigram" -> ((s, dir) =>
+      graft.functions.LanguageModel
+        .bigramSurprisal(loader(s, dir)("documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("surprisal_micro"), col("mean_milli"))),
     // ---- DSIR importance resampling toward a target slice (Xie et al. 2023)
     "q_dsir" -> ((s, dir) =>
       graft.functions.Dsir
@@ -1433,6 +1438,40 @@ object SparkEntry {
                 CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
                 md5(coalesce(a.txt, '')) AS clean_md5
          FROM toks t LEFT JOIN agg a USING (doc_id)""",
+    "q_lm_bigram" ->
+      // add-one smoothed interpolation replayed with the engine's exact
+      // double association: 1e6 * (tf * (0 − ln(0.5·Pb + 0.5·Pu))), rounded
+      // per (doc, bigram) BEFORE the integer per-doc sum
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+         big AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1])) AS bg
+           FROM toks WHERE len(t) >= 2),
+         tfb AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf FROM big GROUP BY 1, 2),
+         cuv AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cuv FROM tfb GROUP BY 1),
+         cu AS (SELECT split_part(bg, ' ', 1) AS u, CAST(count(*) AS BIGINT) AS cu
+                FROM big GROUP BY 1),
+         unis AS (SELECT unnest(t) AS term FROM toks),
+         cv AS (SELECT term, CAST(count(*) AS BIGINT) AS cv FROM unis GROUP BY 1),
+         tot AS (SELECT CAST(sum(cv) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS vocab FROM cv),
+         scored AS (
+           SELECT f.doc_id,
+                  CAST(sum(f.tf) AS BIGINT) AS n_bigrams,
+                  CAST(sum(CAST(round(1000000.0 * (f.tf * (0.0 - ln(
+                    0.5 * ((c.cuv + 1.0) / (u.cu + tt.vocab))
+                      + 0.5 * ((v.cv + 1.0) / (tt.t + tt.vocab))
+                  )))) AS BIGINT)) AS BIGINT) AS surprisal_micro
+           FROM tfb f
+           JOIN cuv c USING (bg)
+           JOIN cu u ON u.u = split_part(f.bg, ' ', 1)
+           JOIN cv v ON v.term = split_part(f.bg, ' ', 2)
+           CROSS JOIN tot tt
+           GROUP BY 1)
+         SELECT doc_id, n_bigrams, surprisal_micro,
+                CAST(round(surprisal_micro / (1000.0 * n_bigrams)) AS BIGINT) AS mean_milli
+         FROM scored""",
     "q_lm_score" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

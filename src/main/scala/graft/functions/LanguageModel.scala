@@ -53,6 +53,70 @@ object LanguageModel {
     )
   }
 
+  /** Interpolated BIGRAM surprisal: per-token score
+    * `−ln(λ·P(v|u) + (1−λ)·P(v))` with add-one smoothing over the observed
+    * vocabulary — the next step up from [[unigramSurprisal]] toward CCNet's
+    * n-gram LM scoring: bigram context catches word-salad text whose
+    * unigram frequencies look perfectly natural. Both models are
+    * self-trained on the scored corpus.
+    *
+    * Scale shape: bigrams are generated map-side (one `zip_with` of two
+    * token-array slices, evaluated ONCE per row in its own projection —
+    * never referenced per distance like the residual-IVF-PQ anti-pattern);
+    * the bigram/context/unigram models are (key → count) aggregates joined
+    * back on their keys — distributed shuffle joins, nothing driver-sized
+    * except the 1-row totals. Per-(doc, bigram) scores round to integer
+    * micro-nats BEFORE the per-doc sum, so the cross-engine reduction is
+    * an order-free integer sum (the [[unigramSurprisal]] convention).
+    * Output: (id, n_bigrams, surprisal_micro, mean_milli).
+    */
+  def bigramSurprisal(docs: DataFrame, id: String, text: String, lambda: Double = 0.5): DataFrame = {
+    val toks = docs
+      .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks.select(
+      col("id"),
+      explode(
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b)
+        )
+      ).as("bg")
+    )
+    val tfB = bigrams.groupBy(col("id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val cUV = tfB.groupBy(col("bg")).agg(sum(col("tf")).as("cuv"))
+    val cU = bigrams
+      .select(element_at(split(col("bg"), " "), 1).as("u"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("cu"))
+    val unis = docs
+      .select(col(id).as("id"), explode(TextFunctions.tokens(lower(col(text)))).as("term"))
+    val cV = unis.groupBy(col("term")).agg(count(lit(1)).as("cv"))
+    val totals = cV.agg(sum(col("cv")).as("t"), count(lit(1)).as("vocab"))
+    val pb = (col("cuv") + lit(1.0)) / (col("cu") + col("vocab"))
+    val pu = (col("cv") + lit(1.0)) / (col("t") + col("vocab"))
+    val scored = tfB
+      .join(cUV, "bg")
+      .join(cU, element_at(split(col("bg"), " "), 1) === col("u"))
+      .join(cV, element_at(split(col("bg"), " "), 2) === col("term"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("id"),
+        col("tf"),
+        round(lit(1e6) * (col("tf") * (lit(0.0) - log(lit(lambda) * pb + lit(1.0 - lambda) * pu))))
+          .cast("long").as("s_micro")
+      )
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("s_micro")).as("surprisal_micro"))
+    scored.select(
+      col("id"),
+      col("n_bigrams"),
+      col("surprisal_micro"),
+      round(col("surprisal_micro") / (lit(1000.0) * col("n_bigrams"))).cast("long").as("mean_milli")
+    )
+  }
+
   /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", §4.3, public arXiv:1911.00359): per LANGUAGE, split documents

@@ -543,6 +543,25 @@ class FunctionsSpec extends SparkSpec {
     assert(Retrieval.rrfFuse(Seq(runA, runB), k = 2).count() == 2)
   }
 
+  test("bigramSurprisal: scrambled word order scores worse where unigram is blind") {
+    // doc 2 is doc 1's exact word MULTISET shuffled: identical unigram
+    // profile (unigram surprisal cannot distinguish them), broken bigrams
+    val natural = "the cat sat on the mat and the dog sat on the rug"
+    val salad = "mat the on dog sat the rug cat and on the sat the"
+    val docs = Seq(
+      (1L, natural),
+      (2L, salad),
+      (3L, "the cat sat on the mat"),
+      (4L, "the dog sat on the rug")
+    ).toDF("doc_id", "text")
+    val big = LanguageModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(big(2L) > big(1L), s"word salad must score worse: $big")
+    val uni = LanguageModel.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(uni(1L) == uni(2L), "same word multiset must tie under unigram")
+  }
+
   test("rrfFuseByQuery: per-query fusion equals rrfFuse run per query") {
     val runA = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 30L, 1L)).toDF("qid", "id", "rank")
     val runB = Seq((1L, 20L, 1L), (2L, 30L, 2L), (2L, 40L, 1L)).toDF("qid", "id", "rank")
