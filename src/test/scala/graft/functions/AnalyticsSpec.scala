@@ -1,0 +1,164 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  // deterministic pseudo-random corpus: 8 groups × 500 rows, scores with
+  // deliberate duplicates so tie-break paths execute
+  private lazy val scored: DataFrame = spark
+    .range(4000)
+    .select(
+      (col("id") % 8).as("g"),
+      (pmod(hash(col("id")), lit(97)).cast("double") / 10.0).as("score"),
+      col("id")
+    )
+
+  test("topKPerGroup equals the window row_number formulation") {
+    val fast = Analytics
+      .topKPerGroup(scored, Seq("g"), col("score"), col("id"), k = 5)
+      .select(col("g"), col("rank"), col("score"), col("id"))
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val slow = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("g"), col("rank"), col("score"), col("id"))
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+    assert(fast.count() === 40)
+  }
+
+  test("topKPerGroup: k past group size returns the whole group sorted") {
+    val tiny = Seq((1L, 2.0, 10L), (1L, 3.0, 11L), (2L, 1.0, 12L)).toDF("g", "s", "id")
+    val got = Analytics
+      .topKPerGroup(tiny, Seq("g"), col("s"), col("id"), k = 100)
+      .orderBy("g", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(
+      got.toSeq === Seq((1L, 1L, 3.0, 11L), (1L, 2L, 2.0, 10L), (2L, 1L, 1.0, 12L))
+    )
+  }
+
+  test("topKPerGroup ties break on the lowest id") {
+    val tied = Seq((1L, 5.0, 30L), (1L, 5.0, 10L), (1L, 5.0, 20L)).toDF("g", "s", "id")
+    val got = Analytics
+      .topKPerGroup(tied, Seq("g"), col("s"), col("id"), k = 2)
+      .orderBy("rank")
+      .collect()
+      .map(_.getLong(3))
+    assert(got.toSeq === Seq(10L, 20L))
+  }
+
+  test("topKPerGroup survives partial/merge across many partitions") {
+    // 64 input partitions force map-side partial heaps + serialized merges
+    val spread = scored.repartition(64)
+    val a = Analytics.topKPerGroup(spread, Seq("g"), col("score"), col("id"), 3)
+    val b = Analytics.topKPerGroup(scored.coalesce(1), Seq("g"), col("score"), col("id"), 3)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("topKPerGroup plan: two-phase object-hash aggregate, no window sort of the corpus") {
+    val p = planOf(Analytics.topKPerGroup(scored, Seq("g"), col("score"), col("id"), 3))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("partial_top_k|partial top_k".r.findFirstIn(p).isDefined || p.contains("partial"), p)
+    assert(!p.contains("Window"), s"top-k must not fall back to a window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+  }
+
+  test("asOfJoin: at-or-before match, equal-ts inclusive, greatest tie wins, outer nulls") {
+    val left = Seq(
+      (1L, 100L, "p1"), // after two clicks -> latest (t=90)
+      (1L, 50L, "p2"),  // exactly at a click ts -> inclusive match
+      (1L, 10L, "p3"),  // before every click -> null
+      (2L, 100L, "p4")  // key with no right rows -> null
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 50L, 500L),
+      (1L, 90L, 900L),
+      (1L, 90L, 901L) // same ts as 900 -> greater tie id wins
+    ).toDF("k", "rt", "rid")
+    val got = Analytics
+      .asOfJoin(left, right, Seq("k"), Seq("k"), "t", "rt", Seq("rid", "rt"), "rid")
+      .select(col("tag"), col("rid"), col("rt"))
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got === Map("p1" -> 901L, "p2" -> 500L, "p3" -> -1L, "p4" -> -1L))
+  }
+
+  test("asOfJoin plan: single exchange, no pair explosion") {
+    val left = spark.range(100).select((col("id") % 5).as("k"), col("id").as("t"))
+    val right = spark.range(100).select((col("id") % 5).as("k"), col("id").as("rt"), col("id").as("rid"))
+    val df = Analytics.asOfJoin(left, right, Seq("k"), Seq("k"), "t", "rt", Seq("rid"), "rid")
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+  }
+
+  test("funnel: depth is the longest in-order strictly-increasing prefix") {
+    val ev = Seq(
+      // u1 completes all four in order
+      (1L, "2024-01-01 00:00:01", "view"),
+      (1L, "2024-01-01 00:00:02", "click"),
+      (1L, "2024-01-01 00:00:03", "signup"),
+      (1L, "2024-01-01 00:00:04", "purchase"),
+      // u2: purchase precedes everything else -> depth 3 (view,click,signup)
+      (2L, "2024-01-01 00:00:00", "purchase"),
+      (2L, "2024-01-01 00:00:01", "view"),
+      (2L, "2024-01-01 00:00:02", "click"),
+      (2L, "2024-01-01 00:00:03", "signup"),
+      // u3: click at the SAME timestamp as view must not advance (strict >)
+      (3L, "2024-01-01 00:00:01", "view"),
+      (3L, "2024-01-01 00:00:01", "click"),
+      // u4: never views -> depth 0
+      (4L, "2024-01-01 00:00:01", "click")
+    ).toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("event_type"))
+    val got = Analytics
+      .funnel(ev, "user_id", "event_type", "ts", Seq("view", "click", "signup", "purchase"))
+      .orderBy("stage")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(
+      got.toSeq === Seq(
+        (1L, "view", 3L),    // u1, u2, u3
+        (2L, "click", 2L),   // u1, u2
+        (3L, "signup", 2L),  // u1, u2
+        (4L, "purchase", 1L) // u1
+      )
+    )
+  }
+
+  test("profile: exact stats incl. nulls and binary-order min/max") {
+    val df = Seq(
+      (Some(1L), Some("b")),
+      (Some(2L), None),
+      (Some(2L), Some("a")),
+      (None, Some("a"))
+    ).toDF("x", "s")
+    val got = Profiler
+      .profile(df, Seq("x", "s"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("x") === ((4L, 3L, 2L, "1", "2")))
+    assert(got("s") === ((4L, 3L, 2L, "a", "b")))
+  }
+
+  test("profileApprox: single pass (no Expand), HLL error within bound") {
+    val df = spark.range(20000).select(col("id"), (col("id") % 1371).as("m"))
+    val approx = Profiler.profileApprox(df, Seq("id", "m"), rsd = 0.05)
+    val p = planOf(approx)
+    assert(!p.contains("Expand"), s"approx profile must not expand the stream:\n$p")
+    assert(planOf(Profiler.profile(df, Seq("id", "m"))).contains("Expand"))
+    val got = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(got("id") - 20000.0) / 20000.0 < 0.15)
+    assert(math.abs(got("m") - 1371.0) / 1371.0 < 0.15)
+  }
+}
