@@ -912,7 +912,18 @@ object SparkEntry {
       graft.functions.Profiler.profile(
         loader(s, dir)("documents"),
         Seq("doc_id", "lang", "source", "n_chars")
-      ))
+      )),
+    // ---- BPE tokenizer: train (one corpus scan + driver merge loop over the
+    // word-TYPE table) then encode (codegen'd map-side expression). Timed-only
+    // (no oracle): iterative merge learning is not SQL-expressible; correctness
+    // is carried by BpeSpec's differential test against an independent naive
+    // trainer plus round-trip/zero-merge/compression properties --------------
+    "q_bpe_tokens" -> ((s, dir) => {
+      import graft.functions.Bpe
+      val docs = loader(s, dir)("documents")
+      val merges = Bpe.train(docs, "text", Bpe.Config(numMerges = 200))
+      docs.select(col("doc_id"), Bpe.tokenCount(col("text"), merges).as("n_tokens"))
+    })
   )
 
   // shared by q_decontaminate and q_decontaminate_bloom (identical output
