@@ -913,6 +913,27 @@ object SparkEntry {
         loader(s, dir)("documents"),
         Seq("doc_id", "lang", "source", "n_chars")
       )),
+    // ---- ROLLUP: region→nation revenue with subtotal + grand-total rows ----
+    "q_rollup" -> ((s, dir) => {
+      val load = loader(s, dir)
+      load("orders")
+        .join(broadcast(load("customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(load("nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(load("region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("revenue_cents")
+        )
+    }),
+    // ---- distinct-n diversity per source -----------------------------------
+    "q_ngram_diversity" -> ((s, dir) =>
+      graft.functions.CorpusStats.ngramDiversity(
+        loader(s, dir)("documents"), "source", "text", n = 3
+      )),
+    // ---- Zipf frequency-of-frequencies spectrum ----------------------------
+    "q_freq_spectrum" -> ((s, dir) =>
+      graft.functions.CorpusStats.frequencySpectrum(loader(s, dir)("documents"), "text")),
     // ---- BPE tokenizer: train (one corpus scan + driver merge loop over the
     // word-TYPE table) then encode (codegen'd map-side expression). Timed-only
     // (no oracle): iterative merge learning is not SQL-expressible; correctness
@@ -2698,6 +2719,30 @@ object SparkEntry {
            UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s3)
            UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
          ORDER BY stage""",
+    "q_rollup" ->
+      """SELECT r.r_name, n.n_name, count(*) AS n_orders,
+                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY ROLLUP(r.r_name, n.n_name)""",
+    "q_ngram_diversity" ->
+      raw"""WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+                       FROM documents),
+         g AS (SELECT source,
+                      unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS g
+               FROM t)
+         SELECT source, count(*) AS total_ngrams,
+                CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+                CAST(round(1000.0 * count(DISTINCT g) / count(*)) AS BIGINT) AS distinct_milli
+         FROM g GROUP BY source""",
+    "q_freq_spectrum" ->
+      raw"""WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                       FROM documents),
+         c AS (SELECT w, count(*) AS f FROM w WHERE len(w) > 0 GROUP BY w)
+         SELECT f, CAST(count(*) AS BIGINT) AS n_words FROM c GROUP BY f""",
     "q_profile" -> {
       val cols = Seq("doc_id", "lang", "source", "n_chars")
       cols

@@ -16,7 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * runtime, see BENCH history); this is a single tokenize + windowed join +
   * hash-set dedup.
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression with NativeKernelCodegen {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression
+    with NativeKernelCodegen {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
@@ -29,7 +31,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression with 
     val trimmed = TextPrimitives.sqlTrim(text)
     val tokens = trimmed.split(TextPrimitives.WsPlus)
     val upper = math.max(tokens.length - n, 0)
-    val seen = new java.util.LinkedHashSet[String](math.max(8, upper * 2))
+    // LinkedHashSet dedups in first-seen order; the non-distinct form
+    // (diversity metrics count OCCURRENCES) keeps every window
+    val seen: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](math.max(8, upper * 2))
+      else new java.util.ArrayList[String](upper + 1)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= upper) {

@@ -49,4 +49,56 @@ object CorpusStats {
         min(when(col("cum") >= floor((col("n") * 9 + 9) / lit(10L)), col("v"))).as("p90")
       )
   }
+
+  /** Distinct-n diversity per group: of all word n-gram OCCURRENCES in the
+    * group's text, what fraction are distinct (Li et al. 2016's distinct-n,
+    * the standard corpus-degeneration signal — synthetic/templated text
+    * scores low).
+    *
+    * Scale shape: one scan; the n-gram windows come from the codegen'd
+    * [[graft.expr.WordShingles]] expression (non-distinct form), and both
+    * counts reduce in one hash aggregate keyed by the group — the exchange
+    * carries (group, gram) partial counts. `count(distinct gram)` plans as
+    * a two-phase distinct aggregate, NOT a corpus-wide dedup join.
+    *
+    * Output: (group, total_ngrams, distinct_ngrams, distinct_milli).
+    */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
+        n,
+        distinct = false
+      )
+    )
+    df.select(col(groupCol), explode(grams).as("_g"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("total_ngrams"),
+        count_distinct(col("_g")).as("distinct_ngrams")
+      )
+      .withColumn(
+        "distinct_milli",
+        round(lit(1000.0) * col("distinct_ngrams") / col("total_ngrams")).cast("long")
+      )
+  }
+
+  /** Zipf frequency spectrum: for each word frequency f, how many distinct
+    * (lowercased) word types occur exactly f times. The two-hump shape of
+    * this curve is the standard contamination/boilerplate tell (natural
+    * corpora are Zipfian; template floods put a spike at their copy count).
+    *
+    * Two chained hash aggregates, both map-side combinable; the first
+    * exchange carries word types (vocabulary-sized), the second carries
+    * distinct frequencies (tiny).
+    */
+  def frequencySpectrum(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+        explode(split(trim(lower(col(textCol))), graft.expr.TextPrimitives.WsPlus)).as("w")
+      )
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_words"))
 }

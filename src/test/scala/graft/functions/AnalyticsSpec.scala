@@ -151,6 +151,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("s") === ((4L, 3L, 2L, "a", "b")))
   }
 
+  test("ngramDiversity: occurrence counts (not per-doc distinct), short-text degenerates") {
+    val df = Seq(
+      ("a", "x y z x y z"), // trigrams: "x y z","y z x","z x y","x y z" -> 4 total, 3 distinct
+      ("b", "solo"),        // short text -> single gram of all tokens
+      ("b", "solo")         // duplicate doc -> 2 occurrences, 1 distinct
+    ).toDF("src", "text")
+    val got = CorpusStats
+      .ngramDiversity(df, "src", "text", 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("a") === ((4L, 3L, 750L)))
+    assert(got("b") === ((2L, 1L, 500L)))
+  }
+
+  test("frequencySpectrum: frequency-of-frequencies over lowercased words") {
+    val df = Seq("The the THE cat", "cat dog").toDF("text")
+    // the:3, cat:2, dog:1 -> f=3:1 word, f=2:1 word, f=1:1 word
+    val got = CorpusStats
+      .frequencySpectrum(df, "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got === Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+  }
+
   test("profileApprox: single pass (no Expand), HLL error within bound") {
     val df = spark.range(20000).select(col("id"), (col("id") % 1371).as("m"))
     val approx = Profiler.profileApprox(df, Seq("id", "m"), rsd = 0.05)
