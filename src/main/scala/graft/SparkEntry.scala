@@ -913,6 +913,18 @@ object SparkEntry {
         loader(s, dir)("documents"),
         Seq("doc_id", "lang", "source", "n_chars")
       )),
+    // ---- Z-order layout: clustered write, multi-column box scan ------------
+    "q_zorder_scan" -> ((s, dir) =>
+      graft.sources.Layout.zorderScan(
+        loader(s, dir)("lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity")
+          ),
+        Seq("l_partkey", "l_suppkey"),
+        targetFiles = 16,
+        col("l_partkey").between(5, 120) && col("l_suppkey").between(2, 8)
+      )),
     // ---- ROLLUP: region→nation revenue with subtotal + grand-total rows ----
     "q_rollup" -> ((s, dir) => {
       val load = loader(s, dir)
@@ -2719,6 +2731,10 @@ object SparkEntry {
            UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s3)
            UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
          ORDER BY stage""",
+    "q_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem
+         WHERE l_partkey BETWEEN 5 AND 120 AND l_suppkey BETWEEN 2 AND 8""",
     "q_rollup" ->
       """SELECT r.r_name, n.n_name, count(*) AS n_orders,
                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
