@@ -913,6 +913,37 @@ object SparkEntry {
         loader(s, dir)("documents"),
         Seq("doc_id", "lang", "source", "n_chars")
       )),
+    // ---- range join: clicks within 10 min before each error (banded) -------
+    "q_range_join" -> ((s, dir) => {
+      val ev = loader(s, dir)("events")
+      val errors = ev
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val pairs = graft.functions.Analytics.rangeJoin(
+        errors, clicks,
+        leftOn = Seq("user_id"), rightOn = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts",
+        loMicros = -600000000L, hiMicros = 0L,
+        rightPayload = Seq("click_id")
+      )
+      val counts = pairs.groupBy(col("error_id")).agg(count(lit(1)).as("n"))
+      errors
+        .select(col("error_id"))
+        .join(counts, Seq("error_id"), "left")
+        .select(col("error_id"), coalesce(col("n"), lit(0L)).as("n_clicks"))
+    }),
+    // ---- weighted sample without replacement (Efraimidis–Spirakis) ---------
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.functions.Sampling.weightedSample(
+        loader(s, dir)("documents"),
+        Seq("lang"),
+        col("doc_id"),
+        col("n_chars"),
+        k = 5
+      )),
     // ---- Z-order layout: clustered write, multi-column box scan ------------
     "q_zorder_scan" -> ((s, dir) =>
       graft.sources.Layout.zorderScan(
@@ -2731,6 +2762,27 @@ object SparkEntry {
            UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s3)
            UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
          ORDER BY stage""",
+    "q_range_join" ->
+      """SELECT e.event_id AS error_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+         LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+           ON c.user_id = e.user_id
+          AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+         GROUP BY e.event_id""",
+    "q_weighted_sample" ->
+      """WITH s AS (
+           SELECT lang, doc_id,
+                  round(1000000.0 *
+                        ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)
+                           / 281474976710656.0)
+                        / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS key
+           FROM documents),
+         r AS (SELECT lang, doc_id, key,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY key DESC, doc_id ASC) AS rn
+               FROM s)
+         SELECT lang, CAST(rn AS BIGINT) AS rank, key AS score, doc_id AS id
+         FROM r WHERE rn <= 5""",
     "q_zorder_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
          FROM lineitem

@@ -143,6 +143,84 @@ object Analytics {
   }
 
   // ---------------------------------------------------------------------
+  // Range join
+  // ---------------------------------------------------------------------
+
+  /** Range join: all (left, right) pairs with equal keys and
+    * `rightTime ∈ [leftTime + lo, leftTime + hi)` (microsecond offsets,
+    * closed-open).
+    *
+    * Scale shape — banded equi-join, not a theta-join: Spark plans a raw
+    * `l.key = r.key AND r.t BETWEEN …` as an equi-join on key with the
+    * range as a post-join filter, which materializes EVERY same-key pair
+    * first (quadratic in per-key rows — a hot key with 10⁶ events on each
+    * side is 10¹² pairs). Instead both sides are bucketed by
+    * `floor(t / (hi - lo))`: each left row lands in the ≤2 buckets its
+    * window overlaps, each right row in exactly one, the join key becomes
+    * `(key, bucket)` — so candidate pairs are bounded by rows whose times
+    * lie within one band width of each other, and the exact range filter
+    * runs on that band only. Left-side duplication ≤2×; one shuffle join;
+    * AQE's skew split still applies to the banded key.
+    *
+    * @param rightPayload right columns carried onto each pair (caller
+    *                     pre-renames to avoid collisions).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: Seq[String],
+      rightOn: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      loMicros: Long,
+      hiMicros: Long,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    require(hiMicros > loMicros, s"empty range [$loMicros, $hiMicros)")
+    require(leftOn.length == rightOn.length, "key arity mismatch")
+    val w = hiMicros - loMicros
+    val keys = leftOn.indices.map(i => s"_k$i")
+    val lCols = left.columns.toSeq
+    val l = left
+      .select(
+        leftOn.indices.map(i => col(leftOn(i)).as(keys(i))) ++ Seq(
+          unix_micros(col(leftTime).cast("timestamp")).as("_lt"),
+          struct(lCols.map(col): _*).as("_lrow")
+        ): _*
+      )
+      // the window [lt+lo, lt+hi) spans at most two width-w bands; exact
+      // integer floor-div (pmod is non-negative) — no double rounding at
+      // band boundaries
+      .withColumn(
+        "_b",
+        explode(
+          array_distinct(
+            array(
+              ((col("_lt") + lit(loMicros) - pmod(col("_lt") + lit(loMicros), lit(w))) / lit(w))
+                .cast("long"),
+              ((col("_lt") + lit(hiMicros) - 1 - pmod(col("_lt") + lit(hiMicros) - 1, lit(w))) / lit(w))
+                .cast("long")
+            )
+          )
+        )
+      )
+    val r = right
+      .select(
+        rightOn.indices.map(i => col(rightOn(i)).as(keys(i))) ++ Seq(
+          unix_micros(col(rightTime).cast("timestamp")).as("_rt"),
+          struct(rightPayload.map(col): _*).as("_rpay")
+        ): _*
+      )
+      .withColumn("_b", ((col("_rt") - pmod(col("_rt"), lit(w))) / lit(w)).cast("long"))
+    l.join(r, keys :+ "_b")
+      .filter(col("_rt") >= col("_lt") + lit(loMicros) && col("_rt") < col("_lt") + lit(hiMicros))
+      .select(
+        lCols.map(c => col(s"_lrow.$c").as(c)) ++
+          rightPayload.map(c => col(s"_rpay.$c").as(c)): _*
+      )
+  }
+
+  // ---------------------------------------------------------------------
   // Funnel
   // ---------------------------------------------------------------------
 

@@ -266,4 +266,42 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn", "__gk")
   }
+
+  /** Weighted sample WITHOUT replacement, k per group: Efraimidis–Spirakis
+    * (2006) one-pass reservoir keys, deterministic and engine-portable.
+    *
+    * Each row gets a pseudo-uniform `u ∈ (0, 1)` from the first 12 md5 hex
+    * digits of its id (48 bits — exact in a double; `+0.5` keeps u
+    * strictly positive), and the selection key is `ln(u) / w`: keeping the
+    * k LARGEST keys draws each row with probability proportional to its
+    * weight, without replacement. Keys are rounded to micro so the oracle's
+    * C-library `ln` and the JVM's agree bit-for-bit after rounding (the
+    * established score_micro convention); micro-ties break on id.
+    *
+    * Scale shape: the key is a pure column expression and the top-k runs on
+    * the bounded-heap [[graft.expr.TopKAgg]] — one exchange carrying
+    * `groups × k` pairs, no corpus sort, no RNG state anywhere.
+    *
+    * Output: (groupCols…, rank, score, id) where score is the micro-rounded
+    * key.
+    */
+  def weightedSample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      id: Column,
+      weight: Column,
+      k: Int
+  ): DataFrame = {
+    val u =
+      (conv(substring(md5(id.cast(StringType).cast(BinaryType)), 1, 12), 16, 10)
+        .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val keyMicro = round(lit(1000000.0) * log(u) / greatest(weight.cast("double"), lit(1.0)))
+    Analytics.topKPerGroup(
+      df.withColumn("__wkey", keyMicro),
+      groupCols,
+      col("__wkey"),
+      id,
+      k
+    )
+  }
 }

@@ -101,6 +101,54 @@ class AnalyticsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
   }
 
+  test("rangeJoin matches the naive theta-join, incl. band boundaries") {
+    // timestamps engineered to land exactly on band edges (width = 100 us)
+    val left = spark
+      .range(300)
+      .select(
+        (col("id") % 7).as("k"),
+        timestamp_micros((pmod(hash(col("id")), lit(1000)) * 10).cast("long")).as("t"),
+        col("id").as("lid")
+      )
+    val right = spark
+      .range(300)
+      .select(
+        (col("id") % 7).as("k"),
+        timestamp_micros((pmod(hash(col("id") + 13), lit(1000)) * 10).cast("long")).as("rt"),
+        col("id").as("rid")
+      )
+    val banded = Analytics
+      .rangeJoin(left, right, Seq("k"), Seq("k"), "t", "rt", -100L, 100L, Seq("rid"))
+      .select(col("lid"), col("rid"))
+    val naive = left
+      .join(right, left("k") === right("k")
+        && unix_micros(col("rt")) >= unix_micros(col("t")) - 100
+        && unix_micros(col("rt")) < unix_micros(col("t")) + 100)
+      .select(col("lid"), col("rid"))
+    assert(banded.except(naive).isEmpty && naive.except(banded).isEmpty)
+    assert(naive.count() > 0)
+  }
+
+  test("weightedSample: deterministic, and weight-proportional across groups") {
+    // 200 groups × 20 rows; one row per group has 50x the weight of the rest
+    val df = spark
+      .range(4000)
+      .select(
+        (col("id") % 200).as("g"),
+        col("id"),
+        when(col("id") < 200, lit(500.0)).otherwise(lit(10.0)).as("w")
+      )
+    val picked = Sampling.weightedSample(df, Seq("g"), col("id"), col("w"), k = 1)
+    assert(picked.count() === 200)
+    // the heavy row (id < 200) should win far more often than the 1/20
+    // uniform rate; with weight ratio 50:19*... expected ~72% of groups
+    val heavyWins = picked.filter(col("id") < 200).count()
+    assert(heavyWins > 100, s"heavy rows won only $heavyWins/200 groups")
+    // determinism: a second run picks the identical sample
+    val again = Sampling.weightedSample(df, Seq("g"), col("id"), col("w"), k = 1)
+    assert(picked.except(again).isEmpty && again.except(picked).isEmpty)
+  }
+
   test("funnel: depth is the longest in-order strictly-increasing prefix") {
     val ev = Seq(
       // u1 completes all four in order
