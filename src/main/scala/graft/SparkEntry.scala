@@ -913,6 +913,29 @@ object SparkEntry {
         loader(s, dir)("documents"),
         Seq("doc_id", "lang", "source", "n_chars")
       )),
+    // ---- end-to-end curation pipeline: fused quality gate → exact dedup →
+    // hash sample → per-lang budget report, all composed from the graded
+    // operators in ONE plan (what a real curation run executes). The gate
+    // keeps repetition-clean docs (the English-stopword/sentence gates are
+    // vacuous-false on this synthetic corpus; repetition is the signal that
+    // actually discriminates here, and the full struct still computes) ------
+    "q_curation_pipeline" -> ((s, dir) => {
+      import graft.functions.{QualityRules, Sampling}
+      val docs = loader(s, dir)("documents")
+      val passed = QualityRules
+        .all(docs, "doc_id", "text")
+        .filter(col("pass_repetition"))
+        .select(col("doc_id"))
+      val kept = docs.join(passed, "doc_id")
+      val keepers = graft.dedup.Dedup.exact(kept, "doc_id", "text").select(col("keep_id"))
+      val sampled = Sampling
+        .hashSample(keepers, col("keep_id"), 0.5)
+        .withColumnRenamed("keep_id", "doc_id")
+      docs
+        .join(sampled, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     // ---- range join: clicks within 10 min before each error (banded) -------
     "q_range_join" -> ((s, dir) => {
       val ev = loader(s, dir)("events")
@@ -1046,6 +1069,115 @@ object SparkEntry {
                        AS BIGINT) AS rank
            FROM scored)
          SELECT qid, id, score_micro, rank FROM ranked WHERE rank <= 10"""
+
+  // shared by q_quality_all and q_curation_pipeline (which composes it
+  // as a CTE): the fused-gate verdict replay.
+  private val qualityAllSql: String =
+      // the three gate oracles above composed over ONE shared tokenization
+      // CTE and joined on doc_id — replaying the fused QualitySignals
+      // struct + the three verdicts + their conjunction
+      """WITH d AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS w,
+                  string_split(text, chr(10)) AS lines,
+                  regexp_split_to_array(text, '\n{2,}') AS paras
+           FROM documents),
+         gsig AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(CASE WHEN text IS NULL THEN NULL
+                       ELSE coalesce(list_sum(list_transform(w, x -> length(x))), 0) END AS BIGINT) AS word_chars,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS ellipsis_lines,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '…', '')))
+                  + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS symbol_count,
+             CAST(CASE WHEN text IS NULL THEN NULL ELSE
+                    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) END AS BIGINT) AS stop_hits
+           FROM d),
+         lc AS (
+           SELECT doc_id, CAST(coalesce(sum((c - 1) * length(line)), 0) AS BIGINT) AS dup_line_chars
+           FROM (SELECT doc_id, line, count(*) AS c
+                 FROM (SELECT doc_id, unnest(lines) AS line FROM d) GROUP BY doc_id, line)
+           GROUP BY doc_id),
+         pc AS (
+           SELECT doc_id, CAST(coalesce(sum((c - 1) * length(para)), 0) AS BIGINT) AS dup_para_chars
+           FROM (SELECT doc_id, para, count(*) AS c
+                 FROM (SELECT doc_id, unnest(paras) AS para FROM d) GROUP BY doc_id, para)
+           GROUP BY doc_id),
+         g2 AS (
+           SELECT doc_id, CAST(max(CASE WHEN c >= 2 THEN c * length(gram) END) AS BIGINT) AS top2_chars
+           FROM (SELECT doc_id, gram, count(*) AS c
+                 FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+                       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM d))
+                 GROUP BY doc_id, gram)
+           GROUP BY doc_id),
+         g3 AS (
+           SELECT doc_id, CAST(max(CASE WHEN c >= 2 THEN c * length(gram) END) AS BIGINT) AS top3_chars
+           FROM (SELECT doc_id, gram, count(*) AS c
+                 FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d))
+                 GROUP BY doc_id, gram)
+           GROUP BY doc_id),
+         c4lc AS (
+           SELECT doc_id,
+                  CAST(coalesce(sum(CASE WHEN regexp_matches(line, '[.!?"]\s*$') THEN 1 ELSE 0 END), 0) AS BIGINT) AS terminal_lines,
+                  CAST(coalesce(sum(CASE WHEN len(list_filter(regexp_split_to_array(line, '\s+'), x -> length(x) > 0)) < 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS short_lines,
+                  CAST(coalesce(sum(CASE WHEN regexp_matches(line, '\b[jJ][aA][vV][aA][sS][cC][rR][iI][pP][tT]\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS js_lines
+           FROM (SELECT doc_id, unnest(lines) AS line FROM d)
+           GROUP BY doc_id),
+         sig AS (
+           SELECT d.doc_id,
+                  CAST(length(d.text) AS BIGINT) AS n_chars_t,
+                  CAST(len(d.lines) AS BIGINT) AS n_lines,
+                  gsig.n_words, gsig.word_chars, gsig.alpha_words,
+                  gsig.bullet_lines, gsig.ellipsis_lines, gsig.symbol_count, gsig.stop_hits,
+                  CAST(len(d.lines) - len(list_distinct(d.lines)) AS BIGINT) AS dup_lines,
+                  lc.dup_line_chars,
+                  CAST(len(d.paras) AS BIGINT) AS n_paras,
+                  CAST(len(d.paras) - len(list_distinct(d.paras)) AS BIGINT) AS dup_paras,
+                  pc.dup_para_chars,
+                  CASE WHEN d.text IS NULL THEN NULL
+                       ELSE coalesce(g2.top2_chars, 0) END AS top2_chars,
+                  CASE WHEN d.text IS NULL THEN NULL
+                       ELSE coalesce(g3.top3_chars, 0) END AS top3_chars,
+                  c4lc.terminal_lines, c4lc.short_lines, c4lc.js_lines,
+                  CAST(length(d.text) - length(replace(replace(replace(d.text, '.', ''), '!', ''), '?', '')) AS BIGINT) AS sentence_marks,
+                  CAST(len(regexp_extract_all(d.text, '[lL][oO][rR][eE][mM] [iI][pP][sS][uU][mM]')) AS BIGINT) AS lorem_hits,
+                  CAST(length(d.text) - length(replace(d.text, '{', '')) AS BIGINT) AS brace_hits
+           FROM d
+           LEFT JOIN gsig ON d.doc_id = gsig.doc_id
+           LEFT JOIN lc ON d.doc_id = lc.doc_id
+           LEFT JOIN pc ON d.doc_id = pc.doc_id
+           LEFT JOIN g2 ON d.doc_id = g2.doc_id
+           LEFT JOIN g3 ON d.doc_id = g3.doc_id
+           LEFT JOIN c4lc ON d.doc_id = c4lc.doc_id),
+         verdicts AS (
+           SELECT sig.*,
+                  coalesce(n_words BETWEEN 50 AND 100000
+                   AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+                   AND symbol_count * 10 <= n_words
+                   AND bullet_lines * 10 <= n_lines * 9
+                   AND ellipsis_lines * 10 <= n_lines * 3
+                   AND alpha_words * 5 >= n_words * 4
+                   AND stop_hits >= 2, false) AS pass_gopher,
+                  coalesce(dup_lines * 10 <= n_lines * 3
+                   AND dup_paras * 10 <= n_paras * 3
+                   AND dup_line_chars * 5 <= n_chars_t
+                   AND dup_para_chars * 5 <= n_chars_t
+                   AND top2_chars * 5 <= n_chars_t
+                   AND top3_chars * 50 <= n_chars_t * 9, false) AS pass_repetition,
+                  coalesce(lorem_hits = 0 AND brace_hits = 0 AND sentence_marks >= 5, false) AS pass_c4
+           FROM sig)
+         SELECT *, (pass_gopher AND pass_repetition AND pass_c4) AS pass FROM verdicts"""
 
   def oracleSql: Map[String, String] = Map(
     "q_project" ->
@@ -1850,112 +1982,7 @@ object SparkEntry {
                  AND top2_chars * 5 <= n_chars_t
                  AND top3_chars * 50 <= n_chars_t * 9, false) AS pass
          FROM sig""",
-    "q_quality_all" ->
-      // the three gate oracles above composed over ONE shared tokenization
-      // CTE and joined on doc_id — replaying the fused QualitySignals
-      // struct + the three verdicts + their conjunction
-      """WITH d AS (
-           SELECT doc_id, text,
-                  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS w,
-                  string_split(text, chr(10)) AS lines,
-                  regexp_split_to_array(text, '\n{2,}') AS paras
-           FROM documents),
-         gsig AS (
-           SELECT doc_id,
-             CAST(len(w) AS BIGINT) AS n_words,
-             CAST(CASE WHEN text IS NULL THEN NULL
-                       ELSE coalesce(list_sum(list_transform(w, x -> length(x))), 0) END AS BIGINT) AS word_chars,
-             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
-             CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullet_lines,
-             CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS ellipsis_lines,
-             CAST((length(text) - length(replace(text, '#', '')))
-                  + (length(text) - length(replace(text, '…', '')))
-                  + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS symbol_count,
-             CAST(CASE WHEN text IS NULL THEN NULL ELSE
-                    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
-                  + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
-                  + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
-                  + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
-                  + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
-                  + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
-                  + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
-                  + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) END AS BIGINT) AS stop_hits
-           FROM d),
-         lc AS (
-           SELECT doc_id, CAST(coalesce(sum((c - 1) * length(line)), 0) AS BIGINT) AS dup_line_chars
-           FROM (SELECT doc_id, line, count(*) AS c
-                 FROM (SELECT doc_id, unnest(lines) AS line FROM d) GROUP BY doc_id, line)
-           GROUP BY doc_id),
-         pc AS (
-           SELECT doc_id, CAST(coalesce(sum((c - 1) * length(para)), 0) AS BIGINT) AS dup_para_chars
-           FROM (SELECT doc_id, para, count(*) AS c
-                 FROM (SELECT doc_id, unnest(paras) AS para FROM d) GROUP BY doc_id, para)
-           GROUP BY doc_id),
-         g2 AS (
-           SELECT doc_id, CAST(max(CASE WHEN c >= 2 THEN c * length(gram) END) AS BIGINT) AS top2_chars
-           FROM (SELECT doc_id, gram, count(*) AS c
-                 FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
-                       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM d))
-                 GROUP BY doc_id, gram)
-           GROUP BY doc_id),
-         g3 AS (
-           SELECT doc_id, CAST(max(CASE WHEN c >= 2 THEN c * length(gram) END) AS BIGINT) AS top3_chars
-           FROM (SELECT doc_id, gram, count(*) AS c
-                 FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-                       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d))
-                 GROUP BY doc_id, gram)
-           GROUP BY doc_id),
-         c4lc AS (
-           SELECT doc_id,
-                  CAST(coalesce(sum(CASE WHEN regexp_matches(line, '[.!?"]\s*$') THEN 1 ELSE 0 END), 0) AS BIGINT) AS terminal_lines,
-                  CAST(coalesce(sum(CASE WHEN len(list_filter(regexp_split_to_array(line, '\s+'), x -> length(x) > 0)) < 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS short_lines,
-                  CAST(coalesce(sum(CASE WHEN regexp_matches(line, '\b[jJ][aA][vV][aA][sS][cC][rR][iI][pP][tT]\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS js_lines
-           FROM (SELECT doc_id, unnest(lines) AS line FROM d)
-           GROUP BY doc_id),
-         sig AS (
-           SELECT d.doc_id,
-                  CAST(length(d.text) AS BIGINT) AS n_chars_t,
-                  CAST(len(d.lines) AS BIGINT) AS n_lines,
-                  gsig.n_words, gsig.word_chars, gsig.alpha_words,
-                  gsig.bullet_lines, gsig.ellipsis_lines, gsig.symbol_count, gsig.stop_hits,
-                  CAST(len(d.lines) - len(list_distinct(d.lines)) AS BIGINT) AS dup_lines,
-                  lc.dup_line_chars,
-                  CAST(len(d.paras) AS BIGINT) AS n_paras,
-                  CAST(len(d.paras) - len(list_distinct(d.paras)) AS BIGINT) AS dup_paras,
-                  pc.dup_para_chars,
-                  CASE WHEN d.text IS NULL THEN NULL
-                       ELSE coalesce(g2.top2_chars, 0) END AS top2_chars,
-                  CASE WHEN d.text IS NULL THEN NULL
-                       ELSE coalesce(g3.top3_chars, 0) END AS top3_chars,
-                  c4lc.terminal_lines, c4lc.short_lines, c4lc.js_lines,
-                  CAST(length(d.text) - length(replace(replace(replace(d.text, '.', ''), '!', ''), '?', '')) AS BIGINT) AS sentence_marks,
-                  CAST(len(regexp_extract_all(d.text, '[lL][oO][rR][eE][mM] [iI][pP][sS][uU][mM]')) AS BIGINT) AS lorem_hits,
-                  CAST(length(d.text) - length(replace(d.text, '{', '')) AS BIGINT) AS brace_hits
-           FROM d
-           LEFT JOIN gsig ON d.doc_id = gsig.doc_id
-           LEFT JOIN lc ON d.doc_id = lc.doc_id
-           LEFT JOIN pc ON d.doc_id = pc.doc_id
-           LEFT JOIN g2 ON d.doc_id = g2.doc_id
-           LEFT JOIN g3 ON d.doc_id = g3.doc_id
-           LEFT JOIN c4lc ON d.doc_id = c4lc.doc_id),
-         verdicts AS (
-           SELECT sig.*,
-                  coalesce(n_words BETWEEN 50 AND 100000
-                   AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
-                   AND symbol_count * 10 <= n_words
-                   AND bullet_lines * 10 <= n_lines * 9
-                   AND ellipsis_lines * 10 <= n_lines * 3
-                   AND alpha_words * 5 >= n_words * 4
-                   AND stop_hits >= 2, false) AS pass_gopher,
-                  coalesce(dup_lines * 10 <= n_lines * 3
-                   AND dup_paras * 10 <= n_paras * 3
-                   AND dup_line_chars * 5 <= n_chars_t
-                   AND dup_para_chars * 5 <= n_chars_t
-                   AND top2_chars * 5 <= n_chars_t
-                   AND top3_chars * 50 <= n_chars_t * 9, false) AS pass_repetition,
-                  coalesce(lorem_hits = 0 AND brace_hits = 0 AND sentence_marks >= 5, false) AS pass_c4
-           FROM sig)
-         SELECT *, (pass_gopher AND pass_repetition AND pass_c4) AS pass FROM verdicts""",
+    "q_quality_all" -> qualityAllSql,
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
          s AS (SELECT doc_id,
@@ -2762,6 +2789,16 @@ object SparkEntry {
            UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s3)
            UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
          ORDER BY stage""",
+    "q_curation_pipeline" ->
+      s"""WITH qa AS ($qualityAllSql),
+         kept AS (SELECT d.doc_id, d.text FROM documents d
+                  JOIN qa ON qa.doc_id = d.doc_id WHERE qa.pass_repetition),
+         keepers AS (SELECT min(doc_id) AS keep_id FROM kept GROUP BY md5(text)),
+         sampled AS (SELECT keep_id FROM keepers
+                     WHERE md5(CAST(keep_id AS VARCHAR)) < '8000')
+         SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         FROM sampled s JOIN documents d ON d.doc_id = s.keep_id
+         GROUP BY d.lang""",
     "q_range_join" ->
       """SELECT e.event_id AS error_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
