@@ -512,6 +512,16 @@ object SparkEntry {
       graft.functions.Dsir
         .resample(loader(s, dir)("documents"), "doc_id", "text", col("lang") === "en", k = 100)
         .select(col("id").as("doc_id"), col("weight_micro"), col("score_micro"), col("rank"))),
+    // ---- model-based quality filter: hashed linear classifier inference ----
+    // (fastText shape, Joulin et al. 2016; portable md5 twin for the oracle)
+    "q_classifier" -> ((s, dir) =>
+      graft.functions.Classifier
+        .scorePortable(loader(s, dir)("documents"), col("doc_id"), col("text"))),
+    // production twin: xxhash64 buckets (timed; correctness carried by the
+    // oracle-checked portable twin + ClassifierSpec twin-equivalence tests)
+    "q_classifier_prod" -> ((s, dir) =>
+      graft.functions.Classifier
+        .score(loader(s, dir)("documents"), col("doc_id"), col("text"))),
     // ---- quality: the Gopher rule gate (integer-exact signals + verdict) ---
     "q_quality_gopher" -> ((s, dir) =>
       graft.functions.QualityRules
@@ -634,6 +644,13 @@ object SparkEntry {
       Dedup.semantic(
         loader(s, dir)("embeddings"), "vec_id", "embedding",
         threshold = 0.4, nlists = 16, refine = 0)),
+    // timed-only twin with corpus-sized cells (AutoNlists): the scale fix
+    // for the quadratic-in-cell-size verify stage, measured by the sf0.1→sf1
+    // rehearsal; the pinned-nlists twin above stays oracle-replayable
+    "q_dedup_semantic_auto" -> ((s, dir) =>
+      Dedup.semantic(
+        loader(s, dir)("embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nlists = Dedup.AutoNlists, refine = 0)),
     // ---- curation report: per-cluster size + cosine tightness over the
     // same coarse cells (refine=0 → oracle-replayable, like q_ann_ivf) -------
     "q_cluster_stats" -> ((s, dir) =>
@@ -1812,6 +1829,32 @@ object SparkEntry {
                     FROM sc)
          SELECT doc_id, weight_micro, score_micro, CAST(rnk AS BIGINT) AS rank
          FROM ranked WHERE rnk <= 100""",
+    "q_classifier" ->
+      // hashed-linear-classifier inference with the md5-prefix portable
+      // bucket (48 bits → % 4096 slots) and the Knuth-mix integer
+      // micro-unit pseudo-weights — arithmetic spelled identically to
+      // Classifier.weightOf so the sum is bit-exact on both engines
+      raw"""WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+         uni AS (SELECT doc_id, unnest(toks) AS f FROM t),
+         bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS f
+                FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM t WHERE len(toks) >= 2)),
+         feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+         scored AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                  CAST(sum(
+                    ((('0x' || substr(md5(f), 1, 12))::BIGINT % 4096) * 2654435761)
+                      % 2000001 - 1000000
+                  ) AS BIGINT) AS score_micro
+           FROM feats GROUP BY 1)
+         SELECT t.doc_id, coalesce(s.n_feats, 0) AS n_feats,
+                coalesce(s.score_micro, 0) AS score_micro,
+                coalesce(s.score_micro, 0) >= 0 AS keep
+         FROM t LEFT JOIN scored s USING (doc_id)""",
     "q_corpus_stats" ->
       // n_chars IS NOT NULL mirrors exactPercentiles' null policy (nulls are
       // dropped before aggregating on both sides; engines disagree on null
