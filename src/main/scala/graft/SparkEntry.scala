@@ -676,6 +676,27 @@ object SparkEntry {
       Ann.bruteForceTopK(
         codes, codes.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10)
     }),
+    // binary (sign-bit) quantization + Hamming candidate scan + exact
+    // cosine rerank: the third quantization tier after float32 (q_ann_topk)
+    // and int8 (q_ann_quantized) — the candidate scan reads 8 bytes/vector
+    // at dim 64 and runs pure integer xor+popcount codegen; true vectors
+    // are read for the 4k survivors only. Hamming is an exact integer and
+    // both stages tie-break by id, so DuckDB replays the funnel exactly.
+    "q_ann_binary" -> ((s, dir) => {
+      val e = loader(s, dir)("embeddings")
+      Ann.binaryTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10,
+        dim = 64)
+    }),
+    // Matryoshka prefix ANN (Kusupati et al. 2022): candidates ranked by
+    // cosine over the leading 16 of 64 dims (4× narrower scan), exact
+    // full-dim rerank on the 4k survivors only
+    "q_ann_matryoshka" -> ((s, dir) => {
+      val e = loader(s, dir)("embeddings")
+      Ann.matryoshkaTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", 10,
+        prefixDim = 16)
+    }),
     // graded with refine=0: the coarse centroids are then exactly the first
     // nlists corpus vectors (data, not a trained model), so DuckDB rebuilds
     // the identical cell assignment, probe selection, and per-cell ranking —
@@ -2337,6 +2358,68 @@ object SparkEntry {
            SELECT qid, neighbor_id, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
            FROM scored)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    "q_ann_binary" ->
+      // replays the two-stage binary funnel: Hamming = count of positions
+      // whose sign bits disagree (exact integer — identical to Spark's
+      // popcount over packed words), candidates = top 40 per query by
+      // (hamming, neighbor_id), then exact cosine rerank on candidates only
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE embedding IS NOT NULL),
+         ham AS (
+           SELECT q.vec_id AS qid, a.vec_id AS neighbor_id,
+                  len(list_filter(range(1, 65),
+                      i -> (a.embedding[i] >= 0) <> (q.embedding[i] >= 0))) AS ham
+           FROM c a JOIN c q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+         cand AS (
+           SELECT qid, neighbor_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY ham, neighbor_id) AS arank
+           FROM ham),
+         rer AS (
+           SELECT cand.qid, cand.neighbor_id,
+                  list_cosine_similarity(a.embedding, q.embedding) AS cos
+           FROM cand
+           JOIN c a ON a.vec_id = cand.neighbor_id
+           JOIN c q ON q.vec_id = cand.qid
+           WHERE cand.arank <= 40),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM rer)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    "q_ann_matryoshka" ->
+      // replays the prefix funnel: candidates by cosine over the leading 16
+      // components (same index-order double accumulation as the engine's
+      // native cosine — the established q_ann_topk equivalence), then exact
+      // full-dim rerank on the 40 survivors per query
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE embedding IS NOT NULL),
+         pref AS (
+           SELECT q.vec_id AS qid, a.vec_id AS neighbor_id,
+                  list_cosine_similarity(list_slice(a.embedding, 1, 16),
+                                         list_slice(q.embedding, 1, 16)) AS pcos
+           FROM c a JOIN c q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+         cand AS (
+           SELECT qid, neighbor_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, neighbor_id) AS arank
+           FROM pref),
+         rer AS (
+           SELECT cand.qid, cand.neighbor_id,
+                  list_cosine_similarity(a.embedding, q.embedding) AS cos
+           FROM cand
+           JOIN c a ON a.vec_id = cand.neighbor_id
+           JOIN c q ON q.vec_id = cand.qid
+           WHERE cand.arank <= 40),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM rer)
          SELECT qid, neighbor_id,
                 CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
                 CAST(rank AS BIGINT) AS rank

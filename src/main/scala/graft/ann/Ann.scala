@@ -47,6 +47,119 @@ object Ann {
       )
   }
 
+  /** Binary-quantization ANN — the vector-DB "binary quantize + rescore"
+    * pattern (sign-bit codes as in Indyk-Motwani/Charikar SimHash, rescoring
+    * as popularized by modern vector stores): the candidate stage ranks by
+    * Hamming distance over packed sign bits — 8 bytes/vector at dim 64, a
+    * 32× scan-width reduction vs float32, pure codegen'd integer xor+popcount
+    * — then the exact cosine rerank reads true vectors for the
+    * k·candidateFactor survivors only (candidate-bounded, like
+    * [[pqTopKRefined]]). Both stages tie-break by neighbor id, so the whole
+    * funnel is deterministic and oracle-replayable. At 100 TB the packed
+    * codes are written as their own column/index so the candidate scan
+    * literally reads 8·words bytes per vector.
+    * Output: (qid, neighbor_id, cosine_e4, rank) — exact full-precision
+    * cosine.
+    */
+  def binaryTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      qid: String,
+      qvec: String,
+      k: Int,
+      dim: Int,
+      candidateFactor: Int = 4
+  ): DataFrame = {
+    val words = (dim + 63) / 64
+    val v = corpus.filter(col(vec).isNotNull).select(col(id).as("cid"), col(vec).as("cv"))
+    val codes = corpus
+      .filter(col(vec).isNotNull)
+      .select(col(id).as("neighbor_id"), VF.binarize(col(vec), dim).as("cb"))
+    val q = queries
+      .filter(col(qvec).isNotNull)
+      .select(col(qid).as("qid"), col(qvec).as("qv"), VF.binarize(col(qvec), dim).as("qb"))
+    val wApprox = Window.partitionBy(col("qid")).orderBy(col("ham"), col("neighbor_id"))
+    val candidates = codes
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("qv"),
+        col("neighbor_id"),
+        VF.hammingPacked(col("cb"), col("qb"), words).as("ham")
+      )
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * candidateFactor)
+      .select(col("qid"), col("qv"), col("neighbor_id"))
+    exactRerank(candidates, v, k)
+  }
+
+  /** Matryoshka-prefix ANN (Kusupati et al. 2022, "Matryoshka Representation
+    * Learning"): MRL-trained embeddings concentrate signal in their leading
+    * components, so the candidate stage ranks by cosine over the first
+    * `prefixDim` components only — a prefixDim/dim scan-width reduction (at
+    * 100 TB the prefix is stored as its own column so the scan reads less) —
+    * then the exact full-dimension rerank reads true vectors for the
+    * k·candidateFactor survivors only. Deterministic tie-breaks as in
+    * [[binaryTopK]]; oracle-replayable.
+    * Output: (qid, neighbor_id, cosine_e4, rank) — full-dim exact cosine.
+    */
+  def matryoshkaTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      qid: String,
+      qvec: String,
+      k: Int,
+      prefixDim: Int,
+      candidateFactor: Int = 4
+  ): DataFrame = {
+    require(prefixDim > 0, s"prefixDim must be positive, got $prefixDim")
+    val v = corpus.filter(col(vec).isNotNull).select(col(id).as("cid"), col(vec).as("cv"))
+    val prefixes = corpus
+      .filter(col(vec).isNotNull)
+      .select(col(id).as("neighbor_id"), slice(col(vec), 1, prefixDim).as("cp"))
+    val q = queries
+      .filter(col(qvec).isNotNull)
+      .select(col(qid).as("qid"), col(qvec).as("qv"), slice(col(qvec), 1, prefixDim).as("qp"))
+    val wApprox = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("neighbor_id"))
+    val candidates = prefixes
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("qv"),
+        col("neighbor_id"),
+        VF.cosine(col("cp"), col("qp")).as("pcos")
+      )
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * candidateFactor)
+      .select(col("qid"), col("qv"), col("neighbor_id"))
+    exactRerank(candidates, v, k)
+  }
+
+  /** Shared exact-rerank tail: joins (qid, qv, neighbor_id) candidates back
+    * to true vectors (candidate-bounded — AQE broadcasts the small side) and
+    * emits the standard (qid, neighbor_id, cosine_e4, rank) shape.
+    */
+  private def exactRerank(candidates: DataFrame, v: DataFrame, k: Int): DataFrame = {
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(v.withColumnRenamed("cid", "neighbor_id"), "neighbor_id")
+      .select(col("qid"), col("neighbor_id"), VF.cosine(col("cv"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(
+        col("qid"),
+        col("neighbor_id"),
+        round(col("cos") * 10000).cast("long").as("cosine_e4"),
+        col("rank").cast("long").as("rank")
+      )
+  }
+
   /** The centroid "model" lives on the driver (like MLlib KMeans): it is
     * nlists vectors — bytes, not data — and embedding it as literals turns
     * cell assignment into a pure map-side codegen expression over the corpus
@@ -642,18 +755,7 @@ object Ann {
       .withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= k * candidateFactor)
       .select(col("qid"), col("qv"), col("neighbor_id"))
-    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
-      .join(v.withColumnRenamed("cid", "neighbor_id"), "neighbor_id")
-      .select(col("qid"), col("neighbor_id"), VF.cosine(col("cv"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select(
-        col("qid"),
-        col("neighbor_id"),
-        round(col("cos") * 10000).cast("long").as("cosine_e4"),
-        col("rank").cast("long").as("rank")
-      )
+    exactRerank(candidates, v, k)
   }
 
   /** IVF-PQ (the composed large-scale architecture): coarse cells prune

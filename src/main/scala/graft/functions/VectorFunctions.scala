@@ -65,6 +65,39 @@ object VectorFunctions {
   def dequantizeInt8(qs: Column): Column =
     transform(qs.getField("q"), c => c.cast("double") * qs.getField("scale"))
 
+  /** Binary (sign-bit) quantization: `dim` sign bits packed into
+    * ceil(dim/64) longs (`array<bigint>`) — 32× smaller than float32 on
+    * disk and through every scan. Bit j of word j/64 is set iff component
+    * j ≥ 0 (the random-hyperplane code with identity planes). The per-word
+    * sums are plan-time unrolled, so packing is one codegen'd projection —
+    * no higher-order functions.
+    */
+  def binarize(v: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val words = (dim + 63) / 64
+    array((0 until words).map { w =>
+      (w * 64 until math.min(dim, (w + 1) * 64))
+        .map { j =>
+          when(element_at(v, j + 1) >= 0, lit(1L << (j % 64))).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed sign-bit codes from [[binarize]]:
+    * per-word `bit_count(xor)`, unrolled at plan time over the known word
+    * count — the scan hot loop is pure codegen'd integer ops reading
+    * 8·words bytes per vector.
+    */
+  def hammingPacked(a: Column, b: Column, words: Int): Column = {
+    require(words > 0, s"words must be positive, got $words")
+    (0 until words)
+      .map { w =>
+        bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1))).cast("long")
+      }
+      .reduce(_ + _)
+  }
+
   /** Deterministic pseudo-random hyperplane for LSH: `dim` components in
     * [-1, 1), derived from an LCG-style mix of (plane, component) — stable
     * across executors and runs with no stored model.

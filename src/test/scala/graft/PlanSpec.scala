@@ -250,6 +250,26 @@ class PlanSpec extends SparkSpec {
     assert(opt.toLowerCase.contains("vectorbinaryop("), "distances must be native")
   }
 
+  test("binary ANN candidate scan is packed-integer codegen, no HOFs") {
+    val df = SparkEntry.queries("q_ann_binary")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the candidate stage must rank on popcount-xor over plan-time-unrolled
+    // packed words — never an interpreted per-element HOF
+    assert(!opt.contains("zip_with") && !opt.contains("aggregate("),
+      "hamming must not be a higher-order fold")
+    assert(opt.toLowerCase.contains("bit_count"), "hamming must be popcount over packed words")
+    // the exact rerank still scores with the native vector expression
+    assert(opt.toLowerCase.contains("vectorbinaryop("), "rerank cosine must be native")
+  }
+
+  test("matryoshka ANN ranks candidates on a sliced prefix with the native cosine") {
+    val df = SparkEntry.queries("q_ann_matryoshka")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("slice("), "candidate stage must score a prefix slice")
+    assert(opt.toLowerCase.contains("vectorbinaryop("), "prefix + rerank cosine must be native")
+    assert(!opt.contains("BatchEvalPython") && !opt.contains("ScalaUDF"))
+  }
+
   test("Bloom decontamination prefilters with a predicate, not a shingle-set join") {
     val df = SparkEntry.queries("q_decontaminate_bloom")(spark, sf)
     val s = plan(df)

@@ -320,6 +320,80 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized ANN recall $recall")
   }
 
+  test("binary ANN: packed hamming matches direct sign count, wide funnel is exact, recall tracks brute force") {
+    import graft.functions.{VectorFunctions => VF}
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 5 + j) + 0.01 * math.sin(i * 13 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // packed popcount-xor hamming == direct per-component sign disagreement
+    val agree = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(150)
+      .select(
+        VF.hammingPacked(
+          VF.binarize(col("a.embedding"), 16), VF.binarize(col("b.embedding"), 16), 1).as("packed"),
+        size(filter(
+          zip_with(col("a.embedding"), col("b.embedding"), (x, y) => (x >= 0) =!= (y >= 0)),
+          b => b)).cast("long").as("direct"))
+      .collect()
+    assert(agree.nonEmpty && agree.forall(r => r.getLong(0) == r.getLong(1)))
+    // word-boundary coverage: a 70-dim vector packs into 2 words and still
+    // matches the direct count
+    val wide = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(70)(j => math.sin(i * 7 + j * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val agree70 = wide.as("a").crossJoin(wide.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        VF.hammingPacked(
+          VF.binarize(col("a.embedding"), 70), VF.binarize(col("b.embedding"), 70), 2).as("packed"),
+        size(filter(
+          zip_with(col("a.embedding"), col("b.embedding"), (x, y) => (x >= 0) =!= (y >= 0)),
+          b => b)).cast("long").as("direct"))
+      .collect()
+    assert(agree70.nonEmpty && agree70.forall(r => r.getLong(0) == r.getLong(1)))
+    // a funnel wide enough to admit the whole corpus IS brute force
+    val queries = df.filter(col("vec_id") < 3)
+    val bf = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val wideFunnel = Ann.binaryTopK(
+        df, queries, "vec_id", "embedding", "vec_id", "embedding", 5, dim = 16,
+        candidateFactor = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(wideFunnel == bf, "wide binary funnel must equal exact brute force")
+    // the default narrow funnel still recovers most true neighbors
+    val narrow = Ann.binaryTopK(
+        df, queries, "vec_id", "embedding", "vec_id", "embedding", 5, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf.map(t => (t._1, t._2)) intersect narrow).size.toDouble / bf.size
+    assert(recall >= 0.5, s"binary ANN recall $recall")
+  }
+
+  test("matryoshka ANN: prefix=dim funnel is exactly brute force, half-prefix recall is high on clustered data") {
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 5 + j) + 0.01 * math.sin(i * 13 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    val bf = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // prefixDim = dim ranks candidates by the true cosine with the same id
+    // tie-break, so even the tightest funnel (candidateFactor = 1) is exact
+    val full = Ann.matryoshkaTopK(
+        df, queries, "vec_id", "embedding", "vec_id", "embedding", 5, prefixDim = 16,
+        candidateFactor = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full == bf, "prefix=dim matryoshka funnel must equal exact brute force")
+    // leading half of the components keeps the cluster structure
+    val half = Ann.matryoshkaTopK(
+        df, queries, "vec_id", "embedding", "vec_id", "embedding", 5, prefixDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf.map(t => (t._1, t._2)) intersect half).size.toDouble / bf.size
+    assert(recall >= 0.6, s"matryoshka half-prefix recall $recall")
+  }
+
   test("LSH multi-probe (Hamming-1) recall beats single-bucket vs brute force") {
     // clustered vectors with per-vector jitter: cluster members near a
     // hyperplane land one sign-bit apart, which is exactly the recall cliff
