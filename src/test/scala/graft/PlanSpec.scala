@@ -250,6 +250,19 @@ class PlanSpec extends SparkSpec {
     assert(opt.toLowerCase.contains("vectorbinaryop("), "distances must be native")
   }
 
+  test("ANN and batch-retrieval top-k rank through the bounded heap, not a corpus window") {
+    // the window formulation shuffles AND sorts every scored pair; the
+    // TopKAgg heap exchanges only queries × k pairs per map partition —
+    // result-sized, the shape a 100 TB corpus needs. Guard the whole
+    // converted family.
+    for (q <- Seq("q_ann_topk", "q_ann_quantized", "q_ann_ivf", "q_ann_ivfpq",
+        "q_ann_binary", "q_ann_matryoshka", "q_bm25_batch", "q_hybrid_rrf_batch")) {
+      val s = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!s.contains("Window ["), s"$q must not rank via a window exchange")
+      assert(s.contains("ObjectHashAggregate"), s"$q top-k must be the TopKAgg heap")
+    }
+  }
+
   test("binary ANN candidate scan is packed-integer codegen, no HOFs") {
     val df = SparkEntry.queries("q_ann_binary")(spark, sf)
     val opt = df.queryExecution.optimizedPlan.toString
