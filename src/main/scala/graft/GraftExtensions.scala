@@ -17,6 +17,67 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** Catalyst mirror of [[graft.functions.VectorFunctions.binarize]] for the
+    * SQL surface (`injectFunction` needs a genuine expression tree — a
+    * reverse-bridged Column DSL composition stays an unevaluable
+    * ColumnNode placeholder). Equivalence with the Column form is pinned by
+    * FunctionsSpec.
+    */
+  private def binarizeExpr(v: Expression, dim: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, ElementAt, GreaterThanOrEqual, If, Literal, CreateArray}
+    import org.apache.spark.sql.types.DoubleType
+    require(dim > 0, s"vec_binarize: dim must be positive, got $dim")
+    val words = (dim + 63) / 64
+    CreateArray((0 until words).map { w =>
+      (w * 64 until math.min(dim, (w + 1) * 64))
+        .map { j =>
+          If(
+            GreaterThanOrEqual(Cast(ElementAt(v, Literal(j + 1)), DoubleType), Literal(0.0)),
+            Literal(1L << (j % 64)),
+            Literal(0L)
+          ): Expression
+        }
+        .reduce(Add(_, _))
+    })
+  }
+
+  /** Catalyst mirror of [[graft.functions.VectorFunctions.hammingPacked]]
+    * (same rationale as [[binarizeExpr]]).
+    */
+  private def hammingExpr(a: Expression, b: Expression, words: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseCount, BitwiseXor, Cast, ElementAt, Literal}
+    import org.apache.spark.sql.types.LongType
+    require(words > 0, s"vec_hamming: words must be positive, got $words")
+    (0 until words)
+      .map { w =>
+        Cast(
+          BitwiseCount(BitwiseXor(ElementAt(a, Literal(w + 1)), ElementAt(b, Literal(w + 1)))),
+          LongType
+        ): Expression
+      }
+      .reduce(Add(_, _))
+  }
+
+  /** Validate-and-eval a literal numeric argument BEFORE plan-time eval():
+    * a non-foldable arg (a column) or a non-numeric literal fails with the
+    * documented contract instead of an opaque unresolved-eval error.
+    */
+  private def literalInt(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" -> s"$fn: $arg must be a literal")
+      )
+    e.eval() match {
+      case num: Number => num.intValue()
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" -> s"$fn: $arg must be a numeric literal, got $other")
+        )
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
@@ -53,29 +114,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingles",
           "word_shingles(text, n) - distinct word n-gram shingles (single pass); n must be a literal"
         ),
-        (args: Seq[Expression]) => {
-          // validate before eval(): a non-foldable second arg (a column) or a
-          // non-numeric literal would otherwise fail at plan time with an
-          // opaque unresolved-eval/ClassCastException instead of the
-          // documented contract
-          val n = args(1)
-          if (!n.foldable)
-            throw new org.apache.spark.sql.AnalysisException(
-              "USER_RAISED_EXCEPTION",
-              Map("errorMessage" -> "word_shingles(text, n): n must be a literal")
-            )
-          n.eval() match {
-            case num: Number => graft.expr.WordShingles(args(0), num.intValue())
-            case other =>
-              throw new org.apache.spark.sql.AnalysisException(
-                "USER_RAISED_EXCEPTION",
-                Map(
-                  "errorMessage" ->
-                    s"word_shingles(text, n): n must be a numeric literal, got $other"
-                )
-              )
-          }
-        }
+        (args: Seq[Expression]) =>
+          graft.expr.WordShingles(args(0), literalInt(args(1), "word_shingles(text, n)", "n"))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_binarize"),
+        info(
+          "vec_binarize",
+          "vec_binarize(v, dim) - pack the dim sign bits of a float/double array into ceil(dim/64) longs; dim must be a literal"
+        ),
+        (args: Seq[Expression]) =>
+          binarizeExpr(args(0), literalInt(args(1), "vec_binarize(v, dim)", "dim"))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_hamming"),
+        info(
+          "vec_hamming",
+          "vec_hamming(a, b, words) - Hamming distance between two packed sign-bit codes from vec_binarize; words must be a literal"
+        ),
+        (args: Seq[Expression]) =>
+          hammingExpr(args(0), args(1), literalInt(args(2), "vec_hamming(a, b, words)", "words"))
       )
     )
     ext.injectFunction(

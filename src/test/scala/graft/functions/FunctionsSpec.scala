@@ -94,6 +94,49 @@ class FunctionsSpec extends SparkSpec {
     assert(vs == Seq(2.0, 4.0))
   }
 
+  test("SQL surface: vec_binarize / vec_hamming registered, literal args validated") {
+    val r = spark
+      .sql(
+        """SELECT vec_hamming(vec_binarize(array(1.0, -2.0, 3.0), 3),
+                              vec_binarize(array(1.0, 2.0, -3.0), 3), 1) AS h,
+                  vec_binarize(array(-1.0, 2.0), 2) AS b"""
+      )
+      .collect()
+      .head
+    assert(r.getLong(0) == 2L) // signs differ at components 2 and 3
+    assert(r.getSeq[Long](1) == Seq(2L)) // bit 1 set (component 2 >= 0)
+    // the SQL mirror must agree with the Scala Column form bit-for-bit
+    // (including the 2-word boundary)
+    val cross = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(70)(j => math.sin(i * 7 + j * 3).toFloat))
+    }.toDF("id", "v")
+    cross.createOrReplaceTempView("vx")
+    val scalaSide = cross
+      .select(col("id"), VectorFunctions.binarize(col("v"), 70).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sqlSide = spark.sql("SELECT id, vec_binarize(v, 70) AS b FROM vx")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(scalaSide == sqlSide)
+    val hamAgree = spark.sql(
+      """SELECT a.id AS ia, b.id AS ib,
+                vec_hamming(vec_binarize(a.v, 70), vec_binarize(b.v, 70), 2) AS h
+         FROM vx a JOIN vx b ON a.id < b.id""")
+    val scalaHam = cross.as("a").crossJoin(cross.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        VectorFunctions.hammingPacked(
+          VectorFunctions.binarize(col("a.v"), 70),
+          VectorFunctions.binarize(col("b.v"), 70), 2).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hamAgree.collect().forall(r => scalaHam((r.getLong(0), r.getLong(1))) == r.getLong(2)))
+    // non-literal dim fails with the documented contract, not an opaque eval error
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1, Array(1.0f))).toDF("n", "a").createOrReplaceTempView("vb")
+      spark.sql("SELECT vec_binarize(a, n) FROM vb").collect()
+    }
+    assert(err.getMessage.contains("dim must be a literal"))
+  }
+
   test("BPE pre-tokenizer: contractions, leading spaces, digit/punct runs") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(
