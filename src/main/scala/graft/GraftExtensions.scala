@@ -24,11 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * FunctionsSpec.
     */
   private def binarizeExpr(v: Expression, dim: Int): Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, ElementAt, GreaterThanOrEqual, If, Literal, CreateArray}
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, ElementAt, GreaterThanOrEqual, If, Literal, CreateArray, RaiseError, Size}
     import org.apache.spark.sql.types.DoubleType
     require(dim > 0, s"vec_binarize: dim must be positive, got $dim")
     val words = (dim + 63) / 64
-    CreateArray((0 until words).map { w =>
+    val packed = CreateArray((0 until words).map { w =>
       (w * 64 until math.min(dim, (w + 1) * 64))
         .map { j =>
           If(
@@ -39,16 +39,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         .reduce(Add(_, _))
     })
+    // Same short-vector guard as the Column form (VectorFunctions.binarize).
+    If(
+      GreaterThanOrEqual(Size(v), Literal(dim)),
+      packed,
+      RaiseError(Literal(s"vec_binarize: vector shorter than dim=$dim"))
+    )
   }
 
   /** Catalyst mirror of [[graft.functions.VectorFunctions.hammingPacked]]
     * (same rationale as [[binarizeExpr]]).
     */
   private def hammingExpr(a: Expression, b: Expression, words: Int): Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseCount, BitwiseXor, Cast, ElementAt, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Add, And, BitwiseCount, BitwiseXor, Cast, ElementAt, EqualTo, If, Literal, RaiseError, Size}
     import org.apache.spark.sql.types.LongType
     require(words > 0, s"vec_hamming: words must be positive, got $words")
-    (0 until words)
+    val dist = (0 until words)
       .map { w =>
         Cast(
           BitwiseCount(BitwiseXor(ElementAt(a, Literal(w + 1)), ElementAt(b, Literal(w + 1)))),
@@ -56,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ): Expression
       }
       .reduce(Add(_, _))
+    // Same word-count guard as the Column form (VectorFunctions.hammingPacked).
+    If(
+      And(EqualTo(Size(a), Literal(words)), EqualTo(Size(b), Literal(words))),
+      dist,
+      RaiseError(Literal(s"vec_hamming: packed codes must have exactly $words words"))
+    )
   }
 
   /** Validate-and-eval a literal numeric argument BEFORE plan-time eval():

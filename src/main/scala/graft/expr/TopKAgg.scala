@@ -127,11 +127,23 @@ object TopKAgg {
 
     def size: Int = n
 
-    /** true iff (s1,i1) is WORSE than (s2,i2) under (score DESC, id ASC). */
-    @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 < s2 || (s1 == s2 && i1 > i2)
+    /** true iff (s1,i1) is WORSE than (s2,i2) under (score DESC, id ASC).
+      * Total order via `java.lang.Double.compare` so NaN is well-behaved:
+      * NaN compares greater than every other double, hence ranks FIRST
+      * under score DESC — the same deterministic placement DuckDB gives
+      * NaN in `ORDER BY score DESC`, keeping heap output oracle-exact
+      * even for zero-norm cosine inputs. (`<`/`==` are both false for
+      * NaN, which would let an admitted NaN entry evade eviction.)
+      */
+    @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && i1 > i2)
+    }
 
-    def offer(s: Double, i: Long): Unit = {
+    def offer(s0: Double, i: Long): Unit = {
+      // Collapse -0.0 to +0.0: SQL comparison treats them as equal (ties
+      // break on id), but Double.compare orders -0.0 < 0.0.
+      val s = if (s0 == 0.0d) 0.0d else s0
       if (n < k) {
         if (n == scores.length) {
           val cap = math.min(k, scores.length * 2)
@@ -185,8 +197,10 @@ object TopKAgg {
       while (j < n) { out(j) = (scores(j), ids(j)); j += 1 }
       scala.util.Sorting.stableSort(
         out,
-        (a: (Double, Long), b: (Double, Long)) =>
-          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+        (a: (Double, Long), b: (Double, Long)) => {
+          val c = java.lang.Double.compare(a._1, b._1)
+          c > 0 || (c == 0 && a._2 < b._2)
+        }
       )
       out
     }

@@ -131,8 +131,15 @@ object Retrieval {
     * through the bounded-heap [[graft.expr.TopKAgg]]: the exchange carries
     * queries × k pairs per map partition — the result's size — where the
     * window formulation shuffles and sorts every scored (qid, id) pair.
-    * Integer scores stay exact through the heap's double (micro/nano units
-    * are far below 2^53). Non-bigint ids keep the window form.
+    * CONTRACT (pinned by RetrievalSpec "integer scores stay below 2^53"):
+    * `scoreCol` values round-trip long → double → long, which is exact only
+    * for |score| ≤ 2^53. Every current call site satisfies it by
+    * construction — BM25 micro-units are `round(1e6 · idf · tfNorm)` summed
+    * over ≤ query-length terms (idf ≤ ln(N), tfNorm ≤ k1+1 ⇒ per-doc bound
+    * ~1e9·|q| ≪ 2^53), and RRF nano-units are `round(1e9/(rrfK+rank))`
+    * summed over runs (≤ 2e7·runs). A future fixed-point score in coarser
+    * units must keep this bound or switch to the window branch.
+    * Non-bigint ids keep the window form.
     */
   private def topKByQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
     if (scored.schema("id").dataType == LongType)

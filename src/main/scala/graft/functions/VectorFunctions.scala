@@ -75,13 +75,25 @@ object VectorFunctions {
   def binarize(v: Column, dim: Int): Column = {
     require(dim > 0, s"dim must be positive, got $dim")
     val words = (dim + 63) / 64
-    array((0 until words).map { w =>
+    val packed = array((0 until words).map { w =>
       (w * 64 until math.min(dim, (w + 1) * 64))
         .map { j =>
           when(element_at(v, j + 1) >= 0, lit(1L << (j % 64))).otherwise(lit(0L))
         }
         .reduce(_ + _)
     }: _*)
+    // Guard the contract: a vector shorter than `dim` would silently pack
+    // the missing components as 0 bits (out-of-bounds element_at → null →
+    // otherwise-branch). Fail loudly instead; one size() load per row.
+    when(size(v) >= dim, packed).otherwise(
+      raise_error(
+        concat(
+          lit(s"vec_binarize: vector shorter than dim=$dim (size="),
+          size(v).cast("string"),
+          lit(")")
+        )
+      )
+    )
   }
 
   /** Hamming distance between two packed sign-bit codes from [[binarize]]:
@@ -91,11 +103,25 @@ object VectorFunctions {
     */
   def hammingPacked(a: Column, b: Column, words: Int): Column = {
     require(words > 0, s"words must be positive, got $words")
-    (0 until words)
+    val dist = (0 until words)
       .map { w =>
         bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1))).cast("long")
       }
       .reduce(_ + _)
+    // Guard the contract: a code shorter than `words` would yield NULL
+    // (out-of-bounds element_at → null propagates through the sum) and
+    // silently drop the pair from distance ranking. Fail loudly instead.
+    when(size(a) === words && size(b) === words, dist).otherwise(
+      raise_error(
+        concat(
+          lit(s"vec_hamming: packed codes must have exactly $words words (sizes="),
+          size(a).cast("string"),
+          lit(","),
+          size(b).cast("string"),
+          lit(")")
+        )
+      )
+    )
   }
 
   /** Deterministic pseudo-random hyperplane for LSH: `dim` components in

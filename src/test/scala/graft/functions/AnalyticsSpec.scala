@@ -55,6 +55,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq === Seq(10L, 20L))
   }
 
+  test("topKPerGroup: NaN scores rank first (total order), eviction never wedges") {
+    // NaN cosines arise from zero-norm vectors (e.g. a zero matryoshka
+    // prefix slice). The heap must use a TOTAL order: Double.compare puts
+    // NaN above every finite score, the same deterministic placement Spark's
+    // sort and DuckDB's ORDER BY score DESC give NaN. Pre-fix, `<`/`==` were
+    // both false for NaN so an admitted NaN could never be evicted.
+    val withNaN = Seq(
+      (1L, 5.0, 10L), (1L, Double.NaN, 11L), (1L, 7.0, 12L),
+      (1L, 6.0, 13L), (1L, Double.NaN, 14L), (1L, 8.0, 15L)
+    ).toDF("g", "score", "id").repartition(4)
+    val fast = Analytics
+      .topKPerGroup(withNaN, Seq("g"), col("score"), col("id"), k = 3)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getDouble(2), r.getLong(3)))
+    // NaN ties break on lowest id, then the best finite score
+    assert(fast.head._1.isNaN && fast.head._2 === 11L)
+    assert(fast(1)._1.isNaN && fast(1)._2 === 14L)
+    assert(fast(2) === ((8.0, 15L)))
+    // and the window formulation agrees (Spark sorts NaN largest too)
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val slow = withNaN
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getDouble(1), r.getLong(2)))
+    assert(slow.map(_._2).toSeq === fast.map(_._2).toSeq)
+  }
+
+  test("topKPerGroup: -0.0 and 0.0 tie (SQL equality), tie breaks on id") {
+    val zeros = Seq((1L, -0.0, 20L), (1L, 0.0, 10L), (1L, -1.0, 30L))
+      .toDF("g", "score", "id")
+    val got = Analytics
+      .topKPerGroup(zeros, Seq("g"), col("score"), col("id"), k = 2)
+      .orderBy("rank")
+      .collect()
+      .map(_.getLong(3))
+    assert(got.toSeq === Seq(10L, 20L))
+  }
+
   test("topKPerGroup survives partial/merge across many partitions") {
     // 64 input partitions force map-side partial heaps + serialized merges
     val spread = scored.repartition(64)

@@ -137,6 +137,56 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("dim must be a literal"))
   }
 
+  test("vec_binarize / vec_hamming raise on size mismatch instead of silent nulls") {
+    // Column form: vector shorter than dim
+    val shortVec = Seq((1L, Array(1.0f, -2.0f))).toDF("id", "v")
+    val e1 = intercept[Exception] {
+      shortVec.select(VectorFunctions.binarize(col("v"), 70)).collect()
+    }
+    assert(e1.getMessage.contains("vec_binarize"), e1.getMessage)
+    // Column form: packed code with the wrong word count
+    val e2 = intercept[Exception] {
+      shortVec
+        .select(
+          VectorFunctions
+            .hammingPacked(
+              VectorFunctions.binarize(col("v"), 2),
+              VectorFunctions.binarize(col("v"), 2),
+              words = 2
+            )
+        )
+        .collect()
+    }
+    assert(e2.getMessage.contains("vec_hamming"), e2.getMessage)
+    // SQL mirrors enforce the same contract
+    shortVec.createOrReplaceTempView("vshort")
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT vec_binarize(v, 70) FROM vshort").collect()
+    }
+    assert(e3.getMessage.contains("vec_binarize"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark
+        .sql("SELECT vec_hamming(vec_binarize(v, 2), vec_binarize(v, 2), 2) FROM vshort")
+        .collect()
+    }
+    assert(e4.getMessage.contains("vec_hamming"), e4.getMessage)
+    // valid sizes still work and agree across surfaces
+    val ok = shortVec
+      .select(
+        VectorFunctions
+          .hammingPacked(
+            VectorFunctions.binarize(col("v"), 2),
+            VectorFunctions.binarize(col("v"), 2),
+            words = 1
+          )
+          .as("h")
+      )
+      .collect()
+      .head
+      .getLong(0)
+    assert(ok === 0L)
+  }
+
   test("BPE pre-tokenizer: contractions, leading spaces, digit/punct runs") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(

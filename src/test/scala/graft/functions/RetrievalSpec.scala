@@ -27,6 +27,32 @@ class RetrievalSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("integer scores stay below 2^53 (long→double round-trip contract)") {
+    // topKByQuery routes integer scores long→double→long through the heap;
+    // exact iff |score| ≤ 2^53. Pin the contract at the two unit systems in
+    // use: BM25 micro-units (Σ over query terms of round(1e6·idf·tfNorm))
+    // and RRF nano-units (Σ over runs of round(1e9/(rrfK+rank))).
+    val exp53 = 1L << 53
+    // analytic bound for a pathological workload far beyond real use:
+    // 10^12 docs, 1000-term query, idf ≤ ln(1e12) ≈ 27.6, tfNorm ≤ k1+1=2.2
+    val bm25Bound = (1e6 * math.log(1e12) * 2.2 * 1000).toLong
+    assert(bm25Bound < exp53, s"bm25 micro-unit bound $bm25Bound must stay below 2^53")
+    // RRF: max contribution 1e9/(60+1) per run; even 1000 fused runs are safe
+    val rrfBound = (1e9 / 61.0 * 1000).toLong
+    assert(rrfBound < exp53)
+    // and empirically on a corpus: every emitted score fits
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark " + Seq.fill(50)("filler").mkString(" ")),
+      (3L, "spark filler words here")
+    ).toDF("doc_id", "text")
+    val maxScore = Retrieval
+      .bm25TopK(docs, "doc_id", "text", "spark spark filler", 10)
+      .agg(max(abs(col("score_micro"))))
+      .collect().head.getLong(0)
+    assert(maxScore < exp53)
+  }
+
   test("bm25 batch: each query scores exactly as the single-query plan") {
     val docs = Seq(
       (1L, "spark spark spark"),
