@@ -114,10 +114,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    if (only.isDefined) {
-      println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}""")
+    // Emission contract (round-7 verdict: the driver's stdout capture
+    // truncated the JSON line): write the line to a FILE first
+    // (BENCH_LOCAL.json, overridable via SPARK_GRAFT_BENCH_OUT), then stop
+    // the session BEFORE printing so the one JSON line is the final stdout
+    // with nothing after it to push it out of a tail-capture window.
+    def emit(json: String): Unit = {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      )
+      catch { case e: Throwable => System.err.println(s"[bench] file emit failed: $e") }
       spark.stop()
+      println(json)
+      System.out.flush()
+    }
+
+    if (only.isDefined) {
+      emit(
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}""")
       return
     }
 
@@ -186,9 +202,8 @@ object Bench {
       nChanges / ((System.nanoTime() - t2) / 1e9)
     }.max
 
-    println(
+    emit(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}"""
     )
-    spark.stop()
   }
 }
