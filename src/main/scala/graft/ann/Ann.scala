@@ -1,6 +1,7 @@
 package graft.ann
 
 import graft.functions.{Analytics, VectorFunctions => VF}
+import graft.sources.IndexState
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -476,6 +477,7 @@ object Ann {
       .select(
         col(id).as("neighbor_id"),
         col(vec).as("v"),
+        lit(0L).as("seq"),
         VF.hyperplaneBucket(col(vec), planes, dim).as("bucket")
       )
       .repartition(col("bucket"))
@@ -486,6 +488,7 @@ object Ann {
     // model sidecar: a restarted pipeline probes/appends with the exact
     // parameters the buckets were built under (AnnModels)
     AnnModels.writeLsh(corpus.sparkSession, path, planes, dim)
+    IndexState.writeSeq(corpus.sparkSession, path, 0L)
   }
 
   /** [[appendLshIndex]] under the parameters persisted at
@@ -521,12 +524,14 @@ object Ann {
       vec: String,
       planes: Int = 6,
       dim: Int = 64
-  ): Unit =
+  ): Unit = {
+    val seq = IndexState.bumpSeq(batch.sparkSession, path)
     batch
       .filter(col(vec).isNotNull)
       .select(
         col(id).as("neighbor_id"),
         col(vec).as("v"),
+        lit(seq).as("seq"),
         VF.hyperplaneBucket(col(vec), planes, dim).as("bucket")
       )
       .repartition(col("bucket"))
@@ -534,6 +539,29 @@ object Ann {
       .mode("append")
       .partitionBy("bucket")
       .parquet(path)
+  }
+
+  /** Remove vectors from a [[writeLshIndex]] layout — the DELETE leg of CDC
+    * maintenance (reference parity: delete ops reach the search index,
+    * `sync.py:1254-1306`). Log-structured ([[graft.sources.IndexState]]):
+    * the batch's ids land in the tombstone sidecar, probes subtract them
+    * after partition pruning, and a LATER append of the same id is visible
+    * again (seq comparison — the CDC UPDATE flow is delete + append, and
+    * the doc's pre-delete rows must not resurrect). The bucket files are
+    * never read or rewritten: O(batch), like append. Ids never indexed are
+    * tombstoned harmlessly (their rows don't exist; a future re-add
+    * out-sequences the tombstone). `ids` must expose a BIGINT `id` column.
+    * Run [[compactLshIndex]] to reclaim the tombstoned rows' space.
+    */
+  def deleteFromLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: DataFrame
+  ): Unit = {
+    if (ids.isEmpty) return // don't create a tombstone sidecar for nothing
+    val seq = IndexState.bumpSeq(spark, path)
+    IndexState.appendTombstones(ids, path, seq)
+  }
 
   /** Rewrite an appended-to index back to one file group per bucket. The
     * compacted layout goes to `stagingPath` (a path cannot be overwritten
@@ -546,8 +574,10 @@ object Ann {
       path: String,
       stagingPath: String
   ): Unit = {
-    spark.read
-      .parquet(path)
+    // drop tombstoned rows while rewriting: compaction is where deletes
+    // reclaim space; the tombstone sidecar is NOT carried to staging
+    IndexState
+      .visible(spark.read.parquet(path), path, "neighbor_id")
       .repartition(col("bucket"))
       .write
       .mode("overwrite")
@@ -559,6 +589,7 @@ object Ann {
       val (planes, dim) = AnnModels.readLsh(spark, path)
       AnnModels.writeLsh(spark, stagingPath, planes, dim)
     } catch { case _: IllegalStateException => () }
+    IndexState.writeSeq(spark, stagingPath, IndexState.readSeq(spark, path))
   }
 
   /** [[lshTopKIndexed]] under the parameters persisted at
@@ -600,7 +631,9 @@ object Ann {
     val pruned =
       if (keys.isEmpty) corpus.filter(lit(false))
       else corpus.filter(col("bucket").isInCollection(keys.toSeq))
-    rankCandidates(pruned, q, k)
+    // subtract tombstoned ids (no-op for an index with no deletes); runs
+    // after pruning so it touches candidate rows only
+    rankCandidates(IndexState.visible(pruned, indexPath, "neighbor_id"), q, k)
   }
 
   // ---- product quantization (Jégou et al. 2011) ---------------------------
@@ -1039,6 +1072,7 @@ object Ann {
       .select(
         col(id).as("neighbor_id"),
         pqCodeColumn(col(vec), books).as("code"),
+        lit(0L).as("seq"),
         nearestCell(col(vec), cells).as("cell")
       )
       .repartition(col("cell"))
@@ -1047,6 +1081,7 @@ object Ann {
       .partitionBy("cell")
       .parquet(path)
     AnnModels.writeIvfPq(corpus.sparkSession, path, cells, books)
+    IndexState.writeSeq(corpus.sparkSession, path, 0L)
   }
 
   /** [[appendPqIndex]] under the models persisted at [[writePqIndex]] time —
@@ -1087,12 +1122,14 @@ object Ann {
       vec: String,
       cells: Seq[(Long, Seq[Double])],
       books: Seq[Seq[Seq[Double]]]
-  ): Unit =
+  ): Unit = {
+    val seq = IndexState.bumpSeq(batch.sparkSession, path)
     batch
       .filter(col(vec).isNotNull)
       .select(
         col(id).as("neighbor_id"),
         pqCodeColumn(col(vec), books).as("code"),
+        lit(seq).as("seq"),
         nearestCell(col(vec), cells).as("cell")
       )
       .repartition(col("cell"))
@@ -1100,6 +1137,43 @@ object Ann {
       .mode("append")
       .partitionBy("cell")
       .parquet(path)
+  }
+
+  /** [[deleteFromLshIndex]] for a [[writePqIndex]] layout: same tombstone
+    * discipline, same O(batch) cost, same re-add-after-delete visibility.
+    */
+  def deleteFromPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: DataFrame
+  ): Unit = {
+    if (ids.isEmpty) return // don't create a tombstone sidecar for nothing
+    val seq = IndexState.bumpSeq(spark, path)
+    IndexState.appendTombstones(ids, path, seq)
+  }
+
+  /** [[compactLshIndex]] for a [[writePqIndex]] layout: rewrite the
+    * surviving codes one file group per cell, carry the model sidecar and
+    * seq counter, drop the tombstones.
+    */
+  def compactPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      stagingPath: String
+  ): Unit = {
+    IndexState
+      .visible(spark.read.parquet(path), path, "neighbor_id")
+      .repartition(col("cell"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(stagingPath)
+    try {
+      val (cells, books) = AnnModels.readIvfPq(spark, path)
+      AnnModels.writeIvfPq(spark, stagingPath, cells, books)
+    } catch { case _: IllegalStateException => () }
+    IndexState.writeSeq(spark, stagingPath, IndexState.readSeq(spark, path))
+  }
 
   /** Probe a [[writePqIndex]] layout: the queries' `nprobe` nearest cells
     * are collected on the driver (bounded: |queries| × nprobe longs) and
@@ -1129,7 +1203,7 @@ object Ann {
       if (keys.isEmpty) corpus.filter(lit(false))
       else corpus.filter(col("cell").isInCollection(keys.toSeq))
     perQueryTopK(
-      pruned
+      IndexState.visible(pruned, indexPath, "neighbor_id")
         .join(broadcast(probes), Seq("cell"))
         .filter(col("neighbor_id") =!= col("qid"))
         .select(

@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.sources.IndexState
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -210,23 +211,53 @@ object Retrieval {
     val withDl = docs
       .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    writeBm25Postings(withDl, path, buckets, seq = 0L, org.apache.spark.sql.SaveMode.Overwrite)
+    // the sidecar stores the integer dl SUM, not the average: integer sums
+    // update exactly under append AND delete, and avgdl = dl_sum/n_docs
+    // reproduces the in-memory avg bit-for-bit (token-length partial sums
+    // stay below 2^53, so double accumulation of the longs is exact
+    // regardless of order)
+    val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
+    writeBm25Stats(spark, path, s.getLong(0), s.getLong(1), buckets)
+    IndexState.writeSeq(spark, path, 0L)
+  }
+
+  /** Shared postings + doclens writer for build/append: postings rows are
+    * stamped with the mutation `seq` (the [[graft.sources.IndexState]]
+    * visibility discipline — constant per file, so parquet RLE makes the
+    * column ~free), and the per-doc lengths land in an id-bucketed
+    * `_graft_doclens` sidecar so a later delete can look up the removed
+    * docs' lengths with partition pruning instead of scanning the postings.
+    */
+  private def writeBm25Postings(
+      withDl: DataFrame,
+      path: String,
+      buckets: Int,
+      seq: Long,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit = {
     withDl
       .select(col("id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("seq", lit(seq))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(col("bucket"))
       .write
-      .mode("overwrite")
+      .mode(mode)
       .partitionBy("bucket")
       .parquet(path)
-    // the sidecar stores the integer dl SUM, not the average: integer sums
-    // update exactly under append, and avgdl = dl_sum/n_docs reproduces the
-    // in-memory avg bit-for-bit (token-length partial sums stay below 2^53,
-    // so double accumulation of the longs is exact regardless of order)
-    val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
-    writeBm25Stats(spark, path, s.getLong(0), s.getLong(1), buckets)
+    withDl
+      .select(col("id").cast("long").as("id"), col("dl"), lit(seq).as("seq"))
+      .withColumn("dbucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+      .repartition(col("dbucket"))
+      .write
+      .mode(mode)
+      .partitionBy("dbucket")
+      .parquet(s"$path/$DoclensDir")
   }
+
+  private val DoclensDir = "_graft_doclens"
 
   private def writeBm25Stats(
       spark: org.apache.spark.sql.SparkSession,
@@ -267,22 +298,77 @@ object Retrieval {
   def appendBm25Index(docs: DataFrame, id: String, text: String, path: String): Unit = {
     val spark = docs.sparkSession
     val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
+    val seq = IndexState.bumpSeq(spark, path)
     val withDl = docs
       .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    withDl
-      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      .repartition(col("bucket"))
-      .write
-      .mode("append")
-      .partitionBy("bucket")
-      .parquet(path)
+    writeBm25Postings(withDl, path, buckets, seq, org.apache.spark.sql.SaveMode.Append)
     val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
     val (bn, bs) = if (s.isNullAt(0) || s.isNullAt(1)) (0L, 0L) else (s.getLong(0), s.getLong(1))
     writeBm25Stats(spark, path, nDocs + bn, dlSum + bs, buckets)
+  }
+
+  /** Remove documents from a [[writeBm25Index]] layout — the DELETE leg of
+    * CDC maintenance (reference parity: delete ops reach the search index,
+    * `sync.py:1254-1306`). Log-structured: the postings on disk are never
+    * touched; the batch's ids land in the tombstone sidecar
+    * ([[graft.sources.IndexState]]) and every probe subtracts them. The
+    * integer stats are decremented by the REMOVED docs' exact lengths,
+    * looked up in the id-bucketed doclens sidecar with partition pruning —
+    * O(delete batch + touched buckets), never an index scan — so scoring
+    * after delete equals a rebuild without the deleted docs bit-for-bit
+    * (spec-asserted). Ids not live in the index (never added, or already
+    * deleted) are ignored: double-delete is a no-op and stats never drift.
+    * `ids` must expose a BIGINT `id` column. Run [[compactBm25Index]] to
+    * reclaim the tombstoned rows' space.
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession, path: String, ids: DataFrame): Unit = {
+    val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
+    val del = ids.select(col("id").cast("long").as("id")).distinct()
+    val bucketKeys = del
+      .select(pmod(xxhash64(col("id")), lit(buckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (bucketKeys.isEmpty) return
+    val dlens = spark.read
+      .parquet(s"$path/$DoclensDir")
+      .filter(col("dbucket").isInCollection(bucketKeys.toSeq))
+    // live rows only: a doc already tombstoned must not decrement stats
+    // again; a doc re-added after a delete counts its LATEST (max-seq) length
+    val live = IndexState
+      .visible(dlens, path, "id")
+      .join(del, Seq("id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(max_by(col("dl"), col("seq")).as("dl"))
+    val s = live.agg(count(lit(1)).as("n"), sum(col("dl")).as("d")).collect()(0)
+    if (s.isNullAt(1) || s.getLong(0) == 0L) return // nothing live to delete
+    val seq = IndexState.bumpSeq(spark, path)
+    IndexState.appendTombstones(live.select(col("id")), path, seq)
+    writeBm25Stats(spark, path, nDocs - s.getLong(0), dlSum - s.getLong(1), buckets)
+  }
+
+  /** Rewrite a mutated index without its tombstoned rows: surviving
+    * postings/doclens keep their seq stamps, stats and the seq counter are
+    * carried, the tombstone sidecar is NOT — probe cost returns to the
+    * append-only shape. Same staging-directory contract as
+    * [[graft.ann.Ann.compactLshIndex]]: the caller swaps directories when
+    * the write completes.
+    */
+  def compactBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      stagingPath: String
+  ): Unit = {
+    IndexState
+      .visible(spark.read.parquet(path), path, "id")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stagingPath)
+    IndexState
+      .visible(spark.read.parquet(s"$path/$DoclensDir"), path, "id")
+      .repartition(col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket").parquet(s"$stagingPath/$DoclensDir")
+    val (n, d, b) = readBm25Stats(spark, path)
+    writeBm25Stats(spark, stagingPath, n, d, b)
+    IndexState.writeSeq(spark, stagingPath, IndexState.readSeq(spark, path))
   }
 
   /** Probe a [[writeBm25Index]] layout with a query workload: the
@@ -318,7 +404,10 @@ object Retrieval {
     val pruned =
       if (bucketKeys.isEmpty) post.filter(lit(false))
       else post.filter(col("bucket").isInCollection(bucketKeys.toSeq))
-    val tf = pruned.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+    // subtract tombstoned docs BEFORE df/tf aggregation so document
+    // frequencies equal a rebuild's (no-op when the index has no deletes)
+    val alive = IndexState.visible(pruned, path, "id")
+    val tf = alive.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf =
       log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

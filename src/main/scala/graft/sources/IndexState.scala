@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared mutation state for the persisted retrieval/ANN indexes (BM25
+  * postings, LSH buckets, IVF-PQ cells): a sequence counter plus a
+  * tombstone sidecar, both living INSIDE the index directory under
+  * underscore-prefixed names (invisible to the parquet scan of the index
+  * root — the [[graft.ann.AnnModels]] sidecar discipline).
+  *
+  * Why this exists: the engine is a CDC sync product — DELETE events must
+  * remove documents from every probe surface, the way the reference removes
+  * deleted rows from its search index (`/root/reference/pgsync/sync.py:
+  * 1254-1306`, doc op construction `sync.py:1556-1579`). The doc index
+  * (`MaterializedIndex`) already honors deletes via bucket rewrite; the
+  * persisted secondary indexes were append-only. Rewriting a posting/cell
+  * bucket per delete batch would be O(bucket) writes for O(batch) deletes,
+  * so these indexes instead take the log-structured route every production
+  * index engine uses: deletes append TOMBSTONES, probes subtract them,
+  * compaction reclaims them.
+  *
+  * Layout under `<indexPath>/`:
+  *   - `_graft_seq/`        — one row (seq BIGINT): the last mutation
+  *     sequence number. Every mutation (append or delete batch) gets the
+  *     next number; data rows are stamped with the seq of the mutation
+  *     that wrote them (the base build writes seq 0).
+  *   - `_graft_tombstones/` — rows (id BIGINT, del_seq BIGINT), appended
+  *     one file group per delete batch.
+  *
+  * Visibility rule — the reason seq exists at all: a data row `(id, seq)`
+  * is visible iff no tombstone `(id, del_seq ≥ seq)` exists. A plain id
+  * set cannot express delete-then-re-add (the CDC UPDATE flow is delete +
+  * append): un-tombstoning the id would resurrect the doc's OLD rows still
+  * on disk, while seq comparison hides exactly the rows written before the
+  * delete and shows the ones written after.
+  *
+  * Scale shape: tombstones are delete-batch-sized, not corpus-sized; the
+  * visibility join runs AFTER partition pruning, so it touches candidate
+  * rows only, and an index with no tombstone sidecar skips the join
+  * entirely (zero plan change for append-only indexes). Single-writer
+  * discipline (one sync engine per index) is assumed, as everywhere else
+  * in the persisted-index family.
+  */
+object IndexState {
+
+  val SeqDir = "_graft_seq"
+  val TombstoneDir = "_graft_tombstones"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** Last mutation sequence number; 0 for an index built before any
+    * mutation (or by a pre-seq layout).
+    */
+  def readSeq(spark: SparkSession, indexPath: String): Long = {
+    val p = s"$indexPath/$SeqDir"
+    if (!exists(spark, p)) 0L
+    else spark.read.parquet(p).collect()(0).getLong(0)
+  }
+
+  def writeSeq(spark: SparkSession, indexPath: String, seq: Long): Unit = {
+    import spark.implicits._
+    Seq(seq).toDF("seq").coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$SeqDir")
+  }
+
+  /** Reserve the next mutation sequence number (persists it immediately:
+    * a crash between the bump and the data write burns a number, which is
+    * harmless — gaps carry no meaning).
+    */
+  def bumpSeq(spark: SparkSession, indexPath: String): Long = {
+    val next = readSeq(spark, indexPath) + 1L
+    writeSeq(spark, indexPath, next)
+    next
+  }
+
+  def hasTombstones(spark: SparkSession, indexPath: String): Boolean =
+    exists(spark, s"$indexPath/$TombstoneDir")
+
+  /** Aggregated tombstones `(ts_id, del_seq)` — one row per deleted id,
+    * carrying the LATEST delete seq (earlier deletes of the same id are
+    * subsumed: any row hidden by an old delete is also hidden by a newer
+    * one).
+    */
+  def readTombstones(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read
+      .parquet(s"$indexPath/$TombstoneDir")
+      .groupBy(col("id").as("ts_id"))
+      .agg(max(col("del_seq")).as("del_seq"))
+      .select(col("ts_id"), col("del_seq"))
+
+  /** Append a delete batch: `ids` must expose a single BIGINT column named
+    * `id`. One new file group per batch; O(batch) write.
+    */
+  def appendTombstones(ids: DataFrame, indexPath: String, seq: Long): Unit =
+    ids
+      .select(col("id").cast("long").as("id"), lit(seq).as("del_seq"))
+      .distinct()
+      .coalesce(1)
+      .write
+      .mode("append")
+      .parquet(s"$indexPath/$TombstoneDir")
+
+  /** Drop the tombstone sidecar — compaction's final step, after the
+    * surviving rows are rewritten.
+    */
+  def clearTombstones(spark: SparkSession, indexPath: String): Unit = {
+    val p = new Path(s"$indexPath/$TombstoneDir")
+    val f = fs(spark, indexPath)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+
+  /** Filter `rows` (which must carry `idCol` and a BIGINT `seq` column) to
+    * the visible set under the index's tombstones. No tombstone sidecar ⇒
+    * `rows` unchanged — append-only indexes pay nothing.
+    */
+  def visible(rows: DataFrame, indexPath: String, idCol: String): DataFrame = {
+    val spark = rows.sparkSession
+    if (!hasTombstones(spark, indexPath)) rows
+    else {
+      val ts = readTombstones(spark, indexPath)
+      rows
+        .join(ts, rows(idCol) === ts("ts_id"), "left_outer")
+        .filter(col("del_seq").isNull || col("seq") > col("del_seq"))
+        .drop("ts_id", "del_seq")
+    }
+  }
+}

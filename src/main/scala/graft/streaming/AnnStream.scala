@@ -35,4 +35,55 @@ object AnnStream {
       }
     trigger.fold(writer)(writer.trigger).start()
   }
+
+  /** CDC form: maintain the LSH index from a CHANGE FEED carrying `tg_op`
+    * (INSERT/UPDATE/DELETE), so deletes reach the ANN probe surface
+    * (reference parity: `sync.py:1254-1306`). Per batch ([[applyCdcBatch]]):
+    * delete ALL batch ids (tombstones — [[graft.sources.IndexState]]), then
+    * append the INSERT/UPDATE vectors. Deleting first makes at-least-once
+    * replay converge to the single-delivery state (the replayed batch
+    * tombstones its own earlier append before re-appending), which also
+    * retires [[start]]'s documented replay-duplicates wart for feeds that
+    * can carry ops. One final op per id per batch; UPDATE rows carry the
+    * new vector.
+    */
+  def startCdc(
+      changes: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      id: String,
+      vec: String,
+      planes: Int = 6,
+      dim: Int = 64,
+      trigger: Option[Trigger] = None
+  ): StreamingQuery = {
+    val writer = changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdcBatch(batch, indexPath, id, vec, planes, dim)
+        ()
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** One CDC batch; also usable for batch-mode backfills. */
+  def applyCdcBatch(
+      batch: DataFrame,
+      indexPath: String,
+      id: String,
+      vec: String,
+      planes: Int,
+      dim: Int
+  ): Unit = {
+    import org.apache.spark.sql.functions.col
+    Ann.deleteFromLshIndex(
+      batch.sparkSession,
+      indexPath,
+      batch.select(col(id).cast("long").as("id"))
+    )
+    Ann.appendLshIndex(
+      batch.filter(col("tg_op").isin("INSERT", "UPDATE")),
+      indexPath, id, vec, planes, dim
+    )
+  }
 }

@@ -479,6 +479,95 @@ class DedupSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(staged))
   }
 
+  test("LSH index deletes: tombstoned ids vanish, re-add resurrects, compact reclaims") {
+    val mk = (range: Range) => range.map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat))
+    }
+    val all = mk(0 until 90).toDF("vec_id", "embedding")
+    val queries = all.filter(col("vec_id").isin(1L, 2L, 3L))
+    val dir = graft.util.TempDirs.scratch("ann-lsh-delete").toString
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def probe(p: String) =
+      Ann.lshTopKIndexed(p, queries, "vec_id", "embedding", 5, planes = 6, dim = 16)
+    Ann.writeLshIndex(all, dir, "vec_id", "embedding", planes = 6, dim = 16)
+    // delete ids that ARE currently retrieved, so exclusion is observable
+    val deletedIds = rows(probe(dir)).map(_._2).toSeq.sorted.take(3)
+    assert(deletedIds.nonEmpty)
+    Ann.deleteFromLshIndex(spark, dir, deletedIds.toDF("id"))
+    val afterDelete = rows(probe(dir))
+    assert(!afterDelete.exists(r => deletedIds.contains(r._2)), "deleted ids still retrievable")
+    // probe equals an index rebuilt WITHOUT the deleted vectors (ranks shift
+    // up into the freed slots — deletes must not just mask rows post-rank)
+    val survivors = all.filter(!col("vec_id").isin(deletedIds: _*))
+    val rebuiltDir = graft.util.TempDirs.scratch("ann-lsh-delete-rebuild").toString
+    Ann.writeLshIndex(survivors, rebuiltDir, "vec_id", "embedding", planes = 6, dim = 16)
+    assert(afterDelete == rows(probe(rebuiltDir)))
+    // double-delete is a no-op
+    Ann.deleteFromLshIndex(spark, dir, Seq(deletedIds.head).toDF("id"))
+    assert(rows(probe(dir)) == afterDelete)
+    // re-add one deleted id: append out-sequences the tombstone, and the
+    // pre-delete row of that id must NOT come back as a duplicate
+    val readd = all.filter(col("vec_id") === deletedIds.head)
+    Ann.appendLshIndex(readd, dir, "vec_id", "embedding", planes = 6, dim = 16)
+    val afterReadd = rows(probe(dir))
+    val readdRebuild = graft.util.TempDirs.scratch("ann-lsh-readd-rebuild").toString
+    Ann.writeLshIndex(survivors.union(readd), readdRebuild, "vec_id", "embedding", planes = 6, dim = 16)
+    assert(afterReadd == rows(probe(readdRebuild)))
+    val pairs = probe(dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length, "duplicate (qid, neighbor) pair after re-add")
+    // compaction drops the tombstoned rows physically and clears tombstones
+    val staged = graft.util.TempDirs.scratch("ann-lsh-delete-compact").toString
+    Ann.compactLshIndex(spark, dir, staged)
+    assert(rows(probe(staged)) == afterReadd)
+    assert(!new java.io.File(s"$staged/_graft_tombstones").exists())
+    val stagedIds = spark.read.parquet(staged).select("neighbor_id")
+      .collect().map(_.getLong(0))
+    deletedIds.tail.foreach(d => assert(!stagedIds.contains(d), s"id $d not reclaimed"))
+    assert(stagedIds.count(_ == deletedIds.head) == 1,
+      "re-added id must survive compaction exactly once")
+    Seq(dir, rebuiltDir, readdRebuild, staged)
+      .foreach(p => graft.util.TempDirs.delete(java.nio.file.Paths.get(p)))
+  }
+
+  test("IVF-PQ index deletes: probe excludes tombstones, compact reclaims, models carried") {
+    val mk = (range: Range) => range.map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat))
+    }
+    val all = mk(0 until 90).toDF("vec_id", "embedding")
+    val queries = all.filter(col("vec_id").isin(1L, 2L, 3L))
+    val cells = Ann.trainIvfCells(all, "vec_id", "embedding", nlists = 4)
+    val books = Ann.pqTrain(all, "vec_id", "embedding", m = 4, codeK = 8)
+    val dir = graft.util.TempDirs.scratch("ann-pq-delete").toString
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def probe(p: String) =
+      Ann.pqTopKIndexed(p, queries, "vec_id", "embedding", 5, cells, books, nprobe = 4)
+    Ann.writePqIndex(all, dir, "vec_id", "embedding", cells, books)
+    val deletedIds = rows(probe(dir)).map(_._2).take(3).toSeq
+    assert(deletedIds.nonEmpty)
+    Ann.deleteFromPqIndex(spark, dir, deletedIds.toDF("id"))
+    val afterDelete = rows(probe(dir))
+    assert(afterDelete.forall(r => !deletedIds.contains(r._2)))
+    // equals a rebuild over the survivors under the SAME frozen models
+    val survivors = all.filter(!col("vec_id").isin(deletedIds: _*))
+    val rebuiltDir = graft.util.TempDirs.scratch("ann-pq-delete-rebuild").toString
+    Ann.writePqIndex(survivors, rebuiltDir, "vec_id", "embedding", cells, books)
+    assert(afterDelete == rows(probe(rebuiltDir)))
+    // compaction reclaims and stays probe-able with zero caller state
+    val staged = graft.util.TempDirs.scratch("ann-pq-delete-compact").toString
+    Ann.compactPqIndex(spark, dir, staged)
+    assert(!new java.io.File(s"$staged/_graft_tombstones").exists())
+    assert(rows(Ann.pqTopKIndexedResumed(staged, queries, "vec_id", "embedding", 5, nprobe = 4))
+      == afterDelete)
+    val stagedIds = spark.read.parquet(staged).select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(deletedIds.forall(!stagedIds.contains(_)))
+    Seq(dir, rebuiltDir, staged)
+      .foreach(p => graft.util.TempDirs.delete(java.nio.file.Paths.get(p)))
+  }
+
   test("LSH probe expansion yields a candidate superset of exact-bucket probing") {
     // with k >= corpus size the top-k result IS the candidate set, so the
     // Hamming-1 expansion must return a superset of the exact-bucket pairs

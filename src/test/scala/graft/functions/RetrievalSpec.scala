@@ -108,6 +108,63 @@ class RetrievalSpec extends SparkSpec {
     Seq(dir, rebuiltDir).foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
   }
 
+  test("bm25 persisted index deletes: probe equals a rebuild without the docs, bit-for-bit") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark " + Seq.fill(50)("filler").mkString(" ")),
+      (3L, "window join window"),
+      (4L, "spark spark other words"),
+      (5L, "spark window spark"),
+      (6L, "join join filler")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark filler"), (200L, "window join")).toDF("qid", "qtext")
+    val dir = graft.util.TempDirs.scratch("bm25-delete-spec").toString
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def probe(p: String) = Retrieval.bm25TopKIndexedBatch(p, queries, "qid", "qtext", 10)
+    def stats(p: String) = spark.read.parquet(s"$p/_graft_stats")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir, buckets = 8)
+    assert(rows(probe(dir)).exists(r => r._2 == 2L || r._2 == 4L))
+    // delete two docs: tombstones + exact stats decrement (doclens lookup)
+    Retrieval.deleteFromBm25Index(spark, dir, Seq(2L, 4L).toDF("id"))
+    val afterDelete = rows(probe(dir))
+    assert(!afterDelete.exists(r => r._2 == 2L || r._2 == 4L), "deleted docs still retrievable")
+    // bit-for-bit equal to an index built WITHOUT the deleted docs: idf uses
+    // n_docs and df, tf-norm uses avgdl — all must match the rebuild exactly
+    val survivors = docs.filter(!col("doc_id").isin(2L, 4L))
+    val rebuiltDir = graft.util.TempDirs.scratch("bm25-delete-rebuild").toString
+    Retrieval.writeBm25Index(survivors, "doc_id", "text", rebuiltDir, buckets = 8)
+    assert(afterDelete == rows(probe(rebuiltDir)))
+    assert(stats(dir) == stats(rebuiltDir), "stats must decrement to the rebuild's exactly")
+    // double-delete and deleting a never-indexed id are no-ops
+    Retrieval.deleteFromBm25Index(spark, dir, Seq(2L, 999L).toDF("id"))
+    assert(stats(dir) == stats(rebuiltDir))
+    assert(rows(probe(dir)) == afterDelete)
+    // re-add doc 2 (the CDC UPDATE flow: delete + append): the new postings
+    // out-sequence the tombstone, the old ones stay hidden — no double tf
+    val readd = docs.filter(col("doc_id") === 2L)
+    Retrieval.appendBm25Index(readd, "doc_id", "text", dir)
+    val readdDir = graft.util.TempDirs.scratch("bm25-readd-rebuild").toString
+    Retrieval.writeBm25Index(survivors.union(readd), "doc_id", "text", readdDir, buckets = 8)
+    val afterReadd = rows(probe(dir))
+    assert(afterReadd == rows(probe(readdDir)))
+    assert(stats(dir) == stats(readdDir))
+    // compaction drops tombstoned postings physically and preserves scores
+    val staged = graft.util.TempDirs.scratch("bm25-delete-compact").toString
+    Retrieval.compactBm25Index(spark, dir, staged)
+    assert(rows(probe(staged)) == afterReadd)
+    assert(stats(staged) == stats(dir))
+    assert(!new java.io.File(s"$staged/_graft_tombstones").exists())
+    val stagedIds = spark.read.parquet(staged).select("id").collect().map(_.getLong(0))
+    assert(!stagedIds.contains(4L), "doc 4's postings must be gone after compaction")
+    assert(stagedIds.count(_ == 2L) ==
+      spark.read.parquet(readdDir).select("id").collect().map(_.getLong(0)).count(_ == 2L),
+      "re-added doc keeps exactly one generation of postings")
+    Seq(dir, rebuiltDir, readdDir, staged)
+      .foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
+  }
+
   test("bm25 matches a hand-computed score on a 2-doc corpus") {
     val docs = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")
     val top = Retrieval

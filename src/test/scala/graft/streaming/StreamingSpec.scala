@@ -390,6 +390,109 @@ class StreamingSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(rebuiltDir))
   }
 
+  test("streaming BM25 CDC: appends and deletes from a change feed, restart mid-stream") {
+    import graft.functions.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-bm25-stream").toString
+    val texts = Map(
+      1L -> "spark spark spark", 2L -> "spark filler filler", 3L -> "window join window",
+      4L -> "spark spark other words", 5L -> "spark window spark", 6L -> "join join filler"
+    )
+    // seed with docs 1-4, stream CDC batches on top
+    Retrieval.writeBm25Index(
+      texts.filterKeys(_ <= 4L).toSeq.toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", buckets = 8)
+    val stream = MemoryStream[(String, Long, String)]
+    val changes = stream.toDF()
+      .select(col("_1").as("tg_op"), col("_2").as("doc_id"), col("_3").as("text"))
+    def startQ() = Bm25Stream.start(changes, s"$dir/index", s"$dir/ckpt", "doc_id", "text")
+    // batch 1: two inserts, one delete
+    val q1 = startQ()
+    stream.addData(("INSERT", 5L, texts(5L)), ("INSERT", 6L, texts(6L)), ("DELETE", 2L, null))
+    q1.processAllAvailable()
+    q1.stop() // the "crash"
+    // batch 2 lands after restart: update doc 1's text, delete doc 5
+    val q2 = startQ()
+    stream.addData(("UPDATE", 1L, "rewritten spark text"), ("DELETE", 5L, null))
+    q2.processAllAvailable()
+    q2.stop()
+    // final live state: {1 (updated), 3, 4, 6} — probe equals a rebuild
+    // bit-for-bit (stats and df must track deletes exactly)
+    val queries = Seq((100L, "spark filler"), (200L, "window join")).toDF("qid", "qtext")
+    val finalDocs = Seq(
+      (1L, "rewritten spark text"), (3L, texts(3L)), (4L, texts(4L)), (6L, texts(6L))
+    ).toDF("doc_id", "text")
+    val rebuiltDir = s"$dir/rebuilt"
+    Retrieval.writeBm25Index(finalDocs, "doc_id", "text", rebuiltDir, buckets = 8)
+    def rows(p: String) =
+      Retrieval.bm25TopKIndexedBatch(p, queries, "qid", "qtext", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(s"$dir/index") == rows(rebuiltDir))
+    def stats(p: String) = spark.read.parquet(s"$p/_graft_stats")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(stats(s"$dir/index") == stats(rebuiltDir))
+    // at-least-once convergence: re-applying a batch changes nothing (the
+    // delete-first protocol tombstones the earlier attempt's generation)
+    val replay = Seq(("UPDATE", 1L, "rewritten spark text"), ("DELETE", 5L, null))
+      .toDF("tg_op", "doc_id", "text")
+    Bm25Stream.applyBatch(spark, replay, s"$dir/index", "doc_id", "text")
+    assert(rows(s"$dir/index") == rows(rebuiltDir))
+    assert(stats(s"$dir/index") == stats(rebuiltDir))
+    // compaction over the mutated index preserves the probe
+    val staged = s"$dir/compacted"
+    Retrieval.compactBm25Index(spark, s"$dir/index", staged)
+    assert(rows(staged) == rows(rebuiltDir))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
+  test("streaming ANN CDC: deletes reach the probe surface, replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ann.Ann
+    def mkVec(i: Long) =
+      Array.tabulate(16)(j => (math.cos((i % 4) * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat)
+    val dir = graft.util.TempDirs.scratch("ann-cdc-stream").toString
+    Ann.writeLshIndex(
+      (0L until 40L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding"),
+      s"$dir/index", "vec_id", "embedding", planes = 6, dim = 16)
+    val stream = MemoryStream[(String, Long, Array[Float])]
+    val changes = stream.toDF()
+      .select(col("_1").as("tg_op"), col("_2").as("vec_id"), col("_3").as("embedding"))
+    def startQ() = AnnStream.startCdc(
+      changes, s"$dir/index", s"$dir/ckpt", "vec_id", "embedding", planes = 6, dim = 16)
+    val q1 = startQ()
+    stream.addData(
+      (40L until 50L).map(i => ("INSERT", i, mkVec(i))) :+ (("DELETE", 1L, null)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQ()
+    stream.addData(("UPDATE", 5L, mkVec(45L)), ("DELETE", 44L, null))
+    q2.processAllAvailable()
+    q2.stop()
+    // final live state: 0..49 minus {1, 44}, with 5 carrying vec(45)
+    val finalVecs = ((0L until 50L).filterNot(i => i == 1L || i == 44L))
+      .map(i => (i, if (i == 5L) mkVec(45L) else mkVec(i))).toDF("vec_id", "embedding")
+    val queries = finalVecs.filter(col("vec_id").isin(0L, 2L, 3L))
+    def rows(p: String) =
+      Ann.lshTopKIndexed(p, queries, "vec_id", "embedding", 5, planes = 6, dim = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rebuiltDir = s"$dir/rebuilt"
+    Ann.writeLshIndex(finalVecs, rebuiltDir, "vec_id", "embedding", planes = 6, dim = 16)
+    assert(rows(s"$dir/index") == rows(rebuiltDir))
+    // replaying the last batch converges (no duplicate rows, same probe)
+    val replay = Seq(("UPDATE", 5L, mkVec(45L)), ("DELETE", 44L, null))
+      .toDF("tg_op", "vec_id", "embedding")
+    AnnStream.applyCdcBatch(replay, s"$dir/index", "vec_id", "embedding", 6, 16)
+    assert(rows(s"$dir/index") == rows(rebuiltDir))
+    // compaction keeps exactly one physical generation per live id
+    val staged = s"$dir/compacted"
+    Ann.compactLshIndex(spark, s"$dir/index", staged)
+    assert(rows(staged) == rows(rebuiltDir))
+    val ids = spark.read.parquet(staged).select("neighbor_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "compacted index must hold one row per live id")
+    assert(!ids.contains(1L) && !ids.contains(44L))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("streaming ANN ingest: appended micro-batches probe like a full rebuild") {
     implicit val sqlCtx = spark.sqlContext
     def mk(range: Range) = range.map { i =>
