@@ -639,15 +639,13 @@ object SparkEntry {
     // ---- dedup: semantic (SemDeDup — k-means cells confine the pair space;
     // refine=0 keeps data-seeded centroids so DuckDB replays assignment,
     // capped pairing, and the exact cosine verify; the Lloyd path (refine≥1,
-    // production default) is spec-covered like IVF's) -------------------------
+    // production default) is spec-covered like IVF's). GRADED at AutoNlists,
+    // the scale-safe configuration: cells grow with the corpus
+    // (ceil(n/512)), holding per-cell pair work constant — the fixed-nlists
+    // form measured 17.8× at 10× data in the sf0.1→sf1 rehearsal because
+    // the verify stage is quadratic IN CELL SIZE. The cell-count derivation
+    // is deterministic, so the oracle replays it from its own count(*). ------
     "q_dedup_semantic" -> ((s, dir) =>
-      Dedup.semantic(
-        loader(s, dir)("embeddings"), "vec_id", "embedding",
-        threshold = 0.4, nlists = 16, refine = 0)),
-    // timed-only twin with corpus-sized cells (AutoNlists): the scale fix
-    // for the quadratic-in-cell-size verify stage, measured by the sf0.1→sf1
-    // rehearsal; the pinned-nlists twin above stays oracle-replayable
-    "q_dedup_semantic_auto" -> ((s, dir) =>
       Dedup.semantic(
         loader(s, dir)("embeddings"), "vec_id", "embedding",
         threshold = 0.4, nlists = Dedup.AutoNlists, refine = 0)),
@@ -2301,20 +2299,26 @@ object SparkEntry {
                 min(cos_e4) AS min_cos_e4, max(cos_e4) AS max_cos_e4
          FROM assigned GROUP BY cell""",
     "q_dedup_semantic" ->
-      // SemDeDup replay at refine=0: centroids = first 16 corpus vectors by
-      // id (q_ann_ivf's seeds CTE), assignment = argmax cosine with ties to
-      // the smallest cell (Ann.nearestCell), then within-cell pairs under
-      // the bucket cap and the exact cosine verify (q_dedup_embed_lsh's tail)
-      """WITH seeds AS (
-           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS centroid
-           FROM (SELECT vec_id, embedding FROM embeddings
-                 WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+      // SemDeDup replay at refine=0 and AutoNlists: the cell count derives
+      // from the corpus size (ceil(n/512), min 1 — Dedup.semantic's
+      // AutoNlists rule), centroids = the first `lists` corpus vectors by
+      // id, assignment = argmax cosine with ties to the smallest cell
+      // (Ann.nearestCell), then within-cell pairs under the bucket cap and
+      // the exact cosine verify (q_dedup_embed_lsh's tail)
+      """WITH base AS (
+           SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+         n AS (
+           SELECT greatest(CAST(ceil(count(*) / 512.0) AS BIGINT), 1) AS lists FROM base),
+         seeds AS (
+           SELECT rn - 1 AS cell, embedding AS centroid
+           FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM base)
+           WHERE rn <= (SELECT lists FROM n)),
          assigned AS (
            SELECT vec_id, embedding,
                   (SELECT s.cell FROM seeds s
                    ORDER BY list_cosine_similarity(c.embedding, s.centroid) DESC, s.cell
                    LIMIT 1) AS cell
-           FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL) c),
+           FROM base c),
          ok AS (
            SELECT cell FROM assigned GROUP BY cell HAVING count(*) BETWEEN 2 AND 10000)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
