@@ -1037,10 +1037,15 @@ object SparkEntry {
     "q_freq_spectrum" -> ((s, dir) =>
       graft.functions.CorpusStats.frequencySpectrum(loader(s, dir)("documents"), "text")),
     // ---- BPE tokenizer: train (one corpus scan + driver merge loop over the
-    // word-TYPE table) then encode (codegen'd map-side expression). Timed-only
-    // (no oracle): iterative merge learning is not SQL-expressible; correctness
-    // is carried by BpeSpec's differential test against an independent naive
-    // trainer plus round-trip/zero-merge/compression properties --------------
+    // word-TYPE table) then encode (codegen'd map-side expression). Oracled:
+    // the DuckDB replay re-runs the ENTIRE training loop as a recursive CTE
+    // (one iteration per merge: argmax pair by (count DESC, pair ASC) over
+    // the evolving word-type symbol table, applied via a boundary-safe
+    // list_reduce fold) and derives per-word token counts from the final
+    // symbol table — valid because greedy lowest-rank-first encoding of a
+    // corpus word equals rank-order merge application to its type entry
+    // (a pair (x, a+b) is always learned after (a, b), so no lower-rank
+    // pair can appear mid-encode). BpeSpec keeps the differential tests. ----
     "q_bpe_tokens" -> ((s, dir) => {
       import graft.functions.Bpe
       val docs = loader(s, dir)("documents")
@@ -1481,6 +1486,63 @@ object SparkEntry {
     "q_text_tokens" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
          FROM documents""",
+    "q_bpe_tokens" ->
+      // full BPE training replay (Sennrich et al. 2016, the word-type
+      // formulation Bpe.train implements): word-type counts capped at
+      // maxTypes=100000 by (count DESC, word ASC); each recursive step picks
+      // the most frequent adjacent symbol pair (ties to the smallest pair,
+      // minPairCount 2) and merges it left-to-right in every type via a
+      // fold over the chr(31)-joined symbol string (symbols never contain
+      // chr(31); the last symbol carries the </w> marker). numMerges=200
+      // caps the recursion; it stops early when no pair qualifies. Token
+      // count per doc = sum over its words of the type's final symbol count.
+      """WITH RECURSIVE
+         wt AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+           WHERE len(w) > 0
+           GROUP BY w
+           ORDER BY cnt DESC, w ASC
+           LIMIT 100000),
+         init AS (
+           SELECT 0 AS iter,
+                  list(struct_pack(word := w, cnt := cnt,
+                       s := array_to_string(regexp_extract_all(w, '.'), chr(31)) || '</w>')) AS lst
+           FROM wt),
+         state AS (
+           SELECT iter, lst FROM init
+           UNION ALL
+           SELECT st.iter + 1,
+                  list_transform(st.lst, t -> struct_pack(word := t.word, cnt := t.cnt,
+                    s := list_reduce(string_split(t.s, chr(31)),
+                           (acc, x) -> CASE WHEN (acc = bp.a OR ends_with(acc, chr(31) || bp.a)) AND x = bp.b
+                                       THEN acc || bp.b
+                                       ELSE acc || chr(31) || x END)))
+           FROM state st
+           JOIN LATERAL (
+             SELECT pr.a, pr.b FROM (
+               SELECT syms[i] AS a, syms[i + 1] AS b, sum(t.cnt) AS c
+               FROM (SELECT unnest(st.lst) AS t),
+                    LATERAL (SELECT string_split(t.s, chr(31)) AS syms) ss,
+                    LATERAL (SELECT unnest(generate_series(1, len(ss.syms) - 1)) AS i) g
+               GROUP BY 1, 2
+               HAVING sum(t.cnt) >= 2
+               ORDER BY c DESC, a ASC, b ASC
+               LIMIT 1) pr
+           ) bp ON true
+           WHERE st.iter < 200),
+         final AS (SELECT lst FROM state ORDER BY iter DESC LIMIT 1),
+         toklen AS (
+           SELECT t.word, CAST(len(string_split(t.s, chr(31))) AS BIGINT) AS ntok
+           FROM (SELECT unnest(lst) AS t FROM final)),
+         docwords AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+         counts AS (
+           SELECT d.doc_id, sum(tl.ntok) AS n
+           FROM docwords d JOIN toklen tl ON d.w = tl.word
+           GROUP BY d.doc_id)
+         SELECT doc.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+         FROM documents doc LEFT JOIN counts c ON doc.doc_id = c.doc_id""",
     "q_text_bpe" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
