@@ -294,20 +294,38 @@ final class GraftSync(
     * ([[graft.sources.Tables.writeBucketed]]); one_to_one dimension sides
     * broadcast (AQE decides from runtime sizes — listed for visibility).
     */
-  def analyze(): Seq[String] = {
+  def analyze(): Seq[String] = analyze(catalogBucketing)
+
+  /** As [[analyze]], with an explicit layout lookup: `layoutOf(table)` =
+    * the table's clustering (bucket/partition) keys, None when unclustered.
+    * Like the reference, a key requirement already covered by the layout
+    * reports `OK` instead of advice (`sync.py:298-308` checks existing
+    * indexes before printing the CREATE INDEX).
+    */
+  def analyze(layoutOf: String => Option[Seq[String]]): Seq[String] = {
     val out = Seq.newBuilder[String]
+    def advise(table: String, keys: Seq[String], why: String): Unit = {
+      val ks = keys.mkString(", ")
+      layoutOf(table) match {
+        case Some(cols) if keys.nonEmpty && keys.toSet.subsetOf(cols.toSet) =>
+          out += s"""OK: found layout (${cols.mkString(", ")}) on "$table" covering ($ks) — $why"""
+        case _ =>
+          out += (s"bucket $table by ($ks) — $why; create with " +
+            s"""Tables.writeBucketed(load("$table"), "$table", Seq(${keys.map("\"" + _ + "\"").mkString(", ")}))""")
+      }
+    }
     val rootPks = graft.assemble.DocAssembler.primaryKeys(schema.root, catalog)
-    out += s"bucket ${schema.root.table} by (${rootPks.mkString(", ")}) — root PK: incremental re-assembly restricts on it"
+    advise(schema.root.table, rootPks, "root PK: incremental re-assembly restricts on it")
     def visit(node: Node): Unit =
       graft.assemble.DocAssembler.resolveChildSpecs(node, catalog).foreach {
         case (c, parentLeg, Some((through, childLeg))) =>
-          out += s"bucket $through by (${parentLeg.childColumns.mkString(", ")}) — through-table aggregate + parent join key"
-          out += s"bucket ${c.table} by (${childLeg.childColumns.mkString(", ")}) — through-join key"
+          advise(through, parentLeg.childColumns, "through-table aggregate + parent join key")
+          advise(c.table, childLeg.childColumns, "through-join key")
           visit(c)
         case (c, spec, None) =>
           c.relationship.get.relType match {
             case graft.schema.RelType.OneToMany =>
-              out += s"bucket ${c.table} by (${spec.childColumns.mkString(", ")}) — one_to_many aggregate + join key"
+              advise(c.table, spec.childColumns, "one_to_many aggregate + join key")
             case graft.schema.RelType.OneToOne =>
               out += s"dimension ${c.table}: broadcast join (AQE selects it from runtime size; no layout change needed)"
           }
@@ -316,6 +334,20 @@ final class GraftSync(
     visit(schema.root)
     out.result().distinct
   }
+
+  /** Default layout lookup: bucket columns of a session-catalog table (the
+    * [[graft.sources.Tables.writeBucketed]] layout); None for tables not in
+    * the catalog or not bucketed.
+    */
+  private def catalogBucketing(table: String): Option[Seq[String]] =
+    try {
+      if (!spark.catalog.tableExists(table)) None
+      else {
+        val bucketCols =
+          spark.catalog.listColumns(table).collect().filter(_.isBucket).map(_.name).toSeq
+        if (bucketCols.nonEmpty) Some(bucketCols) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 object GraftSync {

@@ -383,6 +383,26 @@ class GraftSyncSpec extends SparkSpec {
     val advice = sync.analyze()
     assert(advice.exists(a => a.startsWith("bucket order_summary by (id)")))
     assert(advice.exists(a => a.startsWith("bucket item by (order_id)")))
+    // advice carries the create recipe, like the reference's CREATE INDEX
+    assert(advice.exists(_.contains("""Tables.writeBucketed(load("item"), "item", Seq("order_id"))""")))
+    // a layout that covers a join key flips its line to OK (sync.py:298-308
+    // prints "Found index ... OK" instead of the CREATE INDEX)
+    val covered = sync.analyze {
+      case "item" => Some(Seq("order_id"))
+      case _      => None
+    }
+    assert(covered.exists(a => a.startsWith("""OK: found layout (order_id) on "item"""")))
+    assert(covered.exists(a => a.startsWith("bucket order_summary by (id)")))
+    // the default lookup reads bucket columns from the session catalog
+    graft.sources.Tables.writeBucketed(
+      tables("item"), "adv_probe_item", Seq("order_id"), nBuckets = 4)
+    val probe = sync.analyze(t =>
+      if (t == "item") {
+        val cols = spark.catalog.listColumns("adv_probe_item").collect()
+          .filter(_.isBucket).map(_.name).toSeq
+        if (cols.nonEmpty) Some(cols) else None
+      } else None)
+    assert(probe.exists(a => a.startsWith("""OK: found layout (order_id) on "item"""")))
   }
 
   test("indexMapping derives from the tree") {
