@@ -828,10 +828,10 @@ object SparkEntry {
         budget = 512L
       )),
     // whole-document first-fit (docs never split): the pack boundary depends
-    // on the running fill, not a prefix sum — not SQL-expressible, so this
-    // entry is rows-only at the driver; exactness is spec-verified by
-    // invariants (no overflow, order preserved, every doc assigned) in
-    // PackingSpec
+    // on the running fill, not a prefix sum — a window can't express it, but
+    // a recursive CTE CAN: the oracle walks each part's doc sequence one
+    // rank per iteration, carrying (pack_id, fill) state, all parts
+    // advancing in parallel rows. PackingSpec keeps the invariant tests.
     "q_pack_greedy" -> ((s, dir) =>
       graft.functions.Packing
         .packGreedy(
@@ -2864,6 +2864,30 @@ object SparkEntry {
                 n_tokens,
                 CAST(floor((prev + greatest(n_tokens, 1) - 1) / 512) - floor(prev / 512) + 1 AS BIGINT) AS n_packs
          FROM c""",
+    "q_pack_greedy" ->
+      // first-fit replay: recursive walk over each part's (doc_id-ordered)
+      // sequence carrying the running (pack_id, fill); a doc opens a new
+      // pack iff the current pack is non-empty and it would overflow the
+      // 512-token budget (oversize docs keep a pack of their own)
+      """WITH RECURSIVE
+         docs0 AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t,
+                  doc_id % 8 AS part
+           FROM documents),
+         seq AS (
+           SELECT *, row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn FROM docs0),
+         walk AS (
+           SELECT part, rn, doc_id, t,
+                  CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset, t AS fill
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT n.part, n.rn, n.doc_id, n.t,
+                  CASE WHEN w.fill > 0 AND w.fill + n.t > 512 THEN w.pack_id + 1 ELSE w.pack_id END,
+                  CASE WHEN w.fill > 0 AND w.fill + n.t > 512 THEN CAST(0 AS BIGINT) ELSE w.fill END,
+                  CASE WHEN w.fill > 0 AND w.fill + n.t > 512 THEN n.t ELSE w.fill + n.t END
+           FROM walk w JOIN seq n ON n.part = w.part AND n.rn = w.rn + 1)
+         SELECT doc_id, part, pack_id, pack_offset, t AS n_tokens FROM walk""",
     "q_pack_stats" ->
       """WITH t AS (
            SELECT doc_id % 8 AS part,
