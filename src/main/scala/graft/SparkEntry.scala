@@ -1902,7 +1902,7 @@ object SparkEntry {
          sc AS (SELECT d.doc_id, coalesce(w.weight_micro, 0) AS weight_micro,
                        coalesce(w.weight_micro, 0)
                          + CAST(round(-1000000.0 * ln(-ln(
-                             (((d.doc_id * 2654435761) % 1000003) + 0.5) / 1000003.0
+                             ((((d.doc_id % 1000003) * (2654435761 % 1000003)) % 1000003) + 0.5) / 1000003.0
                            ))) AS BIGINT) AS score_micro
                 FROM documents d LEFT JOIN w USING (doc_id) WHERE d.doc_id IS NOT NULL),
          ranked AS (SELECT doc_id, weight_micro, score_micro,

@@ -111,8 +111,12 @@ object Dsir {
       k: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = (pmod(col("id") * lit(KnuthMult), lit(KnuthMod)).cast("double") + lit(0.5)) /
-      lit(KnuthMod.toDouble)
+    // (id·M) mod m computed as ((id mod m)·(M mod m)) mod m — identical
+    // value (modular congruence), but the intermediate stays ≤ m² ≈ 10^12:
+    // the direct product overflows long for ids ≥ ~3.5·10^9, which real
+    // corpora (and the 10× scale rehearsal's offset id domains) do reach
+    val u = (pmod(pmod(col("id"), lit(KnuthMod)) * lit(KnuthMult % KnuthMod), lit(KnuthMod))
+      .cast("double") + lit(0.5)) / lit(KnuthMod.toDouble)
     val gumbel = round(lit(-1e6) * log(-log(u))).cast("long")
     val scored = importanceWeights(docs, id, text, isTarget)
       .select(col("id"), col("weight_micro"), (col("weight_micro") + gumbel).as("score_micro"))
