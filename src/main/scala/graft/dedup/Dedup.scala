@@ -321,6 +321,29 @@ object Dedup {
     // JVM GC in a long-lived session); at cluster scale the equivalent is a
     // temp-table write, still O(rows · 16 bytes).
     val sig = simhashSignatures(docs, id, text).localCheckpoint(true)
+    // Collapse identical signatures into equivalence CLASSES before banding.
+    // Clone-heavy corpora (bulk re-ingestion, mirrored shards, the 10× scale
+    // rehearsal's copy structure) put thousands of documents on the SAME
+    // 64-bit signature; banding at the document level then floods every one
+    // of that signature's chunk buckets — quadratic candidate generation
+    // bounded only by the bucket cap (and silently LOSING recall once a
+    // bucket overflows it). Classes fix both: intra-class pairs are exact
+    // hamming-0 dups emitted directly (output-bound, no verify needed), and
+    // banding/verify run over DISTINCT signatures only, so bucket occupancy
+    // tracks signature diversity, not corpus size. A verified representative
+    // pair expands back to the full class × class pair set with the same
+    // hamming — recall stays exact (the banding-recall spec pins it).
+    val classes = sig
+      .groupBy(col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .localCheckpoint(true)
+    val intra = classes
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    val reps = classes.select(col("sig"), element_at(col("ids"), 1).as("id"), col("ids"))
     // The chunks must PARTITION all 64 bits (uncovered bits would break the
     // pigeonhole guarantee), so remainder bits spread over leading chunks.
     val nChunks = math.max(1, math.min(16, maxHamming + 1))
@@ -332,7 +355,7 @@ object Dedup {
       val mask = if (len == 64) -1L else (1L << len) - 1
       (c, start, mask)
     }
-    val keyed = sig.select(
+    val keyed = reps.select(
       col("id"),
       explode(array(chunks.map { case (c, start, mask) =>
         concat_ws(":", lit(c),
@@ -340,19 +363,27 @@ object Dedup {
       }: _*)).as("key")
     )
     val candidates = bucketPairs(keyed, maxBucket)
-    val a = sig.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
-    val b = sig.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
-    // Materialize the verified pairs (bounded by the bucket cap, far smaller
-    // than the signature table), then release the signature blocks — nothing
-    // downstream can need them once the result is its own checkpoint. The
-    // caller owns the returned frame's (small) blocks and may release them
-    // via GraftColumnBridge.unpersistLocalCheckpoint when done.
-    val verified = candidates
+    val a = reps.select(col("id").as("id_a"), col("sig").as("sig_a"), col("ids").as("ids_a"))
+    val b = reps.select(col("id").as("id_b"), col("sig").as("sig_b"), col("ids").as("ids_b"))
+    // Verify on representative signatures (distinct sigs differ, so hamming
+    // ≥ 1 — disjoint from the intra set), then expand each surviving class
+    // pair to its member cross product. Pairs are canonicalized per member
+    // (class id ranges interleave), and the expansion is output-bound: every
+    // emitted row IS a true near-dup pair.
+    val cross = candidates
       .join(a, "id_a")
       .join(b, "id_b")
-      .select(col("id_a"), col("id_b"), TF.hamming64(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+      .select(col("ids_a"), col("ids_b"), TF.hamming64(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .localCheckpoint(true)
+      .select(explode(col("ids_a")).as("m_a"), col("ids_b"), col("hamming"))
+      .select(col("m_a"), explode(col("ids_b")).as("m_b"), col("hamming"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"), greatest(col("m_a"), col("m_b")).as("id_b"), col("hamming"))
+    // Materialize the verified pairs, then release the signature/class
+    // blocks — nothing downstream can need them once the result is its own
+    // checkpoint. The caller owns the returned frame's (small) blocks and
+    // may release them via GraftColumnBridge.unpersistLocalCheckpoint.
+    val verified = intra.unionByName(cross).localCheckpoint(true)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(classes)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(sig)
     verified
   }

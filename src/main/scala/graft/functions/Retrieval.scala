@@ -208,18 +208,24 @@ object Retrieval {
     */
   def writeBm25Index(docs: DataFrame, id: String, text: String, path: String, buckets: Int = 64): Unit = {
     val spark = docs.sparkSession
+    // Tokenization is the expensive leg and three consumers need its output
+    // (postings write, doclens write, stats aggregate) — persist the
+    // tokenized frame so the corpus is scanned and tokenized ONCE per build.
     val withDl = docs
       .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    writeBm25Postings(withDl, path, buckets, seq = 0L, org.apache.spark.sql.SaveMode.Overwrite)
-    // the sidecar stores the integer dl SUM, not the average: integer sums
-    // update exactly under append AND delete, and avgdl = dl_sum/n_docs
-    // reproduces the in-memory avg bit-for-bit (token-length partial sums
-    // stay below 2^53, so double accumulation of the longs is exact
-    // regardless of order)
-    val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
-    writeBm25Stats(spark, path, s.getLong(0), s.getLong(1), buckets)
-    IndexState.writeSeq(spark, path, 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeBm25Postings(withDl, path, buckets, seq = 0L, org.apache.spark.sql.SaveMode.Overwrite)
+      // the sidecar stores the integer dl SUM, not the average: integer sums
+      // update exactly under append AND delete, and avgdl = dl_sum/n_docs
+      // reproduces the in-memory avg bit-for-bit (token-length partial sums
+      // stay below 2^53, so double accumulation of the longs is exact
+      // regardless of order)
+      val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
+      writeBm25Stats(spark, path, s.getLong(0), s.getLong(1), buckets)
+      IndexState.writeSeq(spark, path, 0L)
+    } finally { withDl.unpersist(); () }
   }
 
   /** Shared postings + doclens writer for build/append: postings rows are
@@ -242,7 +248,12 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .withColumn("seq", lit(seq))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      .repartition(col("bucket"))
+      // pin the partition count: with a bare repartition(col) AQE coalesces
+      // a small shuffle to ~1 task, which then writes all `buckets`
+      // partition dirs SERIALLY — fixed per-file overhead dominates small
+      // builds (and at any size, ≥buckets tasks keeps the dir writes
+      // parallel; one extra empty task per unhit bucket costs nothing)
+      .repartition(buckets, col("bucket"))
       .write
       .mode(mode)
       .partitionBy("bucket")
@@ -250,7 +261,7 @@ object Retrieval {
     withDl
       .select(col("id").cast("long").as("id"), col("dl"), lit(seq).as("seq"))
       .withColumn("dbucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
-      .repartition(col("dbucket"))
+      .repartition(buckets, col("dbucket"))
       .write
       .mode(mode)
       .partitionBy("dbucket")
@@ -299,13 +310,17 @@ object Retrieval {
     val spark = docs.sparkSession
     val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
     val seq = IndexState.bumpSeq(spark, path)
+    // Same single-tokenization discipline as [[writeBm25Index]].
     val withDl = docs
       .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    writeBm25Postings(withDl, path, buckets, seq, org.apache.spark.sql.SaveMode.Append)
-    val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
-    val (bn, bs) = if (s.isNullAt(0) || s.isNullAt(1)) (0L, 0L) else (s.getLong(0), s.getLong(1))
-    writeBm25Stats(spark, path, nDocs + bn, dlSum + bs, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeBm25Postings(withDl, path, buckets, seq, org.apache.spark.sql.SaveMode.Append)
+      val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
+      val (bn, bs) = if (s.isNullAt(0) || s.isNullAt(1)) (0L, 0L) else (s.getLong(0), s.getLong(1))
+      writeBm25Stats(spark, path, nDocs + bn, dlSum + bs, buckets)
+    } finally { withDl.unpersist(); () }
   }
 
   /** Remove documents from a [[writeBm25Index]] layout — the DELETE leg of
