@@ -138,6 +138,25 @@ class DedupSpec extends SparkSpec {
     assert(auto == exact)
   }
 
+  test("simhash clone clusters survive a tiny bucket cap (signature-class collapse)") {
+    // 12 exact clones + 2 distinct docs. Before the class collapse, the 12
+    // identical signatures flooded every chunk bucket past maxBucket=10 and
+    // the whole cluster was SILENTLY dropped; classes band one
+    // representative per signature, so the cap (which bounds distinct
+    // signatures per bucket, not documents) never sees the cluster and all
+    // 66 hamming-0 pairs come back.
+    val clones = (1L to 12L).map(i => (i, "the same replicated document body shared by every copy here"))
+    val extra = Seq(
+      (100L, "completely different content about catalyst optimizer rules"),
+      (101L, "another unrelated body mentioning watermarks and state stores"))
+    val df = (clones ++ extra).toDF("doc_id", "text")
+    val pairs = Dedup.simhash(df, "doc_id", "text", maxHamming = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = (for { a <- 1L to 12L; b <- (a + 1) to 12L } yield (a, b)).toSet
+    assert(pairs.keySet.filter(p => p._1 <= 12L && p._2 <= 12L) == expected)
+    assert(pairs.filter(p => p._1._1 <= 12L && p._1._2 <= 12L).values.forall(_ == 0L))
+  }
+
   test("simhash banding recall is exact vs exhaustive hamming pairs") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
