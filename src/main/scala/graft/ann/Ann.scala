@@ -592,6 +592,31 @@ object Ann {
     IndexState.writeSeq(spark, stagingPath, IndexState.readSeq(spark, path))
   }
 
+  /** Compact [[writeLshIndex]] when the dead fraction justifies the
+    * rewrite (the [[graft.functions.Retrieval.maybeCompactBm25Index]]
+    * policy for the vector indexes — same staging + atomic swap). The
+    * LSH/PQ layouts keep one row per id per generation, so total row count
+    * from the parquet FOOTERS (a metadata-only count, no data scan) over
+    * the deleted-id count bounds the dead fraction from below; at or above
+    * `maxDeadRatio` the index is rewritten and swapped. Returns whether a
+    * compaction ran.
+    */
+  def maybeCompactLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxDeadRatio: Double = 0.2
+  ): Boolean = {
+    require(maxDeadRatio > 0 && maxDeadRatio <= 1, s"maxDeadRatio must be in (0,1], got $maxDeadRatio")
+    val dead = IndexState.tombstoneCount(spark, path)
+    if (dead == 0L) return false
+    val total = spark.read.parquet(path).count() // parquet footer metadata only
+    if (total == 0L || dead.toDouble / total < maxDeadRatio) return false
+    val staging = path + ".graft_compact"
+    compactLshIndex(spark, path, staging)
+    IndexState.swapCompacted(spark, path, staging)
+    true
+  }
+
   /** [[lshTopKIndexed]] under the parameters persisted at
     * [[writeLshIndex]] time — the restart path: a new session probes an
     * existing index with zero caller-held model state.

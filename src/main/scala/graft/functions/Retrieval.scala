@@ -386,6 +386,33 @@ object Retrieval {
     IndexState.writeSeq(spark, stagingPath, IndexState.readSeq(spark, path))
   }
 
+  /** Compact [[writeBm25Index]] when the dead fraction justifies the
+    * rewrite — the policy leg CDC maintenance needs so tombstones cannot
+    * accumulate unboundedly under a delete-heavy feed. The signal is
+    * exact and CHEAP: live doc count comes from the maintained stats
+    * sidecar, deleted-id count from the (delete-batch-sized) tombstone
+    * sidecar — the postings are never scanned to decide. At or above
+    * `maxDeadRatio` of dead docs, the index is rewritten to a staging
+    * sibling and atomically swapped into place
+    * ([[graft.sources.IndexState.swapCompacted]]); below it, nothing
+    * happens. Returns whether a compaction ran.
+    */
+  def maybeCompactBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxDeadRatio: Double = 0.2
+  ): Boolean = {
+    require(maxDeadRatio > 0 && maxDeadRatio <= 1, s"maxDeadRatio must be in (0,1], got $maxDeadRatio")
+    val dead = IndexState.tombstoneCount(spark, path)
+    if (dead == 0L) return false
+    val (live, _, _) = readBm25Stats(spark, path)
+    if (dead.toDouble / (live + dead) < maxDeadRatio) return false
+    val staging = path + ".graft_compact"
+    compactBm25Index(spark, path, staging)
+    IndexState.swapCompacted(spark, path, staging)
+    true
+  }
+
   /** Probe a [[writeBm25Index]] layout with a query workload: the
     * workload's term BUCKETS are driver-collected (bounded by
     * min(distinct workload terms, buckets)) and pushed as a static

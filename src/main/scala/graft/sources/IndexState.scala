@@ -114,6 +114,38 @@ object IndexState {
     if (f.exists(p)) { f.delete(p, true); () }
   }
 
+  /** Number of distinct tombstoned ids — the compaction-policy signal.
+    * Cost is a scan of the (delete-batch-sized) sidecar only, never the
+    * index. 0 when no delete has ever happened.
+    */
+  def tombstoneCount(spark: SparkSession, indexPath: String): Long =
+    if (!hasTombstones(spark, indexPath)) 0L
+    else readTombstones(spark, indexPath).count()
+
+  /** Swap a compacted staging directory into place: the live index moves
+    * to `<path>.graft_trash`, staging is renamed over `path`, and the
+    * trash is deleted last — so a crash at any point leaves EITHER a
+    * complete old index (possibly with a stale staging/trash to sweep) OR
+    * a complete new one, never a hole where the index was. Single-writer
+    * discipline assumed, like every other mutation here.
+    */
+  def swapCompacted(spark: SparkSession, path: String, stagingPath: String): Unit = {
+    val f = fs(spark, path)
+    val live = new Path(path)
+    val staging = new Path(stagingPath)
+    val trash = new Path(path + ".graft_trash")
+    require(f.exists(staging), s"swapCompacted: staging $stagingPath does not exist")
+    if (f.exists(trash)) { f.delete(trash, true); () }
+    require(f.rename(live, trash), s"swapCompacted: could not move $path aside")
+    if (!f.rename(staging, live)) {
+      // roll the live index back before failing: never leave a hole
+      f.rename(trash, live)
+      throw new IllegalStateException(s"swapCompacted: could not move $stagingPath into place")
+    }
+    f.delete(trash, true)
+    ()
+  }
+
   /** Filter `rows` (which must carry `idCol` and a BIGINT `seq` column) to
     * the visible set under the index's tombstones. No tombstone sidecar ⇒
     * `rows` unchanged — append-only indexes pay nothing.

@@ -55,25 +55,31 @@ object AnnStream {
       vec: String,
       planes: Int = 6,
       dim: Int = 64,
-      trigger: Option[Trigger] = None
+      trigger: Option[Trigger] = None,
+      autoCompactRatio: Option[Double] = None
   ): StreamingQuery = {
     val writer = changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyCdcBatch(batch, indexPath, id, vec, planes, dim)
+        applyCdcBatch(batch, indexPath, id, vec, planes, dim, autoCompactRatio)
         ()
       }
     trigger.fold(writer)(writer.trigger).start()
   }
 
-  /** One CDC batch; also usable for batch-mode backfills. */
+  /** One CDC batch; also usable for batch-mode backfills. With
+    * `autoCompactRatio`, the batch ends with the
+    * [[Ann.maybeCompactLshIndex]] dead-fraction check — the
+    * [[Bm25Stream]] policy, so tombstones cannot accumulate unboundedly.
+    */
   def applyCdcBatch(
       batch: DataFrame,
       indexPath: String,
       id: String,
       vec: String,
       planes: Int,
-      dim: Int
+      dim: Int,
+      autoCompactRatio: Option[Double] = None
   ): Unit = {
     import org.apache.spark.sql.functions.col
     Ann.deleteFromLshIndex(
@@ -85,5 +91,6 @@ object AnnStream {
       batch.filter(col("tg_op").isin("INSERT", "UPDATE")),
       indexPath, id, vec, planes, dim
     )
+    autoCompactRatio.foreach { r => Ann.maybeCompactLshIndex(batch.sparkSession, indexPath, r); () }
   }
 }

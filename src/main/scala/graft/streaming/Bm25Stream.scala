@@ -34,6 +34,12 @@ object Bm25Stream {
 
   /** `changes` must be a streaming DataFrame with columns `tg_op`
     * (INSERT/UPDATE/DELETE), `id`, and `text` (null allowed on DELETE).
+    * With `autoCompactRatio` set, each batch ends with the
+    * [[Retrieval.maybeCompactBm25Index]] policy check (cheap — sidecar
+    * counts only), so a delete-heavy feed cannot grow tombstones without
+    * bound: the index is rewritten and atomically swapped once the dead
+    * fraction reaches the ratio, and probes between batches keep working
+    * throughout (the swap never leaves a hole).
     */
   def start(
       changes: DataFrame,
@@ -41,12 +47,13 @@ object Bm25Stream {
       checkpointDir: String,
       id: String,
       text: String,
-      trigger: Option[Trigger] = None
+      trigger: Option[Trigger] = None,
+      autoCompactRatio: Option[Double] = None
   ): StreamingQuery = {
     val writer = changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch.sparkSession, batch, indexPath, id, text)
+        applyBatch(batch.sparkSession, batch, indexPath, id, text, autoCompactRatio)
         ()
       }
     trigger.fold(writer)(writer.trigger).start()
@@ -58,7 +65,8 @@ object Bm25Stream {
       batch: DataFrame,
       indexPath: String,
       id: String,
-      text: String
+      text: String,
+      autoCompactRatio: Option[Double] = None
   ): Unit = {
     Retrieval.deleteFromBm25Index(
       spark,
@@ -68,5 +76,6 @@ object Bm25Stream {
     val upserts = batch
       .filter(col("tg_op").isin("INSERT", "UPDATE") && col(text).isNotNull)
     Retrieval.appendBm25Index(upserts, id, text, indexPath)
+    autoCompactRatio.foreach { r => Retrieval.maybeCompactBm25Index(spark, indexPath, r); () }
   }
 }

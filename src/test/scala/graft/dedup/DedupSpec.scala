@@ -550,6 +550,37 @@ class DedupSpec extends SparkSpec {
       .foreach(p => graft.util.TempDirs.delete(java.nio.file.Paths.get(p)))
   }
 
+  test("LSH auto-compaction: dead-ratio policy fires, swaps in place, probes unchanged") {
+    val mk = (range: Range) => range.map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(j => (math.cos(c * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat))
+    }
+    val all = mk(0 until 60).toDF("vec_id", "embedding")
+    val queries = all.filter(col("vec_id").isin(1L, 2L))
+    val dir = graft.util.TempDirs.scratch("ann-lsh-autocompact").toString
+    def rows(p: String) =
+      Ann.lshTopKIndexed(p, queries, "vec_id", "embedding", 5, planes = 6, dim = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    Ann.writeLshIndex(all, dir, "vec_id", "embedding", planes = 6, dim = 16)
+    assert(!Ann.maybeCompactLshIndex(spark, dir, maxDeadRatio = 0.1), "no deletes: no-op")
+    // 6 of 60 dead = 0.1 of footer rows: below 0.2, at 0.1
+    Ann.deleteFromLshIndex(spark, dir, (0L until 6L).toDF("id"))
+    val before = rows(dir)
+    assert(!Ann.maybeCompactLshIndex(spark, dir, maxDeadRatio = 0.2))
+    assert(new java.io.File(s"$dir/_graft_tombstones").exists())
+    assert(Ann.maybeCompactLshIndex(spark, dir, maxDeadRatio = 0.1))
+    assert(rows(dir) == before)
+    assert(!new java.io.File(s"$dir/_graft_tombstones").exists())
+    assert(!new java.io.File(dir + ".graft_compact").exists())
+    assert(!new java.io.File(dir + ".graft_trash").exists())
+    // the swapped index still carries the model sidecar (restart probe path)
+    // and accepts further mutations
+    Ann.appendLshIndex(mk(100 until 103).toDF("vec_id", "embedding"), dir, "vec_id", "embedding",
+      planes = 6, dim = 16)
+    assert(rows(dir).nonEmpty)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("IVF-PQ index deletes: probe excludes tombstones, compact reclaims, models carried") {
     val mk = (range: Range) => range.map { i =>
       val c = i % 4

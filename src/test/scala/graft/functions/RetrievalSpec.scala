@@ -165,6 +165,40 @@ class RetrievalSpec extends SparkSpec {
       .foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
   }
 
+  test("bm25 auto-compaction: fires at the dead-ratio threshold, swaps atomically, probes unchanged") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark filler filler"),
+      (3L, "window join window"),
+      (4L, "spark spark other words"),
+      (5L, "spark window spark")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark window")).toDF("qid", "qtext")
+    val dir = graft.util.TempDirs.scratch("bm25-autocompact").toString
+    def rows(p: String) = Retrieval.bm25TopKIndexedBatch(p, queries, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir, buckets = 8)
+    // no deletes ⇒ no-op (and no sidecar scan at all)
+    assert(!Retrieval.maybeCompactBm25Index(spark, dir, maxDeadRatio = 0.2))
+    // 1 of 5 dead = 0.2 dead fraction: below a 0.5 threshold, at a 0.2 one
+    Retrieval.deleteFromBm25Index(spark, dir, Seq(3L).toDF("id"))
+    val before = rows(dir)
+    assert(!Retrieval.maybeCompactBm25Index(spark, dir, maxDeadRatio = 0.5))
+    assert(new java.io.File(s"$dir/_graft_tombstones").exists(), "below threshold: tombstones stay")
+    assert(Retrieval.maybeCompactBm25Index(spark, dir, maxDeadRatio = 0.2))
+    // swapped IN PLACE: same path, no tombstones, no staging/trash leftovers,
+    // probe identical, and doc 3's postings physically gone
+    assert(rows(dir) == before)
+    assert(!new java.io.File(s"$dir/_graft_tombstones").exists())
+    assert(!new java.io.File(dir + ".graft_compact").exists())
+    assert(!new java.io.File(dir + ".graft_trash").exists())
+    assert(!spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).contains(3L))
+    // compacted index keeps working as a mutation target
+    Retrieval.appendBm25Index(Seq((6L, "spark again")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(rows(dir).nonEmpty)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("bm25 matches a hand-computed score on a 2-doc corpus") {
     val docs = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")
     val top = Retrieval

@@ -445,6 +445,39 @@ class StreamingSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("streaming BM25 CDC with auto-compaction: delete-heavy feed keeps the index tombstone-free") {
+    import graft.functions.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-bm25-autocompact-stream").toString
+    val seed = (1L to 10L).map(i => (i, s"spark doc$i shared words here")).toDF("doc_id", "text")
+    Retrieval.writeBm25Index(seed, "doc_id", "text", s"$dir/index", buckets = 8)
+    val stream = MemoryStream[(String, Long, String)]
+    val changes = stream.toDF()
+      .select(col("_1").as("tg_op"), col("_2").as("doc_id"), col("_3").as("text"))
+    // a 0.3 dead-ratio policy: the 4-delete batch (4/10 dead) must trigger a
+    // mid-stream compaction-and-swap; the next batch then mutates the
+    // compacted index without noticing the swap happened
+    val q = Bm25Stream.start(changes, s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+      autoCompactRatio = Some(0.3))
+    stream.addData(("DELETE", 1L, null), ("DELETE", 2L, null), ("DELETE", 3L, null), ("DELETE", 4L, null))
+    q.processAllAvailable()
+    assert(!new java.io.File(s"$dir/index/_graft_tombstones").exists(),
+      "delete-heavy batch must have compacted the tombstones away")
+    stream.addData(("INSERT", 11L, "spark doc11 shared words here"), ("DELETE", 5L, null))
+    q.processAllAvailable()
+    q.stop()
+    // final live docs {6..11}: probe equals a rebuild bit-for-bit
+    val finalDocs = ((6L to 10L).map(i => (i, s"spark doc$i shared words here")) :+
+      (11L, "spark doc11 shared words here")).toDF("doc_id", "text")
+    Retrieval.writeBm25Index(finalDocs, "doc_id", "text", s"$dir/rebuilt", buckets = 8)
+    val queries = Seq((100L, "spark shared")).toDF("qid", "qtext")
+    def rows(p: String) =
+      Retrieval.bm25TopKIndexedBatch(p, queries, "qid", "qtext", 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(s"$dir/index") == rows(s"$dir/rebuilt"))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("streaming ANN CDC: deletes reach the probe surface, replay converges") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ann.Ann
