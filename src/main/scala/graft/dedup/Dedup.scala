@@ -118,9 +118,78 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000
   ): DataFrame = {
-    val keyed = prodBandKeys(docs, id, text, shingleN, bands, rowsPerBand)
+    // Exact-duplicate collapse BEFORE the LSH (the [[simhash]]
+    // signature-class discipline, keyed on the text itself): clone-heavy
+    // corpora put whole duplicate clusters into every band bucket — each
+    // cluster member shares all k minhashes, so bucket occupancy (and the
+    // quadratic candidate explosion inside it) grows with corpus size while
+    // carrying zero information. One representative per distinct text keeps
+    // banding/verify at TEXT-DIVERSITY size; identical-text pairs are exact
+    // dups emitted directly at jaccard 1.0, and a verified representative
+    // pair expands to the member cross product with the same jaccard (texts
+    // equal within a class). Same found-pair set as doc-level banding —
+    // members collide in a band iff their (identical-sig) reps do — except
+    // where the bucket cap previously dropped flooded buckets, which now
+    // only bounds distinct-text diversity.
+    val base = docs
+      .select(col(id).as("id"), col(text).as("t"))
+      .filter(size(TF.wordShingles(col("t"), shingleN)) > 0)
+    val classes = exactTextClasses(base)
+    val repDocs = base.join(classes.select(col("rep").as("id")), Seq("id"), "left_semi")
+    val keyed = prodBandKeys(repDocs, "id", "t", shingleN, bands, rowsPerBand)
     val candidates = bucketPairs(keyed, maxBucket)
-    verifyJaccard(candidates, docs, id, text, shingleN, threshold)
+    val verified = verifyJaccard(candidates, repDocs, "id", "t", shingleN, threshold)
+    val out = expandClassPairs(classes, intraValue = lit(1000L), verified, "jaccard_milli")
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(classes)
+    out
+  }
+
+  /** Identical-text equivalence classes `(rep, ids)` — the exact-dedup
+    * prepass shared by [[minhashLsh]] and [[ngramJaccard]]. Keyed on
+    * md5(text) (128-bit: no collision classes at corpus scale, unlike a
+    * 64-bit hash whose birthday bound is ~4·10⁹ docs); `ids` sorted so the
+    * representative is the minimum id. Checkpointed EAGERLY and id-sized —
+    * text never enters the block store (the [[prodBandKeys]] no-corpus-
+    * sized-persist rule); callers release it via
+    * `GraftColumnBridge.unpersistLocalCheckpoint` once their result frame
+    * is materialized.
+    */
+  private def exactTextClasses(base: DataFrame): DataFrame =
+    base
+      .groupBy(md5(col("t").cast("binary")).as("ck"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(element_at(col("ids"), 1).as("rep"), col("ids"))
+      .localCheckpoint(true)
+
+  /** Intra-class pairs (identical texts, similarity = `intraValue`) plus
+    * representative pairs expanded to their member cross products — the
+    * output assembly shared by the exact-collapse near-dup paths. `repPairs`
+    * carries (id_a, id_b, `valueCol`); member pairs are canonicalized with
+    * least/greatest because class id ranges interleave.
+    */
+  private def expandClassPairs(
+      classes: DataFrame,
+      intraValue: Column,
+      repPairs: DataFrame,
+      valueCol: String
+  ): DataFrame = {
+    val intra = classes
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), intraValue.as(valueCol))
+    val cross = repPairs
+      .join(classes.select(col("rep").as("id_a"), col("ids").as("ids_a")), "id_a")
+      .join(classes.select(col("rep").as("id_b"), col("ids").as("ids_b")), "id_b")
+      .select(explode(col("ids_a")).as("m_a"), col("ids_b"), col(valueCol))
+      .select(col("m_a"), explode(col("ids_b")).as("m_b"), col(valueCol))
+      .select(
+        least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"),
+        col(valueCol))
+    intra.unionByName(cross)
   }
 
   /** The xxhash64 rotate-XOR band keys of [[minhashLsh]] as a reusable
@@ -479,25 +548,40 @@ object Dedup {
       threshold: Double = 0.2,
       maxPostings: Int = 10000
   ): DataFrame = {
+    // Exact-duplicate collapse first (the [[minhashLsh]] discipline): the
+    // inverted index is the worst place for clone clusters — every shingle
+    // of a duplicated document repeats its posting list entry per clone, so
+    // both the shuffled postings volume AND the per-list pair generation
+    // grow quadratically with clone count. Representatives keep the index at
+    // text-diversity size; identical-text pairs come out directly at
+    // jaccard 1.0 and rep pairs expand to member cross products (equal
+    // texts ⇒ equal jaccard). The postings cap now bounds distinct texts
+    // per shingle, not documents.
+    val base = docs
+      .select(col(id).as("id"), col(text).as("t"))
+      .select(col("id"), col("t"), TF.wordShingles(col("t"), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("t"))
+    val classes = exactTextClasses(base)
     // reused by sizes + postings; not cached — see minhashLsh's note on
     // corpus-sized persists vs codegen recompute
-    val sh = docs
-      .select(col(id).as("id"), TF.wordShingles(col(text), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = base
+      .join(classes.select(col("rep").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), TF.wordShingles(col("t"), shingleN).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val postings = sh.select(col("id"), explode(col("sh")).as("s"))
     // cap pathological postings lists (stopword-only shingles) — they
     // contribute candidates, not signal, and skew one reducer
     val rare = postings
-      .groupBy("s").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxPostings))
+      .groupBy("s").agg(collect_list(col("id")).as("pids"))
+      .filter(size(col("pids")).between(2, maxPostings))
     val inter = rare
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .select(explode(col("pids")).as("id_a"), col("pids"))
+      .select(col("id_a"), explode(col("pids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    inter
+    val repPairs = inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .select(
@@ -507,6 +591,10 @@ object Dedup {
       )
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard") * 1000).cast("long").as("jaccard_milli"))
+    val out = expandClassPairs(classes, intraValue = lit(1000L), repPairs, "jaccard_milli")
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(classes)
+    out
   }
 
   /** Cross-corpus decontamination: corpus documents whose shingle sets

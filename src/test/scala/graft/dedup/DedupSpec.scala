@@ -138,6 +138,36 @@ class DedupSpec extends SparkSpec {
     assert(auto == exact)
   }
 
+  test("minhash/ngram clone clusters survive tiny caps (exact-text collapse)") {
+    // 12 exact clones + 1 near-dup + 2 distinct docs, caps far below the
+    // cluster size. The collapse bands/indexes one representative per
+    // distinct text, so the caps (which now bound distinct texts) never see
+    // the cluster: all 66 intra pairs surface at jaccard 1.0, and the
+    // near-dup pairs REP-expand to every cluster member with one shared
+    // verified jaccard.
+    val cloneText = "the same replicated document body shared by every copy of it here"
+    val clones = (1L to 12L).map(i => (i, cloneText))
+    val extra = Seq(
+      (50L, "the same replicated document body shared by every copy of it there"), // near-dup
+      (100L, "completely different content about catalyst optimizer rules"),
+      (101L, "another unrelated body mentioning watermarks and state stores"))
+    val df = (clones ++ extra).toDF("doc_id", "text")
+    val expectedIntra = (for { a <- 1L to 12L; b <- (a + 1) to 12L } yield (a, b)).toSet
+    for (pairsDf <- Seq(
+        Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.5, maxBucket = 5),
+        Dedup.ngramJaccard(df, "doc_id", "text", threshold = 0.5, maxPostings = 5))) {
+      val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val intra = pairs.keySet.filter(p => p._1 <= 12L && p._2 <= 12L)
+      assert(intra == expectedIntra)
+      intra.foreach(p => assert(pairs(p) == 1000L, s"intra pair $p"))
+      // near-dup 50 pairs with EVERY clone, all at the same verified jaccard
+      val nearDup = pairs.filter { case ((a, b), _) => b == 50L && a <= 12L }
+      assert(nearDup.keySet.map(_._1) == (1L to 12L).toSet)
+      assert(nearDup.values.toSet.size == 1)
+      assert(nearDup.values.head < 1000L && nearDup.values.head >= 500L)
+    }
+  }
+
   test("simhash clone clusters survive a tiny bucket cap (signature-class collapse)") {
     // 12 exact clones + 2 distinct docs. Before the class collapse, the 12
     // identical signatures flooded every chunk bucket past maxBucket=10 and
