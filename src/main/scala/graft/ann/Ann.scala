@@ -597,9 +597,19 @@ object Ann {
     * policy for the vector indexes — same staging + atomic swap). The
     * LSH/PQ layouts keep one row per id per generation, so total row count
     * from the parquet FOOTERS (a metadata-only count, no data scan) over
-    * the deleted-id count bounds the dead fraction from below; at or above
-    * `maxDeadRatio` the index is rewritten and swapped. Returns whether a
-    * compaction ran.
+    * the deleted-id count bounds the dead fraction from below. NOTE the
+    * signal measures CHURN, not strictly dead rows: a CDC UPDATE
+    * (tombstone + re-append) counts its id as dead though the doc is live,
+    * and a delete of a never-present id counts too — an update-heavy feed
+    * compacts more often than its true dead fraction warrants, which errs
+    * in the direction that ALSO reclaims the superseded generations churn
+    * leaves behind. Exact accounting would need an anti-join against the
+    * visible set (an index scan, which this policy exists to avoid). At or
+    * above `maxDeadRatio` the index is rewritten and swapped; if the
+    * rewrite turns out to have an EMPTY visible set (every doc deleted),
+    * the swap is refused — an empty partitioned directory cannot be read
+    * back, and probes on the un-compacted index already return the correct
+    * empty result. Returns whether a compaction ran.
     */
   def maybeCompactLshIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -611,8 +621,12 @@ object Ann {
     if (dead == 0L) return false
     val total = spark.read.parquet(path).count() // parquet footer metadata only
     if (total == 0L || dead.toDouble / total < maxDeadRatio) return false
-    val staging = path + ".graft_compact"
+    val staging = path + IndexState.StagingSuffix
     compactLshIndex(spark, path, staging)
+    if (!IndexState.stagingHasData(spark, staging)) {
+      IndexState.deleteDir(spark, staging)
+      return false
+    }
     IndexState.swapCompacted(spark, path, staging)
     true
   }
@@ -644,6 +658,8 @@ object Ann {
       probeHamming: Int = 1
   ): DataFrame = {
     val spark = queries.sparkSession
+    // self-heal an interrupted compaction swap before planning the scan
+    IndexState.recoverSwap(spark, indexPath)
     val qKeyed = queries.select(
       col(qid).as("qid"),
       col(qvec).as("qv"),
@@ -1200,6 +1216,32 @@ object Ann {
     IndexState.writeSeq(spark, stagingPath, IndexState.readSeq(spark, path))
   }
 
+  /** [[maybeCompactLshIndex]] for a [[writePqIndex]] layout: same
+    * footer-count churn signal, same staging + atomic swap, same refusal
+    * to swap in an empty visible set. Completes the policy family — every
+    * persisted secondary index (BM25 / LSH / IVF-PQ) now has a
+    * CDC-schedulable compaction hook. Returns whether a compaction ran.
+    */
+  def maybeCompactPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxDeadRatio: Double = 0.2
+  ): Boolean = {
+    require(maxDeadRatio > 0 && maxDeadRatio <= 1, s"maxDeadRatio must be in (0,1], got $maxDeadRatio")
+    val dead = IndexState.tombstoneCount(spark, path)
+    if (dead == 0L) return false
+    val total = spark.read.parquet(path).count() // parquet footer metadata only
+    if (total == 0L || dead.toDouble / total < maxDeadRatio) return false
+    val staging = path + IndexState.StagingSuffix
+    compactPqIndex(spark, path, staging)
+    if (!IndexState.stagingHasData(spark, staging)) {
+      IndexState.deleteDir(spark, staging)
+      return false
+    }
+    IndexState.swapCompacted(spark, path, staging)
+    true
+  }
+
   /** Probe a [[writePqIndex]] layout: the queries' `nprobe` nearest cells
     * are collected on the driver (bounded: |queries| × nprobe longs) and
     * pushed as a STATIC `cell IN (…)` partition filter, so the scan plans
@@ -1218,6 +1260,8 @@ object Ann {
       nprobe: Int = 4
   ): DataFrame = {
     val spark = queries.sparkSession
+    // self-heal an interrupted compaction swap before planning the scan
+    IndexState.recoverSwap(spark, indexPath)
     val q = queries.filter(col(qvec).isNotNull).select(col(qid).as("qid"), col(qvec).as("qv"))
     val probes = q
       .select(col("qid"), col("qv"), explode(topCells(col("qv"), cells, nprobe)).as("pc"))

@@ -106,6 +106,9 @@ object AnnModels {
 
   private def requireKind(spark: SparkSession, indexPath: String, kind: String): MetaRow = {
     import spark.implicits._
+    // every model read is an index open — self-heal an interrupted
+    // compaction swap before touching the sidecar
+    graft.sources.IndexState.recoverSwap(spark, indexPath)
     val metas =
       try spark.read.parquet(s"${modelDir(indexPath)}/meta").as[MetaRow].collect()
       catch {

@@ -211,10 +211,16 @@ object Retrieval {
     // Tokenization is the expensive leg and three consumers need its output
     // (postings write, doclens write, stats aggregate) — persist the
     // tokenized frame so the corpus is scanned and tokenized ONCE per build.
+    // DISK_ONLY, not MEMORY_AND_DISK: this frame is corpus-sized, and the
+    // repo-wide discipline (see Dedup.prodBandKeys) is that corpus-sized
+    // intermediates must not pin executor memory at the 100 TB design
+    // scale — the one-time build is the sole sanctioned corpus persist, and
+    // it spills straight to local disk, trading a disk round-trip for two
+    // avoided re-tokenizations.
     val withDl = docs
       .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       writeBm25Postings(withDl, path, buckets, seq = 0L, org.apache.spark.sql.SaveMode.Overwrite)
       // the sidecar stores the integer dl SUM, not the average: integer sums
@@ -290,6 +296,9 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession,
       path: String
   ): (Long, Long, Int) = {
+    // every probe and mutation opens the index through this read, so an
+    // interrupted compaction swap self-heals here (IndexState.recoverSwap)
+    IndexState.recoverSwap(spark, path)
     val st = spark.read.parquet(s"$path/_graft_stats").collect()(0)
     (
       st.getLong(st.fieldIndex("n_docs")),
@@ -310,11 +319,12 @@ object Retrieval {
     val spark = docs.sparkSession
     val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
     val seq = IndexState.bumpSeq(spark, path)
-    // Same single-tokenization discipline as [[writeBm25Index]].
+    // Same single-tokenization + DISK_ONLY discipline as [[writeBm25Index]]
+    // (batch-sized here, but the same no-memory-pinning rule applies).
     val withDl = docs
       .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       writeBm25Postings(withDl, path, buckets, seq, org.apache.spark.sql.SaveMode.Append)
       val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
@@ -406,8 +416,22 @@ object Retrieval {
     val dead = IndexState.tombstoneCount(spark, path)
     if (dead == 0L) return false
     val (live, _, _) = readBm25Stats(spark, path)
+    // A fully-deleted index (live == 0) is NOT compacted: rewriting an
+    // empty visible set would swap in a directory with no parquet part
+    // files, which later reads cannot infer a schema from. Probes on the
+    // un-compacted index already return the correct empty result via the
+    // tombstone subtraction; the sidecar stays delete-batch-sized, and the
+    // first re-append makes the index compactable again.
+    if (live == 0L) return false
+    // `dead` counts distinct tombstoned ids, which OVERSTATES the truly
+    // dead fraction under churn: a CDC UPDATE tombstones then re-appends,
+    // so an updated-but-live id still counts as dead (and its superseded
+    // generation still occupies space — which compaction also reclaims).
+    // The ratio is therefore a churn signal that errs toward compacting;
+    // exact-dead-only accounting would need an anti-join against the
+    // visible set, i.e. an index scan, which this policy exists to avoid.
     if (dead.toDouble / (live + dead) < maxDeadRatio) return false
-    val staging = path + ".graft_compact"
+    val staging = path + IndexState.StagingSuffix
     compactBm25Index(spark, path, staging)
     IndexState.swapCompacted(spark, path, staging)
     true

@@ -48,6 +48,13 @@ object IndexState {
   val SeqDir = "_graft_seq"
   val TombstoneDir = "_graft_tombstones"
 
+  /** Sibling-directory suffixes used by the compaction swap: the rewritten
+    * index is staged at `<path>.graft_compact` and the old one parks at
+    * `<path>.graft_trash` for the duration of the swap.
+    */
+  val StagingSuffix = ".graft_compact"
+  val TrashSuffix = ".graft_trash"
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -58,6 +65,7 @@ object IndexState {
     * mutation (or by a pre-seq layout).
     */
   def readSeq(spark: SparkSession, indexPath: String): Long = {
+    recoverSwap(spark, indexPath)
     val p = s"$indexPath/$SeqDir"
     if (!exists(spark, p)) 0L
     else spark.read.parquet(p).collect()(0).getLong(0)
@@ -78,8 +86,10 @@ object IndexState {
     next
   }
 
-  def hasTombstones(spark: SparkSession, indexPath: String): Boolean =
+  def hasTombstones(spark: SparkSession, indexPath: String): Boolean = {
+    recoverSwap(spark, indexPath)
     exists(spark, s"$indexPath/$TombstoneDir")
+  }
 
   /** Aggregated tombstones `(ts_id, del_seq)` — one row per deleted id,
     * carrying the LATEST delete seq (earlier deletes of the same id are
@@ -124,26 +134,97 @@ object IndexState {
 
   /** Swap a compacted staging directory into place: the live index moves
     * to `<path>.graft_trash`, staging is renamed over `path`, and the
-    * trash is deleted last — so a crash at any point leaves EITHER a
-    * complete old index (possibly with a stale staging/trash to sweep) OR
-    * a complete new one, never a hole where the index was. Single-writer
-    * discipline assumed, like every other mutation here.
+    * trash is deleted last. On a filesystem with atomic directory rename
+    * (POSIX, HDFS) every intermediate state holds a COMPLETE index in at
+    * least one of the three locations, and [[recoverSwap]] — run by every
+    * subsequent open through [[readSeq]]/[[hasTombstones]] — restores it
+    * to `path`, preferring the newer staging copy. So a crash anywhere in
+    * the swap self-heals on the next probe or mutation. On object stores
+    * where "rename" is copy+delete this window is NOT atomic — run
+    * compaction there against a metastore location pointer instead of
+    * directory renames. Single-writer discipline assumed (one maintainer
+    * per index), and no CONCURRENT reader during the swap itself: a probe
+    * racing the two renames can observe the missing-live window. Probes
+    * before and after the swap (the sequential per-batch case the
+    * streaming maintainers implement) are unaffected.
     */
   def swapCompacted(spark: SparkSession, path: String, stagingPath: String): Unit = {
     val f = fs(spark, path)
     val live = new Path(path)
     val staging = new Path(stagingPath)
-    val trash = new Path(path + ".graft_trash")
+    val trash = new Path(path + TrashSuffix)
     require(f.exists(staging), s"swapCompacted: staging $stagingPath does not exist")
     if (f.exists(trash)) { f.delete(trash, true); () }
     require(f.rename(live, trash), s"swapCompacted: could not move $path aside")
     if (!f.rename(staging, live)) {
       // roll the live index back before failing: never leave a hole
-      f.rename(trash, live)
+      if (!f.rename(trash, live))
+        throw new IllegalStateException(
+          s"swapCompacted: could not move $stagingPath into place AND the rollback of " +
+            s"$path from $trash failed — the old index is intact at $trash; " +
+            s"recoverSwap (any subsequent open) will restore it"
+        )
       throw new IllegalStateException(s"swapCompacted: could not move $stagingPath into place")
     }
     f.delete(trash, true)
     ()
+  }
+
+  /** Recovery sweep for an interrupted [[swapCompacted]]: if the index is
+    * missing from `path` but a complete copy survives in the staging or
+    * trash sibling, rename it back into place (staging wins — it is only
+    * ever renamed-from AFTER being fully written, and it is the newer
+    * generation). If the index IS at `path`, a leftover trash sibling from
+    * a crash after the second rename is deleted. Returns whether an index
+    * was restored. Called from [[readSeq]] and [[hasTombstones]], so every
+    * mutation and every tombstone-aware probe self-heals on open; the
+    * sweep costs at most three file-status probes when nothing is wrong.
+    *
+    * A stale STAGING sibling next to a live index is left alone: the
+    * compaction flow writes staging while the live index exists, so
+    * deleting it here would race an in-flight compaction.
+    */
+  def recoverSwap(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val live = new Path(path)
+    val staging = new Path(path + StagingSuffix)
+    val trash = new Path(path + TrashSuffix)
+    if (f.exists(live)) {
+      if (f.exists(trash)) { f.delete(trash, true); () }
+      false
+    } else if (f.exists(staging)) {
+      require(f.rename(staging, live), s"recoverSwap: could not restore $path from $staging")
+      if (f.exists(trash)) { f.delete(trash, true); () }
+      true
+    } else if (f.exists(trash)) {
+      require(f.rename(trash, live), s"recoverSwap: could not restore $path from $trash")
+      true
+    } else false
+  }
+
+  /** Whether a compacted staging directory holds any DATA partition.
+    * False when the visible set was empty at compaction time: Spark writes
+    * a partitioned empty DataFrame as a directory containing only _SUCCESS
+    * and the underscore sidecars, which a later parquet read of the index
+    * root cannot infer a schema from. The `maybeCompact*` policies use
+    * this to refuse to swap an empty index into place — a delete-everything
+    * feed must not brick the index (probes on the un-compacted index
+    * already return the correct empty result via [[visible]]).
+    */
+  def stagingHasData(spark: SparkSession, stagingPath: String): Boolean = {
+    val f = fs(spark, stagingPath)
+    val p = new Path(stagingPath)
+    f.exists(p) && f.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Recursively delete a directory if it exists (abandoned staging). */
+  def deleteDir(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (f.exists(p)) { f.delete(p, true); () }
   }
 
   /** Filter `rows` (which must carry `idCol` and a BIGINT `seq` column) to

@@ -93,4 +93,53 @@ object AnnStream {
     )
     autoCompactRatio.foreach { r => Ann.maybeCompactLshIndex(batch.sparkSession, indexPath, r); () }
   }
+
+  /** [[startCdc]] for a [[Ann.writePqIndex]] layout: maintain an IVF-PQ
+    * index from a change feed under the models FROZEN at build time
+    * ([[Ann.appendPqIndexResumed]] re-reads the cell/codebook sidecar per
+    * batch — a driver-side model read, no corpus work). Same
+    * delete-all-batch-ids-then-append convergence argument as the LSH and
+    * BM25 maintainers; with `autoCompactRatio`, each batch ends with the
+    * [[Ann.maybeCompactPqIndex]] dead-fraction check. Codebook drift under
+    * a shifting distribution remains a model refresh (retrain + rewrite),
+    * not a streaming concern.
+    */
+  def startCdcPq(
+      changes: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      id: String,
+      vec: String,
+      trigger: Option[Trigger] = None,
+      autoCompactRatio: Option[Double] = None
+  ): StreamingQuery = {
+    val writer = changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdcPqBatch(batch, indexPath, id, vec, autoCompactRatio)
+        ()
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** One PQ CDC batch; also usable for batch-mode backfills. */
+  def applyCdcPqBatch(
+      batch: DataFrame,
+      indexPath: String,
+      id: String,
+      vec: String,
+      autoCompactRatio: Option[Double] = None
+  ): Unit = {
+    import org.apache.spark.sql.functions.col
+    Ann.deleteFromPqIndex(
+      batch.sparkSession,
+      indexPath,
+      batch.select(col(id).cast("long").as("id"))
+    )
+    Ann.appendPqIndexResumed(
+      batch.filter(col("tg_op").isin("INSERT", "UPDATE")),
+      indexPath, id, vec
+    )
+    autoCompactRatio.foreach { r => Ann.maybeCompactPqIndex(batch.sparkSession, indexPath, r); () }
+  }
 }

@@ -37,9 +37,13 @@ object Bm25Stream {
     * With `autoCompactRatio` set, each batch ends with the
     * [[Retrieval.maybeCompactBm25Index]] policy check (cheap — sidecar
     * counts only), so a delete-heavy feed cannot grow tombstones without
-    * bound: the index is rewritten and atomically swapped once the dead
-    * fraction reaches the ratio, and probes between batches keep working
-    * throughout (the swap never leaves a hole).
+    * bound: the index is rewritten and swapped once the dead fraction
+    * reaches the ratio. Probes issued BETWEEN batches (the single-process
+    * sequential case this maintainer implements) always see a complete
+    * index, and a crash mid-swap self-heals on the next open
+    * ([[graft.sources.IndexState.recoverSwap]]); a probe from a SEPARATE
+    * process racing the swap's rename window is not protected — route
+    * concurrent readers through a version indirection if that matters.
     */
   def start(
       changes: DataFrame,

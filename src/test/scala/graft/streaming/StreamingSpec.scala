@@ -526,6 +526,56 @@ class StreamingSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("streaming PQ CDC: deletes reach the probe surface, auto-compaction, replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ann.Ann
+    def mkVec(i: Long) =
+      Array.tabulate(16)(j => (math.cos((i % 4) * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat)
+    val dir = graft.util.TempDirs.scratch("pq-cdc-stream").toString
+    val seed = (0L until 40L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    // models are FROZEN at build time; appends encode under them (sidecar)
+    val cells = Ann.trainIvfCells(seed, "vec_id", "embedding", nlists = 4)
+    val books = Ann.pqTrain(seed, "vec_id", "embedding", m = 4, codeK = 8)
+    Ann.writePqIndex(seed, s"$dir/index", "vec_id", "embedding", cells, books)
+    val stream = MemoryStream[(String, Long, Array[Float])]
+    val changes = stream.toDF()
+      .select(col("_1").as("tg_op"), col("_2").as("vec_id"), col("_3").as("embedding"))
+    def startQ() = AnnStream.startCdcPq(
+      changes, s"$dir/index", s"$dir/ckpt", "vec_id", "embedding",
+      autoCompactRatio = Some(0.03))
+    val q1 = startQ()
+    stream.addData(
+      (40L until 50L).map(i => ("INSERT", i, mkVec(i))) :+ (("DELETE", 1L, null)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // the 0.03 policy must have compacted the batch's churn away mid-stream
+    assert(!new java.io.File(s"$dir/index/_graft_tombstones").exists())
+    val q2 = startQ()
+    stream.addData(("UPDATE", 5L, mkVec(45L)), ("DELETE", 44L, null))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(!new java.io.File(s"$dir/index/_graft_tombstones").exists())
+    // final live state: 0..49 minus {1, 44}, with 5 carrying vec(45) —
+    // probe equals an index of the final state under the SAME frozen models
+    val finalVecs = ((0L until 50L).filterNot(i => i == 1L || i == 44L))
+      .map(i => (i, if (i == 5L) mkVec(45L) else mkVec(i))).toDF("vec_id", "embedding")
+    val queries = finalVecs.filter(col("vec_id").isin(0L, 2L, 3L))
+    def rows(p: String) =
+      Ann.pqTopKIndexedResumed(p, queries, "vec_id", "embedding", 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuiltDir = s"$dir/rebuilt"
+    Ann.writePqIndex(finalVecs, rebuiltDir, "vec_id", "embedding", cells, books)
+    assert(rows(s"$dir/index") == rows(rebuiltDir))
+    // replaying the last batch converges (delete-first tombstones the
+    // earlier attempt's generation before re-appending)
+    val replay = Seq(("UPDATE", 5L, mkVec(45L)), ("DELETE", 44L, null))
+      .toDF("tg_op", "vec_id", "embedding")
+    AnnStream.applyCdcPqBatch(replay, s"$dir/index", "vec_id", "embedding",
+      autoCompactRatio = Some(0.03))
+    assert(rows(s"$dir/index") == rows(rebuiltDir))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("streaming ANN ingest: appended micro-batches probe like a full rebuild") {
     implicit val sqlCtx = spark.sqlContext
     def mk(range: Range) = range.map { i =>
