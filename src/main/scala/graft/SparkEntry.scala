@@ -801,6 +801,29 @@ object SparkEntry {
           col("checksum"),
           concat_ws(",", col("frames")).as("frames")
         )),
+    // REAL image decode (javax.imageio) over the committed fixture images +
+    // one corrupt row: dimensions/bands/pixel-sums graded against the
+    // fixtures' generation-time ground truth (the oracle is a VALUES table
+    // of known constants, not a re-run of the decoder). Sentinel -1 /
+    // 'undecodable' instead of NULL keeps the comparison representation-
+    // stable across engines.
+    "q_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val corrupt = Seq((99L, "corrupt.bin", "not an image at all".getBytes("UTF-8")))
+        .toDF("id", "name", "content")
+      Multimodal
+        .decodeImages(Multimodal.fixtureImages(s).unionByName(corrupt))
+        .toDF()
+        .select(
+          col("id"),
+          col("ok"),
+          coalesce(col("format"), lit("undecodable")).as("format"),
+          coalesce(col("width").cast("long"), lit(-1L)).as("width"),
+          coalesce(col("height").cast("long"), lit(-1L)).as("height"),
+          coalesce(col("bands").cast("long"), lit(-1L)).as("bands"),
+          coalesce(col("pixel_sum"), lit(-1L)).as("pixel_sum")
+        )
+    }),
     // ---- sequence packing: docs → fixed token-budget training sequences ----
     // concatenate-and-chunk semantics (pure prefix sum — carries the oracle);
     // 8 streams salted by id, whitespace token counts, 512-token packs
@@ -2849,6 +2872,19 @@ object SparkEntry {
                 CAST(list_sum(list_transform(string_split(substr(text, 1, 64), ''), x -> ord(x))) AS BIGINT) AS checksum,
                 array_to_string(list_transform(generate_series(0, 3), i -> (i * strlen(text)) // 4), ',') AS frames
          FROM documents""",
+    // fixture ground truth: the images were generated with pixel (x,y) =
+    // ((x*7+y*13+k*29)%256, (x*3+y*5+k*11)%256, (x*11+y*2+k*7)%256) for
+    // image k, so width/height/pixel-sum are known constants; the JPEG's
+    // lossy pixel sum is unpublished (-1), the corrupt row decodes to ok=false
+    "q_image_decode" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), TRUE,  'png',         CAST(7  AS BIGINT), CAST(5  AS BIGINT), CAST(3  AS BIGINT), CAST(3605  AS BIGINT)),
+           (CAST(1 AS BIGINT), TRUE,  'png',         CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(3  AS BIGINT), CAST(81024 AS BIGINT)),
+           (CAST(2 AS BIGINT), TRUE,  'png',         CAST(3  AS BIGINT), CAST(9  AS BIGINT), CAST(3  AS BIGINT), CAST(5265  AS BIGINT)),
+           (CAST(3 AS BIGINT), TRUE,  'png',         CAST(32 AS BIGINT), CAST(8  AS BIGINT), CAST(3  AS BIGINT), CAST(86912 AS BIGINT)),
+           (CAST(4 AS BIGINT), TRUE,  'jpeg',        CAST(24 AS BIGINT), CAST(10 AS BIGINT), CAST(3  AS BIGINT), CAST(-1    AS BIGINT)),
+           (CAST(99 AS BIGINT), FALSE, 'undecodable', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1    AS BIGINT))
+         ) AS t(id, ok, format, width, height, bands, pixel_sum)""",
     "q_pack" ->
       """WITH t AS (
            SELECT doc_id, doc_id % 8 AS part,

@@ -7,15 +7,198 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed by per-partition pipelines with lazy
   * heavyweight-decoder initialization.
   *
-  * The decode step is a STUB (`FakeDecoder`): the image/audio libraries are
-  * not in this container, so decoding is a clearly-marked deterministic fake.
-  * Everything around it — schema, partitioning, batch shape, per-partition
-  * lazy init, feature/resize/frame-sample plumbing — is the real Spark
-  * pattern (equivalent to `mapInPandas` batches on the PySpark side, and to
-  * the reference's heavyweight per-partition plugin clients,
-  * `pgsync/plugins/sentence_transformer_plugin.py`).
+  * IMAGE decode is REAL: [[ImageDecoder]] parses PNG/JPEG/GIF/BMP bytes with
+  * the JDK's `javax.imageio` (no external dependency) — dimensions, band
+  * count, and (for lossless formats) an exact pixel sum, verified against
+  * committed fixture images with known ground truth. [[resizeImages]] is a
+  * real binary→binary transform (decode → area scale → PNG re-encode).
+  * Audio/video decode and the embedding model remain clearly-marked STUBS
+  * (`FakeDecoder`/`embedStub`): those libraries are not in this container.
+  * Either way the Spark shape is the same — per-partition lazy init, rows
+  * streamed through, no driver collect (equivalent to `mapInPandas` batches
+  * on the PySpark side, and to the reference's heavyweight per-partition
+  * plugin clients, `pgsync/plugins/sentence_transformer_plugin.py`).
   */
 object Multimodal {
+
+  /** A bare binary row for the image pipeline. */
+  final case class BinaryRow(id: Long, content: Array[Byte])
+
+  /** Decoded image facts. `pixel_sum` is the sum of every sample in every
+    * band — exact ground truth for lossless formats; for lossy codecs it is
+    * decoder-version-dependent, so [[decodeImages]] does not publish it.
+    */
+  final case class DecodedImage(format: String, width: Int, height: Int, bands: Int, pixelSum: Long)
+
+  /** Per-image features; `ok = false` rows (undecodable bytes) carry no
+    * facts — corrupt files must degrade to a row, never kill the job.
+    */
+  final case class ImageFeatures(
+      id: Long,
+      ok: Boolean,
+      format: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      bands: Option[Int],
+      pixel_sum: Option[Long]
+  )
+
+  /** REAL image decoder over the JDK's ImageIO — the heavyweight-library
+    * shape ([[FakeDecoder]]'s contract) with an actual kernel behind it.
+    * `init()` runs once per partition: it disables ImageIO's temp-FILE
+    * cache (executors must not touch scratch disk per image) — the same
+    * one-time-setup slot a native codec load would occupy.
+    */
+  final class ImageDecoder {
+    private var ready = false
+    def init(): Unit = {
+      javax.imageio.ImageIO.setUseCache(false)
+      ready = true
+    }
+
+    /** None for bytes no installed reader understands (corrupt or
+      * non-image); Some(facts) otherwise. Never throws on bad input.
+      */
+    def decode(content: Array[Byte]): Option[DecodedImage] = {
+      require(ready, "decoder used before init()")
+      if (content == null || content.isEmpty) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val fmt = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            val raster = img.getRaster
+            val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+            // exact per-sample sum; a throughput-critical variant would pull
+            // rows in bulk with getSamples, same arithmetic
+            var sum = 0L
+            var b = 0
+            while (b < bands) {
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += raster.getSample(x, y, b); x += 1 }
+                y += 1
+              }
+              b += 1
+            }
+            Some(DecodedImage(fmt, w, h, bands, sum))
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Aspect-preserving downscale to `maxDim` on the longer side,
+      * re-encoded as PNG; bytes already within budget (or undecodable)
+      * pass through unchanged.
+      */
+    def resize(content: Array[Byte], maxDim: Int): Array[Byte] = {
+      require(ready, "decoder used before init()")
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) return content
+        val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+        if (scale >= 1.0) return content
+        val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+        val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR
+          )
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      } catch { case scala.util.control.NonFatal(_) => content }
+    }
+  }
+
+  /** Distributed real decode: decoder initialized once per PARTITION, rows
+    * streamed through — the 100 TB batch shape (no per-row library setup,
+    * no driver collect). `pixel_sum` is published only for PNG (lossless ⇒
+    * platform-stable ground truth); lossy codecs decode deterministically
+    * only per decoder version, so their sums are not portable facts.
+    */
+  def decodeImages(media: DataFrame, id: String = "id", content: String = "content"): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col(id).cast("long").as("id"), col(content).as("content"))
+      .as[BinaryRow]
+      .mapPartitions { rows =>
+        val dec = new ImageDecoder
+        dec.init()
+        rows.map { r =>
+          dec.decode(r.content) match {
+            case Some(d) =>
+              ImageFeatures(r.id, ok = true, Some(d.format), Some(d.width), Some(d.height),
+                Some(d.bands), if (d.format == "png") Some(d.pixelSum) else None)
+            case None =>
+              ImageFeatures(r.id, ok = false, None, None, None, None, None)
+          }
+        }
+      }
+  }
+
+  /** Real binary→binary resize: aspect-preserving downscale, PNG re-encode,
+    * undecodable rows passed through untouched. Same per-partition decoder
+    * discipline as [[decodeImages]].
+    */
+  def resizeImages(
+      media: DataFrame,
+      maxDim: Int,
+      id: String = "id",
+      content: String = "content"
+  ): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col(id).cast("long").as("id"), col(content).as("content"))
+      .as[BinaryRow]
+      .mapPartitions { rows =>
+        val dec = new ImageDecoder
+        dec.init()
+        rows.map(r => BinaryRow(r.id, dec.resize(r.content, maxDim)))
+      }
+      .toDF("id", "content")
+  }
+
+  /** The committed fixture images and their generation-time ground truth
+    * (id, file, width, height, png pixel sum; -1 for the lossy JPEG). The
+    * pixels are a deterministic function of (x, y, k) baked at generation
+    * time — see the repo's fixture note — so decode correctness is graded
+    * against known constants, not against the decoder itself.
+    */
+  val FixtureImages: Seq[(Long, String, Int, Int, Long)] = Seq(
+    (0L, "img0_7x5.png", 7, 5, 3605L),
+    (1L, "img1_16x16.png", 16, 16, 81024L),
+    (2L, "img2_3x9.png", 3, 9, 5265L),
+    (3L, "img3_32x8.png", 32, 8, 86912L),
+    (4L, "img4_24x10.jpg", 24, 10, -1L)
+  )
+
+  /** Load the committed fixture images from the classpath as a (id, name,
+    * content) frame — driver-side read of ~2 KB total, then distributed.
+    */
+  def fixtureImages(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = FixtureImages.map { case (i, name, _, _, _) =>
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/img/$name")
+      require(in != null, s"fixture image $name missing from classpath")
+      val bytes = try in.readAllBytes() finally in.close()
+      (i, name, bytes)
+    }
+    rows.toDF("id", "name", "content")
+  }
 
   /** A media row: opaque bytes + kind + metadata. */
   final case class MediaRow(id: Long, kind: String, content: Array[Byte])
