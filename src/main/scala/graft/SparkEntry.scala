@@ -22,6 +22,19 @@ object SparkEntry {
   private def loader(s: SparkSession, dir: String): String => DataFrame =
     Tables.load(s, dir)
 
+  /** Per-session prebuilt BM25 index, one per sf dir: q_bm25_indexed times
+    * STEADY-STATE probe cost against this, while q_bm25_index_build times
+    * the one-time build — conflating the two hid probe regressions behind
+    * build noise (and vice versa).
+    */
+  private val bm25IndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bm25IndexFor(s: SparkSession, dir: String): String =
+    bm25IndexCache.getOrElseUpdate(dir, {
+      val idx = graft.util.TempDirs.scratch("bm25-index-session").toString
+      graft.functions.Retrieval.writeBm25Index(loader(s, dir)("documents"), "doc_id", "text", idx)
+      idx
+    })
+
   private def assembled(s: SparkSession, dir: String, fixture: String): DataFrame =
     DocAssembler.assemble(SchemaDef.parseNodes(fixture), loader(s, dir), Catalog.testData)
 
@@ -410,16 +423,27 @@ object SparkEntry {
         .rrfFuseByQuery(Seq(sparse, dense), 10)
         .select(col("qid"), col("id").as("doc_id"), col("rrf_nano"), col("rank"))
     }),
-    // ---- persisted BM25 index: term-bucket partition-pruned workload probe -
-    // builds the index into a scratch dir, then probes it — same scoring
-    // contract as q_bm25_batch, so the same oracle certifies it; the probe
-    // reads ONLY the partitions the workload's terms hash into
+    // ---- persisted BM25 index, split into its two cost shapes --------------
+    // BUILD: tokenize the corpus once, write term-bucketed postings + the
+    // doclens/stats sidecars. Timed standalone so the one-time index cost is
+    // its own bench signal; graded on the stats sidecar (n_docs / dl_sum are
+    // exact corpus facts the oracle recomputes).
+    "q_bm25_index_build" -> ((s, dir) => {
+      val docs = loader(s, dir)("documents")
+      val idx = graft.util.TempDirs.scratch("bm25-index-build").toString
+      graft.functions.Retrieval.writeBm25Index(docs, "doc_id", "text", idx)
+      s.read.parquet(s"$idx/_graft_stats")
+        .select(col("n_docs"), col("dl_sum"), col("buckets").cast("long").as("buckets"))
+    }),
+    // PROBE: term-bucket partition-pruned workload probe of a PREBUILT
+    // per-session index — steady-state probe latency, the regression signal
+    // that matters (the build above is deliberately not in this timing).
+    // Same scoring contract as q_bm25_batch, so the same oracle certifies it;
+    // the probe reads ONLY the partitions the workload's terms hash into.
     "q_bm25_indexed" -> ((s, dir) => {
       val docs = loader(s, dir)("documents")
-      val idx = graft.util.TempDirs.scratch("bm25-index").toString
-      graft.functions.Retrieval.writeBm25Index(docs, "doc_id", "text", idx)
       graft.functions.Retrieval
-        .bm25TopKIndexedBatch(idx, docs.filter(col("doc_id") < 3), "doc_id", "text", 10)
+        .bm25TopKIndexedBatch(bm25IndexFor(s, dir), docs.filter(col("doc_id") < 3), "doc_id", "text", 10)
     }),
     // ---- chunking: fixed-size overlapping windows (map-side only) ----------
     "q_chunk" -> ((s, dir) =>
@@ -1642,6 +1666,13 @@ object SparkEntry {
     // plan by construction (same tokenization, tf, df, sidecar-exact
     // n_docs/avgdl), so the same oracle certifies it
     "q_bm25_indexed" -> bm25BatchSql,
+    // corpus facts the build must persist exactly: doc count, total token
+    // count under the same whitespace tokenization, and the bucket default
+    "q_bm25_index_build" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS dl_sum,
+                CAST(64 AS BIGINT) AS buckets
+         FROM documents""",
     "q_hybrid_rrf_batch" ->
       // the q_bm25_batch replay at k=20 fused per qid with a per-qid dense
       // run (brute-force cosine, self excluded), nano-unit integer fusion
