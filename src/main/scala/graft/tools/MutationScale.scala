@@ -1,0 +1,110 @@
+package graft.tools
+
+import graft.ann.Ann
+import graft.functions.Retrieval
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale measurement for the persisted-index MUTATION paths (the round-8
+  * delete/compact machinery): at a given corpus, time
+  *
+  *   - index build,
+  *   - steady-state probe with a CLEAN index (no tombstone sidecar ⇒ the
+  *     visibility join is skipped entirely),
+  *   - a 10% delete batch, probe at 10% dead, another 10%, probe at 20%
+  *     dead (tombstone subtraction in the plan),
+  *   - a full compaction cycle (rewrite + atomic swap) at 20% dead,
+  *   - probe after compaction (clean again),
+  *
+  * for both the BM25 postings index and the LSH vector index. Run at
+  * sf0.1 and .scale/sf1 to show the mutation costs scale with BATCH and
+  * CANDIDATE sizes, not corpus size — the design claim of
+  * [[graft.sources.IndexState]]. Probes are min-of-3; mutations are
+  * single-shot (they are one-time costs by nature and mutate state).
+  *
+  * Usage: `runMain graft.tools.MutationScale <sfDir> [outJson]`
+  */
+object MutationScale {
+
+  private def time[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  private def minOf3(body: => Long): Double =
+    (0 until 3).map(_ => time(body)._1).min
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val out = args.lift(1)
+    val spark = SparkSession
+      .builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val loadBefore = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
+      _.getLines().next().split(" ")(0).toDouble).getOrElse(-1.0)
+
+    val load: String => org.apache.spark.sql.DataFrame = graft.sources.Tables.load(spark, dir)(_)
+
+    // ---- BM25 postings index ------------------------------------------------
+    val docs = load("documents")
+    val nDocs = docs.count()
+    val bmQueries = docs.filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+    val bmIdx = graft.util.TempDirs.scratch("mutscale-bm25").toString
+    def bmProbe(): Long =
+      Retrieval.bm25TopKIndexedBatch(bmIdx, bmQueries, "doc_id", "text", 10).count()
+    val (bmBuild, _) = time(Retrieval.writeBm25Index(docs, "doc_id", "text", bmIdx))
+    val bmProbeClean = minOf3(bmProbe())
+    val del1 = docs.filter(pmod(col("doc_id"), lit(10)) === 7).select(col("doc_id").as("id"))
+    val nDel1 = del1.count()
+    val (bmDel1, _) = time(Retrieval.deleteFromBm25Index(spark, bmIdx, del1))
+    val bmProbeDead10 = minOf3(bmProbe())
+    val del2 = docs.filter(pmod(col("doc_id"), lit(10)) === 8).select(col("doc_id").as("id"))
+    val (bmDel2, _) = time(Retrieval.deleteFromBm25Index(spark, bmIdx, del2))
+    val bmProbeDead20 = minOf3(bmProbe())
+    val (bmCompact, compacted) = time(Retrieval.maybeCompactBm25Index(spark, bmIdx, maxDeadRatio = 0.15))
+    require(compacted, "expected the 20%-dead policy to compact")
+    val bmProbeAfter = minOf3(bmProbe())
+
+    // ---- LSH vector index ---------------------------------------------------
+    val emb = load("embeddings")
+    val nVecs = emb.count()
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val annQueries = emb.filter(col("vec_id") < 50)
+    val annIdx = graft.util.TempDirs.scratch("mutscale-lsh").toString
+    def annProbe(): Long =
+      Ann.lshTopKIndexed(annIdx, annQueries, "vec_id", "embedding", 10, planes = 6, dim = dim).count()
+    val (annBuild, _) = time(Ann.writeLshIndex(emb, annIdx, "vec_id", "embedding", planes = 6, dim = dim))
+    val annProbeClean = minOf3(annProbe())
+    val vdel1 = emb.filter(pmod(col("vec_id"), lit(10)) === 7).select(col("vec_id").as("id"))
+    val (annDel1, _) = time(Ann.deleteFromLshIndex(spark, annIdx, vdel1))
+    val annProbeDead10 = minOf3(annProbe())
+    val vdel2 = emb.filter(pmod(col("vec_id"), lit(10)) === 8).select(col("vec_id").as("id"))
+    val (annDel2, _) = time(Ann.deleteFromLshIndex(spark, annIdx, vdel2))
+    val annProbeDead20 = minOf3(annProbe())
+    val (annCompact, annCompacted) = time(Ann.maybeCompactLshIndex(spark, annIdx, maxDeadRatio = 0.15))
+    require(annCompacted, "expected the 20%-dead policy to compact")
+    val annProbeAfter = minOf3(annProbe())
+
+    val json =
+      f"""{"sf":"$dir","load_before":$loadBefore%.2f,"n_docs":$nDocs,"n_vecs":$nVecs,"delete_batch_rows":$nDel1,""" +
+        f""""bm25":{"build_sec":$bmBuild%.3f,"probe_clean_sec":$bmProbeClean%.3f,"delete10_sec":$bmDel1%.3f,""" +
+        f""""probe_dead10_sec":$bmProbeDead10%.3f,"delete10b_sec":$bmDel2%.3f,"probe_dead20_sec":$bmProbeDead20%.3f,""" +
+        f""""compact_sec":$bmCompact%.3f,"probe_after_compact_sec":$bmProbeAfter%.3f},""" +
+        f""""lsh":{"build_sec":$annBuild%.3f,"probe_clean_sec":$annProbeClean%.3f,"delete10_sec":$annDel1%.3f,""" +
+        f""""probe_dead10_sec":$annProbeDead10%.3f,"delete10b_sec":$annDel2%.3f,"probe_dead20_sec":$annProbeDead20%.3f,""" +
+        f""""compact_sec":$annCompact%.3f,"probe_after_compact_sec":$annProbeAfter%.3f}}"""
+    out.foreach { p =>
+      val w = new java.io.PrintWriter(p)
+      try w.println(json) finally w.close()
+    }
+    spark.stop()
+    println(json)
+  }
+}
