@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Build SCALING_r09.json from two full-set Bench JSON files (the
+BENCH_LOCAL.json copies written at sf0.1 and sf1). Unlike round 7's
+merge (which patched batches into an existing file), this writes the
+complete document in one shot: every timed query present, per-query
+ratios, summary stats, and slots for superlinear explanations."""
+import json, statistics, sys
+
+sf01_path, sf1_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+a = json.load(open(sf01_path))
+b = json.load(open(sf1_path))
+
+queries = {}
+for q, t01 in a["queries"].items():
+    t1 = b["queries"].get(q)
+    if t1 is None:
+        continue
+    queries[q] = {
+        "sf0_1_sec": round(t01, 3),
+        "sf1_sec": round(t1, 3),
+        "ratio": round(t1 / t01, 2) if t01 > 0 else None,
+    }
+ratios = sorted(v["ratio"] for v in queries.values() if v.get("ratio"))
+doc = {
+    "round": 9,
+    "data_factor": 10,
+    "generator": "graft.tools.ScaleUp (sf0.1 replicated 10x; key-domain offsets; per-copy text salt + embedding jitter; dims fixed)",
+    "sf0_1": {
+        "total_sec": a["value"],
+        "load_before": a.get("load_before"),
+        "load_after": a.get("load_after"),
+        "snapshot_docs_per_sec": a.get("snapshot_docs_per_sec"),
+        "snapshot_docs_per_sec_bucketed": a.get("snapshot_docs_per_sec_bucketed"),
+        "incremental_changes_per_sec": a.get("incremental_changes_per_sec"),
+    },
+    "sf1": {
+        "total_sec": b["value"],
+        "load_before": b.get("load_before"),
+        "load_after": b.get("load_after"),
+        "snapshot_docs_per_sec": b.get("snapshot_docs_per_sec"),
+        "snapshot_docs_per_sec_bucketed": b.get("snapshot_docs_per_sec_bucketed"),
+        "incremental_changes_per_sec": b.get("incremental_changes_per_sec"),
+    },
+    "n_queries": len(queries),
+    "ratio_median": round(statistics.median(ratios), 2),
+    "ratio_p90": round(ratios[int(0.9 * (len(ratios) - 1))], 2),
+    "queries": queries,
+    "superlinear_explained": {},
+    "notes": [],
+}
+json.dump(doc, open(out_path, "w"), indent=1)
+worst = sorted(((q, v["ratio"]) for q, v in queries.items() if v.get("ratio")), key=lambda x: -x[1])[:10]
+print("queries:", len(queries), "median:", doc["ratio_median"], "p90:", doc["ratio_p90"])
+for q, r in worst:
+    print(f"  {q}: {r}x ({queries[q]['sf0_1_sec']}s -> {queries[q]['sf1_sec']}s)")
