@@ -60,6 +60,7 @@ object MutationScale {
     def bmProbe(): Long =
       Retrieval.bm25TopKIndexedBatch(bmIdx, bmQueries, "doc_id", "text", 10).count()
     val (bmBuild, _) = time(Retrieval.writeBm25Index(docs, "doc_id", "text", bmIdx))
+    bmProbe() // untimed warm-up: pay codegen/JIT once, outside every timing
     val bmProbeClean = minOf3(bmProbe())
     val del1 = docs.filter(pmod(col("doc_id"), lit(10)) === 7).select(col("doc_id").as("id"))
     val nDel1 = del1.count()
@@ -81,6 +82,7 @@ object MutationScale {
     def annProbe(): Long =
       Ann.lshTopKIndexed(annIdx, annQueries, "vec_id", "embedding", 10, planes = 6, dim = dim).count()
     val (annBuild, _) = time(Ann.writeLshIndex(emb, annIdx, "vec_id", "embedding", planes = 6, dim = dim))
+    annProbe() // untimed warm-up, as above
     val annProbeClean = minOf3(annProbe())
     val vdel1 = emb.filter(pmod(col("vec_id"), lit(10)) === 7).select(col("vec_id").as("id"))
     val (annDel1, _) = time(Ann.deleteFromLshIndex(spark, annIdx, vdel1))

@@ -24,7 +24,7 @@ ratios = sorted(v["ratio"] for v in queries.values() if v.get("ratio"))
 doc = {
     "round": 9,
     "data_factor": 10,
-    "generator": "graft.tools.ScaleUp (sf0.1 replicated 10x; key-domain offsets; per-copy text salt + embedding jitter; dims fixed)",
+    "generator": "graft.tools.ScaleUp (sf0.1 replicated 10x; key-domain offsets; per-copy text salt + embedding jitter; dims fixed; 32 output files per table since r9)",
     "sf0_1": {
         "total_sec": a["value"],
         "load_before": a.get("load_before"),
