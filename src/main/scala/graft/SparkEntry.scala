@@ -848,6 +848,16 @@ object SparkEntry {
           coalesce(col("pixel_sum"), lit(-1L)).as("pixel_sum")
         )
     }),
+    // REAL image embedding: 4x4 grid-pooled intensity signature in exact
+    // integer micro-units over the PNG fixtures (lossless ⇒ the expected
+    // vectors are constants derivable from the fixture pixel formula —
+    // FIXTURES.md §C); the JPEG is excluded (lossy pixels are decoder-
+    // version facts, not portable ground truth)
+    "q_image_embed" -> ((s, dir) =>
+      Multimodal
+        .imageGridSignatures(
+          Multimodal.fixtureImages(s).filter(col("name").endsWith(".png")), grid = 4)
+        .select(col("id"), concat_ws(",", col("sig")).as("sig"))),
     // ---- sequence packing: docs → fixed token-budget training sequences ----
     // concatenate-and-chunk semantics (pure prefix sum — carries the oracle);
     // 8 streams salted by id, whitespace token counts, 512-token packs
@@ -2916,6 +2926,15 @@ object SparkEntry {
            (CAST(4 AS BIGINT), TRUE,  'jpeg',        CAST(24 AS BIGINT), CAST(10 AS BIGINT), CAST(3  AS BIGINT), CAST(-1    AS BIGINT)),
            (CAST(99 AS BIGINT), FALSE, 'undecodable', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1    AS BIGINT))
          ) AS t(id, ok, format, width, height, bands, pixel_sum)""",
+    // expected 4x4 signatures computed from the fixture pixel formula with
+    // the same integer half-up pooling ((1e6*sum + n/2) / n per block)
+    "q_image_embed" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), '0,10500000,24500000,38500000,6666667,17166667,31166667,45166667,13333333,23833333,37833333,51833333,23333333,33833333,47833333,61833333'),
+           (CAST(1 AS BIGINT), '36166667,64166667,92166667,120166667,62833333,90833333,118833333,146833333,89500000,117500000,145500000,141500000,116166667,122833333,108166667,114833333'),
+           (CAST(2 AS BIGINT), '0,34666667,41666667,48666667,0,48000000,55000000,62000000,0,61333333,68333333,75333333,0,78000000,85000000,92000000'),
+           (CAST(3 AS BIGINT), '74833333,130833333,160166667,77500000,88166667,144166667,125500000,85500000,101500000,152166667,101500000,98833333,114833333,133500000,109500000,112166667')
+         ) AS t(id, sig)""",
     "q_pack" ->
       """WITH t AS (
            SELECT doc_id, doc_id % 8 AS part,

