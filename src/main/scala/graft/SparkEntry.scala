@@ -858,6 +858,18 @@ object SparkEntry {
         .imageGridSignatures(
           Multimodal.fixtureImages(s).filter(col("name").endsWith(".png")), grid = 4)
         .select(col("id"), concat_ws(",", col("sig")).as("sig"))),
+    // image pipeline at CORPUS scale: one real 16x16 PNG per document row,
+    // generated distributed, pushed through the real codec (encode → decode
+    // → 4x4 grid pooling). The oracle replays the expected signatures as
+    // pure integer arithmetic from the pixel formula — so the whole
+    // ImageIO round trip is externally graded at data size, not just on
+    // five fixtures
+    "q_image_pipeline" -> ((s, dir) =>
+      Multimodal
+        .imageGridSignatures(
+          Multimodal.syntheticImages(loader(s, dir)("documents").select(col("doc_id")), "doc_id"),
+          grid = 4)
+        .select(col("id").as("doc_id"), concat_ws(",", col("sig")).as("sig"))),
     // ---- sequence packing: docs → fixed token-budget training sequences ----
     // concatenate-and-chunk semantics (pure prefix sum — carries the oracle);
     // 8 streams salted by id, whitespace token counts, 512-token packs
@@ -2935,6 +2947,28 @@ object SparkEntry {
            (CAST(2 AS BIGINT), '0,34666667,41666667,48666667,0,48000000,55000000,62000000,0,61333333,68333333,75333333,0,78000000,85000000,92000000'),
            (CAST(3 AS BIGINT), '74833333,130833333,160166667,77500000,88166667,144166667,125500000,85500000,101500000,152166667,101500000,98833333,114833333,133500000,109500000,112166667')
          ) AS t(id, sig)""",
+    // replay the synthetic-image signatures arithmetically: 16x16 image for
+    // key k has pixel (x,y) = ((x*7+y*13+k*29)%256, (x*3+y*5+k*11)%256,
+    // (x*11+y*2+k*7)%256); cell (i,j) pools the 4x4 block at (j*4, i*4)
+    // with integer half-up micro-rounding — PNG is lossless, so the codec
+    // round trip must reproduce these exactly
+    "q_image_pipeline" ->
+      """WITH cell AS (
+           SELECT i.i, j.j, dx.dx, dy.dy
+           FROM generate_series(0,3) i(i), generate_series(0,3) j(j),
+                generate_series(0,3) dx(dx), generate_series(0,3) dy(dy)),
+         px AS (
+           SELECT d.doc_id, c.i, c.j, (c.j*4 + c.dx) AS x, (c.i*4 + c.dy) AS y
+           FROM documents d, cell c),
+         s AS (
+           SELECT doc_id, i, j,
+                  sum((x*7 + y*13 + doc_id*29) % 256
+                      + (x*3 + y*5 + doc_id*11) % 256
+                      + (x*11 + y*2 + doc_id*7) % 256) AS sm
+           FROM px GROUP BY 1, 2, 3)
+         SELECT doc_id,
+                string_agg(CAST((1000000*sm + 24) // 48 AS VARCHAR), ',' ORDER BY i, j) AS sig
+         FROM s GROUP BY doc_id""",
     "q_pack" ->
       """WITH t AS (
            SELECT doc_id, doc_id % 8 AS part,

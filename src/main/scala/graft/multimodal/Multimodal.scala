@@ -287,6 +287,43 @@ object Multimodal {
     (4L, "img4_24x10.jpg", 24, 10, -1L)
   )
 
+  /** Synthetic image corpus at DATA scale: render the fixture pixel
+    * formula (FIXTURES.md §C) at `w`×`h` for every key and PNG-encode it —
+    * real bytes through the real codec, one image per input row, generated
+    * distributed (no driver loop). Downstream decode/pool/embed then
+    * exercises actual ImageIO work at corpus size, while the expected
+    * signatures stay pure integer arithmetic an external engine can replay.
+    */
+  def syntheticImages(ids: DataFrame, id: String, w: Int = 16, h: Int = 16): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids
+      .select(col(id).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { k =>
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((x * 7 + y * 13 + k * 29) % 256).toInt
+              val g = ((x * 3 + y * 5 + k * 11) % 256).toInt
+              val b = ((x * 11 + y * 2 + k * 7) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (k, bos.toByteArray)
+        }
+      }
+      .toDF("id", "content")
+  }
+
   /** Load the committed fixture images from the classpath as a (id, name,
     * content) frame — driver-side read of ~2 KB total, then distributed.
     */

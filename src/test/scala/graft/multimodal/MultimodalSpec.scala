@@ -80,6 +80,22 @@ class MultimodalSpec extends SparkSpec {
     assert(top.collect()(0).getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("syntheticImages: generated PNGs round-trip the codec to the fixture ground truth") {
+    // key 0 at 7x5 renders the same pixels as the committed img0 fixture,
+    // so its decode must reproduce img0's known dimensions and pixel sum
+    val ids = Seq(0L).toDF("doc_id")
+    val img = Multimodal.syntheticImages(ids, "doc_id", w = 7, h = 5)
+    val f = Multimodal.decodeImages(img).collect()(0)
+    assert(f.ok && f.format.contains("png") && f.width.contains(7) && f.height.contains(5))
+    assert(f.pixel_sum.contains(3605L))
+    // and its grid signature equals the fixture's (same pixels, same pooling)
+    val sigSynth = Multimodal.imageGridSignatures(img, grid = 4).collect()(0).getSeq[Long](1)
+    val sigFix = Multimodal
+      .imageGridSignatures(Multimodal.fixtureImages(spark).filter(col("id") === 0L), grid = 4)
+      .collect()(0).getSeq[Long](1)
+    assert(sigSynth == sigFix)
+  }
+
   test("resizeImages: aspect-preserving downscale, PNG re-encode, pass-through under budget") {
     val media = Multimodal.fixtureImages(spark)
     val resized = Multimodal.resizeImages(media, maxDim = 8)
