@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   *      (u from a Knuth multiplicative hash of the id — both engines
   *      compute the identical BIGINT arithmetic, so the draw replays).
   *
-  * Scale shape: two corpus scans (feature pass reused via one shuffle keyed
-  * by (id, bucket)), model aggregates are bucket-cardinality (4096) not
-  * corpus-cardinality, scoring is a broadcast join, and the final top-k is
-  * a distributed TakeOrdered — no global sort, no single-reducer window
-  * over the corpus. Floats never cross an aggregation boundary (the
+  * Scale shape: two corpus tokenization passes — one building BOTH models
+  * (the target flag rides the feature rows, so raw and target counts come
+  * from a single aggregation) and one scoring pass joined against the
+  * broadcast ratio table. Model aggregates are bucket-cardinality (4096)
+  * not corpus-cardinality, and the final top-k is a distributed
+  * TakeOrdered — no global sort, no single-reducer window over the
+  * corpus. Floats never cross an aggregation boundary (the
   * [[LanguageModel]] micro-nat discipline), so the DuckDB oracle replays
   * the selection bit-for-bit.
   */
@@ -70,21 +72,27 @@ object Dsir {
       isTarget: Column
   ): DataFrame = {
     val feat = docFeatures(docs, id, text)
-    val targetIds = docs.filter(isTarget).select(col(id).as("id"))
-    val raw = feat.groupBy(col("bucket")).agg(sum(col("tf")).as("cr"))
-    val tgt = feat.join(targetIds, "id").groupBy(col("bucket")).agg(sum(col("tf")).as("ct"))
-    val totals = raw.agg(sum(col("cr")).as("totr"))
-      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tott")))
+    // both models from ONE aggregation of the feature frame: the target
+    // membership rides along as a per-id flag (broadcast semi-join-sized),
+    // so the corpus is tokenized for the models once, not once per model
+    val flags = docs.filter(isTarget).select(col(id).as("id"), lit(true).as("is_tgt"))
+    val perBucket = feat
+      .join(flags, Seq("id"), "left_outer") // AQE broadcasts when small
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("tf")).as("cr"),
+        sum(when(col("is_tgt"), col("tf")).otherwise(lit(0L))).as("ct")
+      )
+    val totals = perBucket.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
     // per-bucket smoothed log-ratio, rounded to integer micro-nats BEFORE
     // the per-doc sum — the one float step, on a 4096-row model table
-    val ratio = raw
-      .join(tgt, Seq("bucket"), "left_outer")
+    val ratio = perBucket
       .crossJoin(broadcast(totals))
       .select(
         col("bucket"),
         round(
           lit(1e6) * (
-            log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tott") + lit(Buckets.toDouble))) -
+            log((col("ct") + lit(1.0)) / (col("tott") + lit(Buckets.toDouble))) -
               log((col("cr") + lit(1.0)) / (col("totr") + lit(Buckets.toDouble)))
           )
         ).cast("long").as("ratio_micro")
