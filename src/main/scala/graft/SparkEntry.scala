@@ -870,6 +870,24 @@ object SparkEntry {
           Multimodal.syntheticImages(loader(s, dir)("documents").select(col("doc_id")), "doc_id"),
           grid = 4)
         .select(col("id").as("doc_id"), concat_ws(",", col("sig")).as("sig"))),
+    // audio pipeline at CORPUS scale (the audio twin of q_image_pipeline):
+    // one real 16-bit PCM WAV per document row through the JDK's
+    // javax.sound codec — encode → decode → exact integer features; the
+    // oracle replays sum-of-squares/peak arithmetically from the sample
+    // formula, so the WAV round trip is externally graded at data size
+    "q_audio_pipeline" -> ((s, dir) =>
+      graft.multimodal.Audio
+        .audioFeatures(graft.multimodal.Audio.syntheticAudio(
+          loader(s, dir)("documents").select(col("doc_id")), "doc_id"))
+        .toDF()
+        .select(
+          col("id").as("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"),
+          col("sum_squares"),
+          col("peak_abs").cast("long").as("peak_abs")
+        )),
     // ---- sequence packing: docs → fixed token-budget training sequences ----
     // concatenate-and-chunk semantics (pure prefix sum — carries the oracle);
     // 8 streams salted by id, whitespace token counts, 512-token packs
@@ -2968,6 +2986,20 @@ object SparkEntry {
            FROM px GROUP BY 1, 2, 3)
          SELECT doc_id,
                 string_agg(CAST((1000000*sm + 24) // 48 AS VARCHAR), ',' ORDER BY i, j) AS sig
+         FROM s GROUP BY doc_id""",
+    // replay the synthetic-audio features arithmetically: clip k's sample i
+    // is ((i*7919 + k*104729) mod 65536) - 32768 — WAV PCM is lossless, so
+    // the codec round trip must reproduce these exactly
+    "q_audio_pipeline" ->
+      """WITH s AS (
+           SELECT d.doc_id, ((g.i*7919 + d.doc_id*104729) % 65536) - 32768 AS v
+           FROM documents d, generate_series(0, 399) g(i))
+         SELECT doc_id,
+                CAST(8000 AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(400 AS BIGINT) AS n_frames,
+                CAST(sum(v*v) AS BIGINT) AS sum_squares,
+                CAST(max(abs(v)) AS BIGINT) AS peak_abs
          FROM s GROUP BY doc_id""",
     "q_pack" ->
       """WITH t AS (

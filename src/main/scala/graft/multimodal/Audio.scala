@@ -1,0 +1,144 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** REAL audio kernel over binary columns: the JDK ships a WAV codec
+  * (`javax.sound.sampled`, public standard library), so the audio leg of
+  * the multimodal pillar decodes actual container bytes the same way the
+  * image leg does with ImageIO — per-partition lazy decoder, rows streamed
+  * through, corrupt bytes degrade to a row.
+  *
+  * Features are EXACT integers over the 16-bit PCM samples (frame count,
+  * per-sample sum of squares, peak absolute value), so an external engine
+  * can replay the expected values arithmetically for a synthetic corpus —
+  * the same grading pattern as the image pipeline (FIXTURES.md §C).
+  * Compressed codecs (mp3/ogg) are not in the JDK; they would occupy the
+  * same per-partition decoder slot.
+  */
+object Audio {
+
+  /** Decoded WAV facts: all integers, no floats (RMS = sqrt(sum_squares /
+    * n) is one float away when a consumer wants it; keeping the sum exact
+    * keeps the oracle exact).
+    */
+  final case class WavFacts(
+      sampleRate: Int,
+      channels: Int,
+      bits: Int,
+      nFrames: Long,
+      sumSquares: Long,
+      peakAbs: Int
+  )
+
+  /** Per-clip features; ok = false rows carry no facts. */
+  final case class AudioFeatures(
+      id: Long,
+      ok: Boolean,
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      n_frames: Option[Long],
+      sum_squares: Option[Long],
+      peak_abs: Option[Int]
+  )
+
+  /** Real WAV decoder — [[Multimodal.ImageDecoder]]'s contract for audio.
+    * Supports 16-bit PCM (signed little-endian, the canonical WAV shape);
+    * anything the JDK cannot parse returns None.
+    */
+  final class WavDecoder {
+    private var ready = false
+    def init(): Unit = { ready = true } // real compressed codecs would load here
+
+    def decode(content: Array[Byte]): Option[WavFacts] = {
+      require(ready, "decoder used before init()")
+      if (content == null || content.isEmpty) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          var sumSq = 0L
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt // sign-extends
+            val s = (hi << 8) | lo
+            sumSq += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 1
+          }
+          Some(WavFacts(
+            fmt.getSampleRate.toInt, fmt.getChannels, 16,
+            n.toLong / fmt.getChannels, sumSq, peak))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Synthetic audio corpus at DATA scale: clip k holds `nSamples` 16-bit
+    * mono PCM samples `s_i = ((i·7919 + k·104729) mod 65536) − 32768`,
+    * WAV-encoded through the real codec — the audio twin of
+    * [[Multimodal.syntheticImages]]. Generated distributed, no driver loop.
+    */
+  def syntheticAudio(
+      ids: DataFrame,
+      id: String,
+      nSamples: Int = 400,
+      sampleRate: Int = 8000
+  ): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids
+      .select(col(id).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { k =>
+          val pcm = new Array[Byte](nSamples * 2)
+          var i = 0
+          while (i < nSamples) {
+            val s = (((i.toLong * 7919L + k * 104729L) % 65536L) - 32768L).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (k, bos.toByteArray)
+        }
+      }
+      .toDF("id", "content")
+  }
+
+  /** Distributed real decode + feature extraction — the audio
+    * [[Multimodal.decodeImages]]: decoder per PARTITION, exact integer
+    * facts per row, corrupt bytes degrade to ok = false.
+    */
+  def audioFeatures(media: DataFrame, id: String = "id", content: String = "content"): org.apache.spark.sql.Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col(id).cast("long").as("id"), col(content).as("content"))
+      .as[Multimodal.BinaryRow]
+      .mapPartitions { rows =>
+        val dec = new WavDecoder
+        dec.init()
+        rows.map { r =>
+          dec.decode(r.content) match {
+            case Some(f) => AudioFeatures(r.id, ok = true, Some(f.sampleRate), Some(f.channels),
+              Some(f.nFrames), Some(f.sumSquares), Some(f.peakAbs))
+            case None => AudioFeatures(r.id, ok = false, None, None, None, None, None)
+          }
+        }
+      }
+  }
+}

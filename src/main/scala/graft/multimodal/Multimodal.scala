@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * the JDK's `javax.imageio` (no external dependency) — dimensions, band
   * count, and (for lossless formats) an exact pixel sum, verified against
   * committed fixture images with known ground truth. [[resizeImages]] is a
-  * real binary→binary transform (decode → area scale → PNG re-encode).
-  * Audio/video decode and the embedding model remain clearly-marked STUBS
-  * (`FakeDecoder`/`embedStub`): those libraries are not in this container.
+  * real binary→binary transform (decode → area scale → PNG re-encode), and
+  * [[ImageDecoder.gridSignature]] is a real pixels→vector kernel. AUDIO is
+  * real too: [[Audio.WavDecoder]] parses WAV/PCM with the JDK's
+  * `javax.sound.sampled`. What remains stubbed — honestly — is what the
+  * JDK cannot do: compressed audio (mp3/ogg), video codecs, and learned
+  * embedding models (`FakeDecoder`/`embedStub` document that contract).
   * Either way the Spark shape is the same — per-partition lazy init, rows
   * streamed through, no driver collect (equivalent to `mapInPandas` batches
   * on the PySpark side, and to the reference's heavyweight per-partition

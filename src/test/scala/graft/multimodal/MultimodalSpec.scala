@@ -96,6 +96,23 @@ class MultimodalSpec extends SparkSpec {
     assert(sigSynth == sigFix)
   }
 
+  test("audio: synthetic WAVs round-trip the JDK codec to formula-exact features") {
+    // clip 0: s_i = (i*7919 % 65536) - 32768 for i in 0..399 — replay the
+    // expected integer facts directly
+    val expected = (0 until 400).map(i => ((i.toLong * 7919L) % 65536L) - 32768L)
+    val ids = Seq(0L).toDF("doc_id")
+    val f = Audio.audioFeatures(Audio.syntheticAudio(ids, "doc_id")).collect()(0)
+    assert(f.ok && f.sample_rate.contains(8000) && f.channels.contains(1))
+    assert(f.n_frames.contains(400L))
+    assert(f.sum_squares.contains(expected.map(s => s * s).sum))
+    assert(f.peak_abs.contains(expected.map(math.abs).max.toInt))
+    // corrupt and non-PCM bytes degrade to ok=false rows, never errors
+    val junk = Seq((1L, "definitely not a wav".getBytes("UTF-8")), (2L, Array.emptyByteArray))
+      .toDF("id", "content")
+    val bad = Audio.audioFeatures(junk).collect()
+    assert(bad.length == 2 && bad.forall(r => !r.ok && r.sum_squares.isEmpty))
+  }
+
   test("resizeImages: aspect-preserving downscale, PNG re-encode, pass-through under budget") {
     val media = Multimodal.fixtureImages(spark)
     val resized = Multimodal.resizeImages(media, maxDim = 8)
