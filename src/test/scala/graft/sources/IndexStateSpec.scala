@@ -62,6 +62,27 @@ class IndexStateSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("recoverSwap: the LSH probe and model-sidecar paths self-heal too") {
+    def mkVec(i: Long) =
+      Array.tabulate(16)(j => (math.cos((i % 4) * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat)
+    val vecs = (0L until 24L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val dir = graft.util.TempDirs.scratch("idxstate-recover-lsh").toString
+    val index = s"$dir/index"
+    def rows() = Ann
+      .lshTopKIndexedResumed(index, vecs.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Ann.writeLshIndex(vecs, index, "vec_id", "embedding", planes = 6, dim = 16)
+    Ann.deleteFromLshIndex(spark, index, Seq(5L).toDF("id"))
+    val expected = rows()
+    // interrupted swap: live parked in trash, staging complete — the
+    // resumed probe (model sidecar read first) must restore and answer
+    Ann.compactLshIndex(spark, index, index + IndexState.StagingSuffix)
+    mv(index, index + IndexState.TrashSuffix)
+    assert(rows() == expected)
+    assert(gone(index + IndexState.StagingSuffix) && gone(index + IndexState.TrashSuffix))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("BM25 delete-everything feed: compaction refused, index stays probe-able, revives on append") {
     val docs = Seq(
       (1L, "spark spark spark"),
