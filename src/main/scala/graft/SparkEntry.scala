@@ -888,6 +888,17 @@ object SparkEntry {
           col("sum_squares"),
           col("peak_abs").cast("long").as("peak_abs")
         )),
+    // frame sampling at CORPUS scale (the video-shaped leg): one real
+    // 12-frame animated GIF per document row through the JDK codec —
+    // container open → frame count → 4 evenly-spaced frame decodes →
+    // per-frame mean; grayscale palette frames round-trip exactly, so the
+    // oracle replays the sampled means arithmetically
+    "q_video_pipeline" -> ((s, dir) =>
+      graft.multimodal.Video
+        .sampleFrameMeans(graft.multimodal.Video.syntheticClips(
+          loader(s, dir)("documents").select(col("doc_id")), "doc_id"), n = 4)
+        .toDF()
+        .select(col("id").as("doc_id"), col("frame_idx"), col("mean_micro"))),
     // ---- sequence packing: docs → fixed token-budget training sequences ----
     // concatenate-and-chunk semantics (pure prefix sum — carries the oracle);
     // 8 streams salted by id, whitespace token counts, 512-token packs
@@ -3001,6 +3012,20 @@ object SparkEntry {
                 CAST(sum(v*v) AS BIGINT) AS sum_squares,
                 CAST(max(abs(v)) AS BIGINT) AS peak_abs
          FROM s GROUP BY doc_id""",
+    // replay the sampled-frame means: clip k frame f has gray(x,y) =
+    // (x*7 + y*13 + f*31 + k*29) mod 256 on an 8x8 frame; 4 samples from
+    // 12 frames land on f = 0,3,6,9; mean in half-up integer micro-units
+    "q_video_pipeline" ->
+      """WITH f AS (SELECT j.j * 3 AS f FROM generate_series(0, 3) j(j)),
+         px AS (
+           SELECT d.doc_id, f.f, x.x, y.y
+           FROM documents d, f, generate_series(0, 7) x(x), generate_series(0, 7) y(y)),
+         s AS (
+           SELECT doc_id, f, sum((x*7 + y*13 + f*31 + doc_id*29) % 256) AS sm
+           FROM px GROUP BY 1, 2)
+         SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                CAST((1000000*sm + 32) // 64 AS BIGINT) AS mean_micro
+         FROM s""",
     "q_pack" ->
       """WITH t AS (
            SELECT doc_id, doc_id % 8 AS part,

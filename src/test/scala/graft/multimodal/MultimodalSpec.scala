@@ -113,6 +113,22 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.length == 2 && bad.forall(r => !r.ok && r.sum_squares.isEmpty))
   }
 
+  test("video: synthetic animated GIFs round-trip the codec to formula-exact frame means") {
+    // clip 0, 12 frames of 8x8 gray g = (x*7 + y*13 + f*31) % 256; 4
+    // samples land on frames 0,3,6,9 — replay the expected means directly
+    def mean(f: Long): Long = {
+      val sum = (for (y <- 0 until 8; x <- 0 until 8) yield (x * 7 + y * 13 + f * 31) % 256).sum
+      (1000000L * sum + 32) / 64
+    }
+    val ids = Seq(0L).toDF("doc_id")
+    val out = Video.sampleFrameMeans(Video.syntheticClips(ids, "doc_id"), n = 4)
+      .collect().map(m => m.frame_idx -> m.mean_micro).toMap
+    assert(out == Map(0L -> mean(0), 3L -> mean(3), 6L -> mean(6), 9L -> mean(9)))
+    // corrupt bytes are dropped, never errors
+    val junk = Seq((1L, "not a gif".getBytes("UTF-8"))).toDF("id", "content")
+    assert(Video.sampleFrameMeans(junk, n = 4).count() == 0)
+  }
+
   test("resizeImages: aspect-preserving downscale, PNG re-encode, pass-through under budget") {
     val media = Multimodal.fixtureImages(spark)
     val resized = Multimodal.resizeImages(media, maxDim = 8)
