@@ -431,15 +431,4 @@ object Multimodal {
     }.toDF("id", "embedding")
   }
 
-  /** "Resize": in the stub, recompute metadata at a target scale — the real
-    * version maps content → content; the plumbing (binary in, binary out,
-    * codegen-opaque boundary kept narrow) is what matters.
-    */
-  def resize(media: DataFrame, maxDim: Int): DataFrame =
-    extractFeatures(media).toDF().select(
-      col("id"),
-      col("kind"),
-      least(col("width"), lit(maxDim)).as("width"),
-      least(col("height"), lit(maxDim)).as("height")
-    )
 }
