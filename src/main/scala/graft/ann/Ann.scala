@@ -621,14 +621,7 @@ object Ann {
     if (dead == 0L) return false
     val total = spark.read.parquet(path).count() // parquet footer metadata only
     if (total == 0L || dead.toDouble / total < maxDeadRatio) return false
-    val staging = path + IndexState.StagingSuffix
-    compactLshIndex(spark, path, staging)
-    if (!IndexState.stagingHasData(spark, staging)) {
-      IndexState.deleteDir(spark, staging)
-      return false
-    }
-    IndexState.swapCompacted(spark, path, staging)
-    true
+    IndexState.compactAndSwap(spark, path, compactLshIndex(spark, path, _))
   }
 
   /** [[lshTopKIndexed]] under the parameters persisted at
@@ -1232,14 +1225,7 @@ object Ann {
     if (dead == 0L) return false
     val total = spark.read.parquet(path).count() // parquet footer metadata only
     if (total == 0L || dead.toDouble / total < maxDeadRatio) return false
-    val staging = path + IndexState.StagingSuffix
-    compactPqIndex(spark, path, staging)
-    if (!IndexState.stagingHasData(spark, staging)) {
-      IndexState.deleteDir(spark, staging)
-      return false
-    }
-    IndexState.swapCompacted(spark, path, staging)
-    true
+    IndexState.compactAndSwap(spark, path, compactPqIndex(spark, path, _))
   }
 
   /** Probe a [[writePqIndex]] layout: the queries' `nprobe` nearest cells

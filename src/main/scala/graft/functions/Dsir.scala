@@ -75,7 +75,10 @@ object Dsir {
     // both models from ONE aggregation of the feature frame: the target
     // membership rides along as a per-id flag (broadcast semi-join-sized),
     // so the corpus is tokenized for the models once, not once per model
-    val flags = docs.filter(isTarget).select(col(id).as("id"), lit(true).as("is_tgt"))
+    // distinct: a duplicate-id docs frame must not multiply feature rows
+    // through the join (docFeatures already collapses to one row per
+    // (id, bucket), and the raw counts must stay join-shape-independent)
+    val flags = docs.filter(isTarget).select(col(id).as("id"), lit(true).as("is_tgt")).distinct()
     val perBucket = feat
       .join(flags, Seq("id"), "left_outer") // AQE broadcasts when small
       .groupBy(col("bucket"))

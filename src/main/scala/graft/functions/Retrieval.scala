@@ -431,10 +431,9 @@ object Retrieval {
     // exact-dead-only accounting would need an anti-join against the
     // visible set, i.e. an index scan, which this policy exists to avoid.
     if (dead.toDouble / (live + dead) < maxDeadRatio) return false
-    val staging = path + IndexState.StagingSuffix
-    compactBm25Index(spark, path, staging)
-    IndexState.swapCompacted(spark, path, staging)
-    true
+    // the shared tail also refuses an empty rewrite — defense in depth on
+    // top of the live==0 guard, in case the stats sidecar ever drifts
+    IndexState.compactAndSwap(spark, path, compactBm25Index(spark, path, _))
   }
 
   /** Probe a [[writeBm25Index]] layout with a query workload: the

@@ -58,7 +58,10 @@ object Audio {
           .getAudioInputStream(new java.io.ByteArrayInputStream(content))
         try {
           val fmt = in.getFormat
-          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
+          // signed little-endian 16-bit PCM only: an unsigned or float
+          // stream parsed as signed would publish silently-wrong features
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
           val bytes = in.readAllBytes()
           val n = bytes.length / 2
           var sumSq = 0L

@@ -36,9 +36,17 @@ object Video {
       ready = true
     }
 
-    /** Sample `n` evenly spaced frames (`j·numFrames/n` for j < n) and
-      * return (frameIdx, meanGrayMicro) per sample. None for bytes no
-      * reader understands; never throws on bad input.
+    /** Sample min(`n`, numFrames) evenly spaced DISTINCT frames
+      * (`j·numFrames/take`) and return (frameIdx, meanIntensityMicro) per
+      * sample — a clip with fewer frames than requested yields each frame
+      * once, never duplicate (id, frame_idx) rows. Intensity is the mean
+      * over the R, G and B channels of the decoded frame (≡ the gray value
+      * for grayscale sources). Frames are read as STORED: full-frame clips
+      * (this module's synthetic corpus, unoptimized GIFs) decode exactly;
+      * an optimizer's partial/changed-rect frames would need
+      * disposal-aware compositing onto a canvas — same decoder slot,
+      * documented out of scope like the compressed codecs. None for bytes
+      * no reader understands; never throws on bad input.
       */
     def sampleFrameMeans(content: Array[Byte], n: Int): Option[Seq[(Long, Long)]] = {
       require(ready, "decoder used before init()")
@@ -53,18 +61,23 @@ object Video {
             reader.setInput(iis, false, false)
             val numFrames = reader.getNumImages(true)
             if (numFrames <= 0) return None
-            val out = (0 until n).map { j =>
-              val f = j.toLong * numFrames / n
+            val take = math.min(n, numFrames)
+            val out = (0 until take).map { j =>
+              val f = j.toLong * numFrames / take
               val img = reader.read(f.toInt)
               val (w, h) = (img.getWidth, img.getHeight)
               var sum = 0L
               var y = 0
               while (y < h) {
                 var x = 0
-                while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (rgb & 0xff) + ((rgb >> 8) & 0xff) + ((rgb >> 16) & 0xff)
+                  x += 1
+                }
                 y += 1
               }
-              val npx = w.toLong * h
+              val npx = w.toLong * h * 3
               (f, if (npx == 0) 0L else (1000000L * sum + npx / 2) / npx)
             }
             Some(out)

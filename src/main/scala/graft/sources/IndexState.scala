@@ -190,7 +190,10 @@ object IndexState {
     val staging = new Path(path + StagingSuffix)
     val trash = new Path(path + TrashSuffix)
     if (f.exists(live)) {
-      if (f.exists(trash)) { f.delete(trash, true); () }
+      // healthy index: ONE existence probe and out. A stale trash sibling
+      // from a crash after the second rename is harmless (swapCompacted
+      // deletes it before the next swap), so the hot path does not pay a
+      // second probe for its cleanup.
       false
     } else if (f.exists(staging)) {
       require(f.rename(staging, live), s"recoverSwap: could not restore $path from $staging")
@@ -225,6 +228,25 @@ object IndexState {
     val f = fs(spark, path)
     val p = new Path(path)
     if (f.exists(p)) { f.delete(p, true); () }
+  }
+
+  /** Shared tail of every `maybeCompact*` policy: rewrite the index to the
+    * staging sibling via `compact`, REFUSE to swap in an empty rewrite
+    * (delete-everything feeds must not brick the index — see
+    * [[stagingHasData]]), and atomically swap otherwise. Keeping this in
+    * one place makes the empty-rewrite guard impossible to omit from any
+    * one index family. Returns whether the swap happened.
+    */
+  def compactAndSwap(spark: SparkSession, path: String, compact: String => Unit): Boolean = {
+    val staging = path + StagingSuffix
+    compact(staging)
+    if (!stagingHasData(spark, staging)) {
+      deleteDir(spark, staging)
+      false
+    } else {
+      swapCompacted(spark, path, staging)
+      true
+    }
   }
 
   /** Filter `rows` (which must carry `idCol` and a BIGINT `seq` column) to

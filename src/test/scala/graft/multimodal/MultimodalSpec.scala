@@ -127,6 +127,11 @@ class MultimodalSpec extends SparkSpec {
     // corrupt bytes are dropped, never errors
     val junk = Seq((1L, "not a gif".getBytes("UTF-8"))).toDF("id", "content")
     assert(Video.sampleFrameMeans(junk, n = 4).count() == 0)
+    // a clip with fewer frames than requested yields each frame ONCE —
+    // no duplicate (id, frame_idx) rows for downstream aggregates
+    val short = Video.syntheticClips(Seq(7L).toDF("doc_id"), "doc_id", frames = 2)
+    val sampled = Video.sampleFrameMeans(short, n = 4).collect()
+    assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(0L, 1L))
   }
 
   test("resizeImages: aspect-preserving downscale, PNG re-encode, pass-through under budget") {

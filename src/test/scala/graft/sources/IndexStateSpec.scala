@@ -44,11 +44,16 @@ class IndexStateSpec extends SparkSpec {
     assert(gone(s"$index/${IndexState.TombstoneDir}"), "restored copy is the COMPACTED one")
 
     // crash state B: after the second rename, before the trash delete —
-    // live index complete, stale trash left behind
+    // live index complete, stale trash left behind. Opens leave the stale
+    // trash alone (the hot path pays ONE existence probe); the next swap
+    // deletes it before parking the live index
     val staleTrash = index + IndexState.TrashSuffix
     assert(new java.io.File(staleTrash).mkdir())
     assert(rows(index) == expected)
-    assert(gone(staleTrash), "open must sweep the stale trash sibling")
+    Retrieval.compactBm25Index(spark, index, index + IndexState.StagingSuffix)
+    IndexState.swapCompacted(spark, index, index + IndexState.StagingSuffix)
+    assert(gone(staleTrash), "the next swap must clean the stale trash sibling")
+    assert(rows(index) == expected)
 
     // crash state C: rollback-failure residue — live missing, only trash
     mv(index, index + IndexState.TrashSuffix)

@@ -20,7 +20,7 @@ for q, t01 in a["queries"].items():
         "sf1_sec": round(t1, 3),
         "ratio": round(t1 / t01, 2) if t01 > 0 else None,
     }
-ratios = sorted(v["ratio"] for v in queries.values() if v.get("ratio"))
+ratios = sorted(v["ratio"] for v in queries.values() if v.get("ratio") is not None)
 doc = {
     "round": 9,
     "data_factor": 10,
@@ -42,14 +42,14 @@ doc = {
         "incremental_changes_per_sec": b.get("incremental_changes_per_sec"),
     },
     "n_queries": len(queries),
-    "ratio_median": round(statistics.median(ratios), 2),
-    "ratio_p90": round(ratios[int(0.9 * (len(ratios) - 1))], 2),
+    "ratio_median": round(statistics.median(ratios), 2) if ratios else None,
+    "ratio_p90": round(ratios[int(0.9 * (len(ratios) - 1))], 2) if ratios else None,
     "queries": queries,
     "superlinear_explained": {},
     "notes": [],
 }
 json.dump(doc, open(out_path, "w"), indent=1)
-worst = sorted(((q, v["ratio"]) for q, v in queries.items() if v.get("ratio")), key=lambda x: -x[1])[:10]
+worst = sorted(((q, v["ratio"]) for q, v in queries.items() if v.get("ratio") is not None), key=lambda x: -x[1])[:10]
 print("queries:", len(queries), "median:", doc["ratio_median"], "p90:", doc["ratio_p90"])
 for q, r in worst:
     print(f"  {q}: {r}x ({queries[q]['sf0_1_sec']}s -> {queries[q]['sf1_sec']}s)")
