@@ -134,6 +134,34 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("cross-pillar: image embeddings drive a persisted CDC-maintained ANN index") {
+    import graft.ann.Ann
+    // real pixels → vectors → bucket-partitioned LSH index on disk
+    val ids = (0L until 40L).toDF("doc_id")
+    val emb = Multimodal.imageEmbedding(
+      Multimodal.syntheticImages(ids, "doc_id"), grid = 4)
+    val dir = graft.util.TempDirs.scratch("mm-ann-cdc").toString
+    Ann.writeLshIndex(emb, dir, "id", "embedding", planes = 6, dim = 16)
+    // probe the index with image 5's own embedding and remember the
+    // neighborhood (the formula's mod-256 structure gives same-residue
+    // images similar pooled signatures)
+    val q5 = emb.filter(col("id") === 5L)
+    def neighbors() = Ann
+      .lshTopKIndexed(dir, q5, "id", "embedding", 10, planes = 6, dim = 16)
+      .collect().map(_.getLong(1)).toSet
+    val before = neighbors()
+    assert(before.nonEmpty)
+    // a CDC DELETE of one neighbor must leave the probe surface; the
+    // UPDATE flow (delete + re-append) must bring it back
+    val victim = before.head
+    Ann.deleteFromLshIndex(spark, dir, Seq(victim).toDF("id"))
+    assert(!neighbors().contains(victim), "deleted image still retrievable")
+    Ann.appendLshIndex(
+      emb.filter(col("id") === victim), dir, "id", "embedding", planes = 6, dim = 16)
+    assert(neighbors() == before, "re-added image must restore the original neighborhood")
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("resizeImages: aspect-preserving downscale, PNG re-encode, pass-through under budget") {
     val media = Multimodal.fixtureImages(spark)
     val resized = Multimodal.resizeImages(media, maxDim = 8)
