@@ -174,15 +174,16 @@ object IndexState {
     * missing from `path` but a complete copy survives in the staging or
     * trash sibling, rename it back into place (staging wins — it is only
     * ever renamed-from AFTER being fully written, and it is the newer
-    * generation). If the index IS at `path`, a leftover trash sibling from
-    * a crash after the second rename is deleted. Returns whether an index
-    * was restored. Called from [[readSeq]] and [[hasTombstones]], so every
-    * mutation and every tombstone-aware probe self-heals on open; the
-    * sweep costs at most three file-status probes when nothing is wrong.
+    * generation). Returns whether an index was restored. Called from
+    * [[readSeq]] and [[hasTombstones]], so every mutation and every
+    * tombstone-aware probe self-heals on open; a healthy index pays
+    * exactly ONE file-status probe.
     *
-    * A stale STAGING sibling next to a live index is left alone: the
-    * compaction flow writes staging while the live index exists, so
-    * deleting it here would race an in-flight compaction.
+    * Stale siblings next to a live index are left alone: a leftover trash
+    * is deleted by the next swap (paying its cleanup on every open would
+    * tax the hot path), and deleting a staging sibling here would race an
+    * in-flight compaction (the compaction flow writes staging while the
+    * live index exists).
     */
   def recoverSwap(spark: SparkSession, path: String): Boolean = {
     val f = fs(spark, path)
