@@ -525,9 +525,12 @@ object Ann {
       planes: Int = 6,
       dim: Int = 64
   ): Unit = {
+    val rows = batch.filter(col(vec).isNotNull)
+    // an empty batch is not a mutation: no seq bump (which would stale the
+    // compaction refusal memo for nothing) and no empty file group on disk
+    if (rows.isEmpty) return
     val seq = IndexState.bumpSeq(batch.sparkSession, path)
-    batch
-      .filter(col(vec).isNotNull)
+    rows
       .select(
         col(id).as("neighbor_id"),
         col(vec).as("v"),
@@ -538,7 +541,7 @@ object Ann {
       .write
       .mode("append")
       .partitionBy("bucket")
-      .parquet(path)
+      .parquet(IndexState.dataPath(batch.sparkSession, path))
   }
 
   /** Remove vectors from a [[writeLshIndex]] layout — the DELETE leg of CDC
@@ -576,8 +579,9 @@ object Ann {
   ): Unit = {
     // drop tombstoned rows while rewriting: compaction is where deletes
     // reclaim space; the tombstone sidecar is NOT carried to staging
+    val data = IndexState.dataPath(spark, path)
     IndexState
-      .visible(spark.read.parquet(path), path, "neighbor_id")
+      .visibleAt(spark.read.parquet(data), data, "neighbor_id")
       .repartition(col("bucket"))
       .write
       .mode("overwrite")
@@ -619,8 +623,15 @@ object Ann {
     require(maxDeadRatio > 0 && maxDeadRatio <= 1, s"maxDeadRatio must be in (0,1], got $maxDeadRatio")
     val dead = IndexState.tombstoneCount(spark, path)
     if (dead == 0L) return false
-    val total = spark.read.parquet(path).count() // parquet footer metadata only
-    if (total == 0L || dead.toDouble / total < maxDeadRatio) return false
+    // parquet footer metadata only, against the current generation
+    val total = spark.read.parquet(IndexState.dataPath(spark, path)).count()
+    // dead >= total ⇒ the visible set is (almost certainly) empty — the
+    // BM25 live==0 guard's cheap analogue: skip the full rewrite that
+    // compactAndSwap would refuse anyway. The edge where stale tombstones
+    // of re-added ids make this conservative (visible non-empty but
+    // unreclaimed) self-corrects on the next append, which grows `total`.
+    if (total <= dead) return false
+    if (dead.toDouble / total < maxDeadRatio) return false
     IndexState.compactAndSwap(spark, path, compactLshIndex(spark, path, _))
   }
 
@@ -661,13 +672,16 @@ object Ann {
     val q =
       qKeyed.select(col("qid"), col("qv"), explode(lshProbeKeys(planes, probeHamming)).as("bucket"))
     val keys = q.select(col("bucket")).distinct().collect().map(_.getLong(0)).sorted
-    val corpus = spark.read.parquet(indexPath)
+    // ONE generation resolution for the whole probe: data and tombstones
+    // must come from the same generation even if a compaction flips mid-plan
+    val data = IndexState.dataPath(spark, indexPath)
+    val corpus = spark.read.parquet(data)
     val pruned =
       if (keys.isEmpty) corpus.filter(lit(false))
       else corpus.filter(col("bucket").isInCollection(keys.toSeq))
     // subtract tombstoned ids (no-op for an index with no deletes); runs
     // after pruning so it touches candidate rows only
-    rankCandidates(IndexState.visible(pruned, indexPath, "neighbor_id"), q, k)
+    rankCandidates(IndexState.visibleAt(pruned, data, "neighbor_id"), q, k)
   }
 
   // ---- product quantization (Jégou et al. 2011) ---------------------------
@@ -1157,9 +1171,11 @@ object Ann {
       cells: Seq[(Long, Seq[Double])],
       books: Seq[Seq[Seq[Double]]]
   ): Unit = {
+    val rows = batch.filter(col(vec).isNotNull)
+    // empty batch: not a mutation (see appendLshIndex)
+    if (rows.isEmpty) return
     val seq = IndexState.bumpSeq(batch.sparkSession, path)
-    batch
-      .filter(col(vec).isNotNull)
+    rows
       .select(
         col(id).as("neighbor_id"),
         pqCodeColumn(col(vec), books).as("code"),
@@ -1170,7 +1186,7 @@ object Ann {
       .write
       .mode("append")
       .partitionBy("cell")
-      .parquet(path)
+      .parquet(IndexState.dataPath(batch.sparkSession, path))
   }
 
   /** [[deleteFromLshIndex]] for a [[writePqIndex]] layout: same tombstone
@@ -1195,8 +1211,9 @@ object Ann {
       path: String,
       stagingPath: String
   ): Unit = {
+    val data = IndexState.dataPath(spark, path)
     IndexState
-      .visible(spark.read.parquet(path), path, "neighbor_id")
+      .visibleAt(spark.read.parquet(data), data, "neighbor_id")
       .repartition(col("cell"))
       .write
       .mode("overwrite")
@@ -1223,8 +1240,11 @@ object Ann {
     require(maxDeadRatio > 0 && maxDeadRatio <= 1, s"maxDeadRatio must be in (0,1], got $maxDeadRatio")
     val dead = IndexState.tombstoneCount(spark, path)
     if (dead == 0L) return false
-    val total = spark.read.parquet(path).count() // parquet footer metadata only
-    if (total == 0L || dead.toDouble / total < maxDeadRatio) return false
+    // parquet footer metadata only, against the current generation
+    val total = spark.read.parquet(IndexState.dataPath(spark, path)).count()
+    // cheap empty-visible-set guard — see maybeCompactLshIndex
+    if (total <= dead) return false
+    if (dead.toDouble / total < maxDeadRatio) return false
     IndexState.compactAndSwap(spark, path, compactPqIndex(spark, path, _))
   }
 
@@ -1253,12 +1273,14 @@ object Ann {
       .select(col("qid"), col("qv"), explode(topCells(col("qv"), cells, nprobe)).as("pc"))
       .select(col("qid"), col("qv"), col("pc").getField("cell").as("cell"))
     val keys = probes.select(col("cell")).distinct().collect().map(_.getLong(0)).sorted
-    val corpus = spark.read.parquet(indexPath)
+    // one generation resolution for data + tombstones (see lshTopKIndexed)
+    val data = IndexState.dataPath(spark, indexPath)
+    val corpus = spark.read.parquet(data)
     val pruned =
       if (keys.isEmpty) corpus.filter(lit(false))
       else corpus.filter(col("cell").isInCollection(keys.toSeq))
     perQueryTopK(
-      IndexState.visible(pruned, indexPath, "neighbor_id")
+      IndexState.visibleAt(pruned, data, "neighbor_id")
         .join(broadcast(probes), Seq("cell"))
         .filter(col("neighbor_id") =!= col("qid"))
         .select(

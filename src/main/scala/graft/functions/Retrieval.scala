@@ -240,6 +240,9 @@ object Retrieval {
     * column ~free), and the per-doc lengths land in an id-bucketed
     * `_graft_doclens` sidecar so a later delete can look up the removed
     * docs' lengths with partition pruning instead of scanning the postings.
+    * `path` here is the resolved DATA directory (the current generation
+    * after a compaction — [[graft.sources.IndexState.dataPath]]); the
+    * doclens sidecar travels with the postings it describes.
     */
   private def writeBm25Postings(
       withDl: DataFrame,
@@ -317,6 +320,9 @@ object Retrieval {
     */
   def appendBm25Index(docs: DataFrame, id: String, text: String, path: String): Unit = {
     val spark = docs.sparkSession
+    // an empty batch is not a mutation: no seq bump (which would stale the
+    // compaction refusal memo for nothing) and no empty file group on disk
+    if (docs.isEmpty) return
     val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
     val seq = IndexState.bumpSeq(spark, path)
     // Same single-tokenization + DISK_ONLY discipline as [[writeBm25Index]]
@@ -326,7 +332,9 @@ object Retrieval {
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
-      writeBm25Postings(withDl, path, buckets, seq, org.apache.spark.sql.SaveMode.Append)
+      writeBm25Postings(
+        withDl, IndexState.dataPath(spark, path), buckets, seq,
+        org.apache.spark.sql.SaveMode.Append)
       val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
       val (bn, bs) = if (s.isNullAt(0) || s.isNullAt(1)) (0L, 0L) else (s.getLong(0), s.getLong(1))
       writeBm25Stats(spark, path, nDocs + bn, dlSum + bs, buckets)
@@ -354,13 +362,14 @@ object Retrieval {
       .select(pmod(xxhash64(col("id")), lit(buckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (bucketKeys.isEmpty) return
+    val data = IndexState.dataPath(spark, path)
     val dlens = spark.read
-      .parquet(s"$path/$DoclensDir")
+      .parquet(s"$data/$DoclensDir")
       .filter(col("dbucket").isInCollection(bucketKeys.toSeq))
     // live rows only: a doc already tombstoned must not decrement stats
     // again; a doc re-added after a delete counts its LATEST (max-seq) length
     val live = IndexState
-      .visible(dlens, path, "id")
+      .visibleAt(dlens, data, "id")
       .join(del, Seq("id"), "left_semi")
       .groupBy(col("id"))
       .agg(max_by(col("dl"), col("seq")).as("dl"))
@@ -383,12 +392,13 @@ object Retrieval {
       path: String,
       stagingPath: String
   ): Unit = {
+    val data = IndexState.dataPath(spark, path)
     IndexState
-      .visible(spark.read.parquet(path), path, "id")
+      .visibleAt(spark.read.parquet(data), data, "id")
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(stagingPath)
     IndexState
-      .visible(spark.read.parquet(s"$path/$DoclensDir"), path, "id")
+      .visibleAt(spark.read.parquet(s"$data/$DoclensDir"), data, "id")
       .repartition(col("dbucket"))
       .write.mode("overwrite").partitionBy("dbucket").parquet(s"$stagingPath/$DoclensDir")
     val (n, d, b) = readBm25Stats(spark, path)
@@ -465,13 +475,16 @@ object Retrieval {
     val bucketKeys = qterms
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val post = spark.read.parquet(path)
+    // one generation resolution for data + tombstones (a compaction racing
+    // this probe must not mix generations)
+    val data = IndexState.dataPath(spark, path)
+    val post = spark.read.parquet(data)
     val pruned =
       if (bucketKeys.isEmpty) post.filter(lit(false))
       else post.filter(col("bucket").isInCollection(bucketKeys.toSeq))
     // subtract tombstoned docs BEFORE df/tf aggregation so document
     // frequencies equal a rebuild's (no-op when the index has no deletes)
-    val alive = IndexState.visible(pruned, path, "id")
+    val alive = IndexState.visibleAt(pruned, data, "id")
     val tf = alive.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf =

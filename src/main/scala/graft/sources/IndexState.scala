@@ -55,11 +55,111 @@ object IndexState {
   val StagingSuffix = ".graft_compact"
   val TrashSuffix = ".graft_trash"
 
+  /** Generation-pointer layout ([[compactAndSwap]]'s swap mechanism): a
+    * compacted rewrite is promoted to `<path>/_graft_gen-<n>/` and becomes
+    * current the instant its `_graft_ready` marker file exists — a single
+    * file CREATE, atomic on POSIX/HDFS and a single PUT on object stores,
+    * unlike the two directory renames of [[swapCompacted]] (whose window a
+    * racing reader could observe, and which object stores implement as
+    * non-atomic copy+delete). Readers resolve [[dataPath]] once per
+    * probe/mutation: highest ready generation, or the index root for a
+    * never-compacted (legacy) layout. GC is DEFERRED one generation — the
+    * promote that creates gen n deletes gen n-2 and older, so a reader
+    * that resolved the previous generation keeps a complete directory for
+    * the whole scan; only a reader lagging TWO compactions behind can lose
+    * its directory. The underscore prefix keeps generation directories
+    * invisible to any parquet read of the index root.
+    */
+  val GenPrefix = "_graft_gen-"
+  val ReadyMarker = "_graft_ready"
+
+  /** Underscore-prefixed entries that are GENERATIONAL DATA (rewritten by
+    * compaction, resolved under [[dataPath]]) rather than root-level shared
+    * mutation state — deleted with the legacy root data when GC retires the
+    * pre-generation layout: the BM25 doclens sidecar and the tombstones.
+    * Tombstones are generation-scoped ON PURPOSE: a compacted generation is
+    * born tombstone-free, so the ready-marker flip retires the data and its
+    * delete-set in ONE atomic step — clearing a shared root sidecar after
+    * the flip would yank files from under a reader still scanning the
+    * previous generation (caught by GenerationSpec's concurrent probe).
+    */
+  private val GenerationalSidecars = Set("_graft_doclens", TombstoneDir)
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
+
+  /** Generation numbers present under `path` (ready or not — a crashed
+    * promote can leave a marker-less directory, which [[currentGen]]
+    * ignores and the next promote numbers past and GCs).
+    */
+  private def genNumbers(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) Nil
+    else
+      f.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(GenPrefix)) n.stripPrefix(GenPrefix).toLongOption else None
+      }
+  }
+
+  /** Highest READY generation, None for a legacy (root-data) layout. */
+  def currentGen(spark: SparkSession, path: String): Option[Long] =
+    genNumbers(spark, path)
+      .filter(n => exists(spark, s"$path/$GenPrefix$n/$ReadyMarker"))
+      .sorted(Ordering[Long].reverse)
+      .headOption
+
+  /** Resolve the directory holding the index's DATA partitions: the highest
+    * ready generation after a [[compactAndSwap]], the index root before the
+    * first one. Every probe and mutation resolves through here (one LIST of
+    * the index root); root-level sidecars (`_graft_seq`, tombstones, stats,
+    * model) are shared across generations and never move.
+    */
+  def dataPath(spark: SparkSession, path: String): String =
+    currentGen(spark, path).map(n => s"$path/$GenPrefix$n").getOrElse(path)
+
+  /** Promote a fully-written staging rewrite to the next generation:
+    * rename it under the root, then CREATE the ready marker — the atomic
+    * flip that makes it current. Then the deferred GC: every generation
+    * except the new one and its immediate predecessor is deleted, and once
+    * the predecessor is itself a generation (not the legacy root layout)
+    * the legacy root data files are retired too.
+    */
+  def promoteStaging(spark: SparkSession, path: String, stagingPath: String): Unit = {
+    val f = fs(spark, path)
+    val prev = currentGen(spark, path)
+    val next = (genNumbers(spark, path) ++ prev).foldLeft(0L)(math.max) + 1L
+    val genDir = new Path(s"$path/$GenPrefix$next")
+    require(
+      f.rename(new Path(stagingPath), genDir),
+      s"promoteStaging: could not move $stagingPath to $genDir"
+    )
+    f.create(new Path(s"$path/$GenPrefix$next/$ReadyMarker"), false).close()
+    genNumbers(spark, path)
+      .filterNot(n => n == next || prev.contains(n))
+      .foreach(n => deleteDir(spark, s"$path/$GenPrefix$n"))
+    if (prev.nonEmpty) deleteLegacyRootData(spark, path)
+  }
+
+  /** Delete the pre-generation data entries at the index root: everything
+    * not underscore/dot-prefixed (partition dirs, part files) plus the
+    * [[GenerationalSidecars]]. Root-level mutation state and generation
+    * directories are untouched. Idempotent.
+    */
+  private def deleteLegacyRootData(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) return
+    f.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val legacyData = (!n.startsWith("_") && !n.startsWith(".")) || GenerationalSidecars(n)
+      if (legacyData && !n.startsWith(GenPrefix)) { f.delete(st.getPath, true); () }
+    }
+  }
 
   /** Last mutation sequence number; 0 for an index built before any
     * mutation (or by a pre-seq layout).
@@ -86,25 +186,33 @@ object IndexState {
     next
   }
 
+  /** The tombstone sidecar lives INSIDE the current data directory
+    * ([[dataPath]]) so a generation and its delete-set travel together —
+    * see [[GenerationalSidecars]]. Mutations resolve per call
+    * (single-writer: no promotion can race them); reader paths that also
+    * scan the data must resolve ONCE and use [[visibleAt]] so data and
+    * tombstones come from the same generation.
+    */
   def hasTombstones(spark: SparkSession, indexPath: String): Boolean = {
     recoverSwap(spark, indexPath)
-    exists(spark, s"$indexPath/$TombstoneDir")
+    exists(spark, s"${dataPath(spark, indexPath)}/$TombstoneDir")
   }
 
-  /** Aggregated tombstones `(ts_id, del_seq)` — one row per deleted id,
-    * carrying the LATEST delete seq (earlier deletes of the same id are
-    * subsumed: any row hidden by an old delete is also hidden by a newer
-    * one).
+  /** Aggregated tombstones `(ts_id, del_seq)` of the resolved data dir
+    * `dataDir` — one row per deleted id, carrying the LATEST delete seq
+    * (earlier deletes of the same id are subsumed: any row hidden by an old
+    * delete is also hidden by a newer one).
     */
-  def readTombstones(spark: SparkSession, indexPath: String): DataFrame =
+  def readTombstonesAt(spark: SparkSession, dataDir: String): DataFrame =
     spark.read
-      .parquet(s"$indexPath/$TombstoneDir")
+      .parquet(s"$dataDir/$TombstoneDir")
       .groupBy(col("id").as("ts_id"))
       .agg(max(col("del_seq")).as("del_seq"))
       .select(col("ts_id"), col("del_seq"))
 
   /** Append a delete batch: `ids` must expose a single BIGINT column named
-    * `id`. One new file group per batch; O(batch) write.
+    * `id`. One new file group per batch; O(batch) write. Lands in the
+    * CURRENT generation's sidecar.
     */
   def appendTombstones(ids: DataFrame, indexPath: String, seq: Long): Unit =
     ids
@@ -113,16 +221,7 @@ object IndexState {
       .coalesce(1)
       .write
       .mode("append")
-      .parquet(s"$indexPath/$TombstoneDir")
-
-  /** Drop the tombstone sidecar — compaction's final step, after the
-    * surviving rows are rewritten.
-    */
-  def clearTombstones(spark: SparkSession, indexPath: String): Unit = {
-    val p = new Path(s"$indexPath/$TombstoneDir")
-    val f = fs(spark, indexPath)
-    if (f.exists(p)) { f.delete(p, true); () }
-  }
+      .parquet(s"${dataPath(ids.sparkSession, indexPath)}/$TombstoneDir")
 
   /** Number of distinct tombstoned ids — the compaction-policy signal.
     * Cost is a scan of the (delete-batch-sized) sidecar only, never the
@@ -130,7 +229,7 @@ object IndexState {
     */
   def tombstoneCount(spark: SparkSession, indexPath: String): Long =
     if (!hasTombstones(spark, indexPath)) 0L
-    else readTombstones(spark, indexPath).count()
+    else readTombstonesAt(spark, dataPath(spark, indexPath)).count()
 
   /** Swap a compacted staging directory into place: the live index moves
     * to `<path>.graft_trash`, staging is renamed over `path`, and the
@@ -197,9 +296,23 @@ object IndexState {
       // second probe for its cleanup.
       false
     } else if (f.exists(staging)) {
-      require(f.rename(staging, live), s"recoverSwap: could not restore $path from $staging")
-      if (f.exists(trash)) { f.delete(trash, true); () }
-      true
+      if (f.rename(staging, live)) {
+        if (f.exists(trash)) { f.delete(trash, true); () }
+        true
+      } else if (f.exists(trash) && f.rename(trash, live)) {
+        // staging is un-renameable (permissions, cross-device residue):
+        // fall back to the intact older copy rather than wedging every
+        // open; the staging sibling is left in place for inspection and
+        // surfaced here
+        System.err.println(
+          s"recoverSwap: staging $staging could not be renamed into place; " +
+            s"restored the OLDER trash copy instead — investigate $staging"
+        )
+        true
+      } else
+        throw new IllegalStateException(
+          s"recoverSwap: could not restore $path from $staging and no usable trash copy exists"
+        )
     } else if (f.exists(trash)) {
       require(f.rename(trash, live), s"recoverSwap: could not restore $path from $trash")
       true
@@ -231,34 +344,82 @@ object IndexState {
     if (f.exists(p)) { f.delete(p, true); () }
   }
 
+  /** Seq at which an empty-rewrite refusal was recorded, None if none (or
+    * the marker is unreadable — treated as absent). Plain text file: tiny,
+    * and a torn write parses to None, which only costs one extra rewrite.
+    */
+  def refusedSeq(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val p = new Path(s"$path/$RefusedMarker")
+    if (!f.exists(p)) None
+    else
+      try {
+        val in = f.open(p)
+        val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        s.trim.toLongOption
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeRefusedSeq(spark: SparkSession, path: String, seq: Long): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(new Path(s"$path/$RefusedMarker"), true)
+    try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def clearRefusedSeq(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val p = new Path(s"$path/$RefusedMarker")
+    if (f.exists(p)) { f.delete(p, false); () }
+  }
+
+  val RefusedMarker = "_graft_compact_refused"
+
   /** Shared tail of every `maybeCompact*` policy: rewrite the index to the
-    * staging sibling via `compact`, REFUSE to swap in an empty rewrite
+    * staging sibling via `compact`, REFUSE to promote an empty rewrite
     * (delete-everything feeds must not brick the index — see
-    * [[stagingHasData]]), and atomically swap otherwise. Keeping this in
-    * one place makes the empty-rewrite guard impossible to omit from any
-    * one index family. Returns whether the swap happened.
+    * [[stagingHasData]]), and promote to the next generation otherwise
+    * ([[promoteStaging]] — readers racing the flip keep a complete
+    * directory; see [[GenPrefix]]). Keeping this in one place makes the
+    * empty-rewrite guard impossible to omit from any one index family.
+    *
+    * A refusal is memoized at the index's current mutation seq: until a
+    * mutation bumps the seq, re-running the policy skips the (index-scan +
+    * rewrite) attempt entirely — a fully-deleted index under a steady CDC
+    * feed pays the refused rewrite once, not per batch. The promoted
+    * generation is born tombstone-free (the rewrite dropped those rows, and
+    * the sidecar is generation-scoped), so no post-flip cleanup touches
+    * files a racing reader may hold. Returns whether the promotion
+    * happened.
     */
   def compactAndSwap(spark: SparkSession, path: String, compact: String => Unit): Boolean = {
+    val seqNow = readSeq(spark, path)
+    if (refusedSeq(spark, path).contains(seqNow)) return false
     val staging = path + StagingSuffix
+    deleteDir(spark, staging) // abandoned residue from a crashed attempt
     compact(staging)
     if (!stagingHasData(spark, staging)) {
       deleteDir(spark, staging)
+      writeRefusedSeq(spark, path, seqNow)
       false
     } else {
-      swapCompacted(spark, path, staging)
+      promoteStaging(spark, path, staging)
+      clearRefusedSeq(spark, path)
       true
     }
   }
 
   /** Filter `rows` (which must carry `idCol` and a BIGINT `seq` column) to
-    * the visible set under the index's tombstones. No tombstone sidecar ⇒
-    * `rows` unchanged — append-only indexes pay nothing.
+    * the visible set under the tombstones of the RESOLVED data directory
+    * `dataDir` — the same directory `rows` was read from, so data and
+    * delete-set come from one generation even if a compaction promotes a
+    * new one mid-plan. No tombstone sidecar ⇒ `rows` unchanged —
+    * append-only (and freshly compacted) generations pay nothing.
     */
-  def visible(rows: DataFrame, indexPath: String, idCol: String): DataFrame = {
+  def visibleAt(rows: DataFrame, dataDir: String, idCol: String): DataFrame = {
     val spark = rows.sparkSession
-    if (!hasTombstones(spark, indexPath)) rows
+    if (!exists(spark, s"$dataDir/$TombstoneDir")) rows
     else {
-      val ts = readTombstones(spark, indexPath)
+      val ts = readTombstonesAt(spark, dataDir)
       rows
         .join(ts, rows(idCol) === ts("ts_id"), "left_outer")
         .filter(col("del_seq").isNull || col("seq") > col("del_seq"))

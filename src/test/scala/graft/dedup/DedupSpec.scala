@@ -600,7 +600,7 @@ class DedupSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/_graft_tombstones").exists())
     assert(Ann.maybeCompactLshIndex(spark, dir, maxDeadRatio = 0.1))
     assert(rows(dir) == before)
-    assert(!new java.io.File(s"$dir/_graft_tombstones").exists())
+    assert(!graft.sources.IndexState.hasTombstones(spark, dir))
     assert(!new java.io.File(dir + ".graft_compact").exists())
     assert(!new java.io.File(dir + ".graft_trash").exists())
     // the swapped index still carries the model sidecar (restart probe path)

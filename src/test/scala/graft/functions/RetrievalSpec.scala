@@ -189,10 +189,15 @@ class RetrievalSpec extends SparkSpec {
     // swapped IN PLACE: same path, no tombstones, no staging/trash leftovers,
     // probe identical, and doc 3's postings physically gone
     assert(rows(dir) == before)
-    assert(!new java.io.File(s"$dir/_graft_tombstones").exists())
+    assert(!graft.sources.IndexState.hasTombstones(spark, dir))
     assert(!new java.io.File(dir + ".graft_compact").exists())
     assert(!new java.io.File(dir + ".graft_trash").exists())
-    assert(!spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).contains(3L))
+    // the compacted generation (what probes resolve) holds no doc-3 postings;
+    // the pre-compaction root data survives ONE generation for in-flight
+    // readers (deferred GC) and is retired by the next promotion
+    val gen1 = graft.sources.IndexState.dataPath(spark, dir)
+    assert(gen1 != dir, "compaction must have promoted a generation dir")
+    assert(!spark.read.parquet(gen1).select("id").collect().map(_.getLong(0)).contains(3L))
     // compacted index keeps working as a mutation target
     Retrieval.appendBm25Index(Seq((6L, "spark again")).toDF("doc_id", "text"), "doc_id", "text", dir)
     assert(rows(dir).nonEmpty)

@@ -111,7 +111,7 @@ class IndexStateSpec extends SparkSpec {
     val revived = rows("fresh spark")
     assert(revived.map(_._2) == Set(10L))
     assert(Retrieval.maybeCompactBm25Index(spark, dir, maxDeadRatio = 0.2))
-    assert(gone(s"$dir/${IndexState.TombstoneDir}"))
+    assert(!IndexState.hasTombstones(spark, dir))
     assert(rows("fresh spark") == revived)
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
@@ -137,7 +137,7 @@ class IndexStateSpec extends SparkSpec {
     val revived = rows(fresh)
     assert(revived.nonEmpty && revived.forall(_._2 >= 8L))
     assert(Ann.maybeCompactLshIndex(spark, dir, maxDeadRatio = 0.1))
-    assert(gone(s"$dir/${IndexState.TombstoneDir}"))
+    assert(!IndexState.hasTombstones(spark, dir))
     assert(rows(fresh) == revived)
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }

@@ -461,7 +461,7 @@ class StreamingSpec extends SparkSpec {
       autoCompactRatio = Some(0.3))
     stream.addData(("DELETE", 1L, null), ("DELETE", 2L, null), ("DELETE", 3L, null), ("DELETE", 4L, null))
     q.processAllAvailable()
-    assert(!new java.io.File(s"$dir/index/_graft_tombstones").exists(),
+    assert(!graft.sources.IndexState.hasTombstones(spark, s"$dir/index"),
       "delete-heavy batch must have compacted the tombstones away")
     stream.addData(("INSERT", 11L, "spark doc11 shared words here"), ("DELETE", 5L, null))
     q.processAllAvailable()
@@ -549,12 +549,12 @@ class StreamingSpec extends SparkSpec {
     q1.processAllAvailable()
     q1.stop()
     // the 0.03 policy must have compacted the batch's churn away mid-stream
-    assert(!new java.io.File(s"$dir/index/_graft_tombstones").exists())
+    assert(!graft.sources.IndexState.hasTombstones(spark, s"$dir/index"))
     val q2 = startQ()
     stream.addData(("UPDATE", 5L, mkVec(45L)), ("DELETE", 44L, null))
     q2.processAllAvailable()
     q2.stop()
-    assert(!new java.io.File(s"$dir/index/_graft_tombstones").exists())
+    assert(!graft.sources.IndexState.hasTombstones(spark, s"$dir/index"))
     // final live state: 0..49 minus {1, 44}, with 5 carrying vec(45) —
     // probe equals an index of the final state under the SAME frozen models
     val finalVecs = ((0L until 50L).filterNot(i => i == 1L || i == 44L))
