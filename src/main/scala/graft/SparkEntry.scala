@@ -260,6 +260,93 @@ object SparkEntry {
       sync.applyChanges(batch)
       sync.state.docs
     }),
+    // ---- COMPOSED PRODUCT under the oracle: one change feed fans into the
+    // doc index + a CDC-maintained BM25 index + a CDC-maintained LSH ANN
+    // index (graft.streaming.SyncPipeline — the reference's one-Sync-object
+    // consumer side, sync.py:2114-2153). Seed from the pre-change corpus,
+    // apply one mixed DELETE/UPDATE/INSERT batch through ALL consumers, then
+    // probe every surface; the oracle recomputes each surface from the
+    // post-change corpus from scratch, so the composition (payload
+    // derivation, delete-first index maintenance, doc re-assembly) is
+    // hash-checked end to end on one result frame.
+    "q_composed_cdc" -> ((s, dir) => {
+      import graft.streaming.SyncPipeline
+      val base = loader(s, dir)
+      val Off = 100000000L
+      def media(post: Boolean): DataFrame = {
+        val pre = base("documents")
+          .join(base("embeddings"), col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("text"), col("embedding"))
+        if (!post) pre
+        else {
+          val m = pmod(col("doc_id"), lit(10))
+          pre
+            .filter(m =!= 7)
+            .withColumn(
+              "text",
+              when(m === 8, concat(lit("updated "), col("text"))).otherwise(col("text")))
+            .unionByName(
+              pre.filter(m === 9).select(
+                (col("doc_id") + Off).as("doc_id"),
+                concat(lit("clone "), col("text")).as("text"),
+                col("embedding")))
+        }
+      }
+      @volatile var post = false
+      val load: String => DataFrame = { case "media" => media(post); case t => base(t) }
+      val cat = Catalog(Map("media" -> graft.catalog.TableMeta("media", Seq("doc_id"))))
+      val root = graft.util.TempDirs.scratch("graft-composed").toString
+      val sync = new GraftSync(
+        s,
+        SchemaDef.parse(
+          """{"database":"graft","index":"media","nodes":{"table":"media","columns":["doc_id","text"]}}"""),
+        cat, load, s"$root/docs")
+      val pipeline = new SyncPipeline(
+        sync, load, "media", "doc_id",
+        Seq(
+          SyncPipeline.Bm25Consumer(s"$root/bm25", "text", buckets = 16),
+          SyncPipeline.AnnLshConsumer(s"$root/ann", "embedding", planes = 6, dim = 64)
+        ),
+        s"$root/ckpt")
+      pipeline.seed()
+      post = true
+      val pre = media(post = false)
+      val m = pmod(col("doc_id"), lit(10))
+      val pkj = to_json(struct(col("doc_id")))
+      val noStr = lit(null).cast("string")
+      val batch = pre
+        .filter(m === 7)
+        .select(lit("DELETE").as("tg_op"), lit("media").as("tbl"),
+          pkj.as("old"), noStr.as("new"), col("doc_id").as("txid"))
+        .unionByName(pre.filter(m === 8).select(
+          lit("UPDATE").as("tg_op"), lit("media").as("tbl"),
+          pkj.as("old"), pkj.as("new"), col("doc_id").as("txid")))
+        .unionByName(pre.filter(m === 9).select(
+          lit("INSERT").as("tg_op"), lit("media").as("tbl"), noStr.as("old"),
+          to_json(struct((col("doc_id") + Off).as("doc_id"))).as("new"),
+          (col("doc_id") + Off).as("txid")))
+      pipeline.applyBatch(batch)
+      val queries = media(post = true).filter(col("doc_id") < 3)
+      val docLeg = sync.state.docs.select(
+        lit("doc").as("surface"),
+        col(DocAssembler.IdColumn).cast("long").as("k1"),
+        lit(0L).as("k2"),
+        length(get_json_object(col("doc"), "$.text")).cast("long").as("v"))
+      val bm25Leg = graft.functions.Retrieval
+        .bm25TopKIndexedBatch(
+          s"$root/bm25",
+          queries.select(col("doc_id").as("qid"), col("text").as("qtext")), "qid", "qtext", 10)
+        .select(lit("bm25").as("surface"), col("qid").as("k1"), col("id").as("k2"),
+          col("score_micro").as("v"))
+      val annLeg = Ann
+        .lshTopKIndexed(
+          s"$root/ann",
+          queries.select(col("doc_id").as("qid"), col("embedding")), "qid", "embedding", 10,
+          planes = 6, dim = 64)
+        .select(lit("ann").as("surface"), col("qid").as("k1"), col("neighbor_id").as("k2"),
+          col("cosine_e4").as("v"))
+      docLeg.unionByName(bm25Leg).unionByName(annLeg)
+    }),
     // ---- skewed-key aggregation via two-phase salting ----------------------
     // l_returnflag has 3 values — every row funnels through 3 reducers in a
     // naive groupBy; the salted path spreads each hot key over 16 (key,salt)
@@ -1480,6 +1567,83 @@ object SparkEntry {
          FROM orders2 o
          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          LEFT JOIN li ON li.l_orderkey = o.o_orderkey""",
+    // the composed-pipeline replay: rebuild every probe surface from the
+    // POST-change corpus from scratch — doc text lengths, the bm25BatchSql
+    // scoring over the mutated corpus, and the q_ann_lsh bucket/probe/rank
+    // replay at dim 64 — so the CDC-maintained indexes must equal
+    // from-scratch builds bit-for-bit
+    "q_composed_cdc" -> {
+      def bucket(vecCol: String): String = (0 until 6)
+        .map { p =>
+          val lits = graft.functions.VectorFunctions
+            .plane(p, 64)
+            .map(d => f"$d%.3f")
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN list_inner_product($vecCol, $lits) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }
+        .mkString(" + ")
+      val probeList = (Seq("bucket") ++ (0 until 6).map(p => s"xor(bucket, ${1L << p})"))
+        .mkString("[", ", ", "]")
+      s"""WITH media AS (
+           SELECT d.doc_id, d.text, e.embedding
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         post AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 8 THEN 'updated ' || text ELSE text END AS text,
+                  embedding
+           FROM media WHERE doc_id % 10 <> 7
+           UNION ALL
+           SELECT doc_id + 100000000, 'clone ' || text, embedding
+           FROM media WHERE doc_id % 10 = 9),
+         q AS (SELECT doc_id AS qid, text, embedding FROM post WHERE doc_id < 3),
+         qterms AS (
+           SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+           FROM q),
+         dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+           FROM post),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+           FROM post),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         bm_scored AS (
+           SELECT qt.qid, t.doc_id AS id,
+                  CAST(sum(CAST(round(
+                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+                  ) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM tf t JOIN dfreq f USING (term) JOIN dl d ON d.doc_id = t.doc_id
+                CROSS JOIN stats s JOIN qterms qt ON qt.term = t.term
+           GROUP BY 1, 2),
+         bm_ranked AS (
+           SELECT qid, id, score_micro,
+                  row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
+           FROM bm_scored),
+         corpus AS (
+           SELECT doc_id AS neighbor_id, embedding AS v, ${bucket("embedding")} AS bucket
+           FROM post),
+         qbase AS (SELECT qid, embedding AS qv, ${bucket("embedding")} AS bucket FROM q),
+         qp AS (SELECT qid, qv, unnest($probeList) AS bucket FROM qbase),
+         ann_scored AS (
+           SELECT qp.qid, c.neighbor_id, list_cosine_similarity(c.v, qp.qv) AS cos
+           FROM corpus c JOIN qp ON c.bucket = qp.bucket AND c.neighbor_id <> qp.qid),
+         ann_ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM ann_scored)
+         SELECT 'doc' AS surface, doc_id AS k1, CAST(0 AS BIGINT) AS k2,
+                CAST(length(text) AS BIGINT) AS v
+         FROM post
+         UNION ALL
+         SELECT 'bm25', qid, id, score_micro FROM bm_ranked WHERE rank <= 10
+         UNION ALL
+         SELECT 'ann', qid, neighbor_id, CAST(round(10000 * cos) AS BIGINT)
+         FROM ann_ranked WHERE rank <= 10"""
+    },
     "q_salted_agg" ->
       """WITH sums AS (
            SELECT l_returnflag,

@@ -94,6 +94,22 @@ object AnnStream {
     autoCompactRatio.foreach { r => Ann.maybeCompactLshIndex(batch.sparkSession, indexPath, r); () }
   }
 
+  /** [[applyCdcBatch]] under the parameters persisted at
+    * [[Ann.writeLshIndex]] time — the restart/composition path: no
+    * caller-held model state (the [[graft.ann.AnnModels]] sidecar read is a
+    * driver-side model fetch, no corpus work).
+    */
+  def applyCdcBatchResumed(
+      batch: DataFrame,
+      indexPath: String,
+      id: String,
+      vec: String,
+      autoCompactRatio: Option[Double] = None
+  ): Unit = {
+    val (planes, dim) = graft.ann.AnnModels.readLsh(batch.sparkSession, indexPath)
+    applyCdcBatch(batch, indexPath, id, vec, planes, dim, autoCompactRatio)
+  }
+
   /** [[startCdc]] for a [[Ann.writePqIndex]] layout: maintain an IVF-PQ
     * index from a change feed under the models FROZEN at build time
     * ([[Ann.appendPqIndexResumed]] re-reads the cell/codebook sidecar per

@@ -1,0 +1,254 @@
+package graft.streaming
+
+import graft.GraftSync
+import graft.ann.Ann
+import graft.functions.Retrieval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The COMPOSED product entry: one change feed fans into every consumer a
+  * search product maintains — the materialized document index (+ lineage)
+  * via [[graft.GraftSync]], and any set of secondary indexes (persisted
+  * BM25, LSH ANN, IVF-PQ ANN, exact-dedup registry) — each consumer with
+  * its OWN Structured Streaming checkpoint, so a restart resumes every
+  * index from its own high-water mark and at-least-once replay converges
+  * per the delete-first protocols ([[Bm25Stream]]/[[AnnStream]]) or
+  * first-writer-wins semantics ([[DedupStream]]).
+  *
+  * Reference shape: one `Sync` object owns the whole consumer side —
+  * snapshot then continuous consumption (`/root/reference/pgsync/sync.py:
+  * 2114-2153`); here the consumer side is N independent streaming queries
+  * over the same feed instead of one process loop, which is the
+  * Spark-native form: each query commits its own offsets, a slow consumer
+  * never backpressures the others, and any subset can be restarted alone.
+  *
+  * Payload derivation ([[SyncPipeline.changeRows]]): change events carry
+  * only keys; each micro-batch joins its final per-id ops against the
+  * CURRENT source table (the engine's recompute-final-state semantics,
+  * like [[graft.cdc.IncrementalEngine]]). An upsert whose row has since
+  * vanished from the source degrades to DELETE — never a stale payload.
+  */
+object SyncPipeline {
+
+  /** One secondary-index consumer wired to the pipeline's change feed.
+    * `name` keys the checkpoint directory — must be unique per pipeline.
+    */
+  sealed trait Consumer {
+    def name: String
+    def indexPath: String
+
+    /** The source-table column this consumer needs per upsert. */
+    def payloadColumn: String
+  }
+
+  /** Persisted BM25 maintenance ([[Bm25Stream]] protocol). */
+  final case class Bm25Consumer(
+      indexPath: String,
+      textCol: String,
+      buckets: Int = 64,
+      autoCompactRatio: Option[Double] = None,
+      name: String = "bm25"
+  ) extends Consumer { def payloadColumn: String = textCol }
+
+  /** Persisted LSH ANN maintenance ([[AnnStream]] CDC protocol); `planes`
+    * and `dim` are used at [[SyncPipeline.seed]] time and frozen into the
+    * model sidecar — batches resume from the sidecar.
+    */
+  final case class AnnLshConsumer(
+      indexPath: String,
+      vecCol: String,
+      planes: Int = 6,
+      dim: Int = 64,
+      autoCompactRatio: Option[Double] = None,
+      name: String = "ann_lsh"
+  ) extends Consumer { def payloadColumn: String = vecCol }
+
+  /** Persisted IVF-PQ ANN maintenance; models are TRAINED at seed time from
+    * the source table and frozen ([[Ann.appendPqIndexResumed]] contract).
+    */
+  final case class AnnPqConsumer(
+      indexPath: String,
+      vecCol: String,
+      nlists: Int = 16,
+      m: Int = 8,
+      codeK: Int = 16,
+      autoCompactRatio: Option[Double] = None,
+      name: String = "ann_pq"
+  ) extends Consumer { def payloadColumn: String = vecCol }
+
+  /** Exact-dedup registry maintenance ([[DedupStream]]): INSERT/UPDATE
+    * documents stream through first-writer-wins digest resolution;
+    * survivors go to `onSurvivors`. DELETEs do not retract digests — the
+    * registry remembers every content ever seen (the dedup contract:
+    * re-ingesting deleted content is still a duplicate).
+    */
+  final case class DedupConsumer(
+      indexPath: String,
+      textCol: String,
+      onSurvivors: DataFrame => Unit = _ => (),
+      name: String = "dedup"
+  ) extends Consumer { def payloadColumn: String = textCol }
+
+  /** The running queries of a started pipeline: the doc-sync query plus one
+    * per consumer, keyed by consumer name.
+    */
+  final case class Handles(doc: StreamingQuery, consumers: Map[String, StreamingQuery]) {
+    def all: Seq[StreamingQuery] = doc +: consumers.values.toSeq
+    def processAllAvailable(): Unit = all.foreach(_.processAllAvailable())
+    def stopAll(): Unit = all.foreach(_.stop())
+  }
+
+  /** Derive one consumer-ready row per affected id from a raw change batch
+    * ([[graft.cdc.Changes.schema]] columns): filter to `table`, extract the
+    * BIGINT primary key from the event JSON, collapse to ONE final op per
+    * id (highest txid wins; DELETE wins a txid tie — matching
+    * recompute-final-state when the row is gone), and join INSERT/UPDATE
+    * rows against the CURRENT source table for the payload columns. An
+    * upsert whose row is missing from the source degrades to DELETE.
+    * Output: (tg_op, <pk>, <payload...>); DELETE rows carry null payloads.
+    */
+  def changeRows(
+      batch: DataFrame,
+      load: String => DataFrame,
+      table: String,
+      pk: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val evs = batch
+      .filter(col("tbl") === table)
+      .select(
+        col("tg_op"),
+        col("txid").cast("long").as("txid"),
+        coalesce(
+          get_json_object(col("new"), s"$$.$pk"),
+          get_json_object(col("old"), s"$$.$pk")
+        ).cast("long").as(pk)
+      )
+      .filter(col(pk).isNotNull)
+    val last = evs
+      .groupBy(col(pk))
+      .agg(
+        max_by(
+          col("tg_op"),
+          struct(col("txid"), (col("tg_op") === "DELETE").cast("int").as("del"))
+        ).as("tg_op")
+      )
+    val src = load(table).select(
+      col(pk).cast("long").as(pk) +: (payload.map(col) :+ lit(true).as("__present")): _*
+    )
+    val finalOp = when(col("tg_op") =!= "DELETE" && col("__present").isNull, lit("DELETE"))
+      .otherwise(col("tg_op"))
+    last
+      .join(src, Seq(pk), "left_outer")
+      .select(
+        finalOp.as("tg_op") +:
+          col(pk) +:
+          payload.map(p => when(finalOp === "DELETE", lit(null)).otherwise(col(p)).as(p)): _*
+      )
+  }
+}
+
+/** Wire a [[graft.GraftSync]] doc sync plus secondary-index consumers to
+  * one change feed. `table` is the source table carrying the payload
+  * columns (its primary key `pk` must be BIGINT-compatible — the shared id
+  * convention of the persisted index family).
+  *
+  * {{{
+  * val p = new SyncPipeline(sync, load, "documents", "doc_id", Seq(
+  *   SyncPipeline.Bm25Consumer(s"$base/bm25", "text"),
+  *   SyncPipeline.AnnLshConsumer(s"$base/ann", "embedding", dim = 64)
+  * ), s"$base/ckpt")
+  * p.seed()                                   // snapshot + index builds
+  * val h = p.start(() => Changes.fileStream(spark, feedDir))
+  * }}}
+  */
+final class SyncPipeline(
+    val sync: GraftSync,
+    load: String => DataFrame,
+    table: String,
+    pk: String,
+    consumers: Seq[SyncPipeline.Consumer],
+    checkpointBase: String
+) {
+  import SyncPipeline._
+
+  require(
+    consumers.map(_.name).distinct.size == consumers.size,
+    s"consumer names must be unique (they key checkpoints): ${consumers.map(_.name)}"
+  )
+
+  private def spark: SparkSession = load(table).sparkSession
+
+  /** Snapshot the doc index and build every secondary index from the
+    * current source-table state — the composed `pull()`
+    * (`sync.py:1895-1945`): after seed, every probe surface answers for the
+    * full corpus and [[start]] maintains all of them incrementally.
+    */
+  def seed(): Unit = {
+    sync.snapshot()
+    val src = load(table)
+    consumers.foreach {
+      case c: Bm25Consumer =>
+        Retrieval.writeBm25Index(src, pk, c.textCol, c.indexPath, c.buckets)
+      case c: AnnLshConsumer =>
+        Ann.writeLshIndex(src, c.indexPath, pk, c.vecCol, c.planes, c.dim)
+      case c: AnnPqConsumer =>
+        val cells = Ann.trainIvfCells(src, pk, c.vecCol, c.nlists)
+        val books = Ann.pqTrain(src, pk, c.vecCol, c.m, c.codeK)
+        Ann.writePqIndex(src, c.indexPath, pk, c.vecCol, cells, books)
+      case c: DedupConsumer =>
+        // the seed corpus is just the first (big) batch: registers every
+        // digest, first writer wins, survivors reported like any batch
+        DedupStream.applyBatch(
+          spark, src.select(col(pk), col(c.textCol)), c.indexPath, pk, c.textCol, c.onSurvivors)
+        ()
+    }
+  }
+
+  /** Apply one raw change batch to EVERY consumer — the batch-mode form
+    * (and the body each streaming query runs per micro-batch).
+    */
+  def applyBatch(batch: DataFrame): Unit = {
+    sync.applyChanges(batch)
+    consumers.foreach(applyConsumerBatch(_, batch))
+  }
+
+  private def applyConsumerBatch(c: Consumer, batch: DataFrame): Unit = {
+    val rows = changeRows(batch, load, table, pk, Seq(c.payloadColumn))
+    c match {
+      case c: Bm25Consumer =>
+        Bm25Stream.applyBatch(spark, rows, c.indexPath, pk, c.textCol, c.autoCompactRatio)
+      case c: AnnLshConsumer =>
+        AnnStream.applyCdcBatchResumed(rows, c.indexPath, pk, c.vecCol, c.autoCompactRatio)
+      case c: AnnPqConsumer =>
+        AnnStream.applyCdcPqBatch(rows, c.indexPath, pk, c.vecCol, c.autoCompactRatio)
+      case c: DedupConsumer =>
+        // same (pk, text) survivor shape as the seed pass — consumers of
+        // onSurvivors see one stable schema
+        DedupStream.applyBatch(
+          spark,
+          rows.filter(col("tg_op") =!= "DELETE").select(col(pk), col(c.textCol)),
+          c.indexPath, pk, c.textCol, c.onSurvivors)
+        ()
+    }
+  }
+
+  /** Start continuous maintenance: the doc sync plus one streaming query
+    * per consumer, all reading the same feed, each with its own checkpoint
+    * under `checkpointBase/<name>` — so restarts resume per consumer and a
+    * replayed micro-batch converges per that consumer's protocol. `feed`
+    * is a FACTORY because each query owns its streaming source instance.
+    */
+  def start(feed: () => DataFrame): Handles = {
+    val doc = sync.stream(feed(), s"$checkpointBase/docs")
+    val rest = consumers.map { c =>
+      val q = feed().writeStream
+        .option("checkpointLocation", s"$checkpointBase/${c.name}")
+        .foreachBatch { (batch: DataFrame, _: Long) => applyConsumerBatch(c, batch) }
+        .start()
+      c.name -> q
+    }.toMap
+    Handles(doc, rest)
+  }
+}
