@@ -899,19 +899,36 @@ object SparkEntry {
     // sentinel flush) must emit the exact sessions the batch form computes
     "q_events_sessions_stream" -> ((s, dir) =>
       graft.streaming.EventAnalytics.sessionizeReplay(loader(s, dir)("events"), 3600L)),
-    // ---- multimodal: binary columns + per-partition stub decode ------------
+    // ---- multimodal: mixed REAL-bytes corpus, kind-dispatched decode -------
+    // each doc_id carries ONE real container (PNG / WAV / animated GIF by
+    // id % 3) and a single pass routes every row to its kind's JDK codec —
+    // the oracle replays each kind's exact integer feature arithmetically
+    // (pixel sum / PCM sum of squares / summed sampled-frame means), so the
+    // mixed-modality dispatch AND all three codec round trips are graded at
+    // corpus scale in one gate
     "q_multimodal" -> ((s, dir) =>
       Multimodal
-        .extractFeatures(
-          Multimodal.mediaFromDocuments(loader(s, dir)("documents"), "doc_id", "text"))
+        .mixedFeatures(
+          Multimodal.mixedMediaCorpus(loader(s, dir)("documents").select(col("doc_id")), "doc_id"))
         .toDF()
-        .select(
-          col("id"), col("kind"), col("n_bytes"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("checksum"),
-          concat_ws(",", col("frames")).as("frames")
-        )),
+        .select(col("id").as("doc_id"), col("kind"), col("ok"), col("units"), col("feature"))),
+    // ---- image → grid embedding → persisted ANN index → probe --------------
+    // the full multimodal-retrieval composition under one hash: synthetic
+    // PNGs at corpus scale through the real codec, 4x4 integer grid
+    // signatures as embeddings, LSH-bucketed persisted index, Hamming-1
+    // probe. The oracle replays the signature arithmetic AND the bucket
+    // assignment AND the exact cosine ranks externally.
+    "q_image_ann" -> ((s, dir) => {
+      val sigs = Multimodal
+        .imageGridSignatures(
+          Multimodal.syntheticImages(loader(s, dir)("documents").select(col("doc_id")), "doc_id"),
+          grid = 4)
+        .select(col("id"), col("sig").cast("array<double>").as("embedding"))
+      val idx = graft.util.TempDirs.scratch("image-ann-index").toString
+      Ann.writeLshIndex(sigs, idx, "id", "embedding", planes = 6, dim = 16)
+      Ann.lshTopKIndexed(idx, sigs.filter(col("id") < 5), "id", "embedding", 10,
+        planes = 6, dim = 16)
+    }),
     // REAL image decode (javax.imageio) over the committed fixture images +
     // one corrupt row: dimensions/bands/pixel-sums graded against the
     // fixtures' generation-time ground truth (the oracle is a VALUES table
@@ -3107,17 +3124,84 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM sessions GROUP BY user_id, session_id""",
+    // replay each kind's exact integer feature from its generation formula:
+    // image (16x16 RGB pixel sum), audio (400-sample PCM sum of squares),
+    // video (summed half-up micro means of sampled frames 0,3,6,9 on 8x8)
     "q_multimodal" ->
-      """SELECT doc_id AS id,
-                CASE WHEN doc_id % 3 = 0 THEN 'image'
-                     WHEN doc_id % 3 = 1 THEN 'audio'
-                     ELSE 'video' END AS kind,
-                CAST(strlen(text) AS BIGINT) AS n_bytes,
-                CAST(strlen(text) % 640 AS BIGINT) AS width,
-                CAST(strlen(text) % 480 AS BIGINT) AS height,
-                CAST(list_sum(list_transform(string_split(substr(text, 1, 64), ''), x -> ord(x))) AS BIGINT) AS checksum,
-                array_to_string(list_transform(generate_series(0, 3), i -> (i * strlen(text)) // 4), ',') AS frames
-         FROM documents""",
+      """WITH img AS (
+           SELECT d.doc_id,
+                  CAST(sum((x.x*7 + y.y*13 + d.doc_id*29) % 256
+                         + (x.x*3 + y.y*5 + d.doc_id*11) % 256
+                         + (x.x*11 + y.y*2 + d.doc_id*7) % 256) AS BIGINT) AS feature
+           FROM documents d, generate_series(0, 15) x(x), generate_series(0, 15) y(y)
+           WHERE d.doc_id % 3 = 0 GROUP BY 1),
+         aud AS (
+           SELECT doc_id, CAST(sum(v*v) AS BIGINT) AS feature FROM (
+             SELECT d.doc_id, ((g.i*7919 + d.doc_id*104729) % 65536) - 32768 AS v
+             FROM documents d, generate_series(0, 399) g(i)
+             WHERE d.doc_id % 3 = 1) s GROUP BY 1),
+         vid AS (
+           SELECT doc_id, CAST(sum((1000000*sm + 32) // 64) AS BIGINT) AS feature FROM (
+             SELECT d.doc_id, f.f,
+                    sum((x.x*7 + y.y*13 + f.f*31 + d.doc_id*29) % 256) AS sm
+             FROM documents d,
+                  (SELECT j.j * 3 AS f FROM generate_series(0, 3) j(j)) f,
+                  generate_series(0, 7) x(x), generate_series(0, 7) y(y)
+             WHERE d.doc_id % 3 = 2 GROUP BY 1, 2) s GROUP BY 1)
+         SELECT doc_id, 'image' AS kind, TRUE AS ok, CAST(256 AS BIGINT) AS units, feature FROM img
+         UNION ALL
+         SELECT doc_id, 'audio', TRUE, CAST(400 AS BIGINT), feature FROM aud
+         UNION ALL
+         SELECT doc_id, 'video', TRUE, CAST(4 AS BIGINT), feature FROM vid""",
+    // replay signatures (q_image_pipeline arithmetic) → LSH buckets (plane
+    // literals at dim 16) → Hamming-1 probe → exact cosine ranks: the whole
+    // image-ANN composition is externally rebuilt
+    "q_image_ann" -> {
+      def bucket(vecCol: String): String = (0 until 6)
+        .map { p =>
+          val lits = graft.functions.VectorFunctions
+            .plane(p, 16)
+            .map(d => f"$d%.3f")
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN list_inner_product($vecCol, $lits) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }
+        .mkString(" + ")
+      val probeList = (Seq("bucket") ++ (0 until 6).map(p => s"xor(bucket, ${1L << p})"))
+        .mkString("[", ", ", "]")
+      s"""WITH cell AS (
+           SELECT i.i, j.j, dx.dx, dy.dy
+           FROM generate_series(0,3) i(i), generate_series(0,3) j(j),
+                generate_series(0,3) dx(dx), generate_series(0,3) dy(dy)),
+         px AS (
+           SELECT d.doc_id, c.i, c.j, (c.j*4 + c.dx) AS x, (c.i*4 + c.dy) AS y
+           FROM documents d, cell c),
+         s AS (
+           SELECT doc_id, i, j,
+                  sum((x*7 + y*13 + doc_id*29) % 256
+                      + (x*3 + y*5 + doc_id*11) % 256
+                      + (x*11 + y*2 + doc_id*7) % 256) AS sm
+           FROM px GROUP BY 1, 2, 3),
+         sigs AS (
+           SELECT doc_id,
+                  list(CAST((1000000*sm + 24) // 48 AS DOUBLE) ORDER BY i, j) AS v
+           FROM s GROUP BY doc_id),
+         corpus AS (
+           SELECT doc_id AS neighbor_id, v, ${bucket("v")} AS bucket FROM sigs),
+         qbase AS (
+           SELECT doc_id AS qid, v AS qv, ${bucket("v")} AS bucket FROM sigs WHERE doc_id < 5),
+         qp AS (SELECT qid, qv, unnest($probeList) AS bucket FROM qbase),
+         scored AS (
+           SELECT qp.qid, c.neighbor_id, list_cosine_similarity(c.v, qp.qv) AS cos
+           FROM corpus c JOIN qp ON c.bucket = qp.bucket AND c.neighbor_id <> qp.qid),
+         ranked AS (
+           SELECT qid, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT qid, neighbor_id,
+                CAST(round(10000 * cos) AS BIGINT) AS cosine_e4,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10"""
+    },
     // fixture ground truth: the images were generated with pixel (x,y) =
     // ((x*7+y*13+k*29)%256, (x*3+y*5+k*11)%256, (x*11+y*2+k*7)%256) for
     // image k, so width/height/pixel-sum are known constants; the JPEG's

@@ -184,4 +184,31 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0).getAs[Array[Byte]]("content")
     assert(new String(throughJunk, "UTF-8") == "junk bytes")
   }
+
+  test("mixedFeatures: one pass routes each kind to its real codec; corrupt bytes degrade") {
+    val ids = (0L until 9L).toDF("doc_id")
+    val media = Multimodal.mixedMediaCorpus(ids, "doc_id")
+    // each id got exactly one kind by id % 3
+    val kinds = media.select("id", "kind").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until 9L).forall(i =>
+      kinds(i) == Seq("image", "audio", "video")((i % 3).toInt)))
+    val feats = Multimodal.mixedFeatures(media).collect().map(f => f.id -> f).toMap
+    assert(feats.values.forall(_.ok))
+    // kind-specific facts equal the single-kind kernels' ground truth
+    assert(feats(0L).units == 256L, "image units = 16x16 pixels")
+    assert(feats(1L).units == 400L, "audio units = PCM frames")
+    assert(feats(2L).units == 4L, "video units = sampled frames")
+    // image feature equals the pixel-formula sum computed directly
+    val expectImg = (for { x <- 0 until 16; y <- 0 until 16 } yield
+      (x * 7 + y * 13) % 256 + (x * 3 + y * 5) % 256 + (x * 11 + y * 2) % 256).map(_.toLong).sum
+    assert(feats(0L).feature == expectImg)
+    // a corrupt row of each kind degrades to ok=false, never throws
+    val junk = Seq(
+      (100L, "image", "nope".getBytes("UTF-8")),
+      (101L, "audio", "nope".getBytes("UTF-8")),
+      (102L, "video", "nope".getBytes("UTF-8"))
+    ).toDF("id", "kind", "content")
+    val bad = Multimodal.mixedFeatures(junk).collect()
+    assert(bad.length == 3 && bad.forall(f => !f.ok && f.units == -1L && f.feature == -1L))
+  }
 }
