@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   *   - a full compaction cycle (rewrite + atomic swap) at 20% dead,
   *   - probe after compaction (clean again),
   *
-  * for both the BM25 postings index and the LSH vector index. Run at
+  * for the BM25 postings index, the LSH vector index AND the IVF-PQ
+  * vector index (models trained once at build, frozen for every
+  * mutation — the [[graft.ann.AnnModels]] sidecar contract). Run at
   * sf0.1 and .scale/sf1 to show the mutation costs scale with BATCH and
   * CANDIDATE sizes, not corpus size — the design claim of
   * [[graft.sources.IndexState]]. Probes are min-of-3; mutations are
@@ -94,6 +96,28 @@ object MutationScale {
     require(annCompacted, "expected the 20%-dead policy to compact")
     val annProbeAfter = minOf3(annProbe())
 
+    // ---- IVF-PQ vector index ------------------------------------------------
+    // build includes the one-time model training (cells + codebooks); every
+    // mutation then encodes under the FROZEN models — a driver-side sidecar
+    // read per batch, no corpus work
+    val pqIdx = graft.util.TempDirs.scratch("mutscale-pq").toString
+    def pqProbe(): Long =
+      Ann.pqTopKIndexedResumed(pqIdx, annQueries, "vec_id", "embedding", 10, nprobe = 4).count()
+    val (pqBuild, _) = time {
+      val cells = Ann.trainIvfCells(emb, "vec_id", "embedding", nlists = 16)
+      val books = Ann.pqTrain(emb, "vec_id", "embedding", m = 8, codeK = 16)
+      Ann.writePqIndex(emb, pqIdx, "vec_id", "embedding", cells, books)
+    }
+    pqProbe() // untimed warm-up, as above
+    val pqProbeClean = minOf3(pqProbe())
+    val (pqDel1, _) = time(Ann.deleteFromPqIndex(spark, pqIdx, vdel1))
+    val pqProbeDead10 = minOf3(pqProbe())
+    val (pqDel2, _) = time(Ann.deleteFromPqIndex(spark, pqIdx, vdel2))
+    val pqProbeDead20 = minOf3(pqProbe())
+    val (pqCompact, pqCompacted) = time(Ann.maybeCompactPqIndex(spark, pqIdx, maxDeadRatio = 0.15))
+    require(pqCompacted, "expected the 20%-dead policy to compact")
+    val pqProbeAfter = minOf3(pqProbe())
+
     val json =
       f"""{"sf":"$dir","load_before":$loadBefore%.2f,"n_docs":$nDocs,"n_vecs":$nVecs,"delete_batch_rows":$nDel1,""" +
         f""""bm25":{"build_sec":$bmBuild%.3f,"probe_clean_sec":$bmProbeClean%.3f,"delete10_sec":$bmDel1%.3f,""" +
@@ -101,7 +125,10 @@ object MutationScale {
         f""""compact_sec":$bmCompact%.3f,"probe_after_compact_sec":$bmProbeAfter%.3f},""" +
         f""""lsh":{"build_sec":$annBuild%.3f,"probe_clean_sec":$annProbeClean%.3f,"delete10_sec":$annDel1%.3f,""" +
         f""""probe_dead10_sec":$annProbeDead10%.3f,"delete10b_sec":$annDel2%.3f,"probe_dead20_sec":$annProbeDead20%.3f,""" +
-        f""""compact_sec":$annCompact%.3f,"probe_after_compact_sec":$annProbeAfter%.3f}}"""
+        f""""compact_sec":$annCompact%.3f,"probe_after_compact_sec":$annProbeAfter%.3f},""" +
+        f""""ivfpq":{"build_sec":$pqBuild%.3f,"probe_clean_sec":$pqProbeClean%.3f,"delete10_sec":$pqDel1%.3f,""" +
+        f""""probe_dead10_sec":$pqProbeDead10%.3f,"delete10b_sec":$pqDel2%.3f,"probe_dead20_sec":$pqProbeDead20%.3f,""" +
+        f""""compact_sec":$pqCompact%.3f,"probe_after_compact_sec":$pqProbeAfter%.3f}}"""
     out.foreach { p =>
       val w = new java.io.PrintWriter(p)
       try w.println(json) finally w.close()

@@ -95,3 +95,92 @@ object ScaleUp {
     spark.stop()
   }
 }
+
+/** Bounded-dup-rate corpus generator — the SCALING companion to [[ScaleUp]]
+  * for the pair-producing dedup operators. The driver's clone-based corpus
+  * makes every document a many-way mutual near-dup, so the dedup queries'
+  * sf0.1→sf1 ratios measure ANSWER growth (pair count explodes
+  * quadratically with clone multiplicity), not compute scaling. This
+  * generator fixes the near-dup rate by construction so output grows
+  * LINEARLY with rows — the shape a real corpus has:
+  *
+  *   - every id's text is 60 unique hash-derived tokens; ids with
+  *     `id % pairEvery == 1` copy id-1's tokens plus 6 extra → exactly one
+  *     near-dup PAIR per `pairEvery` ids (~8% of docs in a pair at the
+  *     default 12), token Jaccard ≈ 0.91, zero shared tokens otherwise;
+  *   - embeddings are 256-dim hash-uniform vectors: measured max cosine
+  *     between non-partner vectors ≈ 0.30 over 10^7 sampled pairs — BELOW
+  *     the dedup queries' 0.4 threshold, so no accidental pairs — while a
+  *     partner vector is its base plus 1% jitter (cosine ≈ 0.9999).
+  *
+  * Writes `documents.parquet` + `embeddings.parquet` (driver schemas) so
+  * `SPARK_GRAFT_SF_DIR`-style tools can point at the directory.
+  *
+  * Usage: `runMain graft.tools.BoundedDup <dstDir> <nRows> [pairEvery]`.
+  */
+object BoundedDup {
+
+  def main(args: Array[String]): Unit = {
+    val dst = args(0)
+    val n = args(1).toLong
+    val pairEvery = args.lift(2).map(_.toInt).getOrElse(12)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val files = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "32").toInt
+
+    val ids = spark.range(n).select(col("id"))
+    val isPartner = pmod(col("id"), lit(pairEvery.toLong)) === 1
+    val base = when(isPartner, col("id") - 1).otherwise(col("id"))
+
+    def tokens(seed: org.apache.spark.sql.Column, from: Int, until: Int) =
+      concat_ws(
+        " ",
+        transform(
+          sequence(lit(from), lit(until - 1)),
+          j => concat(lit("w"), pmod(xxhash64(seed, j), lit(100000000L)))
+        )
+      )
+
+    val text = when(
+      isPartner,
+      // base tokens + 6 extra: a true near-dup, not an exact one
+      concat(tokens(base, 0, 60), lit(" "), tokens(col("id") + lit(7919L), 60, 66))
+    ).otherwise(tokens(base, 0, 60))
+    ids
+      .select(
+        col("id").as("doc_id"),
+        text.as("text"),
+        element_at(array(lit("en"), lit("zh"), lit("de"), lit("fr")),
+          (pmod(col("id"), lit(4)) + 1).cast("int")).as("lang"),
+        lit("bounded-dup").as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(files)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    def unitish(seed: org.apache.spark.sql.Column) =
+      transform(
+        sequence(lit(0), lit(255)),
+        k => ((pmod(xxhash64(seed, k), lit(2001L)) - lit(1000L)) / lit(1000.0)).cast("float")
+      )
+    val vec = when(
+      isPartner,
+      zip_with(
+        unitish(base), unitish(col("id") + lit(104729L)),
+        (b, j) => (b + lit(0.01f) * j).cast("float"))
+    ).otherwise(unitish(base))
+    ids
+      .select(
+        col("id").as("vec_id"),
+        vec.as("embedding"),
+        pmod(col("id"), lit(16)).cast("int").as("label"))
+      .repartition(files)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    println(s"[bounded-dup] $n rows -> $dst (pair every $pairEvery ids, $files files)")
+    spark.stop()
+  }
+}
