@@ -28,12 +28,29 @@ object SparkEntry {
     * build noise (and vice versa).
     */
   private val bm25IndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def bm25IndexFor(s: SparkSession, dir: String): String =
-    bm25IndexCache.getOrElseUpdate(dir, {
-      val idx = graft.util.TempDirs.scratch("bm25-index-session").toString
-      graft.functions.Retrieval.writeBm25Index(loader(s, dir)("documents"), "doc_id", "text", idx)
-      idx
-    })
+
+  /** Keyed by dir + a documents-parquet fingerprint (file names/sizes/
+    * mtimes), so an in-session regeneration of the tables (e.g. a ScaleUp
+    * overwrite) invalidates the prebuilt index instead of probing a stale
+    * one; synchronized so concurrent first probes cannot double-build and
+    * orphan a scratch index.
+    */
+  private def bm25IndexFor(s: SparkSession, dir: String): String = {
+    val t = new java.io.File(s"$dir/documents.parquet")
+    val parts = if (t.isDirectory) t.listFiles().toSeq else Seq(t)
+    val fingerprint = parts
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|").hashCode
+    val key = s"$dir@$fingerprint"
+    bm25IndexCache.synchronized {
+      bm25IndexCache.getOrElseUpdate(key, {
+        val idx = graft.util.TempDirs.scratch("bm25-index-session").toString
+        graft.functions.Retrieval.writeBm25Index(loader(s, dir)("documents"), "doc_id", "text", idx)
+        idx
+      })
+    }
+  }
 
   private def assembled(s: SparkSession, dir: String, fixture: String): DataFrame =
     DocAssembler.assemble(SchemaDef.parseNodes(fixture), loader(s, dir), Catalog.testData)
