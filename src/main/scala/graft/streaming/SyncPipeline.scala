@@ -206,16 +206,26 @@ final class SyncPipeline(
     }
   }
 
-  /** Apply one raw change batch to EVERY consumer — the batch-mode form
-    * (and the body each streaming query runs per micro-batch).
+  /** Apply one raw change batch to EVERY consumer — the batch-mode form.
+    * The per-id op collapse + payload join runs ONCE over the union of the
+    * consumers' payload columns and is cached across consumers (each
+    * streaming query in [[start]] necessarily derives its own — separate
+    * checkpoints mean separate plans — but batch mode shares the pass).
     */
   def applyBatch(batch: DataFrame): Unit = {
     sync.applyChanges(batch)
-    consumers.foreach(applyConsumerBatch(_, batch))
+    if (consumers.isEmpty) return
+    val payloads = consumers.map(_.payloadColumn).distinct
+    val rows = changeRows(batch, load, table, pk, payloads).cache()
+    try consumers.foreach(c =>
+      applyConsumerRows(c, rows.select(col("tg_op"), col(pk), col(c.payloadColumn))))
+    finally { rows.unpersist(); () }
   }
 
-  private def applyConsumerBatch(c: Consumer, batch: DataFrame): Unit = {
-    val rows = changeRows(batch, load, table, pk, Seq(c.payloadColumn))
+  private def applyConsumerBatch(c: Consumer, batch: DataFrame): Unit =
+    applyConsumerRows(c, changeRows(batch, load, table, pk, Seq(c.payloadColumn)))
+
+  private def applyConsumerRows(c: Consumer, rows: DataFrame): Unit = {
     c match {
       case c: Bm25Consumer =>
         Bm25Stream.applyBatch(spark, rows, c.indexPath, pk, c.textCol, c.autoCompactRatio)
