@@ -231,15 +231,30 @@ object Ann {
       .zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
 
-  /** Nearest cell by cosine as a literal-centroid argmax: `array_max` over
-    * struct(sim, -cell) picks the max similarity, ties → smallest cell.
+  /** Nearest cell by cosine. Model-sized codebooks inline as a
+    * literal-centroid argmax (`array_max` over struct(sim, -cell): max
+    * similarity, ties → smallest cell — constants visible to codegen).
+    * Corpus-scaled codebooks (AutoNlists SemDeDup: cells grow with n)
+    * would blow the generated method past Janino's limits and fall back to
+    * interpreted boxing, so past ~4096 inlined doubles the assignment
+    * routes through [[graft.expr.NearestCellKernel]] — same arithmetic,
+    * codebook as a reference object, constant code size (bit-equality
+    * spec-asserted in DedupSpec).
     */
-  private[graft] def nearestCell(vecCol: Column, cells: Cells): Column = {
-    val scored = array(cells.map { case (cell, cv) =>
-      struct(VF.cosine(vecCol, typedlit(cv)).as("sim"), lit(-cell).as("negcell"))
-    }: _*)
-    (lit(0L) - array_max(scored).getField("negcell"))
-  }
+  private[graft] def nearestCell(vecCol: Column, cells: Cells): Column =
+    if (cells.map(_._2.length).sum <= 4096) {
+      val scored = array(cells.map { case (cell, cv) =>
+        struct(VF.cosine(vecCol, typedlit(cv)).as("sim"), lit(-cell).as("negcell"))
+      }: _*)
+      (lit(0L) - array_max(scored).getField("negcell"))
+    } else
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expr.NearestCellKernel(
+          org.apache.spark.sql.GraftColumnBridge.expression(vecCol),
+          cells.map(_._1),
+          cells.map(_._2)
+        )
+      )
 
   /** Top-`n` cells by cosine for a query vector: sort the literal-scored
     * array descending, slice — map-side only.

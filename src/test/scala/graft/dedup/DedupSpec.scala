@@ -86,6 +86,35 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact)) // verification step removes false positives
   }
 
+  test("nearestCell kernel form equals the literal form bit-for-bit past the codegen dispatch") {
+    import graft.ann.Ann
+    // 50 cells x 128 dims = 6400 codebook doubles: crosses the 4096-literal
+    // dispatch, so Dedup.semantic/Ann assignment routes through
+    // NearestCellKernel — which must agree with the literal argmax exactly,
+    // including ties (duplicate centroids) and the NaN (zero-vector) edge
+    def mkVec(i: Long, d: Int) =
+      Array.tabulate(d)(j => (math.sin(i * 13 + j * 7) + 0.3 * math.cos(i.toDouble + j)).toFloat)
+    val cells: Seq[(Long, Seq[Double])] =
+      (0L until 50L).map(c => c -> mkVec(c * 7 + 1, 128).map(_.toDouble).toSeq) :+
+        (50L -> mkVec(8, 128).map(_.toDouble).toSeq) // duplicate of cell 1 -> tie
+    val vecs = ((0L until 300L).map(i => (i, mkVec(i, 128))) :+
+      (999L, Array.fill(128)(0.0f))).toDF("vec_id", "embedding")
+    // literal form, built directly (what nearestCell emits under the dispatch)
+    import org.apache.spark.sql.functions.{array, array_max, lit, struct, typedlit}
+    val scored = array(cells.map { case (cell, cv) =>
+      struct(graft.functions.VectorFunctions.cosine(col("embedding"), typedlit(cv)).as("sim"),
+        lit(-cell).as("negcell"))
+    }: _*)
+    val literal = vecs
+      .select(col("vec_id"), (lit(0L) - array_max(scored).getField("negcell")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = vecs
+      .select(col("vec_id"), Ann.nearestCell(col("embedding"), cells).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == literal)
+    assert(kernel.values.toSet.size > 10, "assignment actually spreads over cells")
+  }
+
   test("exactKeepBest keeps the highest-scored copy, ties fall to min id") {
     val scored = Seq(
       (1L, "same text", 10L), (2L, "same text", 30L), (3L, "same text", 30L), // 2 wins (tie w/ 3)
