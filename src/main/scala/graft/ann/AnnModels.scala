@@ -36,7 +36,12 @@ object AnnModels {
 
   private def modelDir(indexPath: String) = s"$indexPath/_graft_model"
 
-  private case class MetaRow(
+  // sidecar row shapes: public ONLY because Dataset encoder codegen must
+  // construct/access them from generated classes — `private` here makes
+  // every sidecar read/write pay a failed Janino compile and fall back to
+  // the interpreted projection path (observed as 128 CodeGenerator errors
+  // per test-suite run before this was widened)
+  case class MetaRow(
       format: String,
       version: Int,
       kind: String,
@@ -44,8 +49,8 @@ object AnnModels {
       dim: Int,
       m: Int
   )
-  private case class CellRow(cell: Long, centroid: Seq[Double])
-  private case class BookRow(j: Int, c: Int, v: Seq[Double])
+  case class CellRow(cell: Long, centroid: Seq[Double])
+  case class BookRow(j: Int, c: Int, v: Seq[Double])
 
   /** Persist the IVF cells + PQ codebooks next to a [[Ann.writePqIndex]]
     * layout. Overwrites any prior sidecar (a model refresh rewrites the

@@ -52,9 +52,43 @@ case class NearestCellKernel(
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Hoisted loop invariants — the assignment loop is the O(n·cells·dim)
+  // arithmetic that dominates SemDeDup at AutoNlists (cells ∝ corpus), so
+  // constant factors here ARE the scale curve. All three hoists reproduce
+  // the inline accumulation bit-for-bit:
+  //  * centroid partial norms `Σ y²` accumulated in index order per
+  //    centroid once (same adds, same order as the inline `nb` loop), but
+  //    only up to each possible truncation length n = min(|v|, |centroid|):
+  //    norms are prefix sums, so `normPrefix(c)(n)` is exactly the inline
+  //    value for any input length;
+  //  * the query vector is unpacked from ArrayData ONCE per row (the
+  //    virtual getFloat/getDouble per element per centroid was ~2× of the
+  //    loop) — the unpacked doubles are the identical values;
+  //  * the query norm `Σ x²` does not depend on the centroid, but its
+  //    truncated length does — computed as a prefix too.
+  @transient private lazy val normPrefix: Array[Array[Double]] =
+    cents.map { ct =>
+      val p = new Array[Double](ct.length + 1)
+      var nb = 0.0
+      var i = 0
+      while (i < ct.length) { nb += ct(i) * ct(i); p(i + 1) = nb; i += 1 }
+      p
+    }
+
   override def kernel(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val vn = v.numElements()
+    val x = new Array[Double](vn)
+    val xNormPrefix = new Array[Double](vn + 1)
+    var na = 0.0
+    var i = 0
+    while (i < vn) {
+      val xi = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      x(i) = xi
+      na += xi * xi
+      xNormPrefix(i + 1) = na
+      i += 1
+    }
     var bestSim = 0.0
     var bestCell = 0L
     var first = true
@@ -62,15 +96,13 @@ case class NearestCellKernel(
     while (c < cents.length) {
       val ct = cents(c)
       val n = math.min(vn, ct.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
+      var dot = 0.0
+      i = 0
       while (i < n) {
-        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        val y = ct(i)
-        dot += x * y; na += x * x; nb += y * y
+        dot += x(i) * ct(i)
         i += 1
       }
-      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      val sim = dot / (math.sqrt(xNormPrefix(n)) * math.sqrt(normPrefix(c)(n)))
       val cmp = if (first) 1 else java.lang.Double.compare(sim, bestSim)
       if (cmp > 0 || (cmp == 0 && ids(c) < bestCell)) {
         bestSim = sim
