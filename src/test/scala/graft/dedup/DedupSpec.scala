@@ -115,6 +115,63 @@ class DedupSpec extends SparkSpec {
     assert(kernel.values.toSet.size > 10, "assignment actually spreads over cells")
   }
 
+  test("in-cell cosine verify equals the join-based verify, incl. caps, nulls, NaN") {
+    // three tight clusters (pairs above threshold), a zero vector (NaN
+    // cosine -> dropped by both paths), a null vector (null cosine in the
+    // join path -> dropped), float elements
+    def base(c: Int) = Array.tabulate(24)(j => math.sin(c * 31 + j).toFloat)
+    val rows: Seq[(Long, Array[Float])] =
+      (0 until 60).map { i =>
+        val b = base(i % 3)
+        (i.toLong, b.zipWithIndex.map { case (x, j) => if (j == 7) x + 0.002f * (i / 3) else x })
+      } ++ Seq(
+        (200L, Array.fill(24)(0.0f)),
+        (201L, null.asInstanceOf[Array[Float]])
+      )
+    val df = rows.toDF("vec_id", "embedding")
+    val intIds = df.select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+    for (cap <- Seq(2000, 12)) { // 12 < cluster-bucket occupancy: cap drop must agree
+      val kernelOut = Dedup
+        .embeddingCosine(df, "vec_id", "embedding", 0.9, planes = 3, dim = 24, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // an int id routes bucketCosineVerified down the legacy join path
+      val joinOut = Dedup
+        .embeddingCosine(intIds, "vec_id", "embedding", 0.9, planes = 3, dim = 24, maxBucket = cap)
+        .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2))).toSet
+      assert(kernelOut == joinOut, s"cap=$cap")
+      if (cap == 2000) assert(kernelOut.size > 100, "clusters actually verified")
+    }
+    val semKernel = Dedup.semantic(df, "vec_id", "embedding", 0.9, nlists = 4, refine = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val semJoin = Dedup.semantic(intIds, "vec_id", "embedding", 0.9, nlists = 4, refine = 0)
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2))).toSet
+    assert(semKernel == semJoin && semKernel.nonEmpty)
+  }
+
+  test("CellPairsCosineKernel cos is bit-for-bit VectorFunctions.cosine, ragged included") {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    def mk(i: Int, d: Int) = Array.tabulate(d)(j => (math.sin(i * 13 + j) * 0.7).toFloat)
+    // one 12-length vector among 24s exercises the min-length truncation path
+    val members = (0 until 15).map(i => (i.toLong, mk(i, if (i == 4) 12 else 24)))
+    val mdf = members.toDF("id", "v")
+    val kc = mdf
+      .agg(collect_list(struct(col("id"), col("v"))).as("m"))
+      .select(explode(bridge.column(
+        graft.expr.CellPairsCosineKernel(bridge.expression(col("m")), -2.0))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val a = members.toDF("id_a", "v_a")
+    val b = members.toDF("id_b", "v_b")
+    val jc = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(kc.keySet == jc.keySet)
+    kc.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) == java.lang.Double.doubleToLongBits(jc(k)), k)
+    }
+  }
+
   test("exactKeepBest keeps the highest-scored copy, ties fall to min id") {
     val scored = Seq(
       (1L, "same text", 10L), (2L, "same text", 30L), (3L, "same text", 30L), // 2 wins (tie w/ 3)
