@@ -206,7 +206,7 @@ class PlanSpec extends SparkSpec {
     assert(nodeCount(s, "Scan parquet") == 2, s)
   }
 
-  test("semantic dedup assigns cells map-side: literal centroids, broadcast verify") {
+  test("semantic dedup assigns cells map-side and verifies IN-CELL: no pair joins") {
     val df = graft.dedup.Dedup.semantic(
       Tables.load(spark, sf)("embeddings"), "vec_id", "embedding",
       threshold = 0.4, nlists = 4, refine = 0)
@@ -214,11 +214,15 @@ class PlanSpec extends SparkSpec {
     // centroids are plan literals: assignment must be a Project, not a join
     // against a centroid table
     assert(!s.contains("ScalaUDF"), s)
+    // the verify runs inside CellPairsCosineKernel — candidate pairs never
+    // materialize, so there must be NO join anywhere in the plan
     val joins = nodeCount(s, "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)")
-    // exactly the two candidate→vector joins of the verify stage
-    assert(joins == 2, s"expected 2 joins (pair verify), got $joins\n$s")
-    // two hash exchanges: the bucket groupBy and the pair distinct
-    assert(nodeCount(s, "Exchange") == 2, s)
+    assert(joins == 0, s"expected 0 joins (in-cell verify), got $joins\n$s")
+    // ONE hash exchange: the corpus grouped into its cells (each vector
+    // crosses the wire once); the old join verify paid this plus a pair
+    // distinct plus two join exchanges
+    assert(nodeCount(s, "Exchange") == 1, s)
+    assert(s.toLowerCase.contains("cellpairscosinekernel"), s)
   }
 
   test("vector operators compile to the native expression, not interpreted HOFs") {
