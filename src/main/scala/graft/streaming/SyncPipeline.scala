@@ -107,13 +107,26 @@ object SyncPipeline {
     * rows against the CURRENT source table for the payload columns. An
     * upsert whose row is missing from the source degrades to DELETE.
     * Output: (tg_op, <pk>, <payload...>); DELETE rows carry null payloads.
+    *
+    * The payload join NEVER shuffles the corpus: the affected-id set is
+    * batch-sized while `load(table)` is the full source, so a plain
+    * `ops ⟕ src` join would shuffle every corpus row per micro-batch (the
+    * corpus side of a left-outer cannot be the broadcast build side). The
+    * source scan is instead RESTRICTED to the affected ids first, with the
+    * same two-tier strategy as [[graft.cdc.IncrementalEngine.reassemble]]:
+    * up to `inSetThreshold` ids become a literal `isin` pushed into the
+    * parquet scan (row groups whose min/max exclude the batch are never
+    * read; the collapsed op set rides along as a driver-local relation, no
+    * recompute), and oversized sets fall back to a broadcast semi-join
+    * (still scan-only on the corpus — no corpus-wide exchange).
     */
   def changeRows(
       batch: DataFrame,
       load: String => DataFrame,
       table: String,
       pk: String,
-      payload: Seq[String]
+      payload: Seq[String],
+      inSetThreshold: Int = 1000
   ): DataFrame = {
     val evs = batch
       .filter(col("tbl") === table)
@@ -137,10 +150,18 @@ object SyncPipeline {
     val src = load(table).select(
       col(pk).cast("long").as(pk) +: (payload.map(col) :+ lit(true).as("__present")): _*
     )
+    val collected = last.limit(inSetThreshold + 1).collect()
+    val (ops, srcAffected) =
+      if (collected.length <= inSetThreshold) {
+        val local = batch.sparkSession.createDataFrame(
+          java.util.Arrays.asList(collected: _*), last.schema)
+        (local, src.filter(col(pk).isin(collected.map(_.getLong(0)).toSeq: _*)))
+      } else
+        (last, src.join(broadcast(last.select(col(pk))), Seq(pk)))
     val finalOp = when(col("tg_op") =!= "DELETE" && col("__present").isNull, lit("DELETE"))
       .otherwise(col("tg_op"))
-    last
-      .join(src, Seq(pk), "left_outer")
+    ops
+      .join(srcAffected, Seq(pk), "left_outer")
       .select(
         finalOp.as("tg_op") +:
           col(pk) +:

@@ -100,6 +100,29 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("GreaterThanOrEqual(o_orderkey,5)") && s.contains("LessThanOrEqual(o_orderkey,9)"))
   }
 
+  test("changeRows restricts the corpus scan to the affected ids, never shuffles it") {
+    val load = Tables.load(spark, sf) _
+    val batch = graft.cdc.Changes.of(
+      spark,
+      Seq(
+        ("UPDATE", "documents", """{"doc_id": 3}""", """{"doc_id": 3}""", 1L),
+        ("INSERT", "documents", null, """{"doc_id": 7}""", 2L))
+    )
+    // small path: literal ids pushed INTO the parquet scan (row-group
+    // pruning) and the collapsed op set riding as a driver-local relation
+    val small = graft.streaming.SyncPipeline.changeRows(
+      batch, load, "documents", "doc_id", Seq("text"))
+    val s = fmt(small)
+    assert(s.contains("In(doc_id") || s.contains("EqualTo(doc_id"), s)
+    assert(s.contains("LocalTableScan") || s.contains("LocalRelation"), s)
+    // oversized path (threshold 0): the restriction is a BROADCAST of the
+    // batch-sized id set against the corpus scan — the corpus is never the
+    // shuffled side of the payload join
+    val big = graft.streaming.SyncPipeline.changeRows(
+      batch, load, "documents", "doc_id", Seq("text"), inSetThreshold = 0)
+    assert(fmt(big).contains("BroadcastHashJoin"), fmt(big))
+  }
+
   test("one_to_many child agg keeps map-side partial aggregation") {
     val p = plan(SparkEntry.queries("q_child_agg")(spark, sf))
     // partial + final HashAggregate pair around the exchange
