@@ -159,4 +159,20 @@ class SyncPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     assert(rows == Set(("DELETE", 1L, null), ("UPDATE", 2L, "beta"), ("DELETE", 3L, null)))
   }
+
+  test("changeRows: empty and foreign-table-only batches yield empty (streaming idle path)") {
+    val src = Seq((1L, "alpha")).toDF("id", "text")
+    val load: String => DataFrame = { case "t" => src }
+    val empty = Seq.empty[(String, String, String, String, Long)]
+      .toDF("tg_op", "tbl", "old", "new", "txid")
+    assert(SyncPipeline.changeRows(empty, load, "t", "id", Seq("text")).count() == 0)
+    // a batch that only touches OTHER tables must also derive zero rows
+    val foreign = Seq(("INSERT", "x", null: String, """{"id": 9}""", 1L))
+      .toDF("tg_op", "tbl", "old", "new", "txid")
+    assert(SyncPipeline.changeRows(foreign, load, "t", "id", Seq("text")).count() == 0)
+    // an empty affected set stays on the literal tier even at threshold 0
+    // (0 <= 0): the zero-value isin must not throw
+    assert(SyncPipeline.changeRows(
+      foreign, load, "t", "id", Seq("text"), inSetThreshold = 0).count() == 0)
+  }
 }
