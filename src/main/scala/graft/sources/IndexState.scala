@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Shared mutation state for the persisted retrieval/ANN indexes (BM25
   * postings, LSH buckets, IVF-PQ cells): a sequence counter plus a
@@ -63,15 +64,33 @@ object IndexState {
     * racing reader could observe, and which object stores implement as
     * non-atomic copy+delete). Readers resolve [[dataPath]] once per
     * probe/mutation: highest ready generation, or the index root for a
-    * never-compacted (legacy) layout. GC is DEFERRED one generation — the
-    * promote that creates gen n deletes gen n-2 and older, so a reader
-    * that resolved the previous generation keeps a complete directory for
-    * the whole scan; only a reader lagging TWO compactions behind can lose
-    * its directory. The underscore prefix keeps generation directories
-    * invisible to any parquet read of the index root.
+    * never-compacted (legacy) layout. GC is AGE-BASED: a generation (or the
+    * legacy root data) stops being current the instant a successor's ready
+    * marker is created, and may be deleted only once that successor marker
+    * is at least [[gcGraceMs]] old — so a reader that resolved ANY
+    * generation keeps a complete directory for up to the grace window, no
+    * matter how many compactions chain behind it (back-to-back compactions
+    * used to be able to lap a slow reader when GC was purely generational).
+    * The immediate predecessor is always retained (its successor's marker
+    * was created this instant); marker-less directories from crashed
+    * promotes were never resolvable and are deleted immediately. Disk cost
+    * is bounded by compaction frequency × grace. The underscore prefix
+    * keeps generation directories invisible to any parquet read of the
+    * index root.
     */
   val GenPrefix = "_graft_gen-"
   val ReadyMarker = "_graft_ready"
+
+  /** Minimum age of the SUCCESSOR's ready marker before a superseded
+    * generation may be GC'd — the upper bound on a reader's
+    * resolve-to-finish window. Tunable per session via the
+    * `graft.index.gcGraceMs` conf (clock-skew margins on object stores,
+    * longer scans at larger corpora).
+    */
+  val DefaultGcGraceMs: Long = 600000L
+
+  private def gcGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.index.gcGraceMs").map(_.toLong).getOrElse(DefaultGcGraceMs)
 
   /** Underscore-prefixed entries that are GENERATIONAL DATA (rewritten by
     * compaction, resolved under [[dataPath]]) rather than root-level shared
@@ -124,25 +143,47 @@ object IndexState {
 
   /** Promote a fully-written staging rewrite to the next generation:
     * rename it under the root, then CREATE the ready marker — the atomic
-    * flip that makes it current. Then the deferred GC: every generation
-    * except the new one and its immediate predecessor is deleted, and once
-    * the predecessor is itself a generation (not the legacy root layout)
-    * the legacy root data files are retired too.
+    * flip that makes it current. Then the age-based GC ([[gcExpired]]):
+    * superseded generations (and the legacy root data) are deleted only
+    * once their successor's ready marker is [[gcGraceMs]] old.
     */
   def promoteStaging(spark: SparkSession, path: String, stagingPath: String): Unit = {
     val f = fs(spark, path)
-    val prev = currentGen(spark, path)
-    val next = (genNumbers(spark, path) ++ prev).foldLeft(0L)(math.max) + 1L
+    val next = genNumbers(spark, path).foldLeft(0L)(math.max) + 1L
     val genDir = new Path(s"$path/$GenPrefix$next")
     require(
       f.rename(new Path(stagingPath), genDir),
       s"promoteStaging: could not move $stagingPath to $genDir"
     )
     f.create(new Path(s"$path/$GenPrefix$next/$ReadyMarker"), false).close()
-    genNumbers(spark, path)
-      .filterNot(n => n == next || prev.contains(n))
-      .foreach(n => deleteDir(spark, s"$path/$GenPrefix$n"))
-    if (prev.nonEmpty) deleteLegacyRootData(spark, path)
+    gcExpired(spark, path, next)
+  }
+
+  /** Age-based generation GC (see [[GenPrefix]]): a generation g may be
+    * deleted once the LOWEST ready generation above it — the promotion that
+    * made g non-current — has a ready marker at least [[gcGraceMs]] old; a
+    * reader that resolved g started its scan before that marker existed, so
+    * it has had the full grace window to finish. The legacy root data is
+    * the generation "below" every numbered one: it expires against the
+    * lowest ready generation present. Marker-less directories (crashed
+    * promotes, never resolvable) are deleted immediately.
+    */
+  private def gcExpired(spark: SparkSession, path: String, next: Long): Unit = {
+    val f = fs(spark, path)
+    val grace = gcGraceMs(spark)
+    val now = System.currentTimeMillis()
+    val gens = genNumbers(spark, path)
+    val readyAt: Map[Long, Long] = gens.flatMap { n =>
+      val m = new Path(s"$path/$GenPrefix$n/$ReadyMarker")
+      if (f.exists(m)) Some(n -> f.getFileStatus(m).getModificationTime) else None
+    }.toMap
+    def supersededLongEnough(g: Long): Boolean =
+      readyAt.keys.filter(_ > g).minOption.exists(s => now - readyAt(s) >= grace)
+    gens.filterNot(_ == next).foreach { g =>
+      if (!readyAt.contains(g) || supersededLongEnough(g))
+        deleteDir(spark, s"$path/$GenPrefix$g")
+    }
+    if (supersededLongEnough(-1L)) deleteLegacyRootData(spark, path)
   }
 
   /** Delete the pre-generation data entries at the index root: everything
@@ -168,7 +209,18 @@ object IndexState {
     recoverSwap(spark, indexPath)
     val p = s"$indexPath/$SeqDir"
     if (!exists(spark, p)) 0L
-    else spark.read.parquet(p).collect()(0).getLong(0)
+    else
+      // explicit schema + headOption: a concurrent reader can observe the
+      // sidecar dir mid-overwrite (exists, no data files yet) — that reads
+      // as seq 0 rather than a schema-inference failure. Mutators are
+      // single-writer, so they never observe the window themselves.
+      spark.read
+        .schema(StructType(Seq(StructField("seq", LongType))))
+        .parquet(p)
+        .collect()
+        .headOption
+        .map(_.getLong(0))
+        .getOrElse(0L)
   }
 
   def writeSeq(spark: SparkSession, indexPath: String, seq: Long): Unit = {
@@ -198,6 +250,17 @@ object IndexState {
     exists(spark, s"${dataPath(spark, indexPath)}/$TombstoneDir")
   }
 
+  /** The tombstone sidecar's fixed schema. Reads always pass it explicitly:
+    * schema inference on the sidecar would fail on a directory that EXISTS
+    * but holds no data files yet — exactly the window a concurrent reader
+    * can observe while the first delete batch's `_temporary` output is
+    * mid-write (caught by GenerationSpec's concurrent probe). With the
+    * schema pinned, that window reads as zero tombstones, and every read
+    * skips footer inference.
+    */
+  private val TombstoneSchema: StructType =
+    StructType(Seq(StructField("id", LongType), StructField("del_seq", LongType)))
+
   /** Aggregated tombstones `(ts_id, del_seq)` of the resolved data dir
     * `dataDir` — one row per deleted id, carrying the LATEST delete seq
     * (earlier deletes of the same id are subsumed: any row hidden by an old
@@ -205,6 +268,7 @@ object IndexState {
     */
   def readTombstonesAt(spark: SparkSession, dataDir: String): DataFrame =
     spark.read
+      .schema(TombstoneSchema)
       .parquet(s"$dataDir/$TombstoneDir")
       .groupBy(col("id").as("ts_id"))
       .agg(max(col("del_seq")).as("del_seq"))

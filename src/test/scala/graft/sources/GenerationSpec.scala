@@ -23,7 +23,19 @@ class GenerationSpec extends SparkSpec {
 
   private def exists(p: String) = new java.io.File(p).exists()
 
-  test("deferred GC: each promotion keeps the previous generation intact for in-flight readers") {
+  /** Back-date every ready marker under `dir` past the GC grace window, so
+    * the next promotion sees its predecessors as long-superseded.
+    */
+  private def ageMarkers(dir: String): Unit =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(IndexState.GenPrefix))
+      .map(g => new java.io.File(g, IndexState.ReadyMarker))
+      .filter(_.exists())
+      .foreach { m =>
+        assert(m.setLastModified(System.currentTimeMillis() - IndexState.DefaultGcGraceMs - 1000L))
+      }
+
+  test("age-based GC: superseded generations survive the grace window, then are retired") {
     val dir = graft.util.TempDirs.scratch("gen-deferred-gc").toString
     val all = (0L until 40L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
     Ann.writeLshIndex(all, dir, "vec_id", "embedding", planes = 6, dim = 16)
@@ -41,22 +53,31 @@ class GenerationSpec extends SparkSpec {
     assert(gen1 == s"$dir/${IndexState.GenPrefix}1")
     assert(
       new java.io.File(dir).listFiles().exists(_.getName.startsWith("bucket=")),
-      "legacy root data must survive the first promotion (deferred GC)"
+      "legacy root data must survive the first promotion"
     )
 
-    // promotion #2: gen-2 current, gen-1 survives, legacy root data retired
+    // promotion #2 lands INSIDE the grace window: nothing is retired —
+    // back-to-back compactions can no longer lap a slow reader
     cycle(1L)
     assert(IndexState.dataPath(spark, dir) == s"$dir/${IndexState.GenPrefix}2")
-    assert(exists(gen1), "the immediately-previous generation must survive")
+    assert(exists(gen1), "a generation superseded within the grace window must survive")
     assert(
-      !new java.io.File(dir).listFiles().exists(_.getName.startsWith("bucket=")),
-      "legacy root data is two generations old — retired"
+      new java.io.File(dir).listFiles().exists(_.getName.startsWith("bucket=")),
+      "legacy root data superseded within the grace window must survive"
     )
 
-    // promotion #3: gen-1 (two behind) is GC'd, gen-2 survives
+    // promotion #3 after the grace window has passed: gen-1 and the legacy
+    // root data (both long-superseded) are retired; gen-2, superseded only
+    // this instant, survives for its own grace window
+    ageMarkers(dir)
     cycle(2L)
     assert(IndexState.dataPath(spark, dir) == s"$dir/${IndexState.GenPrefix}3")
-    assert(!exists(gen1) && exists(s"$dir/${IndexState.GenPrefix}2"))
+    assert(!exists(gen1), "generation superseded for longer than the grace window is GC'd")
+    assert(exists(s"$dir/${IndexState.GenPrefix}2"), "the immediate predecessor always survives")
+    assert(
+      !new java.io.File(dir).listFiles().exists(_.getName.startsWith("bucket=")),
+      "legacy root data superseded for longer than the grace window is retired"
+    )
 
     // probes and further mutations still work against the promoted layout
     val queries = all.filter(col("vec_id").isin(10L, 11L))
