@@ -77,6 +77,7 @@ object Bench {
     val benchExcluded =
       Set(
         "q_dedup_embed", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_minhash_incr",
+        "q_dedup_cluster_incr", // portable md5 grading twin of q_dedup_cluster_incr_prod
         "q_events_sessions_stream", "q_classifier")
     // triage knob: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries
     // (and skips the throughput metrics) for quick regression bisection

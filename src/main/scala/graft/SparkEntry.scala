@@ -55,6 +55,41 @@ object SparkEntry {
   private def assembled(s: SparkSession, dir: String, fixture: String): DataFrame =
     DocAssembler.assemble(SchemaDef.parseNodes(fixture), loader(s, dir), Catalog.testData)
 
+  /** Shared body of q_dedup_cluster_incr / _prod: documents arrive in 3
+    * batches (`doc_id % 3` = arrival index; a pair arrives with its LATER
+    * endpoint), each batch feeds [[graft.dedup.ClusterMap.applyBatch]], and
+    * the final [[graft.dedup.ClusterMap.assignments]] must equal the batch
+    * CC over the cumulative pair list (+ singletons). The pair SET is
+    * computed once over the full corpus — byte-identical to what the
+    * incremental pair operator accumulates over the same arrival order
+    * (q_dedup_minhash_incr grades THAT); this query grades the cluster
+    * bookkeeping: member appends, cross-batch merges, pointer resolution.
+    */
+  private def clusterIncr(
+      s: SparkSession,
+      dir: String,
+      portable: Boolean
+  ): DataFrame = {
+    val d = loader(s, dir)("documents")
+    val pairs = (
+      if (portable) graft.dedup.Dedup.minhashLshPortable(d, "doc_id", "text", threshold = 0.3)
+      else graft.dedup.Dedup.minhashLsh(d, "doc_id", "text", threshold = 0.3)
+    ).select(col("id_a"), col("id_b")).cache()
+    try {
+      val path = graft.util.TempDirs.scratch("cluster-map-q").toString
+      graft.dedup.ClusterMap.init(s, path, buckets = 16)
+      (0 until 3).foreach { i =>
+        val newIds = d.filter(pmod(col("doc_id"), lit(3)) === i).select(col("doc_id").as("id"))
+        val batchPairs = pairs.filter(
+          greatest(pmod(col("id_a"), lit(3)), pmod(col("id_b"), lit(3))) === i)
+        graft.dedup.ClusterMap.applyBatch(s, path, batchPairs, newIds)
+      }
+      graft.dedup.ClusterMap
+        .assignments(s, path)
+        .select(col("id").as("doc_id"), col("root").as("keep_id"))
+    } finally { pairs.unpersist(); () }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     assembled(spark, "/root/testdata/sf0.001", Fixtures.flagship)
@@ -1122,6 +1157,17 @@ object SparkEntry {
         threshold = 0.3
       )
     }),
+    // ---- incremental cluster maintenance: documents arrive in 3 batches,
+    // each batch's near-dup pairs feed the persisted union-find
+    // (graft.dedup.ClusterMap: bucketed member rows + log-structured
+    // downward merge pointers); the final assignment must equal the batch
+    // CC over the cumulative pair list. Portable md5 pair family → the
+    // oracle replays pairs + a recursive-CTE transitive closure ------------
+    "q_dedup_cluster_incr" -> ((s, dir) => clusterIncr(s, dir, portable = true)),
+    // production xxhash64 twin — timed-only, same convention as the other
+    // _prod twins: identical ClusterMap machinery (spec-covered), pair
+    // derivation from the long-hash band keys the ingest path persists
+    "q_dedup_cluster_incr_prod" -> ((s, dir) => clusterIncr(s, dir, portable = false)),
     // ---- top-k per group: bounded-heap aggregate, not a window sort --------
     "q_topk_per_group" -> ((s, dir) =>
       graft.functions.Analytics.topKPerGroup(
@@ -3411,6 +3457,41 @@ object SparkEntry {
                JOIN sh sc ON sc.doc_id = pr.corpus_id)
          SELECT batch_id, corpus_id, CAST(round(jac * 1000) AS BIGINT) AS jaccard_milli
          FROM j WHERE jac >= 0.3"""
+    },
+    "q_dedup_cluster_incr" -> {
+      // the q_dedup_minhash pair family, then connected components as a
+      // recursive-CTE transitive closure: each doc's cluster root is the
+      // minimum id reachable through the pair graph (components are
+      // near-dup clusters — small — so enumerating reachability is cheap
+      // at oracle scale); docs in no pair are their own root
+      val k = 16
+      val mins = (0 until k).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+      val bandKeys = (0 until 8).map(b => s"'$b:' || m${2 * b} || m${2 * b + 1}").mkString(", ")
+      raw"""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+                FROM t WHERE len(toks) > 0),
+         post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         m AS (SELECT doc_id, $mins FROM post GROUP BY doc_id),
+         keyed AS (SELECT doc_id, unnest([$bandKeys]) AS key FROM m),
+         ok AS (SELECT key FROM keyed GROUP BY key HAVING count(*) BETWEEN 2 AND 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+                  WHERE a.key IN (SELECT key FROM ok)),
+         p AS (SELECT pr.id_a, pr.id_b
+               FROM cand pr
+               JOIN sh sa ON sa.doc_id = pr.id_a
+               JOIN sh sb ON sb.doc_id = pr.id_b
+               WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                       len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3),
+         edges AS (SELECT id_a AS u, id_b AS v FROM p
+                   UNION SELECT id_b AS u, id_a AS v FROM p),
+         reach AS (SELECT u, v FROM edges
+                   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         root AS (SELECT u, least(u, min(v)) AS root FROM reach GROUP BY u)
+         SELECT d.doc_id, CAST(coalesce(rt.root, d.doc_id) AS BIGINT) AS keep_id
+         FROM documents d LEFT JOIN root rt ON rt.u = d.doc_id"""
     },
     "q_topk_per_group" ->
       """SELECT user_id, CAST(rn AS BIGINT) AS rank, value AS score, event_id AS id

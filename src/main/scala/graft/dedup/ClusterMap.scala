@@ -1,0 +1,298 @@
+package graft.dedup
+
+import graft.sources.IndexState
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Persistent near-duplicate CLUSTER assignment under a continuous feed — a
+  * distributed union-find. The batch operators ([[Dedup.minhashLsh]] and
+  * family) emit near-dup PAIRS; [[Dedup.connectedComponents]] turns a full
+  * pair list into cluster labels. At 100 TB the corpus is never rescanned,
+  * so the open problem is the ARRIVING form: assign each new document a
+  * stable cluster id (the component's minimum doc id — the same canonical
+  * "keeper" the batch CC elects) given only the new batch's pairs, and
+  * merge existing clusters when a new document connects them.
+  *
+  * The design is the engine's established log-structured index idiom
+  * (seq-tombstoned secondary indexes, `graft.sources.IndexState`) applied
+  * to union-find state:
+  *
+  *   - `members` — `(id, root)` rows, hash-bucketed by id
+  *     (`bucket = id % nBuckets` partition dirs), append-only: each doc is
+  *     written ONCE, at arrival, with the cluster root known at that time.
+  *     Lookups push a static `bucket IN (…)` partition filter computed
+  *     from the (batch-sized) probe ids, so a batch never scans the
+  *     corpus-sized member set.
+  *   - `_graft_merges` — `(from_root, to_root, seq)` pointer log, the
+  *     union-find "parent" edges: when a batch connects two existing
+  *     clusters, the larger root gets one appended pointer to the smaller
+  *     (merges always point DOWNWARD to a smaller id — no cycles, and
+  *     chains strictly descend). Resolution follows pointer chains to a
+  *     fixpoint; the log is batch-sized per batch, never corpus-sized.
+  *   - Compaction ([[maybeCompact]]) is the union-find "path compression"
+  *     made durable: rewrite `members` with every chain resolved, promote
+  *     through [[IndexState.compactAndSwap]] (generation pointer, age-based
+  *     GC, concurrent readers safe), and the new generation is born with an
+  *     empty merge log. A policy threshold (merge rows vs member rows, both
+  *     from parquet footer counts) bounds chain length under steady churn.
+  *
+  * Algorithm lineage is public: min-label propagation connected components
+  * (Rastogi et al., "Finding Connected Components in Map-Reduce in
+  * Logarithmic Rounds", ICDE 2013 — the hash-to-min family) for the
+  * per-batch contraction, and the classic union-find with deferred path
+  * compression for the persisted state.
+  *
+  * Replay convergence (the engine's at-least-once convention): re-applying
+  * a batch re-derives the same contracted merges against an already-merged
+  * map — every node already resolves to its final root, so the contraction
+  * emits no new pointers — and re-appends the same `(id, root)` member
+  * rows, which [[assignments]] collapses by min. A crash between the merge
+  * append and the member append heals the same way on replay.
+  *
+  * Deletes are intentionally out of scope: removing a document never
+  * SPLITS a component (union-find cannot un-merge; neither can the batch
+  * CC, which would need the surviving pair list). Filter [[assignments]]
+  * against the live corpus instead, and rebuild from surviving pairs if
+  * true splits are required — the same rebuild-for-shrink convention as
+  * the reference's full re-sync (`/root/reference/pgsync/sync.py`
+  * re-snapshot path).
+  */
+object ClusterMap {
+
+  val MergesDir = "_graft_merges"
+  private val ModelDir = "_graft_model"
+
+  private val MemberSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("root", LongType),
+    StructField("bucket", IntegerType)
+  ))
+
+  private val MergeSchema = StructType(Seq(
+    StructField("from_root", LongType),
+    StructField("to_root", LongType),
+    StructField("seq", LongType)
+  ))
+
+  /** Create an empty cluster map at `path`: layout parameters + seq 0. No
+    * member partitions are written (an empty partitioned directory is
+    * unreadable — the same refusal rationale as
+    * [[IndexState.stagingHasData]]); reads tolerate the absent layout.
+    */
+  def init(spark: SparkSession, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/$ModelDir")
+    IndexState.writeSeq(spark, path, 0L)
+  }
+
+  private def readBuckets(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/$ModelDir").collect()(0).getInt(0)
+
+  private def hasMembers(spark: SparkSession, dataDir: String): Boolean =
+    IndexState.stagingHasData(spark, dataDir)
+
+  /** Raw member rows of a resolved data directory (un-merged roots). */
+  private def readMembersAt(spark: SparkSession, dataDir: String): DataFrame =
+    if (!hasMembers(spark, dataDir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], MemberSchema)
+    else spark.read.parquet(dataDir).select(col("id"), col("root"), col("bucket"))
+
+  /** The merge log of a resolved data directory, collapsed to one pointer
+    * per source root, followed to a FIXPOINT — `(from_root, to_root)` with
+    * `to_root` the final resolved target. Pointer chains strictly descend
+    * (merges always target a smaller id), so the loop terminates in
+    * chain-depth iterations; the log is batch-appended and compaction
+    * empties it, so the frame is small — but the loop still runs
+    * distributed with per-iteration lineage truncation, the
+    * [[Dedup.connectedComponentsWithStatus]] discipline.
+    */
+  private[dedup] def mergeClosure(spark: SparkSession, dataDir: String): DataFrame = {
+    val p = s"$dataDir/$MergesDir"
+    if (!IndexState.stagingHasData(spark, p))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("from_root", LongType), StructField("to_root", LongType))))
+    var cl = spark.read.schema(MergeSchema).parquet(p)
+      .groupBy(col("from_root"))
+      .agg(min(col("to_root")).as("to_root"))
+      .localCheckpoint(true)
+    var done = false
+    var iter = 0
+    while (!done && iter < 64) {
+      val next = cl
+        .join(
+          cl.select(col("from_root").as("to_root"), col("to_root").as("further")),
+          Seq("to_root"),
+          "left_outer")
+        .select(col("from_root"), coalesce(col("further"), col("to_root")).as("to_root"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(cl.withColumnRenamed("to_root", "old_to"), Seq("from_root"))
+        .filter(col("to_root") =!= col("old_to"))
+        .limit(1)
+        .count()
+      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(cl)
+      cl = next
+      done = changed == 0
+      iter += 1
+    }
+    cl
+  }
+
+  /** Member rows for the probe `ids` only — `(id, root)`, root NOT yet
+    * merge-resolved. The probe's distinct bucket values (≤ nBuckets longs,
+    * driver-collected — the engine's bounded-collect convention) become a
+    * static partition filter, so the scan plans only the probed buckets.
+    */
+  private def lookupStored(
+      spark: SparkSession,
+      dataDir: String,
+      buckets: Int,
+      ids: DataFrame
+  ): DataFrame = {
+    if (!hasMembers(spark, dataDir))
+      return ids.limit(0).select(col("id"), col("id").as("root"))
+    val probeBuckets = ids
+      .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+    spark.read
+      .parquet(dataDir)
+      .filter(col("bucket").isin(probeBuckets.map(Integer.valueOf): _*))
+      .join(ids.select(col("id")), Seq("id"))
+      .select(col("id"), col("root"))
+  }
+
+  /** Apply one arriving batch: `newIds` are the batch's document ids (one
+    * member row each — singletons included), `pairs` `(id_a, id_b)` the
+    * near-dup pairs this batch introduces (batch↔batch and batch↔corpus;
+    * from [[Dedup.minhashLshIncrementalPortable]] + the in-batch operator,
+    * or any other dedup family). Every step is batch-sized: endpoint
+    * lookups prune member buckets, the contraction graph has one node per
+    * TOUCHED cluster, and writes append one file group per batch.
+    */
+  def applyBatch(
+      spark: SparkSession,
+      path: String,
+      pairs: DataFrame,
+      newIds: DataFrame,
+      maxIter: Int = 10
+  ): Unit = {
+    val dataDir = IndexState.dataPath(spark, path)
+    val buckets = readBuckets(spark, path)
+    val closure = mergeClosure(spark, dataDir)
+
+    val endpoints = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .distinct()
+    // current root per endpoint: stored root → pointer closure; absent
+    // (a batch id, or a pair endpoint never ingested) → the id itself
+    val cur = endpoints
+      .join(lookupStored(spark, dataDir, buckets, endpoints)
+        .withColumnRenamed("root", "stored"), Seq("id"), "left_outer")
+      .join(closure.withColumnRenamed("from_root", "stored"), Seq("stored"), "left_outer")
+      .select(col("id"), coalesce(col("to_root"), col("stored"), col("id")).as("cur_root"))
+
+    val contracted = pairs
+      .join(cur.select(col("id").as("id_a"), col("cur_root").as("ra")), Seq("id_a"))
+      .join(cur.select(col("id").as("id_b"), col("cur_root").as("rb")), Seq("id_b"))
+      .select(col("ra").as("id_a"), col("rb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+
+    val labels = Dedup.connectedComponents(contracted, maxIter)
+
+    val seq = IndexState.bumpSeq(spark, path)
+    // merge pointers FIRST (replay heals a crash between the two writes):
+    // every contracted node that lost its label and is NOT a new batch id
+    // is an existing cluster root acquiring a downward pointer
+    val merges = labels
+      .filter(col("keep_id") =!= col("id"))
+      .join(newIds.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id").as("from_root"), col("keep_id").as("to_root"), lit(seq).as("seq"))
+    if (!merges.isEmpty)
+      merges.coalesce(1).write.mode("append").parquet(s"$dataDir/$MergesDir")
+
+    newIds
+      .select(col("id"))
+      .join(labels, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        coalesce(col("keep_id"), col("id")).as("root"),
+        pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
+      .repartition(col("bucket"))
+      .write
+      .mode("append")
+      .partitionBy("bucket")
+      .parquet(dataDir)
+  }
+
+  /** Every ingested document's fully-resolved cluster root `(id, root)` —
+    * the arriving-data equivalent of [[Dedup.connectedComponents]] over the
+    * cumulative pair list (plus `(id, id)` singletons). Duplicate member
+    * rows from at-least-once replays collapse by min — the resolved root
+    * is monotonically non-increasing, so min is the freshest.
+    */
+  def assignments(spark: SparkSession, path: String): DataFrame = {
+    val dataDir = IndexState.dataPath(spark, path)
+    val closure = mergeClosure(spark, dataDir)
+    readMembersAt(spark, dataDir)
+      .join(closure.withColumnRenamed("from_root", "root"), Seq("root"), "left_outer")
+      .select(col("id"), coalesce(col("to_root"), col("root")).as("root"))
+      .groupBy(col("id"))
+      .agg(min(col("root")).as("root"))
+  }
+
+  /** Bucket-pruned [[assignments]] for a probe id set. */
+  def resolve(spark: SparkSession, path: String, ids: DataFrame): DataFrame = {
+    val dataDir = IndexState.dataPath(spark, path)
+    val closure = mergeClosure(spark, dataDir)
+    lookupStored(spark, dataDir, readBuckets(spark, path), ids)
+      .join(closure.withColumnRenamed("from_root", "root"), Seq("root"), "left_outer")
+      .select(col("id"), coalesce(col("to_root"), col("root")).as("root"))
+      .groupBy(col("id"))
+      .agg(min(col("root")).as("root"))
+  }
+
+  /** Durable path compression: when the merge log reaches `maxMergeRatio`
+    * of the member count (both from parquet footer metadata — the map is
+    * never scanned to decide), rewrite members fully resolved into a
+    * staging sibling and promote it ([[IndexState.compactAndSwap]]: next
+    * generation, empty-rewrite refusal, age-based GC). The promoted
+    * generation has an empty merge log — resolution cost returns to a
+    * single bucket-pruned lookup. Returns whether a compaction ran.
+    */
+  def maybeCompact(
+      spark: SparkSession,
+      path: String,
+      maxMergeRatio: Double = 0.2
+  ): Boolean = {
+    require(
+      maxMergeRatio > 0 && maxMergeRatio <= 1,
+      s"maxMergeRatio must be in (0,1], got $maxMergeRatio")
+    val dataDir = IndexState.dataPath(spark, path)
+    val mergesPath = s"$dataDir/$MergesDir"
+    if (!IndexState.stagingHasData(spark, mergesPath)) return false
+    val nMerges = spark.read.schema(MergeSchema).parquet(mergesPath).count()
+    if (nMerges == 0L) return false
+    val nMembers = readMembersAt(spark, dataDir).count()
+    if (nMembers == 0L || nMerges.toDouble / nMembers < maxMergeRatio) return false
+    val buckets = readBuckets(spark, path)
+    IndexState.compactAndSwap(spark, path, staging =>
+      assignments(spark, path)
+        .select(
+          col("id"),
+          col("root"),
+          pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
+        .repartition(col("bucket"))
+        .write
+        .mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging))
+  }
+}

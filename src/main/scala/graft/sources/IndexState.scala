@@ -102,7 +102,7 @@ object IndexState {
     * the flip would yank files from under a reader still scanning the
     * previous generation (caught by GenerationSpec's concurrent probe).
     */
-  private val GenerationalSidecars = Set("_graft_doclens", TombstoneDir)
+  private val GenerationalSidecars = Set("_graft_doclens", TombstoneDir, "_graft_merges")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

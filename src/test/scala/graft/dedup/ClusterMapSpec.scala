@@ -1,0 +1,132 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.sources.IndexState
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[ClusterMap]] — the persisted incremental union-find: arriving batches
+  * must reproduce exactly what the batch CC would compute over the
+  * cumulative pair list, cluster merges must be downward pointer appends,
+  * replays must converge, and compaction must flatten chains without
+  * changing a single assignment.
+  */
+class ClusterMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsDf(ps: (Long, Long)*): DataFrame =
+    ps.toDF("id_a", "id_b")
+
+  private def idsDf(ids: Long*): DataFrame = ids.toDF("id")
+
+  private def asMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("batched ingest reproduces the batch CC over the cumulative pair list") {
+    val path = graft.util.TempDirs.scratch("cmap-cc").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    // arrival batches; pair (a,b) arrives with the later endpoint
+    val batches = Seq(
+      (idsDf(1L, 2L, 3L, 4L), pairsDf((1L, 3L))),
+      (idsDf(5L, 6L, 7L), pairsDf((3L, 7L), (5L, 6L))),
+      (idsDf(8L, 9L), pairsDf((8L, 9L), (2L, 9L)))
+    )
+    batches.foreach { case (ids, ps) => ClusterMap.applyBatch(spark, path, ps, ids) }
+    val got = asMap(ClusterMap.assignments(spark, path))
+    // oracle: batch CC over ALL pairs + (id, id) singletons
+    val all = pairsDf((1L, 3L), (3L, 7L), (5L, 6L), (8L, 9L), (2L, 9L))
+    val cc = asMap(Dedup.connectedComponents(all).select(col("id"), col("keep_id")))
+    val expect = (1L to 9L).map(i => i -> cc.getOrElse(i, i)).toMap
+    assert(got == expect)
+    // component contents sanity: {1,3,7} root 1, {2,8,9} root 2, {5,6} root 5
+    assert(got(7L) == 1L && got(9L) == 2L && got(6L) == 5L && got(4L) == 4L)
+  }
+
+  test("a later document merges two existing clusters via a downward pointer") {
+    val path = graft.util.TempDirs.scratch("cmap-merge").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 11L)), idsDf(10L, 11L))
+    ClusterMap.applyBatch(spark, path, pairsDf((20L, 21L)), idsDf(20L, 21L))
+    assert(asMap(ClusterMap.assignments(spark, path)) ==
+      Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // doc 5 bridges both clusters; 5 < 10 < 20 so everything resolves to 5
+    ClusterMap.applyBatch(spark, path, pairsDf((5L, 11L), (5L, 21L)), idsDf(5L))
+    assert(asMap(ClusterMap.assignments(spark, path)).values.toSet == Set(5L))
+    // the merge log holds downward pointers for the two dethroned roots
+    val merges = spark.read
+      .parquet(s"${IndexState.dataPath(spark, path)}/${ClusterMap.MergesDir}")
+      .select(col("from_root"), col("to_root"))
+    assert(asMap(merges) == Map(10L -> 5L, 20L -> 5L))
+  }
+
+  test("pointer chains resolve transitively and compaction flattens them") {
+    val path = graft.util.TempDirs.scratch("cmap-chain").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    // build a chain: root 30, then merged under 20, then under 10
+    ClusterMap.applyBatch(spark, path, pairsDf((30L, 31L)), idsDf(30L, 31L))
+    ClusterMap.applyBatch(spark, path, pairsDf((20L, 31L)), idsDf(20L))
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 20L)), idsDf(10L))
+    val before = asMap(ClusterMap.assignments(spark, path))
+    assert(before == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 31L -> 10L))
+    // merge log: 30 -> 20 (batch 2), 20 -> 10 (batch 3); ratio 2/4 fires
+    assert(ClusterMap.maybeCompact(spark, path, maxMergeRatio = 0.2))
+    val dataDir = IndexState.dataPath(spark, path)
+    assert(dataDir != path, "compaction must promote a generation")
+    assert(
+      !new java.io.File(s"$dataDir/${ClusterMap.MergesDir}").exists(),
+      "the promoted generation is born with an empty merge log")
+    assert(asMap(ClusterMap.assignments(spark, path)) == before)
+    // below-threshold and merge-free maps refuse
+    assert(!ClusterMap.maybeCompact(spark, path, maxMergeRatio = 0.2))
+    // the compacted map keeps working as a mutation target
+    ClusterMap.applyBatch(spark, path, pairsDf((5L, 31L)), idsDf(5L))
+    assert(asMap(ClusterMap.assignments(spark, path)).values.toSet == Set(5L))
+  }
+
+  test("replaying a batch converges: same assignments, no new merge pointers") {
+    val path = graft.util.TempDirs.scratch("cmap-replay").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 11L)), idsDf(10L, 11L))
+    val replayPairs = pairsDf((5L, 11L))
+    ClusterMap.applyBatch(spark, path, replayPairs, idsDf(5L))
+    val before = asMap(ClusterMap.assignments(spark, path))
+    val mergesBefore = spark.read
+      .parquet(s"${IndexState.dataPath(spark, path)}/${ClusterMap.MergesDir}")
+      .count()
+    // at-least-once delivery: the same batch arrives again
+    ClusterMap.applyBatch(spark, path, replayPairs, idsDf(5L))
+    assert(asMap(ClusterMap.assignments(spark, path)) == before)
+    val mergesAfter = spark.read
+      .parquet(s"${IndexState.dataPath(spark, path)}/${ClusterMap.MergesDir}")
+      .count()
+    assert(
+      mergesAfter == mergesBefore,
+      "a replayed batch re-contracts against already-merged roots — no new pointers")
+  }
+
+  test("resolve() is bucket-pruned and matches assignments on the probe set") {
+    val path = graft.util.TempDirs.scratch("cmap-probe").toString
+    ClusterMap.init(spark, path, buckets = 8)
+    ClusterMap.applyBatch(
+      spark, path, pairsDf((1L, 9L), (2L, 10L)), idsDf(1L, 2L, 9L, 10L, 11L))
+    val probe = idsDf(9L, 11L)
+    val resolved = ClusterMap.resolve(spark, path, probe)
+    assert(asMap(resolved) == Map(9L -> 1L, 11L -> 11L))
+    // the member scan plans only the probed buckets (9 % 8 = 1, 11 % 8 = 3)
+    val scans = resolved.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val memberScan = scans.find(s => s.contains("bucket") && s.contains("PartitionFilters"))
+    assert(memberScan.isDefined, s"no partition-filtered member scan in:\n${scans.mkString("\n")}")
+    assert(
+      !memberScan.get.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"member scan has an empty partition filter:\n${memberScan.get}")
+  }
+
+  test("pairs may reference never-ingested ids without corrupting the map") {
+    val path = graft.util.TempDirs.scratch("cmap-foreign").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    // 99 appears in a pair but is never in newIds: it contributes
+    // connectivity (1-99, 99-2 ⇒ 1 and 2 cluster) but gets no member row
+    ClusterMap.applyBatch(spark, path, pairsDf((1L, 99L), (99L, 2L)), idsDf(1L, 2L))
+    assert(asMap(ClusterMap.assignments(spark, path)) == Map(1L -> 1L, 2L -> 1L))
+  }
+}
