@@ -321,7 +321,7 @@ object Dedup {
     * candidate join — the shingling expression runs only on candidate rows
     * (broadcast-joined against the raw text), not corpus-wide per side.
     */
-  private def verifyJaccard(
+  private[graft] def verifyJaccard(
       candidates: DataFrame,
       docs: DataFrame,
       id: String,

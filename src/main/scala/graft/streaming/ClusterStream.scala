@@ -1,0 +1,156 @@
+package graft.streaming
+
+import graft.dedup.{ClusterMap, Dedup, SignatureIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming near-duplicate CLUSTER maintenance: the arriving-data form of
+  * `minhashLsh → connectedComponents`. Each micro-batch of upserted
+  * documents derives its near-dup pairs — within the batch via the batch
+  * LSH operator, and against everything already ingested via the persisted
+  * band-key index ([[graft.dedup.SignatureIndex]]) — and feeds them to the
+  * durable union-find ([[graft.dedup.ClusterMap]]). After the map update
+  * the batch's own keys are appended to the signature index, so the NEXT
+  * batch probes a corpus that includes this one.
+  *
+  * Every stage is batch-sized: the signature probe prunes key buckets, the
+  * Jaccard verify fetches corpus text for CANDIDATE ids only (a restricted
+  * scan of the source table — the [[SyncPipeline.changeRows]] two-tier
+  * isin/broadcast discipline, never a corpus shuffle), and the map update
+  * appends one file group per touched bucket.
+  *
+  * At-least-once replay converges end-to-end: a replayed batch finds its
+  * own keys already stored, so the probe yields its in-batch pairs a second
+  * time (deduplicated by the contraction), [[ClusterMap.applyBatch]]
+  * re-derives no-op merges, and the duplicate member/key rows collapse at
+  * read ([[ClusterMap.assignments]] min; [[SignatureIndex.compact]]
+  * distinct). DELETE events are intentionally ignored — removing a document
+  * never splits a component (the [[ClusterMap]] no-split contract); filter
+  * assignments against the live corpus instead.
+  */
+object ClusterStream {
+
+  private def inBatchPairs(docs: DataFrame, id: String, text: String, m: SignatureIndex.Model): DataFrame =
+    (if (m.portable)
+       Dedup.minhashLshPortable(docs, id, text, m.shingleN, m.bands, m.rowsPerBand, m.threshold, m.maxBucket)
+     else
+       Dedup.minhashLsh(docs, id, text, m.shingleN, m.bands, m.rowsPerBand, m.threshold, m.maxBucket))
+      .select(col("id_a"), col("id_b"))
+
+  /** Build both persisted structures from the current corpus — the seed
+    * half of the composed pipeline (`sync.py:1895-1945` pull-then-follow):
+    * signature index, empty cluster map, and one [[ClusterMap.applyBatch]]
+    * carrying the corpus' full batch pair set. An empty corpus seeds empty
+    * structures (the stream-from-nothing path).
+    */
+  def seed(
+      corpus: DataFrame,
+      sigPath: String,
+      clusterPath: String,
+      id: String,
+      text: String,
+      m: SignatureIndex.Model,
+      mapBuckets: Int = 64
+  ): Unit = {
+    val spark = corpus.sparkSession
+    val docs = corpus.select(col(id).cast("long").as("id"), col(text).as("t"))
+      .filter(col("t").isNotNull)
+    SignatureIndex.write(docs, sigPath, "id", "t", m)
+    ClusterMap.init(spark, clusterPath, mapBuckets)
+    ClusterMap.applyBatch(
+      spark, clusterPath,
+      inBatchPairs(docs, "id", "t", m),
+      corpus.select(col(id).cast("long").as("id")))
+  }
+
+  /** Source-table text for the candidate ids only: batch-sized sets become
+    * a literal `isin` pushed into the corpus scan, oversized sets a
+    * broadcast semi-join — either way the corpus is scanned, never
+    * shuffled.
+    */
+  private def restrictText(src: DataFrame, ids: DataFrame, inSetThreshold: Int): DataFrame = {
+    val collected = ids.limit(inSetThreshold + 1).collect()
+    if (collected.length <= inSetThreshold)
+      src.filter(col("id").isin(collected.map(_.getLong(0)).toSeq: _*))
+    else src.join(broadcast(ids), Seq("id"))
+  }
+
+  /** Apply one change batch: `rows` in [[SyncPipeline.changeRows]] shape
+    * (`tg_op`, `<pk>`, `<textCol>`), `corpus` the CURRENT source table
+    * (candidate text lookups only — restricted scans). Upserts become map
+    * members (null-text docs as singletons); DELETEs are ignored per the
+    * no-split contract.
+    */
+  def applyBatch(
+      spark: SparkSession,
+      rows: DataFrame,
+      corpus: DataFrame,
+      sigPath: String,
+      clusterPath: String,
+      pk: String,
+      textCol: String,
+      autoCompactRatio: Option[Double] = None,
+      inSetThreshold: Int = 1000
+  ): Unit = {
+    val m = SignatureIndex.readModel(spark, sigPath)
+    val ups = rows.filter(col("tg_op") =!= "DELETE")
+    val docs = ups
+      .filter(col(textCol).isNotNull)
+      .select(col(pk).cast("long").as("id"), col(textCol).as("t"))
+      .cache()
+    try {
+      val newIds = ups.select(col(pk).cast("long").as("id"))
+      if (newIds.isEmpty) return // DELETE-only or idle batch: no state change
+      val batchKeys = SignatureIndex.bandKeys(docs, "id", "t", m)
+      val cand = SignatureIndex.candidates(spark, sigPath, m, batchKeys).cache()
+      try {
+        val corpusTxt = restrictText(
+          corpus.select(col(pk).cast("long").as("id"), col(textCol).as("t")),
+          cand.select(col("corpus_id").as("id")).distinct(),
+          inSetThreshold)
+        // one (id, t) frame for both verify sides; a replayed batch appears
+        // on both with identical text (changeRows reads the current table)
+        val verifyDocs = docs.unionByName(corpusTxt).dropDuplicates("id")
+        val cross = Dedup
+          .verifyJaccard(
+            cand.select(col("batch_id").as("id_a"), col("corpus_id").as("id_b")),
+            verifyDocs, "id", "t", m.shingleN, m.threshold)
+          .select(col("id_a"), col("id_b"))
+        ClusterMap.applyBatch(
+          spark, clusterPath, inBatchPairs(docs, "id", "t", m).unionByName(cross), newIds)
+        SignatureIndex.appendKeys(spark, sigPath, m, batchKeys)
+        autoCompactRatio.foreach { r =>
+          if (ClusterMap.maybeCompact(spark, clusterPath, r)) {
+            SignatureIndex.compact(spark, sigPath); ()
+          }
+        }
+      } finally { cand.unpersist(); () }
+    } finally { docs.unpersist(); () }
+  }
+
+  /** Standalone ingest stream (no CDC feed): `docs` is a streaming
+    * DataFrame of arriving documents (`id`, `text` columns) — each
+    * micro-batch is an insert-only change batch. Restarts resume from the
+    * checkpoint; replays converge per the object contract above.
+    */
+  def start(
+      docs: DataFrame,
+      corpus: DataFrame,
+      sigPath: String,
+      clusterPath: String,
+      id: String,
+      text: String,
+      checkpointDir: String,
+      autoCompactRatio: Option[Double] = None
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(
+          batch.sparkSession,
+          batch.select(lit("INSERT").as("tg_op"), col(id), col(text)),
+          corpus, sigPath, clusterPath, id, text, autoCompactRatio)
+      }
+      .start()
+}

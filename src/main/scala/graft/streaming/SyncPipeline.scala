@@ -90,6 +90,36 @@ object SyncPipeline {
       name: String = "dedup"
   ) extends Consumer { def payloadColumn: String = textCol }
 
+  /** Near-dup cluster-map maintenance ([[ClusterStream]]): upserts derive
+    * pairs in-batch and against the persisted signature index at
+    * [[sigPath]], feeding the durable union-find at [[indexPath]];
+    * DELETEs never split clusters (the [[graft.dedup.ClusterMap]]
+    * contract). Model parameters are frozen into the signature index's
+    * sidecar at [[SyncPipeline.seed]] time. `autoCompactRatio` drives
+    * [[graft.dedup.ClusterMap.maybeCompact]] (merge-log vs member-count);
+    * a map compaction also compacts the signature index.
+    */
+  final case class ClusterConsumer(
+      indexPath: String,
+      sigPath: String,
+      textCol: String,
+      portable: Boolean = false,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      sigBuckets: Int = 64,
+      mapBuckets: Int = 64,
+      autoCompactRatio: Option[Double] = None,
+      name: String = "cluster"
+  ) extends Consumer {
+    def payloadColumn: String = textCol
+    def model: graft.dedup.SignatureIndex.Model =
+      graft.dedup.SignatureIndex.Model(
+        portable, shingleN, bands, rowsPerBand, threshold, maxBucket, sigBuckets)
+  }
+
   /** The running queries of a started pipeline: the doc-sync query plus one
     * per consumer, keyed by consumer name.
     */
@@ -224,6 +254,8 @@ final class SyncPipeline(
         DedupStream.applyBatch(
           spark, src.select(col(pk), col(c.textCol)), c.indexPath, pk, c.textCol, c.onSurvivors)
         ()
+      case c: ClusterConsumer =>
+        ClusterStream.seed(src, c.sigPath, c.indexPath, pk, c.textCol, c.model, c.mapBuckets)
     }
   }
 
@@ -262,6 +294,9 @@ final class SyncPipeline(
           rows.filter(col("tg_op") =!= "DELETE").select(col(pk), col(c.textCol)),
           c.indexPath, pk, c.textCol, c.onSurvivors)
         ()
+      case c: ClusterConsumer =>
+        ClusterStream.applyBatch(
+          spark, rows, load(table), c.sigPath, c.indexPath, pk, c.textCol, c.autoCompactRatio)
     }
   }
 

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.dedup.{ClusterMap, Dedup, SignatureIndex}
+import graft.sources.IndexState
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import java.nio.file.Files
+
+/** [[ClusterStream]] end-to-end: the incrementally-maintained cluster map
+  * (seed + per-batch signature probes + durable union-find) must equal the
+  * batch rebuild (`minhashLsh → connectedComponents`) over the same corpus,
+  * stay converged under at-least-once replay and durable compaction, and
+  * resume from its checkpoint across a stream restart.
+  */
+class ClusterStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // six 4-member near-dup groups plus one exact-duplicate trio; the group
+  // token lands in EVERY 3-shingle (within-group Jaccard ≈ 0.83, cross-group
+  // exactly 0), and ids interleave batches via id % 3 so every group spans
+  // batches — cross-batch pairs exist only through the signature probe
+  private def corpus: Seq[(Long, String)] = {
+    val grouped = for (g <- 0 until 6; j <- 0 until 4) yield {
+      val id = (g * 4 + j).toLong
+      id -> s"g$g alpha g$g bravo g$g charlie g$g delta g$g echo g$g foxtrot mutate$id"
+    }
+    val dups = (24L to 26L).map(id =>
+      id -> "identical duplicate content words repeated exactly same tokens here now")
+    grouped ++ dups
+  }
+
+  private def corpusDf: DataFrame = corpus.toDF("id", "text")
+
+  private def batchRows(i: Int): DataFrame =
+    corpusDf.filter(pmod(col("id"), lit(3)) === i)
+      .select(lit("INSERT").as("tg_op"), col("id"), col("text"))
+
+  private def expected: Set[(Long, Long)] = {
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashLsh(corpusDf, "id", "text").select(col("id_a"), col("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    corpus.map { case (id, _) => id -> labels.getOrElse(id, id) }.toSet
+  }
+
+  private def assignments(path: String): Set[(Long, Long)] =
+    ClusterMap.assignments(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("seed + incremental batches equal the batch rebuild; replay and compaction converge") {
+    val dir = Files.createTempDirectory("graft-cstream").toString
+    val (sig, map) = (s"$dir/sig", s"$dir/map")
+    val m = SignatureIndex.Model(
+      portable = false, shingleN = 3, bands = 16, rowsPerBand = 4,
+      threshold = 0.5, maxBucket = 1000, buckets = 8)
+
+    // seed from batch 0 as the initial corpus, then stream batches 1 and 2
+    ClusterStream.seed(
+      corpusDf.filter(pmod(col("id"), lit(3)) === 0), sig, map, "id", "text", m, mapBuckets = 8)
+    ClusterStream.applyBatch(spark, batchRows(1), corpusDf, sig, map, "id", "text")
+    ClusterStream.applyBatch(spark, batchRows(2), corpusDf, sig, map, "id", "text")
+    val want = expected
+    assert(assignments(map) == want, "incremental assignments equal the batch CC")
+
+    // at-least-once: the whole last batch re-delivers — no change
+    ClusterStream.applyBatch(spark, batchRows(2), corpusDf, sig, map, "id", "text")
+    assert(assignments(map) == want, "replayed batch converges")
+
+    // durable path compression + signature dedup preserve every assignment;
+    // the replay's duplicate (id, key) rows collapse to one per (id, key)
+    assert(ClusterMap.maybeCompact(spark, map, maxMergeRatio = 0.01),
+      "cross-batch merges exist, so the tiny ratio forces a compaction")
+    assert(SignatureIndex.compact(spark, sig))
+    assert(assignments(map) == want, "compacted map resolves identically")
+    val keys = spark.read.parquet(IndexState.dataPath(spark, sig))
+    assert(keys.count() == keys.select(col("id"), col("key")).distinct().count(),
+      "signature compaction collapsed replayed key rows")
+    // and the now-empty merge log means resolution needs no pointer chase
+    ClusterStream.applyBatch(spark, batchRows(2), corpusDf, sig, map, "id", "text")
+    assert(assignments(map) == want, "replay against the compacted generation converges")
+
+    // DELETE-only batches never split or mutate clusters (no-split contract)
+    val deletes = Seq(("DELETE", 0L, null: String)).toDF("tg_op", "id", "text")
+    ClusterStream.applyBatch(spark, deletes, corpusDf, sig, map, "id", "text")
+    assert(assignments(map) == want)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
+  test("standalone ingest stream resumes from its checkpoint across a restart") {
+    val dir = Files.createTempDirectory("graft-cstream-run").toString
+    val (sig, map, feed, ckpt) = (s"$dir/sig", s"$dir/map", s"$dir/feed", s"$dir/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(feed))
+    val m = SignatureIndex.Model(
+      portable = false, shingleN = 3, bands = 16, rowsPerBand = 4,
+      threshold = 0.5, maxBucket = 1000, buckets = 8)
+    ClusterStream.seed(corpusDf.limit(0), sig, map, "id", "text", m, mapBuckets = 8)
+
+    val schema = StructType(Seq(StructField("id", LongType), StructField("text", StringType)))
+    def docStream = spark.readStream.schema(schema).parquet(feed)
+    def run(): Unit = {
+      val q = ClusterStream.start(docStream, corpusDf, sig, map, "id", "text", ckpt)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+
+    // the file source lists the feed dir flat — land each batch's part
+    // file directly in it (staged write, then move)
+    def land(n: Int): Unit = {
+      val stage = s"$dir/stage$n"
+      corpusDf.filter(pmod(col("id"), lit(3)) === n).coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, java.nio.file.Paths.get(s"$feed/b$n-$i.parquet"))
+        }
+    }
+    land(0); land(1)
+    run()
+    // batch 2 lands while the stream is DOWN; the restart picks it up from
+    // the checkpoint without replaying batches 0/1
+    land(2)
+    run()
+    assert(assignments(map) == expected, "restarted stream reaches the batch-rebuild state")
+    val memberRows = spark.read.parquet(IndexState.dataPath(spark, map))
+      .select(col("id"), col("root")).count()
+    assert(memberRows == corpus.size.toLong,
+      "exactly one member row per doc: the restart resumed, it did not replay")
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+}

@@ -12,10 +12,12 @@ import java.nio.file.Files
 
 /** The composed product entry end-to-end: ONE change feed maintains the
   * doc index + lineage, a persisted BM25 index, an LSH ANN index, an
-  * IVF-PQ ANN index and the exact-dedup registry — each with its own
-  * checkpoint — across a mid-stream restart ("crash") of all five
-  * consumers. Every probe surface must end bit-for-bit equal to an index
-  * built from the FINAL source state (PQ under the models frozen at seed).
+  * IVF-PQ ANN index, the exact-dedup registry and the near-dup cluster map
+  * — each with its own checkpoint — across a mid-stream restart ("crash")
+  * of all six consumers. Every probe surface must end bit-for-bit equal to
+  * an index built from the FINAL source state (PQ under the models frozen
+  * at seed; the cluster map against every document ever ingested — its
+  * no-split contract).
   */
 class SyncPipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -24,9 +26,15 @@ class SyncPipelineSpec extends SparkSpec {
     Array.tabulate(16)(j => (math.cos((i % 4) * 3 + j) + 0.05 * math.sin(i * 17 + j)).toFloat)
 
   private def note(i: Long): (Long, String, Array[Float]) =
-    (i, s"note text number$i shared words", mkVec(i))
+    // 6, 7 and 8 are mutual near-dups (one mutated trailing token, the rest
+    // of the 3-shingles shared): 6 arrives in phase 1, 7/8 after the
+    // restart, so their cluster forms only through the persisted signature
+    // index surviving the crash
+    if (i >= 6L)
+      (i, s"near dup alpha near bravo near charlie near delta near echo tail$i", mkVec(i))
+    else (i, s"note text number$i shared words", mkVec(i))
 
-  test("one feed, five consumers, restart mid-stream: every surface equals a final-state rebuild") {
+  test("one feed, six consumers, restart mid-stream: every surface equals a final-state rebuild") {
     val dir = Files.createTempDirectory("graft-pipeline").toString
     val feed = s"$dir/feed"
     Files.createDirectories(java.nio.file.Paths.get(feed))
@@ -52,7 +60,9 @@ class SyncPipelineSpec extends SparkSpec {
         SyncPipeline.AnnLshConsumer(s"$dir/ann-lsh", "embedding", planes = 6, dim = 16),
         SyncPipeline.AnnPqConsumer(s"$dir/ann-pq", "embedding", nlists = 2, m = 4, codeK = 4),
         SyncPipeline.DedupConsumer(s"$dir/dedup", "text",
-          s => survivors.synchronized { survivors ++= s.collect().map(_.getLong(0)) })
+          s => survivors.synchronized { survivors ++= s.collect().map(_.getLong(0)) }),
+        SyncPipeline.ClusterConsumer(
+          s"$dir/cluster", s"$dir/cluster-sig", "text", sigBuckets = 8, mapBuckets = 8)
       ),
       s"$dir/ckpt"
     )
@@ -125,6 +135,15 @@ class SyncPipelineSpec extends SparkSpec {
     assert(keepIds.length == 9, s"4 seed + 5 streamed digests, got ${keepIds.length}")
     assert(keepIds.count(_ == 2L) == 2, "old and rewritten text of doc 2 are distinct digests")
 
+    // ---- cluster map: every doc ever ingested assigned; 6/7/8 clustered
+    // across the crash (7/8 paired with 6 only via the persisted signature
+    // index), everything else singleton — deletes never split ---------------
+    def clusterRows = graft.dedup.ClusterMap.assignments(spark, s"$dir/cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantClusters =
+      (1L to 5L).map(i => (i, i)).toSet ++ Set((6L, 6L), (7L, 6L), (8L, 6L))
+    assert(clusterRows == wantClusters)
+
     // ---- replaying the LAST batch through the batch-mode path converges ----
     val replay = Seq(
       ("UPDATE", "note", """{"id": 2}""", """{"id": 2}""", 4L),
@@ -138,6 +157,7 @@ class SyncPipelineSpec extends SparkSpec {
     assert(pqRows(s"$dir/ann-pq") == pqRows(s"$dir/ann-pq-rebuilt"))
     assert(sync.state.docs.count() == 6)
     assert(spark.read.parquet(s"$dir/dedup").count() == 9)
+    assert(clusterRows == wantClusters, "replayed batch leaves the cluster map converged")
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
