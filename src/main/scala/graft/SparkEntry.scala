@@ -90,6 +90,41 @@ object SparkEntry {
     } finally { pairs.unpersist(); () }
   }
 
+  /** Body of q_cluster_stream: the ARRIVING-DATA form of
+    * q_dedup_cluster_incr. Same 3-batch `doc_id % 3` arrival order and the
+    * same final answer (batch CC over the full-corpus portable pair set),
+    * but pair discovery runs through the full streaming maintenance path
+    * ([[graft.streaming.ClusterStream]]): seed builds the persisted band-key
+    * signature index from batch 0, each later batch finds its in-batch pairs
+    * with the batch LSH operator and its cross-batch pairs by probing the
+    * index (pruned key-bucket scan → exact-Jaccard verify over restricted
+    * corpus text), then appends its own keys. q_dedup_cluster_incr grades
+    * the union-find given the pairs; THIS grades that the streaming path
+    * derives the same pairs — index round trip included.
+    */
+  private def clusterStream(s: SparkSession, dir: String): DataFrame = {
+    val d = loader(s, dir)("documents")
+    val root = graft.util.TempDirs.scratch("cluster-stream-q").toString
+    val (sig, map) = (s"$root/sig", s"$root/map")
+    val m = graft.dedup.SignatureIndex.Model(
+      portable = true, shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.3, maxBucket = 1000, buckets = 16)
+    graft.streaming.ClusterStream.seed(
+      d.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id"), col("text")),
+      sig, map, "doc_id", "text", m, mapBuckets = 16)
+    (1 to 2).foreach { i =>
+      graft.streaming.ClusterStream.applyBatch(
+        s,
+        d.filter(pmod(col("doc_id"), lit(3)) === i)
+          .select(lit("INSERT").as("tg_op"), col("doc_id"), col("text")),
+        d.select(col("doc_id"), col("text")),
+        sig, map, "doc_id", "text")
+    }
+    graft.dedup.ClusterMap
+      .assignments(s, map)
+      .select(col("id").as("doc_id"), col("root").as("keep_id"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     assembled(spark, "/root/testdata/sf0.001", Fixtures.flagship)
@@ -1168,6 +1203,11 @@ object SparkEntry {
     // _prod twins: identical ClusterMap machinery (spec-covered), pair
     // derivation from the long-hash band keys the ingest path persists
     "q_dedup_cluster_incr_prod" -> ((s, dir) => clusterIncr(s, dir, portable = false)),
+    // ---- the same clusters maintained by the STREAMING path: persisted
+    // signature index probes + restricted-scan Jaccard verify feeding the
+    // union-find (ClusterStream) — oracle shared with q_dedup_cluster_incr,
+    // since the composed path must reach the identical fixpoint ------------
+    "q_cluster_stream" -> ((s, dir) => clusterStream(s, dir)),
     // ---- top-k per group: bounded-heap aggregate, not a window sort --------
     "q_topk_per_group" -> ((s, dir) =>
       graft.functions.Analytics.topKPerGroup(
@@ -1484,6 +1524,46 @@ object SparkEntry {
                   coalesce(lorem_hits = 0 AND brace_hits = 0 AND sentence_marks >= 5, false) AS pass_c4
            FROM sig)
          SELECT *, (pass_gopher AND pass_repetition AND pass_c4) AS pass FROM verdicts"""
+
+  /** Shared oracle of q_dedup_cluster_incr and q_cluster_stream: the
+    * q_dedup_minhash portable pair family, then connected components as a
+    * recursive-CTE transitive closure — each doc's cluster root is the
+    * minimum id reachable through the pair graph (components are near-dup
+    * clusters — small — so enumerating reachability is cheap at oracle
+    * scale); docs in no pair are their own root. Both engine paths (batch
+    * union-find fed precomputed pairs; the full streaming signature-index
+    * round trip) must reach this same fixpoint.
+    */
+  private val clusterCcOracle: String = {
+    val k = 16
+    val mins = (0 until k).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+    val bandKeys = (0 until 8).map(b => s"'$b:' || m${2 * b} || m${2 * b + 1}").mkString(", ")
+    raw"""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+                FROM t WHERE len(toks) > 0),
+         post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         m AS (SELECT doc_id, $mins FROM post GROUP BY doc_id),
+         keyed AS (SELECT doc_id, unnest([$bandKeys]) AS key FROM m),
+         ok AS (SELECT key FROM keyed GROUP BY key HAVING count(*) BETWEEN 2 AND 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+                  WHERE a.key IN (SELECT key FROM ok)),
+         p AS (SELECT pr.id_a, pr.id_b
+               FROM cand pr
+               JOIN sh sa ON sa.doc_id = pr.id_a
+               JOIN sh sb ON sb.doc_id = pr.id_b
+               WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                       len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3),
+         edges AS (SELECT id_a AS u, id_b AS v FROM p
+                   UNION SELECT id_b AS u, id_a AS v FROM p),
+         reach AS (SELECT u, v FROM edges
+                   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         root AS (SELECT u, least(u, min(v)) AS root FROM reach GROUP BY u)
+         SELECT d.doc_id, CAST(coalesce(rt.root, d.doc_id) AS BIGINT) AS keep_id
+         FROM documents d LEFT JOIN root rt ON rt.u = d.doc_id"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_project" ->
@@ -3458,41 +3538,11 @@ object SparkEntry {
          SELECT batch_id, corpus_id, CAST(round(jac * 1000) AS BIGINT) AS jaccard_milli
          FROM j WHERE jac >= 0.3"""
     },
-    "q_dedup_cluster_incr" -> {
-      // the q_dedup_minhash pair family, then connected components as a
-      // recursive-CTE transitive closure: each doc's cluster root is the
-      // minimum id reachable through the pair graph (components are
-      // near-dup clusters — small — so enumerating reachability is cheap
-      // at oracle scale); docs in no pair are their own root
-      val k = 16
-      val mins = (0 until k).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
-      val bandKeys = (0 until 8).map(b => s"'$b:' || m${2 * b} || m${2 * b + 1}").mkString(", ")
-      raw"""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-         sh AS (SELECT doc_id,
-                  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
-                                               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-                FROM t WHERE len(toks) > 0),
-         post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         m AS (SELECT doc_id, $mins FROM post GROUP BY doc_id),
-         keyed AS (SELECT doc_id, unnest([$bandKeys]) AS key FROM m),
-         ok AS (SELECT key FROM keyed GROUP BY key HAVING count(*) BETWEEN 2 AND 1000),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
-                  WHERE a.key IN (SELECT key FROM ok)),
-         p AS (SELECT pr.id_a, pr.id_b
-               FROM cand pr
-               JOIN sh sa ON sa.doc_id = pr.id_a
-               JOIN sh sb ON sb.doc_id = pr.id_b
-               WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-                       len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3),
-         edges AS (SELECT id_a AS u, id_b AS v FROM p
-                   UNION SELECT id_b AS u, id_a AS v FROM p),
-         reach AS (SELECT u, v FROM edges
-                   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         root AS (SELECT u, least(u, min(v)) AS root FROM reach GROUP BY u)
-         SELECT d.doc_id, CAST(coalesce(rt.root, d.doc_id) AS BIGINT) AS keep_id
-         FROM documents d LEFT JOIN root rt ON rt.u = d.doc_id"""
-    },
+    "q_dedup_cluster_incr" -> clusterCcOracle,
+    // the streaming maintenance path must reach the same fixpoint as the
+    // batch CC — one oracle, two engine paths (q_cluster_stream adds the
+    // persisted signature-index round trip)
+    "q_cluster_stream" -> clusterCcOracle,
     "q_topk_per_group" ->
       """SELECT user_id, CAST(rn AS BIGINT) AS rank, value AS score, event_id AS id
          FROM (SELECT user_id, event_id, value,
