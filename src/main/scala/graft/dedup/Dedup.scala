@@ -161,7 +161,7 @@ object Dedup {
   /** Candidate pairs sharing an LSH key, capped per bucket. `keyed` must
     * have columns (id, key); self-join per key with id_a < id_b.
     */
-  private def bucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
+  private[graft] def bucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
     val sized = keyed
       .groupBy("key")
       .agg(collect_list(col("id")).as("ids"))

@@ -7,12 +7,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming near-duplicate CLUSTER maintenance: the arriving-data form of
   * `minhashLsh → connectedComponents`. Each micro-batch of upserted
-  * documents derives its near-dup pairs — within the batch via the batch
-  * LSH operator, and against everything already ingested via the persisted
-  * band-key index ([[graft.dedup.SignatureIndex]]) — and feeds them to the
-  * durable union-find ([[graft.dedup.ClusterMap]]). After the map update
-  * the batch's own keys are appended to the signature index, so the NEXT
-  * batch probes a corpus that includes this one.
+  * documents is shingled ONCE into its band keys; those keys yield both the
+  * in-batch candidate pairs and — probing the persisted band-key index
+  * ([[graft.dedup.SignatureIndex]]) — the cross-batch candidates, verified
+  * together in one exact-Jaccard pass and fed to the durable union-find
+  * ([[graft.dedup.ClusterMap]]). After the map update the same keys are
+  * appended to the signature index, so the NEXT batch probes a corpus that
+  * includes this one.
   *
   * Every stage is batch-sized: the signature probe prunes key buckets, the
   * Jaccard verify fetches corpus text for CANDIDATE ids only (a restricted
@@ -102,30 +103,41 @@ object ClusterStream {
     try {
       val newIds = ups.select(col(pk).cast("long").as("id"))
       if (newIds.isEmpty) return // DELETE-only or idle batch: no state change
-      val batchKeys = SignatureIndex.bandKeys(docs, "id", "t", m)
-      val cand = SignatureIndex.candidates(spark, sigPath, m, batchKeys).cache()
+      // the batch is shingled ONCE: these keys drive the index probe, the
+      // in-batch candidate pairs, and the post-update append
+      val batchKeys = SignatureIndex.bandKeys(docs, "id", "t", m).cache()
       try {
-        val corpusTxt = restrictText(
-          corpus.select(col(pk).cast("long").as("id"), col(textCol).as("t")),
-          cand.select(col("corpus_id").as("id")).distinct(),
-          inSetThreshold)
-        // one (id, t) frame for both verify sides; a replayed batch appears
-        // on both with identical text (changeRows reads the current table)
-        val verifyDocs = docs.unionByName(corpusTxt).dropDuplicates("id")
-        val cross = Dedup
-          .verifyJaccard(
-            cand.select(col("batch_id").as("id_a"), col("corpus_id").as("id_b")),
-            verifyDocs, "id", "t", m.shingleN, m.threshold)
-          .select(col("id_a"), col("id_b"))
-        ClusterMap.applyBatch(
-          spark, clusterPath, inBatchPairs(docs, "id", "t", m).unionByName(cross), newIds)
-        SignatureIndex.appendKeys(spark, sigPath, m, batchKeys)
-        autoCompactRatio.foreach { r =>
-          if (ClusterMap.maybeCompact(spark, clusterPath, r)) {
-            SignatureIndex.compact(spark, sigPath); ()
+        val cand = SignatureIndex.candidates(spark, sigPath, m, batchKeys)
+        // in-batch candidates from the same keys (skipping the batch
+        // operator's exact-dup collapse — sound for clustering: identical
+        // texts pair at Jaccard 1 through shared keys, so the CC fixpoint
+        // is unchanged; bucket blowup is bounded by micro-batch size and
+        // the maxBucket cap) union the probe's cross-batch candidates,
+        // then ONE exact-Jaccard verify pass over both
+        val candPairs = cand
+          .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+          .unionByName(Dedup.bucketPairs(batchKeys, m.maxBucket))
+          .cache()
+        try {
+          val corpusTxt = restrictText(
+            corpus.select(col(pk).cast("long").as("id"), col(textCol).as("t")),
+            candPairs.select(col("id_b").as("id")).distinct(),
+            inSetThreshold)
+          // one (id, t) frame for both verify sides; a replayed batch appears
+          // on both with identical text (changeRows reads the current table)
+          val verifyDocs = docs.unionByName(corpusTxt).dropDuplicates("id")
+          val pairs = Dedup
+            .verifyJaccard(candPairs, verifyDocs, "id", "t", m.shingleN, m.threshold)
+            .select(col("id_a"), col("id_b"))
+          ClusterMap.applyBatch(spark, clusterPath, pairs, newIds)
+          SignatureIndex.appendKeys(spark, sigPath, m, batchKeys)
+          autoCompactRatio.foreach { r =>
+            if (ClusterMap.maybeCompact(spark, clusterPath, r)) {
+              SignatureIndex.compact(spark, sigPath); ()
+            }
           }
-        }
-      } finally { cand.unpersist(); () }
+        } finally { candPairs.unpersist(); () }
+      } finally { batchKeys.unpersist(); () }
     } finally { docs.unpersist(); () }
   }
 
