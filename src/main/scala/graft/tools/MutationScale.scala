@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * for the BM25 postings index, the LSH vector index AND the IVF-PQ
   * vector index (models trained once at build, frozen for every
-  * mutation — the [[graft.ann.AnnModels]] sidecar contract). Run at
+  * mutation — the [[graft.ann.AnnModels]] sidecar contract); plus the
+  * streaming cluster-maintenance family ([[graft.dedup.SignatureIndex]] +
+  * [[graft.dedup.ClusterMap]]), whose verbs are seed / apply-batch /
+  * replay / compact rather than delete/tombstone. Run at
   * sf0.1 and .scale/sf1 to show the mutation costs scale with BATCH and
   * CANDIDATE sizes, not corpus size — the design claim of
   * [[graft.sources.IndexState]]. Probes are min-of-3; mutations are
@@ -118,6 +121,37 @@ object MutationScale {
     require(pqCompacted, "expected the 20%-dead policy to compact")
     val pqProbeAfter = minOf3(pqProbe())
 
+    // ---- streaming near-dup cluster maintenance ---------------------------
+    // different mutation verbs than the tombstone families: seed = corpus
+    // build of signature index + union-find, apply = one 10%-of-corpus
+    // change batch (in-batch pairs + index probe + Jaccard verify + map
+    // update + key append — the O(batch + candidates) claim), replay = the
+    // same batch redelivered (at-least-once convergence cost), compact =
+    // map path-compression + signature dedup (corpus-sized rewrite by
+    // design, generation-pointer promoted)
+    val cRoot = graft.util.TempDirs.scratch("mutscale-cluster").toString
+    val (cSig, cMap) = (s"$cRoot/sig", s"$cRoot/map")
+    val cModel = graft.dedup.SignatureIndex.Model(
+      portable = false, shingleN = 3, bands = 16, rowsPerBand = 4,
+      threshold = 0.5, maxBucket = 1000, buckets = 64)
+    val cBase = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7).select(col("doc_id"), col("text"))
+    val cBatch = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(lit("INSERT").as("tg_op"), col("doc_id"), col("text"))
+    val (cSeed, _) = time(
+      graft.streaming.ClusterStream.seed(cBase, cSig, cMap, "doc_id", "text", cModel))
+    def cAssign(): Long = graft.dedup.ClusterMap.assignments(spark, cMap).count()
+    cAssign() // untimed warm-up, as above
+    val (cApply, _) = time(
+      graft.streaming.ClusterStream.applyBatch(spark, cBatch, docs, cSig, cMap, "doc_id", "text"))
+    val cAssignSec = minOf3(cAssign())
+    val (cReplay, _) = time(
+      graft.streaming.ClusterStream.applyBatch(spark, cBatch, docs, cSig, cMap, "doc_id", "text"))
+    val (cCompact, _) = time {
+      graft.dedup.ClusterMap.maybeCompact(spark, cMap, maxMergeRatio = 1e-9)
+      graft.dedup.SignatureIndex.compact(spark, cSig)
+    }
+    val cAssignAfter = minOf3(cAssign())
+
     val json =
       f"""{"sf":"$dir","load_before":$loadBefore%.2f,"n_docs":$nDocs,"n_vecs":$nVecs,"delete_batch_rows":$nDel1,""" +
         f""""bm25":{"build_sec":$bmBuild%.3f,"probe_clean_sec":$bmProbeClean%.3f,"delete10_sec":$bmDel1%.3f,""" +
@@ -128,7 +162,9 @@ object MutationScale {
         f""""compact_sec":$annCompact%.3f,"probe_after_compact_sec":$annProbeAfter%.3f},""" +
         f""""ivfpq":{"build_sec":$pqBuild%.3f,"probe_clean_sec":$pqProbeClean%.3f,"delete10_sec":$pqDel1%.3f,""" +
         f""""probe_dead10_sec":$pqProbeDead10%.3f,"delete10b_sec":$pqDel2%.3f,"probe_dead20_sec":$pqProbeDead20%.3f,""" +
-        f""""compact_sec":$pqCompact%.3f,"probe_after_compact_sec":$pqProbeAfter%.3f}}"""
+        f""""compact_sec":$pqCompact%.3f,"probe_after_compact_sec":$pqProbeAfter%.3f},""" +
+        f""""cluster":{"seed_sec":$cSeed%.3f,"apply_batch10_sec":$cApply%.3f,"assignments_sec":$cAssignSec%.3f,""" +
+        f""""replay_batch10_sec":$cReplay%.3f,"compact_sec":$cCompact%.3f,"assignments_after_compact_sec":$cAssignAfter%.3f}}"""
     out.foreach { p =>
       val w = new java.io.PrintWriter(p)
       try w.println(json) finally w.close()
