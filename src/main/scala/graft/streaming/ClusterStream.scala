@@ -44,6 +44,14 @@ object ClusterStream {
     * signature index, empty cluster map, and one [[ClusterMap.applyBatch]]
     * carrying the corpus' full batch pair set. An empty corpus seeds empty
     * structures (the stream-from-nothing path).
+    *
+    * Seed shingles the corpus twice — once for the stored per-document
+    * keys (the index contract: every doc probe-able later), once inside
+    * the batch pair operator — a deliberate 2× one-time cost: the prod
+    * operator's exact-duplicate collapse keeps the seed's bucket-pair
+    * stage at text-DIVERSITY size, which matters far more than one extra
+    * shingling pass on clone-heavy corpora. Per-batch maintenance
+    * ([[applyBatch]]) shingles once.
     */
   def seed(
       corpus: DataFrame,
