@@ -123,6 +123,28 @@ class PlanSpec extends SparkSpec {
     assert(fmt(big).contains("BroadcastHashJoin"), fmt(big))
   }
 
+  test("signature-index probe scans only the key buckets the batch hashes into") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigplan").toString
+    val m = graft.dedup.SignatureIndex.Model(
+      portable = false, shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.5, maxBucket = 1000, buckets = 16)
+    val corpus = (0L until 40L).map(i =>
+      i -> s"corpus doc body $i alpha bravo charlie delta echo tok${i % 5}").toDF("id", "t")
+    graft.dedup.SignatureIndex.write(corpus, dir, "id", "t", m)
+    val probe = (100L to 101L).map(i =>
+      i -> s"corpus doc body $i alpha bravo charlie delta echo tok${i % 5}").toDF("id", "t")
+    val cand = graft.dedup.SignatureIndex.candidates(
+      spark, dir, m, graft.dedup.SignatureIndex.bandKeys(probe, "id", "t", m))
+    // the probe's distinct kb values become a STATIC partition filter on the
+    // stored-keys scan: only the probed buckets' directories are listed and
+    // read — the corpus-sized key set is never scanned whole
+    val s = fmt(cand)
+    assert(s.contains("PartitionFilters") && s.contains("kb"), s)
+    assert(s.matches("(?s).*PartitionFilters: \\[[^\\]]*kb[^\\]]*(IN|In|=)[^\\]]*\\].*"), s)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("one_to_many child agg keeps map-side partial aggregation") {
     val p = plan(SparkEntry.queries("q_child_agg")(spark, sf))
     // partial + final HashAggregate pair around the exchange

@@ -86,7 +86,10 @@ doc["mutation_paths"] = {
               "probe with a 50-query workload (min-of-3, untimed warm-up first), "
               "delete 10% twice (single-shot timings), probe at 10%/20% dead, "
               "policy compaction (maybeCompact* at 0.15) via generation-pointer "
-              "promotion, probe after; BM25 + LSH + IVF-PQ since r10",
+              "promotion, probe after; BM25 + LSH + IVF-PQ since r10, plus the "
+              "streaming cluster-maintenance family (SignatureIndex + ClusterMap; "
+              "verbs: seed the corpus, apply a 10%-of-corpus change batch, replay "
+              "it, compact, with assignments-read probes)",
     "sf0_1": json.load(open(mut01)),
     "sf1": json.load(open(mut1)),
 }
