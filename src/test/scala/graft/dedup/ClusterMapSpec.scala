@@ -42,6 +42,39 @@ class ClusterMapSpec extends SparkSpec {
     assert(got(7L) == 1L && got(9L) == 2L && got(6L) == 5L && got(4L) == 4L)
   }
 
+  test("randomized arrival orders reproduce the batch CC, with mid-stream compaction and replay") {
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val ids = (0L until n.toLong).toVector
+      val pairs = Vector
+        .fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .distinct
+      // each id lands in a random batch; a pair arrives with its LATER
+      // endpoint (the only arrival order a change feed can produce)
+      val batchOf = ids.map(i => i -> rnd.nextInt(4)).toMap
+      def batchPairs(b: Int) =
+        pairs.filter(p => math.max(batchOf(p._1), batchOf(p._2)) == b)
+      val path = graft.util.TempDirs.scratch(s"cmap-prop$seed").toString
+      ClusterMap.init(spark, path, buckets = 4)
+      (0 until 4).foreach { b =>
+        ClusterMap.applyBatch(
+          spark, path, pairsDf(batchPairs(b): _*), idsDf(ids.filter(batchOf(_) == b): _*))
+        if (b == 2) { ClusterMap.maybeCompact(spark, path, maxMergeRatio = 1e-9); () }
+      }
+      // at-least-once: one random batch redelivers whole
+      val rb = rnd.nextInt(4)
+      ClusterMap.applyBatch(
+        spark, path, pairsDf(batchPairs(rb): _*), idsDf(ids.filter(batchOf(_) == rb): _*))
+      val got = asMap(ClusterMap.assignments(spark, path))
+      val cc = asMap(
+        Dedup.connectedComponents(pairsDf(pairs: _*)).select(col("id"), col("keep_id")))
+      val expect = ids.map(i => i -> cc.getOrElse(i, i)).toMap
+      assert(got == expect, s"seed $seed: incremental != batch CC")
+    }
+  }
+
   test("a later document merges two existing clusters via a downward pointer") {
     val path = graft.util.TempDirs.scratch("cmap-merge").toString
     ClusterMap.init(spark, path, buckets = 4)
