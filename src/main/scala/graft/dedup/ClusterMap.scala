@@ -248,6 +248,18 @@ object ClusterMap {
       .agg(min(col("root")).as("root"))
   }
 
+  /** [[assignments]] restricted to a LIVE corpus (single BIGINT `id`
+    * column) — the read-side half of the no-split contract: DELETE events
+    * never mutate the map (removing a doc cannot split a component), so
+    * deleted docs simply stop appearing here while surviving members keep
+    * their root, even when the root id itself is deleted (the root is a
+    * stable cluster LABEL, not a live-doc pointer). Corpus-sized join on
+    * both sides by nature; for batch-sized id sets use [[resolve]]
+    * (bucket-pruned).
+    */
+  def assignmentsLive(spark: SparkSession, path: String, liveIds: DataFrame): DataFrame =
+    assignments(spark, path).join(liveIds.select(col("id")), Seq("id"))
+
   /** Bucket-pruned [[assignments]] for a probe id set. */
   def resolve(spark: SparkSession, path: String, ids: DataFrame): DataFrame = {
     val dataDir = IndexState.dataPath(spark, path)

@@ -85,6 +85,13 @@ class ClusterStreamSpec extends SparkSpec {
     val deletes = Seq(("DELETE", 0L, null: String)).toDF("tg_op", "id", "text")
     ClusterStream.applyBatch(spark, deletes, corpusDf, sig, map, "id", "text")
     assert(assignments(map) == want)
+    // the read-side half: live-filtered assignments drop the deleted doc but
+    // survivors keep their root even though the root id (0) is itself dead —
+    // the root is a cluster label, not a live-doc pointer
+    val live = corpusDf.filter(col("id") =!= 0L).select(col("id"))
+    val gotLive = ClusterMap.assignmentsLive(spark, map, live)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotLive == want.filter(_._1 != 0L))
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
