@@ -148,11 +148,15 @@ object SignatureIndex {
     * against the stored corpus keys. The probe's distinct `kb` values
     * (≤ `buckets` ints, driver-collected — the bounded-collect convention)
     * become a static partition filter, so only the probed buckets are
-    * scanned; the degenerate-key guard counts stored rows over that pruned
-    * scan, which is exact — a key's rows all share one `kb`, so pruning
-    * never splits a key's count. Self-pairs (a replayed batch probing its
-    * own stored keys) are dropped. Candidates still need exact verification
-    * ([[Dedup.verifyJaccard]]) — banding only bounds recall.
+    * scanned — and the scan is further restricted to the PROBED KEYS by a
+    * broadcast semi-join before anything shuffles, so the groupBy that
+    * enforces the degenerate-key guard and the candidate join both run on
+    * matched rows only, never the stored key set whole (counting only
+    * probed keys is exact: unprobed keys can produce no candidate, and a
+    * key's stored rows are unaffected by the key restriction). Self-pairs
+    * (a replayed batch probing its own stored keys) are dropped. Candidates
+    * still need exact verification ([[Dedup.verifyJaccard]]) — banding only
+    * bounds recall.
     */
   def candidates(spark: SparkSession, path: String, m: Model, probeKeys: DataFrame): DataFrame = {
     val dataDir = IndexState.dataPath(spark, path)
@@ -162,6 +166,7 @@ object SignatureIndex {
     if (kbs.isEmpty) return emptyCandidates(spark)
     val stored = spark.read.schema(KeySchema).parquet(dataDir)
       .filter(col("kb").isin(kbs.map(Integer.valueOf): _*))
+      .join(broadcast(keyed.select(col("key")).distinct()), Seq("key"))
     val ok = stored
       .groupBy(col("key"))
       .agg(count(lit(1)).as("__n"))

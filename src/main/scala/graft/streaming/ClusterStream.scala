@@ -134,10 +134,19 @@ object ClusterStream {
           // one (id, t) frame for both verify sides; a replayed batch appears
           // on both with identical text (changeRows reads the current table)
           val verifyDocs = docs.unionByName(corpusTxt).dropDuplicates("id")
+          // eager local checkpoint: the union-find consumes the pair list in
+          // several actions (endpoint resolution, contraction, the CC loop)
+          // — materializing the candidate-sized frame once keeps the
+          // probe+verify chain out of every one of them
           val pairs = Dedup
             .verifyJaccard(candPairs, verifyDocs, "id", "t", m.shingleN, m.threshold)
             .select(col("id_a"), col("id_b"))
-          ClusterMap.applyBatch(spark, clusterPath, pairs, newIds)
+            .localCheckpoint(true)
+          try ClusterMap.applyBatch(spark, clusterPath, pairs, newIds)
+          finally {
+            try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(pairs)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
           SignatureIndex.appendKeys(spark, sigPath, m, batchKeys)
           autoCompactRatio.foreach { r =>
             if (ClusterMap.maybeCompact(spark, clusterPath, r)) {
