@@ -156,7 +156,9 @@ object SignatureIndex {
     * key's stored rows are unaffected by the key restriction). Self-pairs
     * (a replayed batch probing its own stored keys) are dropped. Candidates
     * still need exact verification ([[Dedup.verifyJaccard]]) — banding only
-    * bounds recall.
+    * bounds recall. `probeKeys` must be change-batch-sized (it is collected
+    * to a broadcast) — the standing assumption of the whole maintenance
+    * family, not a new one.
     */
   def candidates(spark: SparkSession, path: String, m: Model, probeKeys: DataFrame): DataFrame = {
     val dataDir = IndexState.dataPath(spark, path)

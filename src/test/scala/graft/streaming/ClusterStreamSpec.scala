@@ -81,10 +81,16 @@ class ClusterStreamSpec extends SparkSpec {
     ClusterStream.applyBatch(spark, batchRows(2), corpusDf, sig, map, "id", "text")
     assert(assignments(map) == want, "replay against the compacted generation converges")
 
+    // a null-text upsert contributes no signature but IS a member: it lands
+    // as a singleton (the scaladoc contract), invisible to future probes
+    val nullText = Seq(("INSERT", 99L, null: String)).toDF("tg_op", "id", "text")
+    ClusterStream.applyBatch(spark, nullText, corpusDf, sig, map, "id", "text")
+    assert(assignments(map) == want + ((99L, 99L)))
+
     // DELETE-only batches never split or mutate clusters (no-split contract)
     val deletes = Seq(("DELETE", 0L, null: String)).toDF("tg_op", "id", "text")
     ClusterStream.applyBatch(spark, deletes, corpusDf, sig, map, "id", "text")
-    assert(assignments(map) == want)
+    assert(assignments(map) == want + ((99L, 99L)))
     // the read-side half: live-filtered assignments drop the deleted doc but
     // survivors keep their root even though the root id (0) is itself dead —
     // the root is a cluster label, not a live-doc pointer
