@@ -29,28 +29,32 @@ object SparkEntry {
     */
   private val bm25IndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Keyed by dir + a documents-parquet fingerprint (file names/sizes/
-    * mtimes), so an in-session regeneration of the tables (e.g. a ScaleUp
-    * overwrite) invalidates the prebuilt index instead of probing a stale
-    * one; synchronized so concurrent first probes cannot double-build and
-    * orphan a scratch index.
+  /** dir + a documents-parquet fingerprint (file names/sizes/mtimes): the
+    * session-cache key shared by every prebuilt-state cache below, so an
+    * in-session regeneration of the tables (e.g. a ScaleUp overwrite)
+    * invalidates the prebuilt state instead of probing a stale copy.
     */
-  private def bm25IndexFor(s: SparkSession, dir: String): String = {
+  private def sessionCacheKey(dir: String): String = {
     val t = new java.io.File(s"$dir/documents.parquet")
     val parts = if (t.isDirectory) t.listFiles().toSeq else Seq(t)
     val fingerprint = parts
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .sorted.mkString("|").hashCode
-    val key = s"$dir@$fingerprint"
+    s"$dir@$fingerprint"
+  }
+
+  /** Synchronized so concurrent first probes cannot double-build and
+    * orphan a scratch index.
+    */
+  private def bm25IndexFor(s: SparkSession, dir: String): String =
     bm25IndexCache.synchronized {
-      bm25IndexCache.getOrElseUpdate(key, {
+      bm25IndexCache.getOrElseUpdate(sessionCacheKey(dir), {
         val idx = graft.util.TempDirs.scratch("bm25-index-session").toString
         graft.functions.Retrieval.writeBm25Index(loader(s, dir)("documents"), "doc_id", "text", idx)
         idx
       })
     }
-  }
 
   private def assembled(s: SparkSession, dir: String, fixture: String): DataFrame =
     DocAssembler.assemble(SchemaDef.parseNodes(fixture), loader(s, dir), Catalog.testData)
@@ -124,6 +128,79 @@ object SparkEntry {
       .assignments(s, map)
       .select(col("id").as("doc_id"), col("root").as("keep_id"))
   }
+
+  /** One composed-pipeline scenario over the `media` join (documents ⋈
+    * embeddings): a GraftSync doc index plus BM25 and LSH consumers, all
+    * fed from one scratch root. `activatePost()` flips the source table to
+    * its post-change state (doc_id%10==7 deleted, ==8 rewritten, ==9
+    * cloned at +1e8) — idempotent, so a cached scenario replays cleanly.
+    */
+  private final case class ComposedScenario(
+      root: String,
+      sync: GraftSync,
+      pipeline: graft.streaming.SyncPipeline,
+      mediaPre: () => DataFrame,
+      activatePost: () => Unit)
+
+  private def composedScenario(s: SparkSession, dir: String): ComposedScenario = {
+    import graft.streaming.SyncPipeline
+    val base = loader(s, dir)
+    val Off = 100000000L
+    def media(post: Boolean): DataFrame = {
+      val pre = base("documents")
+        .join(base("embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      if (!post) pre
+      else {
+        val m = pmod(col("doc_id"), lit(10))
+        pre
+          .filter(m =!= 7)
+          .withColumn(
+            "text",
+            when(m === 8, concat(lit("updated "), col("text"))).otherwise(col("text")))
+          .unionByName(
+            pre.filter(m === 9).select(
+              (col("doc_id") + Off).as("doc_id"),
+              concat(lit("clone "), col("text")).as("text"),
+              col("embedding")))
+      }
+    }
+    @volatile var post = false
+    val load: String => DataFrame = { case "media" => media(post); case t => base(t) }
+    val cat = Catalog(Map("media" -> graft.catalog.TableMeta("media", Seq("doc_id"))))
+    val root = graft.util.TempDirs.scratch("graft-composed").toString
+    val sync = new GraftSync(
+      s,
+      SchemaDef.parse(
+        """{"database":"graft","index":"media","nodes":{"table":"media","columns":["doc_id","text"]}}"""),
+      cat, load, s"$root/docs")
+    val pipeline = new SyncPipeline(
+      sync, load, "media", "doc_id",
+      Seq(
+        SyncPipeline.Bm25Consumer(s"$root/bm25", "text", buckets = 16),
+        SyncPipeline.AnnLshConsumer(s"$root/ann", "embedding", planes = 6, dim = 64)
+      ),
+      s"$root/ckpt")
+    pipeline.seed()
+    ComposedScenario(root, sync, pipeline, () => media(post = false), () => { post = true })
+  }
+
+  /** Per-session seeded composed scenario, one per sf dir (the
+    * [[bm25IndexCache]] convention): q_composed_cdc times the INCREMENTAL
+    * path (change batch + three probe legs) against this, while
+    * q_composed_build times the one-time seed standalone — the same
+    * build/steady-state split as q_bm25_index_build / q_bm25_indexed.
+    * Repeat runs redeliver the same change batch to the cached scenario;
+    * at-least-once replay convergence (the product contract, spec-covered)
+    * makes every rerun's output byte-identical.
+    */
+  private val composedCache =
+    scala.collection.concurrent.TrieMap.empty[String, ComposedScenario]
+
+  private def composedSeedFor(s: SparkSession, dir: String): ComposedScenario =
+    composedCache.synchronized {
+      composedCache.getOrElseUpdate(sessionCacheKey(dir), composedScenario(s, dir))
+    }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
