@@ -209,11 +209,20 @@ object ClusterMap {
 
     val seq = IndexState.bumpSeq(spark, path)
     // merge pointers FIRST (replay heals a crash between the two writes):
-    // every contracted node that lost its label and is NOT a new batch id
-    // is an existing cluster root acquiring a downward pointer
-    val merges = labels
-      .filter(col("keep_id") =!= col("id"))
-      .join(newIds.select(col("id")), Seq("id"), "left_anti")
+    // every contracted node that lost its label AND exists in storage is a
+    // cluster root that stored member rows may still resolve to, so it
+    // acquires a downward pointer. Membership in `newIds` does NOT make a
+    // loser unreferenced: a re-upserted doc that is currently the root of a
+    // stored cluster (an UPDATE arriving through the CDC consumers) must
+    // still point its old component at the new root, or the component
+    // silently splits. Only ids never ingested have no stored referrers —
+    // their member rows are written below with the final root directly.
+    val losing = labels.filter(col("keep_id") =!= col("id"))
+    val storedLosers = lookupStored(spark, dataDir, buckets, losing.select(col("id")))
+      .select(col("id"))
+      .distinct()
+    val merges = losing
+      .join(storedLosers, Seq("id"))
       .select(col("id").as("from_root"), col("keep_id").as("to_root"), lit(seq).as("seq"))
     if (!merges.isEmpty)
       merges.coalesce(1).write.mode("append").parquet(s"$dataDir/$MergesDir")

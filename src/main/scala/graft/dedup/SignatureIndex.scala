@@ -169,6 +169,13 @@ object SignatureIndex {
     val stored = spark.read.schema(KeySchema).parquet(dataDir)
       .filter(col("kb").isin(kbs.map(Integer.valueOf): _*))
       .join(broadcast(keyed.select(col("key")).distinct()), Seq("key"))
+      // eager local checkpoint: this matched-row frame feeds BOTH the
+      // degenerate-key guard aggregate and the candidate join — without it
+      // the bucket scan runs twice per micro-batch. Probe-matched rows are
+      // batch-sized; the blocks are reclaimed by the context cleaner once
+      // the caller's materialized result drops the reference (the
+      // ClusterStream caching discipline).
+      .localCheckpoint(true)
     val ok = stored
       .groupBy(col("key"))
       .agg(count(lit(1)).as("__n"))

@@ -204,23 +204,40 @@ object IndexState {
 
   /** Last mutation sequence number; 0 for an index built before any
     * mutation (or by a pre-seq layout).
+    *
+    * The empty-sidecar fallback is READER-only: a concurrent reader can
+    * observe the dir mid-overwrite (exists, no data files yet), and seq 0
+    * is a fine transient answer for a probe. Mutators must NOT take it —
+    * an existing-but-empty seq dir on the single-writer path means a
+    * crashed [[writeSeq]] overwrite, and silently restarting the counter
+    * at 0 would stamp new upserts with seqs BELOW stored tombstone
+    * `del_seq` values, permanently masking re-inserted rows. [[bumpSeq]]
+    * passes `strictEmpty = true` and fails loudly instead.
     */
-  def readSeq(spark: SparkSession, indexPath: String): Long = {
+  def readSeq(spark: SparkSession, indexPath: String, strictEmpty: Boolean = false): Long = {
     recoverSwap(spark, indexPath)
     val p = s"$indexPath/$SeqDir"
     if (!exists(spark, p)) 0L
-    else
-      // explicit schema + headOption: a concurrent reader can observe the
-      // sidecar dir mid-overwrite (exists, no data files yet) — that reads
-      // as seq 0 rather than a schema-inference failure. Mutators are
-      // single-writer, so they never observe the window themselves.
-      spark.read
+    else {
+      // explicit schema + headOption: no schema inference, and the
+      // mid-overwrite window reads as an empty collect rather than a
+      // schema-inference failure
+      val head = spark.read
         .schema(StructType(Seq(StructField("seq", LongType))))
         .parquet(p)
         .collect()
         .headOption
-        .map(_.getLong(0))
-        .getOrElse(0L)
+      head.map(_.getLong(0)).getOrElse {
+        if (strictEmpty)
+          throw new IllegalStateException(
+            s"$p exists but holds no seq row — a crashed writeSeq overwrite. " +
+              "Refusing to restart the counter at 0 (new seqs would fall below " +
+              "stored tombstone del_seq values and mask re-inserted rows). " +
+              "Repair with IndexState.writeSeq(path, n) where n is at least the " +
+              "max seq across the index's data rows, tombstones, and merge log.")
+        0L
+      }
+    }
   }
 
   def writeSeq(spark: SparkSession, indexPath: String, seq: Long): Unit = {
@@ -233,7 +250,7 @@ object IndexState {
     * harmless — gaps carry no meaning).
     */
   def bumpSeq(spark: SparkSession, indexPath: String): Long = {
-    val next = readSeq(spark, indexPath) + 1L
+    val next = readSeq(spark, indexPath, strictEmpty = true) + 1L
     writeSeq(spark, indexPath, next)
     next
   }

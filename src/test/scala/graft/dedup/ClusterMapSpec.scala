@@ -154,6 +154,27 @@ class ClusterMapSpec extends SparkSpec {
       s"member scan has an empty partition filter:\n${memberScan.get}")
   }
 
+  test("re-upserting a doc that is a stored cluster root moves the whole component") {
+    val path = graft.util.TempDirs.scratch("cmap-root-upsert").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    // seed: {10, 11} clustered under root 10
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 11L)), idsDf(10L, 11L))
+    assert(asMap(ClusterMap.assignments(spark, path)) == Map(10L -> 10L, 11L -> 10L))
+    // doc 10 is re-upserted (a CDC UPDATE: it appears in newIds again) with
+    // text that now pairs it to new doc 5. Being in newIds must not suppress
+    // the 10 -> 5 pointer: stored member 11 still resolves through root 10,
+    // and without the pointer the component would silently split.
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 5L)), idsDf(10L, 5L))
+    assert(
+      asMap(ClusterMap.assignments(spark, path)) == Map(5L -> 5L, 10L -> 5L, 11L -> 5L),
+      "doc 11 must follow its re-upserted root into the merged component")
+    // the inverse arrival (re-upserted root WINS the contraction) needs no
+    // pointer: 10 keeps its label and new doc 20 joins the component
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 20L)), idsDf(10L, 20L))
+    assert(asMap(ClusterMap.assignments(spark, path)) ==
+      Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 20L -> 5L))
+  }
+
   test("pairs may reference never-ingested ids without corrupting the map") {
     val path = graft.util.TempDirs.scratch("cmap-foreign").toString
     ClusterMap.init(spark, path, buckets = 4)
