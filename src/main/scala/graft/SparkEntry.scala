@@ -29,17 +29,24 @@ object SparkEntry {
     */
   private val bm25IndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** dir + a documents-parquet fingerprint (file names/sizes/mtimes): the
-    * session-cache key shared by every prebuilt-state cache below, so an
-    * in-session regeneration of the tables (e.g. a ScaleUp overwrite)
-    * invalidates the prebuilt state instead of probing a stale copy.
+  /** dir + a parquet fingerprint (file names/sizes/mtimes) of EVERY table
+    * the prebuilt state reads — documents AND embeddings (the composed
+    * scenario derives from both): the session-cache key shared by every
+    * prebuilt-state cache below, so an in-session regeneration of either
+    * table (e.g. a ScaleUp overwrite) invalidates the prebuilt state
+    * instead of probing a stale copy.
     */
   private def sessionCacheKey(dir: String): String = {
-    val t = new java.io.File(s"$dir/documents.parquet")
-    val parts = if (t.isDirectory) t.listFiles().toSeq else Seq(t)
-    val fingerprint = parts
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    def files(table: String): Seq[java.io.File] = {
+      val t = new java.io.File(s"$dir/$table.parquet")
+      if (t.isDirectory) t.listFiles().toSeq else Seq(t)
+    }
+    val fingerprint = Seq("documents", "embeddings")
+      .flatMap(t => files(t).map(t -> _))
+      .filter { case (_, f) =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+      }
+      .map { case (t, f) => s"$t/${f.getName}:${f.length}:${f.lastModified}" }
       .sorted.mkString("|").hashCode
     s"$dir@$fingerprint"
   }
@@ -129,42 +136,25 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("root").as("keep_id"))
   }
 
-  /** One composed-pipeline scenario over the `media` join (documents ⋈
-    * embeddings): a GraftSync doc index plus BM25 and LSH consumers, all
-    * fed from one scratch root. `activatePost()` flips the source table to
-    * its post-change state (doc_id%10==7 deleted, ==8 rewritten, ==9
-    * cloned at +1e8) — idempotent, so a cached scenario replays cleanly.
+  /** One composed-pipeline scenario over the `media` join
+    * ([[ComposedFixture.media]]): a GraftSync doc index plus BM25 and LSH
+    * consumers, all fed from one scratch root. `activatePost()` flips the
+    * source table to its post-change state — idempotent, so a cached
+    * scenario replays cleanly; `changeBatch()` re-derives the same mixed
+    * DELETE/UPDATE/INSERT batch on every call.
     */
   private final case class ComposedScenario(
       root: String,
       sync: GraftSync,
       pipeline: graft.streaming.SyncPipeline,
-      mediaPre: () => DataFrame,
+      media: Boolean => DataFrame,
+      changeBatch: () => DataFrame,
       activatePost: () => Unit)
 
   private def composedScenario(s: SparkSession, dir: String): ComposedScenario = {
     import graft.streaming.SyncPipeline
     val base = loader(s, dir)
-    val Off = 100000000L
-    def media(post: Boolean): DataFrame = {
-      val pre = base("documents")
-        .join(base("embeddings"), col("doc_id") === col("vec_id"))
-        .select(col("doc_id"), col("text"), col("embedding"))
-      if (!post) pre
-      else {
-        val m = pmod(col("doc_id"), lit(10))
-        pre
-          .filter(m =!= 7)
-          .withColumn(
-            "text",
-            when(m === 8, concat(lit("updated "), col("text"))).otherwise(col("text")))
-          .unionByName(
-            pre.filter(m === 9).select(
-              (col("doc_id") + Off).as("doc_id"),
-              concat(lit("clone "), col("text")).as("text"),
-              col("embedding")))
-      }
-    }
+    def media(post: Boolean): DataFrame = ComposedFixture.media(base, post)
     @volatile var post = false
     val load: String => DataFrame = { case "media" => media(post); case t => base(t) }
     val cat = Catalog(Map("media" -> graft.catalog.TableMeta("media", Seq("doc_id"))))
@@ -182,7 +172,10 @@ object SparkEntry {
       ),
       s"$root/ckpt")
     pipeline.seed()
-    ComposedScenario(root, sync, pipeline, () => media(post = false), () => { post = true })
+    ComposedScenario(
+      root, sync, pipeline, media,
+      () => ComposedFixture.changeBatch(media(false)),
+      () => { post = true })
   }
 
   /** Per-session seeded composed scenario, one per sf dir (the
@@ -433,83 +426,68 @@ object SparkEntry {
     // post-change corpus from scratch, so the composition (payload
     // derivation, delete-first index maintenance, doc re-assembly) is
     // hash-checked end to end on one result frame.
+    // STEADY STATE: the scenario (seed snapshot + every consumer's index
+    // build) comes from the per-session cache, so this times the
+    // INCREMENTAL path only — one mixed change batch through all consumers
+    // plus the three probe legs. Repeat runs redeliver the same batch;
+    // at-least-once replay convergence makes every rerun byte-identical.
     "q_composed_cdc" -> ((s, dir) => {
-      import graft.streaming.SyncPipeline
-      val base = loader(s, dir)
-      val Off = 100000000L
-      def media(post: Boolean): DataFrame = {
-        val pre = base("documents")
-          .join(base("embeddings"), col("doc_id") === col("vec_id"))
-          .select(col("doc_id"), col("text"), col("embedding"))
-        if (!post) pre
-        else {
-          val m = pmod(col("doc_id"), lit(10))
-          pre
-            .filter(m =!= 7)
-            .withColumn(
-              "text",
-              when(m === 8, concat(lit("updated "), col("text"))).otherwise(col("text")))
-            .unionByName(
-              pre.filter(m === 9).select(
-                (col("doc_id") + Off).as("doc_id"),
-                concat(lit("clone "), col("text")).as("text"),
-                col("embedding")))
-        }
-      }
-      @volatile var post = false
-      val load: String => DataFrame = { case "media" => media(post); case t => base(t) }
-      val cat = Catalog(Map("media" -> graft.catalog.TableMeta("media", Seq("doc_id"))))
-      val root = graft.util.TempDirs.scratch("graft-composed").toString
-      val sync = new GraftSync(
-        s,
-        SchemaDef.parse(
-          """{"database":"graft","index":"media","nodes":{"table":"media","columns":["doc_id","text"]}}"""),
-        cat, load, s"$root/docs")
-      val pipeline = new SyncPipeline(
-        sync, load, "media", "doc_id",
-        Seq(
-          SyncPipeline.Bm25Consumer(s"$root/bm25", "text", buckets = 16),
-          SyncPipeline.AnnLshConsumer(s"$root/ann", "embedding", planes = 6, dim = 64)
-        ),
-        s"$root/ckpt")
-      pipeline.seed()
-      post = true
-      val pre = media(post = false)
-      val m = pmod(col("doc_id"), lit(10))
-      val pkj = to_json(struct(col("doc_id")))
-      val noStr = lit(null).cast("string")
-      val batch = pre
-        .filter(m === 7)
-        .select(lit("DELETE").as("tg_op"), lit("media").as("tbl"),
-          pkj.as("old"), noStr.as("new"), col("doc_id").as("txid"))
-        .unionByName(pre.filter(m === 8).select(
-          lit("UPDATE").as("tg_op"), lit("media").as("tbl"),
-          pkj.as("old"), pkj.as("new"), col("doc_id").as("txid")))
-        .unionByName(pre.filter(m === 9).select(
-          lit("INSERT").as("tg_op"), lit("media").as("tbl"), noStr.as("old"),
-          to_json(struct((col("doc_id") + Off).as("doc_id"))).as("new"),
-          (col("doc_id") + Off).as("txid")))
-      pipeline.applyBatch(batch)
-      val queries = media(post = true).filter(col("doc_id") < 3)
-      val docLeg = sync.state.docs.select(
+      val sc = composedSeedFor(s, dir)
+      sc.activatePost()
+      sc.pipeline.applyBatch(sc.changeBatch())
+      val queries = sc.media(true).filter(col("doc_id") < 3)
+      val docLeg = sc.sync.state.docs.select(
         lit("doc").as("surface"),
         col(DocAssembler.IdColumn).cast("long").as("k1"),
         lit(0L).as("k2"),
         length(get_json_object(col("doc"), "$.text")).cast("long").as("v"))
       val bm25Leg = graft.functions.Retrieval
         .bm25TopKIndexedBatch(
-          s"$root/bm25",
+          s"${sc.root}/bm25",
           queries.select(col("doc_id").as("qid"), col("text").as("qtext")), "qid", "qtext", 10)
         .select(lit("bm25").as("surface"), col("qid").as("k1"), col("id").as("k2"),
           col("score_micro").as("v"))
       val annLeg = Ann
         .lshTopKIndexed(
-          s"$root/ann",
+          s"${sc.root}/ann",
           queries.select(col("doc_id").as("qid"), col("embedding")), "qid", "embedding", 10,
           planes = 6, dim = 64)
         .select(lit("ann").as("surface"), col("qid").as("k1"), col("neighbor_id").as("k2"),
           col("cosine_e4").as("v"))
       docLeg.unionByName(bm25Leg).unionByName(annLeg)
+    }),
+    // BUILD: the one-time composed seed timed standalone (the
+    // q_bm25_index_build convention — uncached, a fresh scratch root every
+    // run): snapshot + every consumer's index build from the PRE-change
+    // corpus, graded on exact per-surface corpus facts the oracle
+    // recomputes (doc count; BM25 stats sidecar; LSH row count + the
+    // plan-literal hyperplane bucket sum).
+    "q_composed_build" -> ((s, dir) => {
+      val sc = composedScenario(s, dir)
+      val media = sc.media(false)
+      val docLeg = sc.sync.state.docs
+        .agg(count(lit(1)).cast("long").as("v"))
+        .select(lit("doc").as("surface"), lit("n_docs").as("k"), col("v"))
+      val bm25Leg = s.read.parquet(s"${sc.root}/bm25/_graft_stats")
+        .select(lit("bm25").as("surface"), lit("n_docs").as("k"), col("n_docs").as("v"))
+        .unionByName(
+          s.read.parquet(s"${sc.root}/bm25/_graft_stats")
+            .select(lit("bm25").as("surface"), lit("dl_sum").as("k"), col("dl_sum").as("v")))
+      val lsh = s.read.parquet(s"${sc.root}/ann")
+      val annLeg = lsh
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("bucket")).cast("long").as("bs"))
+        .select(
+          lit("ann").as("surface"),
+          lit("n_vecs").as("k"),
+          col("n").as("v"),
+          col("bs"))
+      docLeg
+        .unionByName(bm25Leg)
+        .unionByName(annLeg.select(col("surface"), col("k"), col("v")))
+        .unionByName(annLeg.select(col("surface"), lit("bucket_sum").as("k"), col("bs").as("v")))
+        .unionByName(
+          media.agg(count(lit(1)).cast("long").as("v"))
+            .select(lit("media").as("surface"), lit("n_rows").as("k"), col("v")))
     }),
     // ---- skewed-key aggregation via two-phase salting ----------------------
     // l_returnflag has 3 values — every row funnels through 3 reducers in a
@@ -1880,6 +1858,37 @@ object SparkEntry {
          UNION ALL
          SELECT 'ann', qid, neighbor_id, CAST(round(10000 * cos) AS BIGINT)
          FROM ann_ranked WHERE rank <= 10"""
+    },
+    // the composed SEED from scratch: exact per-surface corpus facts over
+    // the PRE-change media join — doc index row count, BM25 stats sidecar
+    // (corpus size + total token count under the engine's tokenizer), and
+    // the LSH index's row count + hyperplane-bucket sum (plan-time plane
+    // literals, so the bucket assignment is externally replayable)
+    "q_composed_build" -> {
+      def bucket(vecCol: String): String = (0 until 6)
+        .map { p =>
+          val lits = graft.functions.VectorFunctions
+            .plane(p, 64)
+            .map(d => f"$d%.3f")
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN list_inner_product($vecCol, $lits) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }
+        .mkString(" + ")
+      s"""WITH media AS (
+           SELECT d.doc_id, d.text, e.embedding
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         dl AS (
+           SELECT CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+           FROM media),
+         ann AS (
+           SELECT ${bucket("embedding")} AS bucket
+           FROM media WHERE embedding IS NOT NULL)
+         SELECT 'doc' AS surface, 'n_docs' AS k, CAST(count(*) AS BIGINT) AS v FROM media
+         UNION ALL SELECT 'bm25', 'n_docs', CAST(count(*) AS BIGINT) FROM media
+         UNION ALL SELECT 'bm25', 'dl_sum', CAST(sum(dl) AS BIGINT) FROM dl
+         UNION ALL SELECT 'ann', 'n_vecs', CAST(count(*) AS BIGINT) FROM ann
+         UNION ALL SELECT 'ann', 'bucket_sum', CAST(sum(bucket) AS BIGINT) FROM ann
+         UNION ALL SELECT 'media', 'n_rows', CAST(count(*) AS BIGINT) FROM media"""
     },
     "q_salted_agg" ->
       """WITH sums AS (

@@ -32,26 +32,10 @@ object ComposedProfile {
     }
 
     val base = graft.sources.Tables.load(spark, sfDir) _
-    val Off = 100000000L
-    def media(post: Boolean): DataFrame = {
-      val pre = base("documents")
-        .join(base("embeddings"), col("doc_id") === col("vec_id"))
-        .select(col("doc_id"), col("text"), col("embedding"))
-      if (!post) pre
-      else {
-        val m = pmod(col("doc_id"), lit(10))
-        pre
-          .filter(m =!= 7)
-          .withColumn(
-            "text",
-            when(m === 8, concat(lit("updated "), col("text"))).otherwise(col("text")))
-          .unionByName(
-            pre.filter(m === 9).select(
-              (col("doc_id") + Off).as("doc_id"),
-              concat(lit("clone "), col("text")).as("text"),
-              col("embedding")))
-      }
-    }
+    // the scenario's source table and batch come from the SAME fixture the
+    // graded q_composed_* queries use, so this profile cannot drift from
+    // what it is attributing
+    def media(post: Boolean): DataFrame = graft.ComposedFixture.media(base, post)
     @volatile var post = false
     val load: String => DataFrame = { case "media" => media(post); case t => base(t) }
     val cat = Catalog(Map("media" -> TableMeta("media", Seq("doc_id"))))
@@ -70,21 +54,7 @@ object ComposedProfile {
       Ann.writeLshIndex(src, s"$root/ann", "doc_id", "embedding", 6, 64))
 
     post = true
-    val pre = media(post = false)
-    val m = pmod(col("doc_id"), lit(10))
-    val pkj = to_json(struct(col("doc_id")))
-    val noStr = lit(null).cast("string")
-    val batch = pre
-      .filter(m === 7)
-      .select(lit("DELETE").as("tg_op"), lit("media").as("tbl"),
-        pkj.as("old"), noStr.as("new"), col("doc_id").as("txid"))
-      .unionByName(pre.filter(m === 8).select(
-        lit("UPDATE").as("tg_op"), lit("media").as("tbl"),
-        pkj.as("old"), pkj.as("new"), col("doc_id").as("txid")))
-      .unionByName(pre.filter(m === 9).select(
-        lit("INSERT").as("tg_op"), lit("media").as("tbl"), noStr.as("old"),
-        to_json(struct((col("doc_id") + Off).as("doc_id"))).as("new"),
-        (col("doc_id") + Off).as("txid")))
+    val batch = graft.ComposedFixture.changeBatch(media(post = false))
 
     timed("doc applyChanges")(sync.applyChanges(batch))
     val payloads = Seq("text", "embedding")
