@@ -674,6 +674,19 @@ object SparkEntry {
       graft.functions.Retrieval
         .bm25TopKIndexedBatch(bm25IndexFor(s, dir), docs.filter(col("doc_id") < 3), "doc_id", "text", 10)
     }),
+    // PRUNED PROBE of the same prebuilt index: the impact-capped sidecar
+    // bounds per-term probe volume at ImpactCap postings regardless of
+    // corpus size — the 100 TB probe shape (the exact probe above reads
+    // every matched posting and is corpus-proportional for frequent terms).
+    // Common terms exceed the cap at every graded sf, so the oracle
+    // genuinely grades the capped semantics: per-term top-cap by partial
+    // impact (imp_micro DESC, id ASC), idf from the TRUE df.
+    "q_bm25_pruned" -> ((s, dir) => {
+      val docs = loader(s, dir)("documents")
+      graft.functions.Retrieval
+        .bm25TopKIndexedPrunedBatch(
+          bm25IndexFor(s, dir), docs.filter(col("doc_id") < 3), "doc_id", "text", 10)
+    }),
     // ---- chunking: fixed-size overlapping windows (map-side only) ----------
     "q_chunk" -> ((s, dir) =>
       graft.functions.Retrieval
@@ -1471,6 +1484,54 @@ object SparkEntry {
            FROM scored)
          SELECT qid, id, score_micro, rank FROM ranked WHERE rank <= 10"""
 
+  // bm25BatchSql with the impact-cap replay spliced in: per term, only the
+  // top-ImpactCap postings by (imp_micro DESC, doc_id ASC) are scored —
+  // imp_micro is the tf-normalization factor in integer micro-units, the
+  // idf-free partial impact the engine freezes into _graft_impacts — while
+  // idf still uses the TRUE document frequency (the _graft_termdf sidecar).
+  private val bm25PrunedSql =
+    s"""WITH q AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 3),
+         qterms AS (
+           SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+           FROM q),
+         dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         imp AS (
+           SELECT t.doc_id, t.term, t.tf, d.dl,
+                  CAST(round(1000000.0 * (t.tf * 2.2)
+                             / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS BIGINT)
+                    AS imp_micro
+           FROM tf t JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN stats s),
+         kept AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY term ORDER BY imp_micro DESC, doc_id) AS rn
+             FROM imp)
+           WHERE rn <= ${graft.functions.Retrieval.ImpactCap}),
+         scored AS (
+           SELECT qt.qid, t.doc_id AS id,
+                  CAST(sum(CAST(round(
+                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)))
+                  ) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM kept t JOIN dfreq f USING (term)
+                CROSS JOIN stats s JOIN qterms qt ON qt.term = t.term
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, id, score_micro,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id)
+                       AS BIGINT) AS rank
+           FROM scored)
+         SELECT qid, id, score_micro, rank FROM ranked WHERE rank <= 10"""
+
   // shared by q_quality_all and q_curation_pipeline (which composes it
   // as a CTE): the fused-gate verdict replay.
   private val qualityAllSql: String =
@@ -2127,6 +2188,7 @@ object SparkEntry {
     // plan by construction (same tokenization, tf, df, sidecar-exact
     // n_docs/avgdl), so the same oracle certifies it
     "q_bm25_indexed" -> bm25BatchSql,
+    "q_bm25_pruned" -> bm25PrunedSql,
     // corpus facts the build must persist exactly: doc count, total token
     // count under the same whitespace tokenization, and the bucket default
     "q_bm25_index_build" ->

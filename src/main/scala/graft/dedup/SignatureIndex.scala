@@ -160,22 +160,36 @@ object SignatureIndex {
     * to a broadcast) — the standing assumption of the whole maintenance
     * family, not a new one.
     */
+  /** The stored rows MATCHING a probe key set, before materialization: the
+    * probe's distinct `kb` values become a static partition filter and a
+    * broadcast semi-join restricts the pruned buckets to the probed keys —
+    * the plan PlanSpec asserts bucket pruning on (the plan is invisible in
+    * [[candidates]]' output, which materializes this frame eagerly).
+    */
+  private[graft] def storedMatched(
+      spark: SparkSession,
+      dataDir: String,
+      m: Model,
+      keyed: DataFrame,
+      kbs: Array[Int]
+  ): DataFrame =
+    spark.read.schema(KeySchema).parquet(dataDir)
+      .filter(col("kb").isin(kbs.map(Integer.valueOf): _*))
+      .join(broadcast(keyed.select(col("key")).distinct()), Seq("key"))
+
   def candidates(spark: SparkSession, path: String, m: Model, probeKeys: DataFrame): DataFrame = {
     val dataDir = IndexState.dataPath(spark, path)
     if (!IndexState.stagingHasData(spark, dataDir)) return emptyCandidates(spark)
     val keyed = withKb(probeKeys, m.buckets)
     val kbs = keyed.select(col("kb")).distinct().collect().map(_.getInt(0))
     if (kbs.isEmpty) return emptyCandidates(spark)
-    val stored = spark.read.schema(KeySchema).parquet(dataDir)
-      .filter(col("kb").isin(kbs.map(Integer.valueOf): _*))
-      .join(broadcast(keyed.select(col("key")).distinct()), Seq("key"))
-      // eager local checkpoint: this matched-row frame feeds BOTH the
-      // degenerate-key guard aggregate and the candidate join — without it
-      // the bucket scan runs twice per micro-batch. Probe-matched rows are
-      // batch-sized; the blocks are reclaimed by the context cleaner once
-      // the caller's materialized result drops the reference (the
-      // ClusterStream caching discipline).
-      .localCheckpoint(true)
+    // eager local checkpoint: the matched-row frame feeds BOTH the
+    // degenerate-key guard aggregate and the candidate join — without it
+    // the bucket scan runs twice per micro-batch. Probe-matched rows are
+    // batch-sized; the blocks are reclaimed by the context cleaner once
+    // the caller's materialized result drops the reference (the
+    // ClusterStream caching discipline).
+    val stored = storedMatched(spark, dataDir, m, keyed, kbs).localCheckpoint(true)
     val ok = stored
       .groupBy(col("key"))
       .agg(count(lit(1)).as("__n"))

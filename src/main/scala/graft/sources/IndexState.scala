@@ -102,7 +102,8 @@ object IndexState {
     * the flip would yank files from under a reader still scanning the
     * previous generation (caught by GenerationSpec's concurrent probe).
     */
-  private val GenerationalSidecars = Set("_graft_doclens", TombstoneDir, "_graft_merges")
+  private val GenerationalSidecars =
+    Set("_graft_doclens", "_graft_impacts", "_graft_termdf", TombstoneDir, "_graft_merges")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

