@@ -85,6 +85,11 @@ object Bench {
         // replay / compact), which is the honest timing: per-batch cost vs
         // corpus size, not one arbitrary 3-batch split
         "q_cluster_stream",
+        // the six-surface correctness gate over the SAME cached scenario and
+        // change batch as q_composed_cdc: timing it would double-count the
+        // applyBatch cost q_composed_cdc already times (its extra probe legs
+        // are individually timed by q_ann_* / q_bm25_* rows)
+        "q_composed_full",
         "q_events_sessions_stream", "q_classifier")
     // triage knob: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries
     // (and skips the throughput metrics) for quick regression bisection
