@@ -46,12 +46,27 @@ object ComposedProfile {
         """{"database":"graft","index":"media","nodes":{"table":"media","columns":["doc_id","text"]}}"""),
       cat, load, s"$root/docs")
 
+    val cModel = graft.dedup.SignatureIndex.Model(
+      portable = true, shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.3, maxBucket = 1000, buckets = 16)
+
     timed("doc snapshot")(sync.snapshot())
     val src = load("media")
     timed("bm25 seed build")(
       graft.functions.Retrieval.writeBm25Index(src, "doc_id", "text", s"$root/bm25", 16))
     timed("lsh seed build")(
       Ann.writeLshIndex(src, s"$root/ann", "doc_id", "embedding", 6, 64))
+    timed("pq seed build") {
+      val cells = Ann.trainIvfCells(src, "doc_id", "embedding", nlists = 16)
+      val books = Ann.pqTrain(src, "doc_id", "embedding", m = 8, codeK = 16)
+      Ann.writePqIndex(src, s"$root/pq", "doc_id", "embedding", cells, books)
+    }
+    timed("dedup seed")(
+      graft.streaming.DedupStream.applyBatch(
+        spark, src.select(col("doc_id"), col("text")), s"$root/dedup", "doc_id", "text", _ => ()))
+    timed("cluster seed")(
+      graft.streaming.ClusterStream.seed(
+        src, s"$root/sig", s"$root/cluster", "doc_id", "text", cModel, mapBuckets = 16))
 
     post = true
     val batch = graft.ComposedFixture.changeBatch(media(post = false))
@@ -70,6 +85,19 @@ object ComposedProfile {
       graft.streaming.AnnStream.applyCdcBatchResumed(
         rows.select(col("tg_op"), col("doc_id"), col("embedding")),
         s"$root/ann", "doc_id", "embedding", None))
+    timed("pq applyBatch")(
+      graft.streaming.AnnStream.applyCdcPqBatch(
+        rows.select(col("tg_op"), col("doc_id"), col("embedding")),
+        s"$root/pq", "doc_id", "embedding", None))
+    timed("dedup applyBatch")(
+      graft.streaming.DedupStream.applyBatch(
+        spark,
+        rows.filter(col("tg_op") =!= "DELETE").select(col("doc_id"), col("text")),
+        s"$root/dedup", "doc_id", "text", _ => ()))
+    timed("cluster applyBatch")(
+      graft.streaming.ClusterStream.applyBatch(
+        spark, rows.select(col("tg_op"), col("doc_id"), col("text")), load("media"),
+        s"$root/sig", s"$root/cluster", "doc_id", "text"))
     rows.unpersist()
 
     val queries = media(post = true).filter(col("doc_id") < 3)
@@ -87,6 +115,15 @@ object ComposedProfile {
         s"$root/ann",
         queries.select(col("doc_id").as("qid"), col("embedding")), "qid", "embedding", 10,
         planes = 6, dim = 64).count())
+    timed("pq probe leg")(
+      Ann.pqTopKIndexedResumed(
+        s"$root/pq",
+        queries.select(col("doc_id").as("qid"), col("embedding")), "qid", "embedding", 10,
+        nprobe = 4).count())
+    timed("dedup probe leg")(
+      spark.read.parquet(s"$root/dedup").groupBy(col("keep_id")).count().count())
+    timed("cluster probe leg")(
+      graft.dedup.ClusterMap.assignments(spark, s"$root/cluster").count())
     spark.stop()
   }
 }
