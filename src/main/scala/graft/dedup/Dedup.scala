@@ -1187,16 +1187,68 @@ object Dedup {
         labels
     }
 
+  /** Pair rows below which [[connectedComponentsWithStatus]] resolves the
+    * components on the DRIVER (union-find with path compression — exact
+    * fixpoint, one collect job) instead of the distributed min-label loop
+    * (2 jobs per propagation round). Batch-sized pair sets — every
+    * [[graft.dedup.ClusterMap.applyBatch]] contraction, every micro-batch's
+    * verified pairs — were paying round-count job-scheduling latency for
+    * graphs of a few hundred edges. 65 536 (id_a, id_b) longs is ~1 MB on
+    * the driver, the engine's bounded-collect ceiling class; corpus-scale
+    * pair sets take the distributed loop unchanged.
+    */
+  private val InMemCcPairs = 65536
+
   /** As [[connectedComponents]], but also returns whether label propagation
     * converged within `maxIter` — callers that must not split clusters can
     * retry with a larger budget. All caches used by the iteration are
     * released before returning (the small final label set is checkpointed
     * locally to cut its lineage off the freed caches).
+    *
+    * Pair sets up to `inMemThreshold` rows with BIGINT ids short-circuit to
+    * an exact driver-side union-find (always "converged" — union-find has
+    * no iteration budget); see [[InMemCcPairs]]. Pass 0 to force the
+    * distributed loop (specs asserting loop behavior do).
     */
   def connectedComponentsWithStatus(
       pairs: DataFrame,
-      maxIter: Int = 10
+      maxIter: Int = 10,
+      inMemThreshold: Int = InMemCcPairs
   ): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val longIds = pairs.schema("id_a").dataType == LongType &&
+      pairs.schema("id_b").dataType == LongType
+    if (longIds && inMemThreshold > 0) {
+      val head = pairs
+        .select(col("id_a"), col("id_b"))
+        .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+        .limit(inMemThreshold + 1)
+        .collect()
+      if (head.length <= inMemThreshold) {
+        val parent = new java.util.HashMap[Long, Long](head.length * 4)
+        def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        head.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          add(a); add(b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+        }
+        val it = parent.keySet().iterator()
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+        while (it.hasNext) { val id = it.next(); out.add(org.apache.spark.sql.Row(id, find(id))) }
+        val labels = pairs.sparkSession.createDataFrame(
+          out,
+          StructType(Seq(StructField("id", LongType), StructField("keep_id", LongType))))
+        return (labels, true)
+      }
+    }
     val edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))

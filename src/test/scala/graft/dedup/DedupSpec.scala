@@ -307,14 +307,35 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("connected components report non-convergence on a deep chain") {
-    // a 12-node path has diameter 11 > maxIter=2 propagation rounds
+  test("connected components report non-convergence on a deep chain (distributed loop)") {
+    // a 12-node path has diameter 11 > maxIter=2 propagation rounds;
+    // inMemThreshold=0 forces the distributed loop whose budget is under test
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (_, convergedShallow) = Dedup.connectedComponentsWithStatus(chain, maxIter = 2)
+    val (_, convergedShallow) =
+      Dedup.connectedComponentsWithStatus(chain, maxIter = 2, inMemThreshold = 0)
     assert(!convergedShallow)
-    val (labels, converged) = Dedup.connectedComponentsWithStatus(chain, maxIter = 20)
+    val (labels, converged) =
+      Dedup.connectedComponentsWithStatus(chain, maxIter = 20, inMemThreshold = 0)
     assert(converged)
     assert(labels.collect().forall(_.getLong(1) == 1L))
+    // the driver-side union-find (default path for batch-sized pair sets)
+    // needs no iteration budget: exact fixpoint even at maxIter = 2
+    val (fast, fastConverged) = Dedup.connectedComponentsWithStatus(chain, maxIter = 2)
+    assert(fastConverged)
+    assert(fast.collect().forall(_.getLong(1) == 1L))
+  }
+
+  test("driver-side and distributed CC agree on random graphs") {
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Vector.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = asMap(Dedup.connectedComponentsWithStatus(pairs)._1)
+      val dist = asMap(Dedup.connectedComponentsWithStatus(pairs, 40, inMemThreshold = 0)._1)
+      assert(fast == dist, s"seed $seed: union-find != distributed min-label")
+    }
   }
 
   test("corpus-cleaning composition: near-dup pairs → components → keep-filtered corpus") {
