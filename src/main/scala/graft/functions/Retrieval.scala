@@ -237,9 +237,13 @@ object Retrieval {
       // regardless of order)
       val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
       writeBm25Stats(spark, path, s.getLong(0), s.getLong(1), buckets)
+      // impacts derive from the postings JUST WRITTEN (a pruned columnar
+      // re-scan) rather than re-running the (id, dl, term) aggregation
+      // over the token frame — one corpus shuffle saved per build
       if (s.getLong(0) > 0L)
         writeBm25Impacts(
-          postingsOf(withDl), path, buckets,
+          spark.read.parquet(path).select(col("id"), col("dl"), col("term"), col("tf")),
+          path, buckets,
           avgdl = s.getLong(1).toDouble / s.getLong(0), seq = 0L,
           org.apache.spark.sql.SaveMode.Overwrite, cap = impactCap)
       IndexState.writeSeq(spark, path, 0L)
