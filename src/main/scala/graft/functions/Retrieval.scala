@@ -325,7 +325,10 @@ object Retrieval {
     * term; appends write the BATCH's top-cap per term (a superset carrier:
     * any posting in the global top-cap is in its own batch's top-cap), and
     * the probe re-caps the visible union — so the per-term probe volume is
-    * O(cap × mutation batches since compaction), never O(corpus).
+    * O(cap × mutation batches since compaction), never O(corpus). Under an
+    * append-heavy feed that bound is enforced by
+    * [[maybeCompactBm25ByImpactGrowth]] (the dead-ratio policy covers
+    * delete-heavy feeds).
     * `imp_micro` is frozen with the writing mutation's avgdl; later
     * mutations drift avgdl, which can perturb WHICH postings sit at the
     * cap boundary but never the score formula (probes rescore from
@@ -575,6 +578,39 @@ object Retrieval {
     if (dead.toDouble / (live + dead) < maxDeadRatio) return false
     // the shared tail also refuses an empty rewrite — defense in depth on
     // top of the live==0 guard, in case the stats sidecar ever drifts
+    IndexState.compactAndSwap(spark, path, compactBm25Index(spark, path, _))
+  }
+
+  /** Compaction trigger for APPEND-heavy feeds — the bound the impact
+    * sidecar needs that the dead-ratio policy cannot provide: appends
+    * accumulate per-batch caps (the probe re-caps their union), so
+    * per-term pruned-probe volume is cap × batches-since-compaction and a
+    * delete-free feed never fires [[maybeCompactBm25Index]]. Each mutation
+    * batch writes at most ONE termdf row per term it touches, so
+    * `termdf rows / distinct terms` IS the hot-term batch count; at or
+    * above `maxMultiple`, rewrite through the standard generation
+    * promotion (which re-caps impacts globally and resets the multiple
+    * to 1). The signal is the WORST term's multiple (max, not average —
+    * the hottest term is exactly the one whose probe volume matters), one
+    * aggregate over the sidecar-sized termdf. Amortization: one O(corpus)
+    * rewrite at most every `maxMultiple` hot-term batches bounds the
+    * pruned probe at cap × maxMultiple rows per term — both knobs
+    * constant in corpus size. Returns whether a compaction ran.
+    */
+  def maybeCompactBm25ByImpactGrowth(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxMultiple: Double = 64.0
+  ): Boolean = {
+    require(maxMultiple >= 1, s"maxMultiple must be >= 1, got $maxMultiple")
+    IndexState.recoverSwap(spark, path)
+    val p = s"${IndexState.dataPath(spark, path)}/$TermDfDir"
+    if (!IndexState.stagingHasData(spark, p)) return false
+    val worst = spark.read.parquet(p)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("m"))
+      .collect()(0)
+    if (worst.isNullAt(0) || worst.getLong(0).toDouble < maxMultiple) return false
     IndexState.compactAndSwap(spark, path, compactBm25Index(spark, path, _))
   }
 

@@ -172,6 +172,44 @@ class RetrievalSpec extends SparkSpec {
     Seq(dir, dir2, rebuilt).foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
   }
 
+  test("bm25 impact-growth compaction: append-only feeds re-bound the pruned probe") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark window join")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark")).toDF("qid", "qtext")
+    val dir = graft.util.TempDirs.scratch("bm25-impact-growth").toString
+    def rows() = Retrieval.bm25TopKIndexedPrunedBatch(dir, queries, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def termdfMultiple(): Double = {
+      val p = s"${graft.sources.IndexState.dataPath(spark, dir)}/${Retrieval.TermDfDir}"
+      spark.read.parquet(p)
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getLong(0).toDouble
+    }
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir, buckets = 8)
+    // three appends all touching "spark": the hot term's sidecar multiple
+    // grows by one per batch — exactly what the policy reads
+    (10L to 12L).foreach { i =>
+      Retrieval.appendBm25Index(Seq((i, s"spark doc $i")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    val before = rows()
+    assert(termdfMultiple() >= 2.0)
+    // below threshold: refuse (no rewrite, no generation churn)
+    assert(!Retrieval.maybeCompactBm25ByImpactGrowth(spark, dir, maxMultiple = 16.0))
+    // at threshold: one generation promotion re-caps globally; the hot
+    // term's multiple returns to 1 and the probe answers identically
+    assert(Retrieval.maybeCompactBm25ByImpactGrowth(spark, dir, maxMultiple = 2.0))
+    assert(termdfMultiple() == 1.0, "compaction must collapse per-batch caps to one global cap")
+    assert(rows() == before, "re-capping must not change the probe answer")
+    // and equals the exact probe on the grown corpus (nothing truncated)
+    val exact = Retrieval.bm25TopKIndexedBatch(dir, queries, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows() == exact)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("bm25 persisted index deletes: probe equals a rebuild without the docs, bit-for-bit") {
     val docs = Seq(
       (1L, "spark spark spark"),
