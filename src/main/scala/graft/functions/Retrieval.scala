@@ -414,6 +414,11 @@ object Retrieval {
       .parquet(s"$path/_graft_stats")
   }
 
+  private val StatsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl_sum", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("buckets", org.apache.spark.sql.types.IntegerType)))
+
   private def readBm25Stats(
       spark: org.apache.spark.sql.SparkSession,
       path: String
@@ -421,12 +426,46 @@ object Retrieval {
     // every probe and mutation opens the index through this read, so an
     // interrupted compaction swap self-heals here (IndexState.recoverSwap)
     IndexState.recoverSwap(spark, path)
-    val st = spark.read.parquet(s"$path/_graft_stats").collect()(0)
-    (
-      st.getLong(st.fieldIndex("n_docs")),
-      st.getLong(st.fieldIndex("dl_sum")),
-      st.getInt(st.fieldIndex("buckets"))
-    )
+    val p = s"$path/_graft_stats"
+    // Stats are REWRITTEN per mutation (mode overwrite), so a probe racing
+    // a delete/append can observe the sidecar missing or empty for the
+    // milliseconds of the overwrite — the same transient window the seq
+    // sidecar tolerates with its reader default. Stats have no safe
+    // default, so the reader RETRIES the (explicit-schema, no-inference)
+    // read briefly and fails loudly only if the window never closes —
+    // i.e. a genuinely absent/corrupt sidecar. Mutators are single-writer
+    // and never race themselves.
+    var attempt = 0
+    while (true) {
+      try {
+        val rows = spark.read.schema(StatsSchema).parquet(p).collect()
+        if (rows.nonEmpty) {
+          val st = rows(0)
+          return (
+            st.getLong(st.fieldIndex("n_docs")),
+            st.getLong(st.fieldIndex("dl_sum")),
+            st.getInt(st.fieldIndex("buckets"))
+          )
+        }
+        // listable but no rows yet: the same window, fall through to retry
+      } catch {
+        // AnalysisException: dir missing mid-overwrite. SparkException
+        // (FAILED_READ_FILE): the scan listed the OLD part file and the
+        // overwrite deleted it before the read — the other face of the
+        // same window. Both retry; the final attempt rethrows.
+        case e @ (_: org.apache.spark.sql.AnalysisException |
+            _: org.apache.spark.SparkException) =>
+          if (attempt >= 19) throw e
+      }
+      attempt += 1
+      if (attempt >= 20)
+        throw new IllegalStateException(
+          s"$p is missing or empty after $attempt reads — not the transient " +
+            "mutation-overwrite window; the index has no stats sidecar " +
+            "(never built, or the sidecar was lost). Rebuild with writeBm25Index.")
+      Thread.sleep(25)
+    }
+    sys.error("unreachable")
   }
 
   /** Append a document batch into a [[writeBm25Index]] layout: O(batch)

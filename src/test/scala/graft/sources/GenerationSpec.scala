@@ -140,6 +140,42 @@ class GenerationSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("concurrent PRUNED bm25 probes across compactions never observe a broken index") {
+    // the pruned probe reads THREE generation-scoped structures (impacts,
+    // termdf, tombstones) off ONE dataPath resolution — this is the race
+    // that would catch a split resolution (half old generation, half new)
+    import graft.functions.Retrieval
+    val dir = graft.util.TempDirs.scratch("gen-concurrent-pruned").toString
+    val docs = (0L until 60L)
+      .map(i => (i, s"spark shared tok${i % 7} body $i")).toDF("doc_id", "text")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir, buckets = 8)
+    val queries = Seq((100L, "spark shared tok3")).toDF("qid", "qtext")
+    @volatile var stop = false
+    @volatile var failure: Option[Throwable] = None
+    val reader = new Thread(() => {
+      try
+        while (!stop) {
+          val n = Retrieval
+            .bm25TopKIndexedPrunedBatch(dir, queries, "qid", "qtext", 5)
+            .count()
+          assert(n > 0, "pruned probe returned no rows mid-compaction")
+        }
+      catch { case t: Throwable => failure = Some(t) }
+    }, "gen-concurrent-pruned-reader")
+    reader.start()
+    try
+      (0L until 3L).foreach { i =>
+        Retrieval.deleteFromBm25Index(spark, dir, Seq(i).toDF("id"))
+        assert(Retrieval.maybeCompactBm25Index(spark, dir, maxDeadRatio = 0.01))
+      }
+    finally {
+      stop = true
+      reader.join(60000)
+    }
+    failure.foreach(t => fail(s"concurrent pruned probe failed: $t", t))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("empty-rewrite refusal is memoized at the mutation seq (no rewrite per batch)") {
     val dir = graft.util.TempDirs.scratch("gen-refusal-memo").toString
     val one = Seq((1L, mkVec(1L))).toDF("vec_id", "embedding")
