@@ -258,8 +258,13 @@ object ClusterMap {
     // loser unreferenced: a re-upserted doc that is currently the root of a
     // stored cluster (an UPDATE arriving through the CDC consumers) must
     // still point its old component at the new root, or the component
-    // silently splits. Only ids never ingested have no stored referrers —
-    // their member rows are written below with the final root directly.
+    // silently splits. "Stored" is a COMPLETE reference check because every
+    // contraction WINNER is materialized as a member row below (foreign
+    // winners included): a root referenced anywhere in storage — a member
+    // row's `root` value or a merge pointer's `to_root` — won the
+    // contraction that wrote that reference, so by induction it has a
+    // member row of its own. Only ids that never won are un-referenced,
+    // and they need no pointer.
     val losing = labels.filter(col("keep_id") =!= col("id"))
     val storedLosers = lookupStored(spark, dataDir, buckets, losing.select(col("id")))
       .select(col("id"))
@@ -270,12 +275,28 @@ object ClusterMap {
     if (!merges.isEmpty)
       merges.coalesce(1).write.mode("append").parquet(s"$dataDir/$MergesDir")
 
+    // Foreign winners — pair endpoints never ingested that just became the
+    // canonical root of a stored component — are materialized as member
+    // rows (id, id): when a later batch merges such a root away, the
+    // stored-losers lookup above finds it and writes the pointer its
+    // referrers need. Without this, a foreign winner is referenced only by
+    // other rows' `root` values (un-probe-able by id) and its later demotion
+    // silently splits the component. Replay-safe: the duplicate rows a
+    // redelivered batch appends collapse in [[assignments]] by min.
+    val winners = labels.filter(col("keep_id") === col("id")).select(col("id"))
+    val foreignWinners = winners
+      .join(newIds.select(col("id")), Seq("id"), "left_anti")
+      .join(lookupStored(spark, dataDir, buckets, winners).select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("root"))
+
     newIds
       .select(col("id"))
       .join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("keep_id"), col("id")).as("root"))
+      .unionByName(foreignWinners)
       .select(
         col("id"),
-        coalesce(col("keep_id"), col("id")).as("root"),
+        col("root"),
         pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
       .repartition(col("bucket"))
       .write
@@ -288,7 +309,11 @@ object ClusterMap {
     * the arriving-data equivalent of [[Dedup.connectedComponents]] over the
     * cumulative pair list (plus `(id, id)` singletons). Duplicate member
     * rows from at-least-once replays collapse by min — the resolved root
-    * is monotonically non-increasing, so min is the freshest.
+    * is monotonically non-increasing, so min is the freshest. A pair
+    * endpoint never passed through `newIds` that WON a contraction appears
+    * here too (it is a live cluster label — [[applyBatch]] materializes it
+    * so a later demotion can be pointered); restrict to the live corpus
+    * with [[assignmentsLive]] when only real documents should surface.
     */
   def assignments(spark: SparkSession, path: String): DataFrame = {
     val dataDir = IndexState.dataPath(spark, path)

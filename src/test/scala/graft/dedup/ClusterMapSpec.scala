@@ -211,7 +211,60 @@ class ClusterMapSpec extends SparkSpec {
     ClusterMap.init(spark, path, buckets = 4)
     // 99 appears in a pair but is never in newIds: it contributes
     // connectivity (1-99, 99-2 ⇒ 1 and 2 cluster) but gets no member row
+    // (it LOST the contraction, so nothing in storage references it)
     ClusterMap.applyBatch(spark, path, pairsDf((1L, 99L), (99L, 2L)), idsDf(1L, 2L))
     assert(asMap(ClusterMap.assignments(spark, path)) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("a foreign endpoint that WINS a contraction can later be merged away") {
+    val path = graft.util.TempDirs.scratch("cmap-foreign-winner").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    // batch N: foreign id 5 (never in newIds) wins the contraction — stored
+    // members 10, 11 get root 5, and 5 is materialized as a member row so a
+    // later demotion is pointer-able
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 5L), (11L, 5L)), idsDf(10L, 11L))
+    assert(asMap(ClusterMap.assignments(spark, path)) ==
+      Map(5L -> 5L, 10L -> 5L, 11L -> 5L))
+    // batch N+1: 5 loses to new doc 3 (still not in newIds). Without the
+    // materialized row no pointer would be written and members 10, 11 would
+    // silently keep the stale root 5 while 3 starts a fresh component.
+    ClusterMap.applyBatch(spark, path, pairsDf((3L, 5L)), idsDf(3L))
+    assert(
+      asMap(ClusterMap.assignments(spark, path)) ==
+        Map(3L -> 3L, 5L -> 3L, 10L -> 3L, 11L -> 3L),
+      "stored members must follow their dethroned foreign root into the merged component")
+  }
+
+  test("a foreign winner that finally ARRIVES in newIds and loses still pointers its referrers") {
+    val path = graft.util.TempDirs.scratch("cmap-foreign-arrival").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    // foreign 5 wins over new docs 10, 11 (as above)
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 5L), (11L, 5L)), idsDf(10L, 11L))
+    // doc 5 NOW arrives as a real document, in the same batch that merges it
+    // under new doc 3: being in newIds must not suppress the 5 -> 3 pointer
+    // (the r11 re-upsert rule), and being previously foreign must not have
+    // left it un-stored (the materialization rule) — either gap splits
+    ClusterMap.applyBatch(spark, path, pairsDf((3L, 5L)), idsDf(3L, 5L))
+    assert(asMap(ClusterMap.assignments(spark, path)) ==
+      Map(3L -> 3L, 5L -> 3L, 10L -> 3L, 11L -> 3L))
+  }
+
+  test("a foreign winner surviving several batches is demotable after a replay") {
+    val path = graft.util.TempDirs.scratch("cmap-foreign-chain").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 5L)), idsDf(10L))
+    // 5 wins AGAIN from its materialized row (cur_root resolves through
+    // storage, not the bare endpoint) — no duplicate pointer machinery
+    ClusterMap.applyBatch(spark, path, pairsDf((5L, 20L)), idsDf(20L))
+    assert(asMap(ClusterMap.assignments(spark, path)) ==
+      Map(5L -> 5L, 10L -> 5L, 20L -> 5L))
+    // replay batch 2 whole (at-least-once): converges, no state corruption
+    ClusterMap.applyBatch(spark, path, pairsDf((5L, 20L)), idsDf(20L))
+    assert(asMap(ClusterMap.assignments(spark, path)) ==
+      Map(5L -> 5L, 10L -> 5L, 20L -> 5L))
+    // finally 3 dethrones 5: one downward pointer moves the whole component
+    ClusterMap.applyBatch(spark, path, pairsDf((3L, 5L)), idsDf(3L))
+    assert(asMap(ClusterMap.assignments(spark, path)) ==
+      Map(3L -> 3L, 5L -> 3L, 10L -> 3L, 20L -> 3L))
   }
 }
