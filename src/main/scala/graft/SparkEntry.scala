@@ -51,12 +51,32 @@ object SparkEntry {
     s"$dir@$fingerprint"
   }
 
+  /** Drop cache entries for the same sf dir whose table fingerprint no
+    * longer matches the current one (an in-session regeneration, e.g. a
+    * ScaleUp overwrite created a new key): the stale prebuilt state would
+    * never be probed again, but its materialized blocks / scratch roots
+    * would otherwise pin memory and disk for the session's lifetime. The
+    * fingerprint segment is compared whole (`takeWhile('#')`), so sibling
+    * variants of the CURRENT fingerprint (`#full=…` slots) survive.
+    */
+  private def evictStale[V](
+      cache: scala.collection.concurrent.TrieMap[String, V],
+      dir: String,
+      sessionKey: String
+  )(release: V => Unit): Unit =
+    cache.keys
+      .filter(k => k.startsWith(s"$dir@") && k.takeWhile(_ != '#') != sessionKey)
+      .foreach(k => cache.remove(k).foreach(v => release(v)))
+
   /** Synchronized so concurrent first probes cannot double-build and
     * orphan a scratch index.
     */
   private def bm25IndexFor(s: SparkSession, dir: String): String =
     bm25IndexCache.synchronized {
-      bm25IndexCache.getOrElseUpdate(sessionCacheKey(dir), {
+      val key = sessionCacheKey(dir)
+      evictStale(bm25IndexCache, dir, key)(idx =>
+        graft.util.TempDirs.delete(java.nio.file.Paths.get(idx)))
+      bm25IndexCache.getOrElseUpdate(key, {
         val idx = graft.util.TempDirs.scratch("bm25-index-session").toString
         graft.functions.Retrieval.writeBm25Index(loader(s, dir)("documents"), "doc_id", "text", idx)
         idx
@@ -80,7 +100,11 @@ object SparkEntry {
 
   private def prodPairsFor(s: SparkSession, dir: String): DataFrame =
     prodPairCache.synchronized {
-      prodPairCache.getOrElseUpdate(sessionCacheKey(dir), {
+      val key = sessionCacheKey(dir)
+      evictStale(prodPairCache, dir, key)(df =>
+        try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(df)
+        catch { case scala.util.control.NonFatal(_) => () })
+      prodPairCache.getOrElseUpdate(key, {
         graft.dedup.Dedup
           .minhashLsh(loader(s, dir)("documents"), "doc_id", "text", threshold = 0.3)
           .select(col("id_a"), col("id_b"))
@@ -235,9 +259,10 @@ object SparkEntry {
     */
   private def composedSeedFor(s: SparkSession, dir: String, full: Boolean): ComposedScenario =
     composedCache.synchronized {
-      composedCache.getOrElseUpdate(
-        s"${sessionCacheKey(dir)}#full=$full",
-        composedScenario(s, dir, full))
+      val key = sessionCacheKey(dir)
+      evictStale(composedCache, dir, key)(sc =>
+        graft.util.TempDirs.delete(java.nio.file.Paths.get(sc.root)))
+      composedCache.getOrElseUpdate(s"$key#full=$full", composedScenario(s, dir, full))
     }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

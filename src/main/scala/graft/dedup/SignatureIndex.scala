@@ -169,7 +169,6 @@ object SignatureIndex {
   private[graft] def storedMatched(
       spark: SparkSession,
       dataDir: String,
-      m: Model,
       keyed: DataFrame,
       kbs: Array[Int]
   ): DataFrame =
@@ -189,7 +188,7 @@ object SignatureIndex {
     // batch-sized; the blocks are reclaimed by the context cleaner once
     // the caller's materialized result drops the reference (the
     // ClusterStream caching discipline).
-    val stored = storedMatched(spark, dataDir, m, keyed, kbs).localCheckpoint(true)
+    val stored = storedMatched(spark, dataDir, keyed, kbs).localCheckpoint(true)
     val ok = stored
       .groupBy(col("key"))
       .agg(count(lit(1)).as("__n"))

@@ -229,7 +229,9 @@ object Retrieval {
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
-      writeBm25Postings(withDl, path, buckets, seq = 0L, org.apache.spark.sql.SaveMode.Overwrite)
+      writeBm25Postings(
+        withDl, postingsOf(withDl), path, buckets, seq = 0L,
+        org.apache.spark.sql.SaveMode.Overwrite)
       // the sidecar stores the integer dl SUM, not the average: integer sums
       // update exactly under append AND delete, and avgdl = dl_sum/n_docs
       // reproduces the in-memory avg bit-for-bit (token-length partial sums
@@ -267,16 +269,20 @@ object Retrieval {
     * docs' lengths with partition pruning instead of scanning the postings.
     * `path` here is the resolved DATA directory (the current generation
     * after a compaction — [[graft.sources.IndexState.dataPath]]); the
-    * doclens sidecar travels with the postings it describes.
+    * doclens sidecar travels with the postings it describes. `posted` is
+    * the [[postingsOf]] frame of the same `withDl` — passed in so a caller
+    * that also writes the impact sidecars ([[appendBm25Index]]) can persist
+    * the (doc, term) aggregation once instead of paying it per consumer.
     */
   private def writeBm25Postings(
       withDl: DataFrame,
+      posted: DataFrame,
       path: String,
       buckets: Int,
       seq: Long,
       mode: org.apache.spark.sql.SaveMode
   ): Unit = {
-    postingsOf(withDl)
+    posted
       .withColumn("seq", lit(seq))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       // pin the partition count: with a bare repartition(col) AQE coalesces
@@ -363,6 +369,15 @@ object Retrieval {
     * (`posted`: id, dl, term, tf). Build/compact pass the full corpus
     * postings (global caps, mode Overwrite); append passes the batch
     * (per-batch caps, mode Append).
+    *
+    * The per-term cap takes one of two shapes by mutation size:
+    * corpus-scale builds/compactions (Overwrite) run the bounded-heap
+    * [[graft.expr.TopKAgg]] — map-side partial heaps, so a hot term never
+    * funnels a corpus partition through one reducer — then fetch kept rows'
+    * payloads with a (term, id) semi-join; batch appends (Append) keep the
+    * payload columns through a per-term `row_number` window instead, one
+    * batch-sized exchange with no second aggregation and no join (the
+    * probe-side re-cap rationale at [[bm25TopKIndexedPrunedBatch]]).
     */
   private def writeBm25Impacts(
       posted: DataFrame,
@@ -378,13 +393,19 @@ object Retrieval {
     val scored = posted.select(
       col("term"), col("id").cast("long").as("id"), col("tf"), col("dl"),
       impMicro(col("tf"), col("dl"), avgdl, k1, b).as("imp_micro"))
-    val topIds = scored
-      .groupBy(col("term"))
-      .agg(Analytics.topK(col("imp_micro").cast("double"), col("id"), cap).as("_t"))
-      .select(col("term"), explode(col("_t")).as("_e"))
-      .select(col("term"), col("_e.id").as("id"))
-    scored
-      .join(topIds, Seq("term", "id"), "left_semi")
+    val capped =
+      if (mode == org.apache.spark.sql.SaveMode.Append) {
+        val w = Window.partitionBy(col("term")).orderBy(col("imp_micro").desc, col("id"))
+        scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= cap).drop("_rn")
+      } else {
+        val topIds = scored
+          .groupBy(col("term"))
+          .agg(Analytics.topK(col("imp_micro").cast("double"), col("id"), cap).as("_t"))
+          .select(col("term"), explode(col("_t")).as("_e"))
+          .select(col("term"), col("_e.id").as("id"))
+        scored.join(topIds, Seq("term", "id"), "left_semi")
+      }
+    capped
       .withColumn("seq", lit(seq))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(buckets, col("bucket"))
@@ -489,21 +510,32 @@ object Retrieval {
       .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // The (id, dl, term) aggregation feeds BOTH the postings write and the
+    // impact/termdf sidecars — persist it once (same DISK_ONLY rationale)
+    // instead of paying the batch's groupBy twice per append.
+    val posted = postingsOf(withDl)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       val data = IndexState.dataPath(spark, path)
-      writeBm25Postings(withDl, data, buckets, seq, org.apache.spark.sql.SaveMode.Append)
+      writeBm25Postings(withDl, posted, data, buckets, seq, org.apache.spark.sql.SaveMode.Append)
       val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
       val (bn, bs) = if (s.isNullAt(0) || s.isNullAt(1)) (0L, 0L) else (s.getLong(0), s.getLong(1))
-      writeBm25Stats(spark, path, nDocs + bn, dlSum + bs, buckets)
       // per-batch impact caps (superset carriers of the global cap — the
       // probe re-caps the visible union) + this batch's df deltas, frozen
-      // with the post-append avgdl
+      // with the post-append avgdl. Written BEFORE the stats overwrite:
+      // readers key off stats, so stats-last keeps the whole append
+      // atomic-by-convention — a crash inside this window leaves the new
+      // postings AND sidecar rows invisible-in-effect (stale n_docs/avgdl
+      // describe the pre-append corpus for both probes alike) instead of
+      // postings the exact probe sees but the pruned probe permanently
+      // misses.
       if (bn > 0L)
         writeBm25Impacts(
-          postingsOf(withDl), data, buckets,
+          posted, data, buckets,
           avgdl = (dlSum + bs).toDouble / (nDocs + bn), seq = seq,
           org.apache.spark.sql.SaveMode.Append)
-    } finally { withDl.unpersist(); () }
+      writeBm25Stats(spark, path, nDocs + bn, dlSum + bs, buckets)
+    } finally { withDl.unpersist(); posted.unpersist(); () }
   }
 
   /** Remove documents from a [[writeBm25Index]] layout — the DELETE leg of

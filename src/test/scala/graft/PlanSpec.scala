@@ -145,7 +145,7 @@ class PlanSpec extends SparkSpec {
       .withColumn("kb", pmod(xxhash64(col("key")), lit(m.buckets.toLong)).cast("int"))
     val kbs = keyed.select(col("kb")).distinct().collect().map(_.getInt(0))
     val stored = graft.dedup.SignatureIndex.storedMatched(
-      spark, graft.sources.IndexState.dataPath(spark, dir), m, keyed, kbs)
+      spark, graft.sources.IndexState.dataPath(spark, dir), keyed, kbs)
     val s = fmt(stored)
     assert(s.contains("PartitionFilters") && s.contains("kb"), s)
     assert(s.matches("(?s).*PartitionFilters: \\[[^\\]]*kb[^\\]]*(IN|In|=)[^\\]]*\\].*"), s)
