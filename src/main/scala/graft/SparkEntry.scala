@@ -511,8 +511,12 @@ object SparkEntry {
         col(DocAssembler.IdColumn).cast("long").as("k1"),
         lit(0L).as("k2"),
         length(get_json_object(col("doc"), "$.text")).cast("long").as("v"))
+      // the BM25 leg probes through the impact-capped sidecar — the
+      // production default (per-term volume bounded by cap × batches, never
+      // corpus-proportional); the exact full-postings probe stays graded as
+      // the verification twin (q_bm25_indexed)
       val bm25Leg = graft.functions.Retrieval
-        .bm25TopKIndexedBatch(
+        .bm25TopKIndexedPrunedBatch(
           s"${sc.root}/bm25",
           queries.select(col("doc_id").as("qid"), col("text").as("qtext")), "qid", "qtext", 10)
         .select(lit("bm25").as("surface"), col("qid").as("k1"), col("id").as("k2"),
@@ -547,8 +551,9 @@ object SparkEntry {
         col(DocAssembler.IdColumn).cast("long").as("k1"),
         lit(0L).as("k2"),
         length(get_json_object(col("doc"), "$.text")).cast("long").as("v"))
+      // pruned probe = production default, same as the q_composed_cdc leg
       val bm25Leg = graft.functions.Retrieval
-        .bm25TopKIndexedBatch(
+        .bm25TopKIndexedPrunedBatch(
           s"${sc.root}/bm25",
           queries.select(col("doc_id").as("qid"), col("text").as("qtext")), "qid", "qtext", 10)
         .select(lit("bm25").as("surface"), col("qid").as("k1"), col("id").as("k2"),
@@ -1671,6 +1676,102 @@ object SparkEntry {
            FROM scored)
          SELECT qid, id, score_micro, rank FROM ranked WHERE rank <= 10"""
 
+  /** The composed oracles' BM25 leg: the impact-capped probe replayed under
+    * MUTATIONS — exactly what [[graft.functions.Retrieval.bm25TopKIndexedPrunedBatch]]
+    * computes over an index seeded from the PRE corpus and maintained
+    * through the composed change batch (delete %10==7, update %10==8 =
+    * tombstone + re-append with new text, insert +1e8 clones of %10==9).
+    * Assumes CTEs `media` (the pre corpus), `post`, `q`, `qterms` are in
+    * scope; ends at `bm_scored` so the caller's `bm_ranked` carries on.
+    *
+    *   - visible impact rows = the SEED's per-term top-cap (imp_micro
+    *     frozen with the seed avgdl) minus the tombstoned ids (%10 in 7,8 —
+    *     the delete-first protocol tombstones both), union the BATCH's
+    *     per-term top-cap (imp_micro frozen with the post-append avgdl,
+    *     which equals the exact post-corpus avgdl by the integer-stats
+    *     maintenance), re-capped by (imp_micro DESC, id ASC);
+    *   - df = seed termdf + the batch's df deltas, clamped to post n_docs —
+    *     the documented stale-high drift of a corpus statistic under
+    *     deletes (deleted docs stay counted until compaction);
+    *   - scoring rescores kept (tf, dl) with CURRENT (post) stats.
+    */
+  private def composedBm25PrunedCtes: String = {
+    val cap = graft.functions.Retrieval.ImpactCap
+    s"""pre_dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+           FROM media),
+         pre_stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM pre_dl),
+         pre_toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+           FROM media),
+         pre_tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM pre_toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+         pre_df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pre_tf GROUP BY 1),
+         pre_imp AS (
+           SELECT t.doc_id, t.term, t.tf, d.dl,
+                  CAST(round(1000000.0 * (t.tf * 2.2)
+                             / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / ps.avgdl))) AS BIGINT)
+                    AS imp_micro
+           FROM pre_tf t JOIN pre_dl d USING (doc_id) CROSS JOIN pre_stats ps),
+         pre_kept AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY term ORDER BY imp_micro DESC, doc_id) AS rn
+             FROM pre_imp)
+           WHERE rn <= $cap),
+         bm_bdocs AS (
+           SELECT doc_id, 'updated ' || text AS text FROM media WHERE doc_id % 10 = 8
+           UNION ALL
+           SELECT doc_id + 100000000, 'clone ' || text FROM media WHERE doc_id % 10 = 9),
+         b_dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+           FROM bm_bdocs),
+         dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+           FROM post),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         b_toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+           FROM bm_bdocs),
+         b_tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM b_toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+         b_df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM b_tf GROUP BY 1),
+         b_imp AS (
+           SELECT t.doc_id, t.term, t.tf, d.dl,
+                  CAST(round(1000000.0 * (t.tf * 2.2)
+                             / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS BIGINT)
+                    AS imp_micro
+           FROM b_tf t JOIN b_dl d USING (doc_id) CROSS JOIN stats s),
+         b_kept AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY term ORDER BY imp_micro DESC, doc_id) AS rn
+             FROM b_imp)
+           WHERE rn <= $cap),
+         bm_vis AS (
+           SELECT doc_id, term, tf, dl, imp_micro FROM pre_kept WHERE doc_id % 10 NOT IN (7, 8)
+           UNION ALL
+           SELECT doc_id, term, tf, dl, imp_micro FROM b_kept),
+         bm_recap AS (
+           SELECT * FROM (
+             SELECT v.*, row_number() OVER (PARTITION BY term ORDER BY imp_micro DESC, doc_id) AS rn2
+             FROM bm_vis v)
+           WHERE rn2 <= $cap),
+         bm_tdf AS (
+           SELECT term, CAST(least(sum(df), (SELECT n_docs FROM stats)) AS BIGINT) AS df
+           FROM (SELECT term, df FROM pre_df UNION ALL SELECT term, df FROM b_df)
+           GROUP BY term),
+         bm_scored AS (
+           SELECT qt.qid, t.doc_id AS id,
+                  CAST(sum(CAST(round(
+                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)))
+                  ) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM bm_recap t JOIN bm_tdf f USING (term)
+                CROSS JOIN stats s JOIN qterms qt ON qt.term = t.term
+           GROUP BY 1, 2)"""
+  }
+
   // shared by q_quality_all and q_curation_pipeline (which composes it
   // as a CTE): the fused-gate verdict replay.
   private val qualityAllSql: String =
@@ -1982,11 +2083,13 @@ object SparkEntry {
          FROM orders2 o
          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          LEFT JOIN li ON li.l_orderkey = o.o_orderkey""",
-    // the composed-pipeline replay: rebuild every probe surface from the
-    // POST-change corpus from scratch — doc text lengths, the bm25BatchSql
-    // scoring over the mutated corpus, and the q_ann_lsh bucket/probe/rank
-    // replay at dim 64 — so the CDC-maintained indexes must equal
-    // from-scratch builds bit-for-bit
+    // the composed-pipeline replay: doc text lengths over the POST corpus,
+    // the impact-capped BM25 probe replayed under the scenario's mutations
+    // ([[composedBm25PrunedCtes]] — seed caps + batch caps + tombstones +
+    // df drift, the production probe's exact semantics), and the q_ann_lsh
+    // bucket/probe/rank replay at dim 64 rebuilt from scratch — so the
+    // CDC-maintained indexes must equal what their maintenance contracts
+    // promise bit-for-bit
     "q_composed_cdc" -> {
       def bucket(vecCol: String): String = (0 until 6)
         .map { p =>
@@ -2014,26 +2117,7 @@ object SparkEntry {
          qterms AS (
            SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
            FROM q),
-         dl AS (
-           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
-           FROM post),
-         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
-         toks AS (
-           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-           FROM post),
-         tf AS (
-           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
-         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         bm_scored AS (
-           SELECT qt.qid, t.doc_id AS id,
-                  CAST(sum(CAST(round(
-                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
-                  ) AS BIGINT)) AS BIGINT) AS score_micro
-           FROM tf t JOIN dfreq f USING (term) JOIN dl d ON d.doc_id = t.doc_id
-                CROSS JOIN stats s JOIN qterms qt ON qt.term = t.term
-           GROUP BY 1, 2),
+         ${composedBm25PrunedCtes},
          bm_ranked AS (
            SELECT qid, id, score_micro,
                   row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
@@ -2103,26 +2187,7 @@ object SparkEntry {
          qterms AS (
            SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
            FROM q),
-         dl AS (
-           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
-           FROM post),
-         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
-         toks AS (
-           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-           FROM post),
-         tf AS (
-           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
-         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         bm_scored AS (
-           SELECT qt.qid, t.doc_id AS id,
-                  CAST(sum(CAST(round(
-                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
-                  ) AS BIGINT)) AS BIGINT) AS score_micro
-           FROM tf t JOIN dfreq f USING (term) JOIN dl d ON d.doc_id = t.doc_id
-                CROSS JOIN stats s JOIN qterms qt ON qt.term = t.term
-           GROUP BY 1, 2),
+         ${composedBm25PrunedCtes},
          bm_ranked AS (
            SELECT qid, id, score_micro,
                   row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rank

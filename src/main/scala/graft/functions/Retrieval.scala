@@ -685,13 +685,22 @@ object Retrieval {
     IndexState.compactAndSwap(spark, path, compactBm25Index(spark, path, _))
   }
 
-  /** Probe a [[writeBm25Index]] layout with a query workload: the
-    * workload's term BUCKETS are driver-collected (bounded by
-    * min(distinct workload terms, buckets)) and pushed as a static
-    * partition filter, so only matching file groups are read — never the
-    * full postings. Scoring is identical to [[bm25TopKBatch]] (n_docs /
+  /** Probe a [[writeBm25Index]] layout with a query workload — the EXACT
+    * full-postings probe: the workload's term BUCKETS are driver-collected
+    * (bounded by min(distinct workload terms, buckets)) and pushed as a
+    * static partition filter, so only matching file groups are read — never
+    * the full postings. Scoring is identical to [[bm25TopKBatch]] (n_docs /
     * avgdl come from the sidecar as exact round-tripped doubles), so
     * results equal the in-memory batch operator exactly (spec-asserted).
+    *
+    * This is the VERIFICATION twin, not the production default: it reads
+    * every posting of every matched term, so per-term cost tracks corpus
+    * size (measured 4–6× at 10× corpus). Production paths — the composed
+    * pipeline legs included — route through [[bm25TopKIndexedPrunedBatch]],
+    * whose per-term volume is bounded by the impact cap regardless of
+    * corpus size; use this one to certify the pruned probe (the
+    * pruned==exact-under-the-cap spec) or when exact df under heavy
+    * uncompacted churn matters more than probe cost.
     * Output: (qid, id, score_micro, rank).
     */
   def bm25TopKIndexedBatch(
@@ -739,7 +748,8 @@ object Retrieval {
     topKByQuery(scored, "score_micro", k)
   }
 
-  /** [[bm25TopKIndexedBatch]] over the impact-capped sidecar instead of the
+  /** The PRODUCTION DEFAULT probe of a [[writeBm25Index]] layout:
+    * [[bm25TopKIndexedBatch]] over the impact-capped sidecar instead of the
     * full postings — the CANDIDATE-bounded probe (see [[ImpactsDir]]): per
     * query term it reads at most cap × mutation-batches-since-compaction
     * rows no matter how large the corpus grows, where the exact probe reads

@@ -106,7 +106,7 @@ object ComposedProfile {
         col(DocAssembler.IdColumn).cast("long").as("k1"),
         length(get_json_object(col("doc"), "$.text")).cast("long").as("v")).count())
     timed("bm25 probe leg")(
-      graft.functions.Retrieval.bm25TopKIndexedBatch(
+      graft.functions.Retrieval.bm25TopKIndexedPrunedBatch(
         s"$root/bm25",
         queries.select(col("doc_id").as("qid"), col("text").as("qtext")), "qid", "qtext", 10)
         .count())
