@@ -34,11 +34,15 @@ object Bm25Stream {
 
   /** `changes` must be a streaming DataFrame with columns `tg_op`
     * (INSERT/UPDATE/DELETE), `id`, and `text` (null allowed on DELETE).
-    * With `autoCompactRatio` set, each batch ends with the
-    * [[Retrieval.maybeCompactBm25Index]] policy check (cheap — sidecar
-    * counts only), so a delete-heavy feed cannot grow tombstones without
-    * bound: the index is rewritten and swapped once the dead fraction
-    * reaches the ratio. Probes issued BETWEEN batches (the single-process
+    * With `autoCompactRatio` set, each batch ends with BOTH compaction
+    * policy checks (cheap — sidecar counts only, the postings are never
+    * scanned to decide): [[Retrieval.maybeCompactBm25Index]] bounds
+    * tombstone growth under a delete-heavy feed, and — when the dead-ratio
+    * leg did not fire — [[Retrieval.maybeCompactBm25ByImpactGrowth]] at
+    * `impactGrowthMultiple` bounds the pruned probe's cap×batches volume
+    * under an APPEND-ONLY feed, where no tombstone ever accumulates and
+    * the first policy alone would let per-batch impact caps pile up
+    * forever. Probes issued BETWEEN batches (the single-process
     * sequential case this maintainer implements) always see a complete
     * index, and a crash mid-swap self-heals on the next open
     * ([[graft.sources.IndexState.recoverSwap]]); a probe from a SEPARATE
@@ -52,12 +56,15 @@ object Bm25Stream {
       id: String,
       text: String,
       trigger: Option[Trigger] = None,
-      autoCompactRatio: Option[Double] = None
+      autoCompactRatio: Option[Double] = None,
+      impactGrowthMultiple: Double = 64.0
   ): StreamingQuery = {
     val writer = changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch.sparkSession, batch, indexPath, id, text, autoCompactRatio)
+        applyBatch(
+          batch.sparkSession, batch, indexPath, id, text, autoCompactRatio,
+          impactGrowthMultiple)
         ()
       }
     trigger.fold(writer)(writer.trigger).start()
@@ -70,7 +77,8 @@ object Bm25Stream {
       indexPath: String,
       id: String,
       text: String,
-      autoCompactRatio: Option[Double] = None
+      autoCompactRatio: Option[Double] = None,
+      impactGrowthMultiple: Double = 64.0
   ): Unit = {
     Retrieval.deleteFromBm25Index(
       spark,
@@ -80,6 +88,13 @@ object Bm25Stream {
     val upserts = batch
       .filter(col("tg_op").isin("INSERT", "UPDATE") && col(text).isNotNull)
     Retrieval.appendBm25Index(upserts, id, text, indexPath)
-    autoCompactRatio.foreach { r => Retrieval.maybeCompactBm25Index(spark, indexPath, r); () }
+    autoCompactRatio.foreach { r =>
+      // one rewrite per batch at most: the dead-ratio leg already re-caps
+      // the impact sidecars globally (compactBm25Index refreshes them), so
+      // the growth leg only needs checking when it did not fire
+      if (!Retrieval.maybeCompactBm25Index(spark, indexPath, r))
+        Retrieval.maybeCompactBm25ByImpactGrowth(spark, indexPath, impactGrowthMultiple)
+      ()
+    }
   }
 }

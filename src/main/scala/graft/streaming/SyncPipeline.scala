@@ -42,12 +42,17 @@ object SyncPipeline {
     def payloadColumn: String
   }
 
-  /** Persisted BM25 maintenance ([[Bm25Stream]] protocol). */
+  /** Persisted BM25 maintenance ([[Bm25Stream]] protocol). With
+    * `autoCompactRatio` set, both compaction policies run per batch — the
+    * dead-ratio leg for delete-heavy feeds and the impact-growth leg (at
+    * `impactGrowthMultiple`) for append-only feeds; see [[Bm25Stream.start]].
+    */
   final case class Bm25Consumer(
       indexPath: String,
       textCol: String,
       buckets: Int = 64,
       autoCompactRatio: Option[Double] = None,
+      impactGrowthMultiple: Double = 64.0,
       name: String = "bm25"
   ) extends Consumer { def payloadColumn: String = textCol }
 
@@ -281,7 +286,9 @@ final class SyncPipeline(
   private def applyConsumerRows(c: Consumer, rows: DataFrame): Unit = {
     c match {
       case c: Bm25Consumer =>
-        Bm25Stream.applyBatch(spark, rows, c.indexPath, pk, c.textCol, c.autoCompactRatio)
+        Bm25Stream.applyBatch(
+          spark, rows, c.indexPath, pk, c.textCol, c.autoCompactRatio,
+          c.impactGrowthMultiple)
       case c: AnnLshConsumer =>
         AnnStream.applyCdcBatchResumed(rows, c.indexPath, pk, c.vecCol, c.autoCompactRatio)
       case c: AnnPqConsumer =>

@@ -478,6 +478,47 @@ class StreamingSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("streaming BM25 CDC auto-compaction: append-only feed keeps the pruned probe bounded") {
+    import graft.functions.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-bm25-growth-stream").toString
+    val seed = (1L to 4L).map(i => (i, s"spark doc$i shared words")).toDF("doc_id", "text")
+    Retrieval.writeBm25Index(seed, "doc_id", "text", s"$dir/index", buckets = 8)
+    def termdfMultiple(): Long = {
+      val p = s"${graft.sources.IndexState.dataPath(spark, s"$dir/index")}/${Retrieval.TermDfDir}"
+      spark.read.parquet(p)
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getLong(0)
+    }
+    val stream = MemoryStream[(String, Long, String)]
+    val changes = stream.toDF()
+      .select(col("_1").as("tg_op"), col("_2").as("doc_id"), col("_3").as("text"))
+    // a DELETE-FREE feed: the dead-ratio policy can never fire (no
+    // tombstone ever exists), so only the impact-growth leg bounds the
+    // pruned probe's per-term cap accumulation — multiple 3 means the hot
+    // term 'spark' may carry at most 3 sidecar generations before the
+    // auto-rewrite resets it to one, with no manual compaction call
+    val q = Bm25Stream.start(changes, s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+      autoCompactRatio = Some(0.3), impactGrowthMultiple = 3.0)
+    (10L to 17L).foreach { i =>
+      stream.addData(("INSERT", i, s"spark doc$i fresh words"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(
+      termdfMultiple() <= 3L,
+      s"append-only feed must keep the hot term's sidecar multiple bounded, got ${termdfMultiple()}")
+    // the auto-compacted index still answers exactly: pruned probe equals
+    // the exact probe of the same index (every term is under the cap here)
+    val queries = Seq((100L, "spark words")).toDF("qid", "qtext")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(
+      rows(Retrieval.bm25TopKIndexedPrunedBatch(s"$dir/index", queries, "qid", "qtext", 20)) ==
+        rows(Retrieval.bm25TopKIndexedBatch(s"$dir/index", queries, "qid", "qtext", 20)))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("streaming ANN CDC: deletes reach the probe surface, replay converges") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ann.Ann
