@@ -85,6 +85,12 @@ object Bench {
         // replay / compact), which is the honest timing: per-batch cost vs
         // corpus size, not one arbitrary 3-batch split
         "q_cluster_stream",
+        // portable md5 grading plan of ClusterMap.rebuild (the escape-hatch
+        // rewrite); its production-machinery cost is a compaction-class
+        // corpus rewrite, already timed by MutationScale's cluster compact
+        // row — and its pair DISCOVERY is the portable family the md5
+        // exclusions above keep out of timing
+        "q_cluster_rebuild",
         // the six-surface correctness gate over the SAME cached scenario and
         // change batch as q_composed_cdc: timing it would double-count the
         // applyBatch cost q_composed_cdc already times (its extra probe legs

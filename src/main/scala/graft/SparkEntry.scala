@@ -1420,6 +1420,32 @@ object SparkEntry {
     // union-find (ClusterStream) — oracle shared with q_dedup_cluster_incr,
     // since the composed path must reach the identical fixpoint ------------
     "q_cluster_stream" -> ((s, dir) => clusterStream(s, dir)),
+    // ---- the no-split contract's escape hatch under the oracle: seed the
+    // union-find from the full portable pair set, DELETE every
+    // doc_id % 7 == 3 (bridge docs vanish — union-find cannot un-merge, so
+    // true splits need the rebuild), then ClusterMap.rebuild from the
+    // SURVIVING pair set + live ids through the reader-safe generation
+    // swap. Hashed against the recursive-CTE CC over the surviving pairs —
+    // the one operation that can SHRINK components, previously spec-only --
+    "q_cluster_rebuild" -> ((s, dir) => {
+      val d = loader(s, dir)("documents")
+      val path = graft.util.TempDirs.scratch("cluster-rebuild-q").toString
+      graft.dedup.ClusterMap.init(s, path, buckets = 16)
+      val pairs = graft.dedup.Dedup
+        .minhashLshPortable(d, "doc_id", "text", threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+        .cache()
+      try {
+        graft.dedup.ClusterMap.applyBatch(s, path, pairs, d.select(col("doc_id").as("id")))
+        val live = d.filter(pmod(col("doc_id"), lit(7)) =!= 3).select(col("doc_id").as("id"))
+        val surviving = pairs.filter(
+          pmod(col("id_a"), lit(7)) =!= 3 && pmod(col("id_b"), lit(7)) =!= 3)
+        graft.dedup.ClusterMap.rebuild(s, path, surviving, live)
+        graft.dedup.ClusterMap
+          .assignments(s, path)
+          .select(col("id").as("doc_id"), col("root").as("keep_id"))
+      } finally { pairs.unpersist(); () }
+    }),
     // ---- top-k per group: bounded-heap aggregate, not a window sort --------
     "q_topk_per_group" -> ((s, dir) =>
       graft.functions.Analytics.topKPerGroup(
@@ -1890,7 +1916,7 @@ object SparkEntry {
     * union-find fed precomputed pairs; the full streaming signature-index
     * round trip) must reach this same fixpoint.
     */
-  private val clusterCcOracle: String = {
+  private def clusterCcOracleOver(pairFilter: String, docFilter: String): String = {
     val k = 16
     val mins = (0 until k).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
     val bandKeys = (0 until 8).map(b => s"'$b:' || m${2 * b} || m${2 * b + 1}").mkString(", ")
@@ -1906,20 +1932,30 @@ object SparkEntry {
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
                   WHERE a.key IN (SELECT key FROM ok)),
-         p AS (SELECT pr.id_a, pr.id_b
+         pall AS (SELECT pr.id_a, pr.id_b
                FROM cand pr
                JOIN sh sa ON sa.doc_id = pr.id_a
                JOIN sh sb ON sb.doc_id = pr.id_b
                WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                        len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3),
+         p AS (SELECT id_a, id_b FROM pall WHERE $pairFilter),
          edges AS (SELECT id_a AS u, id_b AS v FROM p
                    UNION SELECT id_b AS u, id_a AS v FROM p),
          reach AS (SELECT u, v FROM edges
                    UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
          root AS (SELECT u, least(u, min(v)) AS root FROM reach GROUP BY u)
          SELECT d.doc_id, CAST(coalesce(rt.root, d.doc_id) AS BIGINT) AS keep_id
-         FROM documents d LEFT JOIN root rt ON rt.u = d.doc_id"""
+         FROM documents d LEFT JOIN root rt ON rt.u = d.doc_id
+         WHERE $docFilter"""
   }
+
+  private val clusterCcOracle: String = clusterCcOracleOver("TRUE", "TRUE")
+
+  /** The [[clusterCcOracleOver]] family restricted to the rebuild scenario:
+    * docs `% 7 == 3` deleted, CC over the SURVIVING pair set only.
+    */
+  private val clusterRebuildOracle: String =
+    clusterCcOracleOver("id_a % 7 <> 3 AND id_b % 7 <> 3", "d.doc_id % 7 <> 3")
 
   def oracleSql: Map[String, String] = Map(
     "q_project" ->
@@ -4113,6 +4149,7 @@ object SparkEntry {
          FROM j WHERE jac >= 0.3"""
     },
     "q_dedup_cluster_incr" -> clusterCcOracle,
+    "q_cluster_rebuild" -> clusterRebuildOracle,
     // the streaming maintenance path must reach the same fixpoint as the
     // batch CC — one oracle, two engine paths (q_cluster_stream adds the
     // persisted signature-index round trip)
