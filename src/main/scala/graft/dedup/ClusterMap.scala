@@ -234,75 +234,94 @@ object ClusterMap {
       .unionAll(pairs.select(col("id_b").as("id")))
       .distinct()
     // current root per endpoint: stored root → pointer closure; absent
-    // (a batch id, or a pair endpoint never ingested) → the id itself
+    // (a batch id, or a pair endpoint never ingested) → the id itself.
+    // Eagerly checkpointed (batch-sized): the resolved frame feeds the
+    // contraction, the merge-pointer predicate AND the foreign-winner
+    // predicate — one bucket-pruned member scan per batch instead of three
+    // (the round-11 shape re-probed storage for losers and winners).
     val cur = endpoints
       .join(lookupStored(spark, dataDir, buckets, endpoints)
         .withColumnRenamed("root", "stored"), Seq("id"), "left_outer")
       .join(closure.withColumnRenamed("from_root", "stored"), Seq("stored"), "left_outer")
-      .select(col("id"), coalesce(col("to_root"), col("stored"), col("id")).as("cur_root"))
-
-    val contracted = pairs
-      .join(cur.select(col("id").as("id_a"), col("cur_root").as("ra")), Seq("id_a"))
-      .join(cur.select(col("id").as("id_b"), col("cur_root").as("rb")), Seq("id_b"))
-      .select(col("ra").as("id_a"), col("rb").as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-      .distinct()
-
-    val labels = Dedup.connectedComponents(contracted, maxIter)
-
-    val seq = IndexState.bumpSeq(spark, path)
-    // merge pointers FIRST (replay heals a crash between the two writes):
-    // every contracted node that lost its label AND exists in storage is a
-    // cluster root that stored member rows may still resolve to, so it
-    // acquires a downward pointer. Membership in `newIds` does NOT make a
-    // loser unreferenced: a re-upserted doc that is currently the root of a
-    // stored cluster (an UPDATE arriving through the CDC consumers) must
-    // still point its old component at the new root, or the component
-    // silently splits. "Stored" is a COMPLETE reference check because every
-    // contraction WINNER is materialized as a member row below (foreign
-    // winners included): a root referenced anywhere in storage — a member
-    // row's `root` value or a merge pointer's `to_root` — won the
-    // contraction that wrote that reference, so by induction it has a
-    // member row of its own. Only ids that never won are un-referenced,
-    // and they need no pointer.
-    val losing = labels.filter(col("keep_id") =!= col("id"))
-    val storedLosers = lookupStored(spark, dataDir, buckets, losing.select(col("id")))
-      .select(col("id"))
-      .distinct()
-    val merges = losing
-      .join(storedLosers, Seq("id"))
-      .select(col("id").as("from_root"), col("keep_id").as("to_root"), lit(seq).as("seq"))
-    if (!merges.isEmpty)
-      merges.coalesce(1).write.mode("append").parquet(s"$dataDir/$MergesDir")
-
-    // Foreign winners — pair endpoints never ingested that just became the
-    // canonical root of a stored component — are materialized as member
-    // rows (id, id): when a later batch merges such a root away, the
-    // stored-losers lookup above finds it and writes the pointer its
-    // referrers need. Without this, a foreign winner is referenced only by
-    // other rows' `root` values (un-probe-able by id) and its later demotion
-    // silently splits the component. Replay-safe: the duplicate rows a
-    // redelivered batch appends collapse in [[assignments]] by min.
-    val winners = labels.filter(col("keep_id") === col("id")).select(col("id"))
-    val foreignWinners = winners
-      .join(newIds.select(col("id")), Seq("id"), "left_anti")
-      .join(lookupStored(spark, dataDir, buckets, winners).select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("root"))
-
-    newIds
-      .select(col("id"))
-      .join(labels, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("keep_id"), col("id")).as("root"))
-      .unionByName(foreignWinners)
       .select(
         col("id"),
-        col("root"),
-        pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
-      .repartition(col("bucket"))
-      .write
-      .mode("append")
-      .partitionBy("bucket")
-      .parquet(dataDir)
+        col("stored"),
+        coalesce(col("to_root"), col("stored"), col("id")).as("cur_root"))
+      .localCheckpoint(true)
+    try {
+      val contracted = pairs
+        .join(cur.select(col("id").as("id_a"), col("cur_root").as("ra")), Seq("id_a"))
+        .join(cur.select(col("id").as("id_b"), col("cur_root").as("rb")), Seq("id_b"))
+        .select(col("ra").as("id_a"), col("rb").as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+        .distinct()
+
+      val labels = Dedup.connectedComponents(contracted, maxIter)
+
+      // The contraction nodes that exist in storage, WITHOUT a second member
+      // scan: a node is a cur_root, and a cur_root is storage-referenced iff
+      // some endpoint resolved to it through a non-null stored root (a bare
+      // unstored endpoint resolves only to itself, which the lookup above
+      // already proved absent). Sound because every referenced root — a
+      // member row's `root` value or a merge pointer's `to_root` — WON the
+      // contraction that wrote that reference and was therefore materialized
+      // as a member row below, so stored-resolution reaches it.
+      val storedNodes = cur
+        .filter(col("stored").isNotNull)
+        .select(col("cur_root").as("id"))
+        .distinct()
+
+      val seq = IndexState.bumpSeq(spark, path)
+      // merge pointers FIRST (replay heals a crash between the two writes):
+      // every contracted node that lost its label AND exists in storage is a
+      // cluster root that stored member rows may still resolve to, so it
+      // acquires a downward pointer. Membership in `newIds` does NOT make a
+      // loser unreferenced: a re-upserted doc that is currently the root of
+      // a stored cluster (an UPDATE arriving through the CDC consumers) must
+      // still point its old component at the new root, or the component
+      // silently splits.
+      val losing = labels.filter(col("keep_id") =!= col("id"))
+      val merges = losing
+        .join(storedNodes, Seq("id"))
+        .select(col("id").as("from_root"), col("keep_id").as("to_root"), lit(seq).as("seq"))
+      if (!merges.isEmpty)
+        merges.coalesce(1).write.mode("append").parquet(s"$dataDir/$MergesDir")
+
+      // Foreign winners — pair endpoints never ingested that just became the
+      // canonical root of a stored component — are materialized as member
+      // rows (id, id): when a later batch merges such a root away, the
+      // stored-nodes predicate above finds it and writes the pointer its
+      // referrers need. Without this, a foreign winner is referenced only by
+      // other rows' `root` values (un-probe-able by id) and its later
+      // demotion silently splits the component. Replay-safe: the duplicate
+      // rows a redelivered batch appends collapse in [[assignments]] by min.
+      val winners = labels.filter(col("keep_id") === col("id")).select(col("id"))
+      val foreignWinners = winners
+        .join(newIds.select(col("id")), Seq("id"), "left_anti")
+        .join(storedNodes, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("root"))
+
+      newIds
+        .select(col("id"))
+        .join(labels, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("keep_id"), col("id")).as("root"))
+        .unionByName(foreignWinners)
+        .select(
+          col("id"),
+          col("root"),
+          pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
+        // pinned partition count (the writeBm25Postings rationale): a bare
+        // repartition(col) lets AQE coalesce the batch-sized shuffle to ~1
+        // task, which then writes every touched bucket dir SERIALLY
+        .repartition(buckets, col("bucket"))
+        .write
+        .mode("append")
+        .partitionBy("bucket")
+        .parquet(dataDir)
+    } finally {
+      try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(cur)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Every ingested document's fully-resolved cluster root `(id, root)` —

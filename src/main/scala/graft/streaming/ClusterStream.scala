@@ -90,6 +90,14 @@ object ClusterStream {
     * (candidate text lookups only — restricted scans). Upserts become map
     * members (null-text docs as singletons); DELETEs are ignored per the
     * no-split contract.
+    *
+    * `stageTimer`, when set, receives (stage label, seconds) for each
+    * internal stage — shingle / probe / candidates / verify / merge /
+    * key-append — so profilers ([[graft.tools.ComposedProfile]],
+    * [[graft.tools.MutationScale]]) can attribute the per-batch cost below
+    * consumer granularity. Profiling forces materialization at the stage
+    * boundaries of frames that are cached/checkpointed anyway, so the
+    * attributed total matches the unprofiled run.
     */
   def applyBatch(
       spark: SparkSession,
@@ -100,8 +108,17 @@ object ClusterStream {
       pk: String,
       textCol: String,
       autoCompactRatio: Option[Double] = None,
-      inSetThreshold: Int = 1000
+      inSetThreshold: Int = 1000,
+      stageTimer: Option[(String, Double) => Unit] = None
   ): Unit = {
+    def staged[T](label: String)(f: => T): T = stageTimer match {
+      case None => f
+      case Some(report) =>
+        val t0 = System.nanoTime()
+        val r = f
+        report(label, (System.nanoTime() - t0) / 1e9)
+        r
+    }
     val m = SignatureIndex.readModel(spark, sigPath)
     val ups = rows.filter(col("tg_op") =!= "DELETE")
     val docs = ups
@@ -115,7 +132,8 @@ object ClusterStream {
       // in-batch candidate pairs, and the post-update append
       val batchKeys = SignatureIndex.bandKeys(docs, "id", "t", m).cache()
       try {
-        val cand = SignatureIndex.candidates(spark, sigPath, m, batchKeys)
+        staged("shingle")(if (stageTimer.isDefined) { batchKeys.count(); () })
+        val cand = staged("probe")(SignatureIndex.candidates(spark, sigPath, m, batchKeys))
         // in-batch candidates from the same keys (skipping the batch
         // operator's exact-dup collapse — sound for clustering: identical
         // texts pair at Jaccard 1 through shared keys, so the CC fixpoint
@@ -127,27 +145,31 @@ object ClusterStream {
           .unionByName(Dedup.bucketPairs(batchKeys, m.maxBucket))
           .cache()
         try {
-          val corpusTxt = restrictText(
-            corpus.select(col(pk).cast("long").as("id"), col(textCol).as("t")),
-            candPairs.select(col("id_b").as("id")).distinct(),
-            inSetThreshold)
-          // one (id, t) frame for both verify sides; a replayed batch appears
-          // on both with identical text (changeRows reads the current table)
-          val verifyDocs = docs.unionByName(corpusTxt).dropDuplicates("id")
-          // eager local checkpoint: the union-find consumes the pair list in
-          // several actions (endpoint resolution, contraction, the CC loop)
-          // — materializing the candidate-sized frame once keeps the
-          // probe+verify chain out of every one of them
-          val pairs = Dedup
-            .verifyJaccard(candPairs, verifyDocs, "id", "t", m.shingleN, m.threshold)
-            .select(col("id_a"), col("id_b"))
-            .localCheckpoint(true)
-          try ClusterMap.applyBatch(spark, clusterPath, pairs, newIds)
+          staged("candidates")(if (stageTimer.isDefined) { candPairs.count(); () })
+          val pairs = staged("verify") {
+            val corpusTxt = restrictText(
+              corpus.select(col(pk).cast("long").as("id"), col(textCol).as("t")),
+              candPairs.select(col("id_b").as("id")).distinct(),
+              inSetThreshold)
+            // one (id, t) frame for both verify sides; a replayed batch
+            // appears on both with identical text (changeRows reads the
+            // current table)
+            val verifyDocs = docs.unionByName(corpusTxt).dropDuplicates("id")
+            // eager local checkpoint: the union-find consumes the pair list
+            // in several actions (endpoint resolution, contraction, the CC
+            // loop) — materializing the candidate-sized frame once keeps the
+            // probe+verify chain out of every one of them
+            Dedup
+              .verifyJaccard(candPairs, verifyDocs, "id", "t", m.shingleN, m.threshold)
+              .select(col("id_a"), col("id_b"))
+              .localCheckpoint(true)
+          }
+          try staged("merge")(ClusterMap.applyBatch(spark, clusterPath, pairs, newIds))
           finally {
             try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(pairs)
             catch { case scala.util.control.NonFatal(_) => () }
           }
-          SignatureIndex.appendKeys(spark, sigPath, m, batchKeys)
+          staged("append")(SignatureIndex.appendKeys(spark, sigPath, m, batchKeys))
           autoCompactRatio.foreach { r =>
             if (ClusterMap.maybeCompact(spark, clusterPath, r)) {
               SignatureIndex.compact(spark, sigPath); ()

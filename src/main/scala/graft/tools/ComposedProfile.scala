@@ -97,7 +97,9 @@ object ComposedProfile {
     timed("cluster applyBatch")(
       graft.streaming.ClusterStream.applyBatch(
         spark, rows.select(col("tg_op"), col("doc_id"), col("text")), load("media"),
-        s"$root/sig", s"$root/cluster", "doc_id", "text"))
+        s"$root/sig", s"$root/cluster", "doc_id", "text",
+        stageTimer = Some((label, sec) =>
+          println(f"[stage]   cluster/$label%-18s $sec%7.2f s"))))
     rows.unpersist()
 
     val queries = media(post = true).filter(col("doc_id") < 3)
