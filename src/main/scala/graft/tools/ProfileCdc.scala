@@ -84,6 +84,50 @@ object ProfileCdc {
     time("root: full process noop") {
       rengine.process(rchanges, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
     }
+    spark.catalog.clearCache()
+
+    // ---- the Bench incremental-throughput shape (5000-change orders batch),
+    // staged: locates WHERE the constant-batch cost grows with corpus size
+    // (the sf1 floor question — 6.5k changes/s at sf0.1 vs 4.6k at sf1)
+    val batch = load("orders")
+      .limit(5000)
+      .select(
+        lit("UPDATE").as("tg_op"), lit("orders").as("tbl"),
+        lit(null).cast("string").as("old"),
+        to_json(struct(col("o_orderkey"))).as("new"),
+        col("o_orderkey").as("txid"))
+      .cache()
+    println(s"[profile] bench batch rows: ${batch.count()}")
+    val bengine = new IncrementalEngine(SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
+    (1 to 3).foreach { i =>
+      val baff = time(s"bench$i: affectedRoots build+count") {
+        val a = bengine.affectedRoots(batch, Lineage.empty(spark)).cache()
+        a.count(); a
+      }
+      time(s"bench$i: reassemble noop") {
+        bengine.reassemble(baff).write.mode("overwrite").format("noop").save()
+      }
+      spark.catalog.clearCache()
+      time(s"bench$i: full process noop") {
+        bengine.process(batch, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
+      }
+      spark.catalog.clearCache()
+      batch.count() // re-materialize the batch cache the clear dropped
+    }
+    // same shape with rangeBracket on: if the batch's ids cluster in a key
+    // range (limit(5000) takes leading row groups), the pushed min/max
+    // brackets let parquet stats prune the corpus scans the broadcast
+    // semi-join path otherwise reads whole
+    val brengine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load,
+      rangeBracket = true)
+    (1 to 3).foreach { i =>
+      time(s"bench$i+bracket: full process noop") {
+        brengine.process(batch, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
+      }
+      spark.catalog.clearCache()
+      batch.count()
+    }
     spark.stop()
   }
 }
