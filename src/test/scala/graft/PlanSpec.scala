@@ -156,6 +156,36 @@ class PlanSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("pruned BM25 probe scans only the term buckets the workload hashes into") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scratch("plan-bm25-pruned").toString
+    val docs = (0L until 40L)
+      .map(i => i -> s"shared corpus words alpha bravo tok${i % 5} doc$i")
+      .toDF("doc_id", "text")
+    graft.functions.Retrieval.writeBm25Index(docs, "doc_id", "text", dir, buckets = 16)
+    val probe = graft.functions.Retrieval.bm25TopKIndexedPrunedBatch(
+      dir, Seq((1L, "shared alpha")).toDF("qid", "qtext"), "qid", "qtext", 10)
+    // the production-default probe must push the workload's term-bucket set
+    // as a static partition filter into BOTH sidecar scans — the impacts
+    // scan (the capped postings) and the termdf scan (the true df)
+    val scans = probe.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    for (sidecar <- Seq("_graft_impacts", "_graft_termdf")) {
+      val s = scans.find(_.contains(sidecar))
+      assert(s.isDefined, s"no $sidecar scan in:\n${scans.mkString("\n")}")
+      assert(
+        s.get.contains("PartitionFilters") &&
+          !s.get.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+        s"$sidecar scan is not bucket-pruned:\n${s.get}")
+    }
+    // and the full postings are NOT read at all — the probe is sidecar-only
+    val dirName = new java.io.File(dir).getName
+    assert(
+      !scans.exists(s => s.contains(dirName) && !s.contains("_graft")),
+      s"pruned probe must not scan the full postings:\n${scans.mkString("\n")}")
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("one_to_many child agg keeps map-side partial aggregation") {
     val p = plan(SparkEntry.queries("q_child_agg")(spark, sf))
     // partial + final HashAggregate pair around the exchange
