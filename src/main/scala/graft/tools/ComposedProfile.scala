@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
 /** Diagnostic: per-stage wall times of the q_composed_cdc scenario (seed
   * snapshot, per-consumer index builds, the CDC batch, each probe leg), so
   * the composed entry's cost is attributable instead of one 15 s number.
-  * Usage: ComposedProfile <sfDir>
+  * Usage: ComposedProfile <sfDir> [outJson] — the optional second arg also
+  * writes the stages as one JSON object (label -> seconds), so the scaling
+  * campaign can diff the composed legs across corpus sizes.
   */
 object ComposedProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outJson = args.lift(1)
     val spark = SparkSession.builder()
       .appName("graft-composed-profile").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -24,10 +27,13 @@ object ComposedProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[stage] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      stages(label) = sec
+      println(f"[stage] $label%-28s $sec%7.2f s")
       r
     }
 
@@ -98,8 +104,10 @@ object ComposedProfile {
       graft.streaming.ClusterStream.applyBatch(
         spark, rows.select(col("tg_op"), col("doc_id"), col("text")), load("media"),
         s"$root/sig", s"$root/cluster", "doc_id", "text",
-        stageTimer = Some((label, sec) =>
-          println(f"[stage]   cluster/$label%-18s $sec%7.2f s"))))
+        stageTimer = Some((label, sec) => {
+          stages(s"cluster applyBatch/$label") = sec
+          println(f"[stage]   cluster/$label%-18s $sec%7.2f s")
+        })))
     rows.unpersist()
 
     val queries = media(post = true).filter(col("doc_id") < 3)
@@ -126,6 +134,13 @@ object ComposedProfile {
       spark.read.parquet(s"$root/dedup").groupBy(col("keep_id")).count().count())
     timed("cluster probe leg")(
       graft.dedup.ClusterMap.assignments(spark, s"$root/cluster").count())
+    outJson.foreach { p =>
+      val json = stages
+        .map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString(s"""{"sf":"$sfDir",""", ",", "}")
+      val w = new java.io.PrintWriter(p)
+      try w.println(json) finally w.close()
+    }
     spark.stop()
   }
 }
