@@ -332,15 +332,54 @@ object Dedup {
     val txt = docs.select(col(id).as("id"), col(text).as("t"))
     val a = txt.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a")
     val b = txt.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b")
-    candidates
-      .join(a, "id_a")
-      .join(b, "id_b")
-      .select(
-        col("id_a"),
-        col("id_b"),
-        TF.wordShingles(col("t_a"), shingleN).as("sh_a"),
-        TF.wordShingles(col("t_b"), shingleN).as("sh_b")
-      )
+    jaccardTail(
+      candidates
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+          col("id_a"),
+          col("id_b"),
+          TF.wordShingles(col("t_a"), shingleN).as("sh_a"),
+          TF.wordShingles(col("t_b"), shingleN).as("sh_b")
+        ),
+      threshold)
+  }
+
+  /** [[verifyJaccard]] over a PRE-SHINGLED `(id, sh)` frame: a document in
+    * k candidate pairs is shingled once instead of 2k times across its pair
+    * rows — the dominant verify cost on clone-heavy corpora, where whole
+    * duplicate clusters put every member into many pairs (round-12
+    * `apply_stages`: verify was the largest 10× grower in the cluster
+    * maintenance batch). Correct trade only when the caller can evaluate
+    * `shingled` ONCE (it joins both pair sides): pass a cached/checkpointed
+    * candidate-restricted frame, or the shingle projection runs per join
+    * side over every row of the docs relation — which is exactly when the
+    * per-pair form above is the better plan (corpus-sized docs, few pairs).
+    * The jaccard tail is shared, so the two forms cannot drift.
+    */
+  private[graft] def verifyJaccardShingled(
+      candidates: DataFrame,
+      shingled: DataFrame,
+      threshold: Double
+  ): DataFrame =
+    jaccardTail(
+      candidates
+        .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")),
+      threshold)
+
+  /** `(id, sh)` shingle frame of candidate docs for [[verifyJaccardShingled]]. */
+  private[graft] def shingleDocs(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      shingleN: Int
+  ): DataFrame =
+    docs.select(col(id).as("id"), TF.wordShingles(col(text), shingleN).as("sh"))
+
+  private def jaccardTail(paired: DataFrame, threshold: Double): DataFrame =
+    paired
       .select(
         col("id_a"),
         col("id_b"),
@@ -349,7 +388,6 @@ object Dedup {
       )
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard") * 1000).cast("long").as("jaccard_milli"))
-  }
 
   /** MinHash + LSH with an engine-portable md5 hash family: the i-th family
     * member is `md5("<i>|" ++ shingle)` (a hex string) and the minhash is
@@ -371,10 +409,33 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       maxBucket: Int = 1000
-  ): DataFrame =
-    verifyJaccard(
-      bucketPairs(portableBandKeys(docs, id, text, shingleN, bands, rowsPerBand), maxBucket),
-      docs, id, text, shingleN, threshold)
+  ): DataFrame = {
+    // This family has no exact-duplicate collapse (per-doc keys are the
+    // index contract), so clone-heavy corpora put each cluster member into
+    // many candidate pairs — shingle once per CANDIDATE DOC, not per pair.
+    // Candidates are checkpointed (pair-sized — the output's own magnitude)
+    // so the endpoint-id restriction does not re-run the banding pipeline,
+    // and the result is materialized eagerly so the inputs can be released.
+    val candidates = bucketPairs(
+      portableBandKeys(docs, id, text, shingleN, bands, rowsPerBand), maxBucket)
+      .localCheckpoint(true)
+    try {
+      val ids = candidates.select(col("id_a").as("id"))
+        .unionAll(candidates.select(col("id_b").as("id")))
+        .distinct()
+      val shingled = shingleDocs(docs, id, text, shingleN)
+        .join(ids, Seq("id"), "left_semi")
+        .localCheckpoint(true)
+      try verifyJaccardShingled(candidates, shingled, threshold).localCheckpoint(true)
+      finally {
+        try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(shingled)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } finally {
+      try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(candidates)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   /** The md5-family LSH band keys of [[minhashLshPortable]] as a reusable
     * (id, key) frame — the persisted form of a minhash signature index

@@ -155,14 +155,24 @@ object ClusterStream {
             // appears on both with identical text (changeRows reads the
             // current table)
             val verifyDocs = docs.unionByName(corpusTxt).dropDuplicates("id")
+            // shingle each candidate doc ONCE (checkpointed — the frame is
+            // candidate-sized and both pair sides join it): per-pair
+            // shingling re-derived every hot doc's shingles k times AND
+            // re-ran the restricted corpus scan once per join side
+            val shingled = Dedup.shingleDocs(verifyDocs, "id", "t", m.shingleN)
+              .localCheckpoint(true)
             // eager local checkpoint: the union-find consumes the pair list
             // in several actions (endpoint resolution, contraction, the CC
             // loop) — materializing the candidate-sized frame once keeps the
             // probe+verify chain out of every one of them
-            Dedup
-              .verifyJaccard(candPairs, verifyDocs, "id", "t", m.shingleN, m.threshold)
+            try Dedup
+              .verifyJaccardShingled(candPairs, shingled, m.threshold)
               .select(col("id_a"), col("id_b"))
               .localCheckpoint(true)
+            finally {
+              try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(shingled)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
           }
           try staged("merge")(ClusterMap.applyBatch(spark, clusterPath, pairs, newIds))
           finally {
