@@ -409,6 +409,27 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       maxBucket: Int = 1000
+  ): DataFrame =
+    minhashLshPortableFromKeys(
+      docs, id, text,
+      portableBandKeys(docs, id, text, shingleN, bands, rowsPerBand),
+      shingleN, threshold, maxBucket)
+
+  /** [[minhashLshPortable]] over PRE-DERIVED band keys (`(id, key)` in the
+    * [[portableBandKeys]] derivation). The seed path shares ONE banding
+    * pass between the signature-index write and the pair derivation by
+    * reading the just-written keys back ([[graft.streaming.ClusterStream.seed]]) —
+    * re-banding the corpus costs a second full shingle+minhash pass, while
+    * the written index is already the materialization.
+    */
+  private[graft] def minhashLshPortableFromKeys(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      keyed: DataFrame,
+      shingleN: Int,
+      threshold: Double,
+      maxBucket: Int
   ): DataFrame = {
     // This family has no exact-duplicate collapse (per-doc keys are the
     // index contract), so clone-heavy corpora put each cluster member into
@@ -416,8 +437,7 @@ object Dedup {
     // Candidates are checkpointed (pair-sized — the output's own magnitude)
     // so the endpoint-id restriction does not re-run the banding pipeline,
     // and the result is materialized eagerly so the inputs can be released.
-    val candidates = bucketPairs(
-      portableBandKeys(docs, id, text, shingleN, bands, rowsPerBand), maxBucket)
+    val candidates = bucketPairs(keyed, maxBucket)
       .localCheckpoint(true)
     try {
       val ids = candidates.select(col("id_a").as("id"))

@@ -203,6 +203,22 @@ object SignatureIndex {
       .distinct()
   }
 
+  /** All stored `(id, key)` rows of the current generation — the portable
+    * seed's pair derivation reads the just-written index back instead of
+    * re-banding the corpus (one shingle+minhash pass saved; the written
+    * index IS the materialization). Empty index (empty-corpus seed writes
+    * sidecars only) yields an empty frame.
+    */
+  private[graft] def storedKeys(spark: SparkSession, path: String): DataFrame = {
+    val dataDir = IndexState.dataPath(spark, path)
+    if (!IndexState.stagingHasData(spark, dataDir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType), StructField("key", StringType))))
+    else
+      spark.read.schema(KeySchema).parquet(dataDir).select(col("id"), col("key"))
+  }
+
   /** Rewrite the index deduplicated (`(id, key)` rows replayed by
     * at-least-once delivery collapse) and back to one file group per
     * bucket, promoted through the generation-pointer swap. Returns whether

@@ -45,13 +45,23 @@ object ClusterStream {
     * carrying the corpus' full batch pair set. An empty corpus seeds empty
     * structures (the stream-from-nothing path).
     *
-    * Seed shingles the corpus twice — once for the stored per-document
-    * keys (the index contract: every doc probe-able later), once inside
-    * the batch pair operator — a deliberate 2× one-time cost: the prod
-    * operator's exact-duplicate collapse keeps the seed's bucket-pair
-    * stage at text-DIVERSITY size, which matters far more than one extra
-    * shingling pass on clone-heavy corpora. Per-batch maintenance
-    * ([[applyBatch]]) shingles once.
+    * A PORTABLE model bands the corpus ONCE: the stored per-document keys
+    * are written first, then read back as the pair derivation's input
+    * ([[Dedup.minhashLshPortableFromKeys]]) — the written index is already
+    * the materialization of the banding pass, so re-deriving it would be
+    * a second full corpus shingle+minhash for nothing. The PROD model
+    * still shingles twice — stored keys cover every doc (the index
+    * contract) while its pair operator bands exact-text-class
+    * REPRESENTATIVES only, a deliberate 2× one-time cost: the collapse
+    * keeps the seed's bucket-pair stage at text-DIVERSITY size, which
+    * matters far more than one extra shingling pass on clone-heavy
+    * corpora. Per-batch maintenance ([[applyBatch]]) shingles once.
+    *
+    * `stageTimer` attributes the seed below operator granularity the same
+    * way [[applyBatch]]'s does — (label, seconds) for sig-write / pairs /
+    * merge. Both pair operators already materialize eagerly (their results
+    * are `localCheckpoint(true)`), so timing adds no materialization the
+    * unprofiled seed doesn't do.
     */
   def seed(
       corpus: DataFrame,
@@ -60,17 +70,34 @@ object ClusterStream {
       id: String,
       text: String,
       m: SignatureIndex.Model,
-      mapBuckets: Int = 64
+      mapBuckets: Int = 64,
+      stageTimer: Option[(String, Double) => Unit] = None
   ): Unit = {
+    def staged[T](label: String)(f: => T): T = stageTimer match {
+      case None => f
+      case Some(report) =>
+        val t0 = System.nanoTime()
+        val r = f
+        report(label, (System.nanoTime() - t0) / 1e9)
+        r
+    }
     val spark = corpus.sparkSession
     val docs = corpus.select(col(id).cast("long").as("id"), col(text).as("t"))
       .filter(col("t").isNotNull)
-    SignatureIndex.write(docs, sigPath, "id", "t", m)
+    staged("sig-write")(SignatureIndex.write(docs, sigPath, "id", "t", m))
     ClusterMap.init(spark, clusterPath, mapBuckets)
-    ClusterMap.applyBatch(
-      spark, clusterPath,
-      inBatchPairs(docs, "id", "t", m),
-      corpus.select(col(id).cast("long").as("id")))
+    val pairs = staged("pairs") {
+      if (m.portable)
+        Dedup.minhashLshPortableFromKeys(
+          docs, "id", "t",
+          SignatureIndex.storedKeys(spark, sigPath),
+          m.shingleN, m.threshold, m.maxBucket)
+          .select(col("id_a"), col("id_b"))
+      else inBatchPairs(docs, "id", "t", m)
+    }
+    staged("merge")(ClusterMap.applyBatch(
+      spark, clusterPath, pairs,
+      corpus.select(col(id).cast("long").as("id"))))
   }
 
   /** Source-table text for the candidate ids only: batch-sized sets become

@@ -72,7 +72,11 @@ object ComposedProfile {
         spark, src.select(col("doc_id"), col("text")), s"$root/dedup", "doc_id", "text", _ => ()))
     timed("cluster seed")(
       graft.streaming.ClusterStream.seed(
-        src, s"$root/sig", s"$root/cluster", "doc_id", "text", cModel, mapBuckets = 16))
+        src, s"$root/sig", s"$root/cluster", "doc_id", "text", cModel, mapBuckets = 16,
+        stageTimer = Some((label, sec) => {
+          stages(s"cluster seed/$label") = sec
+          println(f"[stage]   seed/$label%-20s $sec%7.2f s")
+        })))
 
     post = true
     val batch = graft.ComposedFixture.changeBatch(media(post = false))

@@ -140,4 +140,49 @@ class ClusterStreamSpec extends SparkSpec {
       "exactly one member row per doc: the restart resumed, it did not replay")
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
+
+  test("portable seed (shared banding pass) equals the portable batch rebuild") {
+    // the portable model's seed derives its pair set from the JUST-WRITTEN
+    // signature keys (one banding pass shared between sig-write and pairs)
+    // — the assignments must equal the CC over the fresh-banded portable
+    // operator, and per-batch maintenance must continue seamlessly
+    val dir = Files.createTempDirectory("graft-cstream-port").toString
+    val (sig, map) = (s"$dir/sig", s"$dir/map")
+    val m = SignatureIndex.Model(
+      portable = true, shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.5, maxBucket = 1000, buckets = 8)
+
+    val seedCorpus = corpusDf.filter(pmod(col("id"), lit(3)) < 2)
+    ClusterStream.seed(seedCorpus, sig, map, "id", "text", m, mapBuckets = 8)
+    val freshPairs = Dedup.minhashLshPortable(
+      seedCorpus, "id", "text", m.shingleN, m.bands, m.rowsPerBand,
+      m.threshold, m.maxBucket).select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(freshPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seedIds = seedCorpus.select(col("id")).collect().map(_.getLong(0))
+    val wantSeed = seedIds.map(id => id -> labels.getOrElse(id, id)).toSet
+    assert(assignments(map) == wantSeed,
+      "seed from written keys equals the fresh-banded portable rebuild")
+
+    // the stored keys the seed wrote serve the NEXT batch's probe: the
+    // held-out third must join its groups through cross-batch candidates
+    ClusterStream.applyBatch(spark, batchRows(2), corpusDf, sig, map, "id", "text")
+    val allPairs = Dedup.minhashLshPortable(
+      corpusDf, "id", "text", m.shingleN, m.bands, m.rowsPerBand,
+      m.threshold, m.maxBucket).select(col("id_a"), col("id_b"))
+    val allLabels = Dedup.connectedComponents(allPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = corpus.map { case (id, _) => id -> allLabels.getOrElse(id, id) }.toSet
+    assert(assignments(map) == want,
+      "incremental batch over the seeded index reaches the full portable CC")
+
+    // empty-corpus portable seed: sidecars only, readable empty key set,
+    // and the first real batch streams from nothing
+    val (sig2, map2) = (s"$dir/sig2", s"$dir/map2")
+    ClusterStream.seed(corpusDf.limit(0), sig2, map2, "id", "text", m, mapBuckets = 8)
+    assert(SignatureIndex.storedKeys(spark, sig2).isEmpty)
+    ClusterStream.applyBatch(spark, batchRows(0), corpusDf, sig2, map2, "id", "text")
+    assert(assignments(map2).nonEmpty, "stream-from-nothing after a portable empty seed")
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
 }
