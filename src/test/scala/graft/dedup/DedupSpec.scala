@@ -1088,4 +1088,39 @@ class DedupSpec extends SparkSpec {
     assert(rRes >= rRaw, s"residual recall $rRes < raw-vector recall $rRaw")
     assert(rRes >= 0.6, s"residual recall $rRes")
   }
+
+  test("per-pair and pre-shingled Jaccard verify agree on arbitrary corpora") {
+    // the two forms share jaccardTail by construction; this pins the one
+    // part that CAN drift — the shingle derivation feeding each side —
+    // across degenerate texts (empty, single-word, heavy repeats) and
+    // arbitrary candidate sets including self-pairs and dangling ids
+    import org.scalacheck.Gen
+    def samples[A](g: Gen[A], n: Int): Seq[A] = {
+      val p0 = Gen.Parameters.default
+      (0 until n).flatMap(i => g.apply(p0, org.scalacheck.rng.Seed(1207L + i)))
+    }
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val text = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, text))
+    samples(corpusGen, 12).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val n = texts.length.toLong
+      val candGen = Gen.listOf(for {
+        a <- Gen.choose(0L, n + 1) // n+1: dangling ids with no doc row
+        b <- Gen.choose(0L, n + 1)
+      } yield (a, b))
+      val cands = samples(candGen, 1).head match {
+        case Nil => Seq((0L, 1L))
+        case cs  => cs
+      }
+      val candDf = cands.toDF("id_a", "id_b")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val perPair = rows(Dedup.verifyJaccard(candDf, docs, "id", "t", 3, 0.3))
+      val preShingled = rows(Dedup.verifyJaccardShingled(
+        candDf, Dedup.shingleDocs(docs, "id", "t", 3), 0.3))
+      assert(perPair == preShingled,
+        s"forms disagree on corpus=$texts cands=$cands: $perPair vs $preShingled")
+    }
+  }
 }
