@@ -185,4 +185,54 @@ class ClusterStreamSpec extends SparkSpec {
     assert(assignments(map2).nonEmpty, "stream-from-nothing after a portable empty seed")
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
+
+  test("random batch partitions and replays converge to the batch CC, both models") {
+    // the fixed id%3 split above pins one batch boundary; this drives the
+    // whole maintenance loop (seed + signature probe + union-find +
+    // foreign-winner/pointer machinery) over RANDOM partitions of the
+    // corpus into 1-4 delivery batches, with a random batch re-delivered,
+    // and asserts the exact fixpoint the scaladoc contract promises: the
+    // final assignments equal the single-shot batch operator's CC over the
+    // full corpus, for any batch boundaries and any replay
+    val rng = new scala.util.Random(12L)
+    val models = Seq(
+      SignatureIndex.Model(portable = false, shingleN = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.5, maxBucket = 1000, buckets = 8),
+      SignatureIndex.Model(portable = true, shingleN = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5, maxBucket = 1000, buckets = 8))
+    for (m <- models; trial <- 0 until 2) {
+      val dir = Files.createTempDirectory(s"graft-cstream-rand-$trial").toString
+      val (sig, map) = (s"$dir/sig", s"$dir/map")
+      val nBatches = 1 + rng.nextInt(4)
+      val split = corpus.map { case (id, _) => id -> rng.nextInt(nBatches) }.toMap
+      def part(b: Int): DataFrame =
+        corpusDf.filter(col("id").isin(split.filter(_._2 == b).keys.toSeq: _*))
+      ClusterStream.seed(part(0), sig, map, "id", "text", m, mapBuckets = 8)
+      (1 until nBatches).foreach { b =>
+        ClusterStream.applyBatch(
+          spark, part(b).select(lit("INSERT").as("tg_op"), col("id"), col("text")),
+          corpusDf, sig, map, "id", "text")
+      }
+      val replayed = rng.nextInt(nBatches)
+      ClusterStream.applyBatch(
+        spark, part(replayed).select(lit("INSERT").as("tg_op"), col("id"), col("text")),
+        corpusDf, sig, map, "id", "text")
+
+      val batchPairs =
+        (if (m.portable)
+           Dedup.minhashLshPortable(corpusDf, "id", "text", m.shingleN, m.bands,
+             m.rowsPerBand, m.threshold, m.maxBucket)
+         else
+           Dedup.minhashLsh(corpusDf, "id", "text", m.shingleN, m.bands,
+             m.rowsPerBand, m.threshold, m.maxBucket))
+          .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(batchPairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = corpus.map { case (id, _) => id -> labels.getOrElse(id, id) }.toSet
+      assert(assignments(map) == want,
+        s"model portable=${m.portable} trial=$trial nBatches=$nBatches " +
+          s"replay=$replayed diverged from the batch CC")
+      graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+    }
+  }
 }
