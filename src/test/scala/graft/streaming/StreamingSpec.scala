@@ -649,4 +649,76 @@ class StreamingSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(indexDir))
     graft.util.TempDirs.delete(java.nio.file.Paths.get(ckpt))
   }
+
+  test("random BM25 CDC op sequences probe like a rebuild of the final corpus") {
+    // the fixed-scenario spec above pins one op interleaving; this drives
+    // random INSERT/UPDATE/DELETE batch sequences (one final op per id per
+    // batch — the collapsed-feed contract) plus a replay of the last batch
+    // through Bm25Stream.applyBatch, and asserts the exact-stats promise in
+    // full generality: the mutated index's exact probe AND integer stats
+    // equal a fresh rebuild of the final live corpus bit-for-bit, and the
+    // pruned probe equals the exact probe after a compaction refreshes the
+    // impact sidecars (caps not binding at this corpus size). Between
+    // mutations and compaction the pruned probe's scores carry the
+    // DOCUMENTED stale-high df drift — termdf deltas are append-only, so
+    // deletes inflate df until compaction — which this test demonstrated
+    // live before the compact step was added; only the post-compaction
+    // equality is the contract.
+    import graft.functions.Retrieval
+    val rng = new scala.util.Random(34L)
+    val vocab = Vector("spark", "window", "join", "filler", "stream", "batch", "index", "probe")
+    def text(): String = Seq.fill(2 + rng.nextInt(9))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val queries = Seq((100L, "spark filler"), (200L, "window join"), (300L, "probe stream batch"))
+      .toDF("qid", "qtext")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def stats(p: String) = spark.read.parquet(s"$p/_graft_stats")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+
+    for (trial <- 0 until 2) {
+      val dir = Files.createTempDirectory(s"graft-bm25-rand-$trial").toString
+      var live = (1L to 12L).filter(_ => rng.nextBoolean()).map(_ -> text()).toMap
+      Retrieval.writeBm25Index(live.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        s"$dir/index", buckets = 8)
+      var lastBatch: Seq[(String, Long, String)] = Nil
+      for (_ <- 0 until 4) {
+        val touched = (1L to 12L).filter(_ => rng.nextInt(3) == 0)
+        lastBatch = touched.map { id =>
+          if (live.contains(id)) {
+            if (rng.nextBoolean()) { live -= id; ("DELETE", id, null: String) }
+            else { val t = text(); live += id -> t; ("UPDATE", id, t) }
+          } else { val t = text(); live += id -> t; ("INSERT", id, t) }
+        }
+        if (lastBatch.nonEmpty)
+          Bm25Stream.applyBatch(
+            spark, lastBatch.toDF("tg_op", "doc_id", "text"), s"$dir/index", "doc_id", "text")
+      }
+      // at-least-once: the last delivered batch re-delivers whole
+      if (lastBatch.nonEmpty)
+        Bm25Stream.applyBatch(
+          spark, lastBatch.toDF("tg_op", "doc_id", "text"), s"$dir/index", "doc_id", "text")
+
+      val rebuilt = s"$dir/rebuilt"
+      Retrieval.writeBm25Index(
+        live.toSeq.toDF("doc_id", "text"), "doc_id", "text", rebuilt, buckets = 8)
+      val exactMutated = rows(Retrieval.bm25TopKIndexedBatch(
+        s"$dir/index", queries, "qid", "qtext", 10))
+      assert(exactMutated == rows(Retrieval.bm25TopKIndexedBatch(
+        rebuilt, queries, "qid", "qtext", 10)),
+        s"trial $trial: mutated exact probe diverged from the rebuild (live=${live.keySet})")
+      assert(stats(s"$dir/index") == stats(rebuilt),
+        s"trial $trial: integer stats drifted (live=${live.keySet})")
+      if (live.nonEmpty) {
+        val compacted = s"$dir/compacted"
+        Retrieval.compactBm25Index(spark, s"$dir/index", compacted)
+        assert(rows(Retrieval.bm25TopKIndexedBatch(
+          compacted, queries, "qid", "qtext", 10)) == exactMutated,
+          s"trial $trial: compaction changed the exact probe")
+        assert(rows(Retrieval.bm25TopKIndexedPrunedBatch(
+          compacted, queries, "qid", "qtext", 10)) == exactMutated,
+          s"trial $trial: pruned != exact after compaction")
+      }
+      graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+    }
+  }
 }
