@@ -721,4 +721,68 @@ class StreamingSpec extends SparkSpec {
       graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
     }
   }
+
+  test("random ANN CDC op sequences probe like a rebuild of the final vectors") {
+    // LSH analogue of the random BM25 property: the hyperplane family is
+    // deterministic, so the mutated index's probe surface must equal a
+    // fresh index over exactly the surviving vectors — for any random
+    // INSERT/UPDATE/DELETE batch sequence and a last-batch replay, and
+    // still after compaction (which must also leave one physical row per
+    // live id)
+    import graft.ann.Ann
+    val rng = new scala.util.Random(56L)
+    def vec(v: Long) =
+      Array.tabulate(16)(j => (math.cos((v % 5) * 3 + j) + 0.05 * math.sin(v * 13 + j)).toFloat)
+    def rows(p: String, queries: DataFrame) =
+      Ann.lshTopKIndexed(p, queries, "vec_id", "embedding", 5, planes = 6, dim = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    for (trial <- 0 until 2) {
+      val dir = graft.util.TempDirs.scratch(s"ann-cdc-rand-$trial").toString
+      // version counter: an UPDATE re-embeds the doc with a new vector
+      var version = Map.empty[Long, Long]
+      var live = Set.empty[Long]
+      (0L until 30L).foreach { i =>
+        if (rng.nextBoolean()) { live += i; version += i -> i }
+      }
+      def cur(i: Long) = vec(version(i))
+      Ann.writeLshIndex(
+        live.toSeq.sorted.map(i => (i, cur(i))).toDF("vec_id", "embedding"),
+        s"$dir/index", "vec_id", "embedding", planes = 6, dim = 16)
+      var lastBatch: Seq[(String, Long, Array[Float])] = Nil
+      for (b <- 0 until 4) {
+        val touched = (0L until 30L).filter(_ => rng.nextInt(3) == 0)
+        lastBatch = touched.map { i =>
+          if (live.contains(i)) {
+            if (rng.nextBoolean()) { live -= i; ("DELETE", i, null: Array[Float]) }
+            else { version += i -> (version(i) + 31L * (b + 1)); ("UPDATE", i, cur(i)) }
+          } else { live += i; version += i -> (i + 31L * (b + 1)); ("INSERT", i, cur(i)) }
+        }
+        if (lastBatch.nonEmpty)
+          AnnStream.applyCdcBatch(
+            lastBatch.toDF("tg_op", "vec_id", "embedding"),
+            s"$dir/index", "vec_id", "embedding", 6, 16)
+      }
+      if (lastBatch.nonEmpty)
+        AnnStream.applyCdcBatch(
+          lastBatch.toDF("tg_op", "vec_id", "embedding"),
+          s"$dir/index", "vec_id", "embedding", 6, 16)
+
+      val finalVecs = live.toSeq.sorted.map(i => (i, cur(i))).toDF("vec_id", "embedding")
+      val queries = finalVecs.limit(4)
+      val rebuilt = s"$dir/rebuilt"
+      Ann.writeLshIndex(finalVecs, rebuilt, "vec_id", "embedding", planes = 6, dim = 16)
+      assert(rows(s"$dir/index", queries) == rows(rebuilt, queries),
+        s"trial $trial: mutated LSH probe diverged from the rebuild (live=$live)")
+      if (live.nonEmpty) {
+        val staged = s"$dir/compacted"
+        Ann.compactLshIndex(spark, s"$dir/index", staged)
+        assert(rows(staged, queries) == rows(rebuilt, queries),
+          s"trial $trial: compaction changed the probe")
+        val ids = spark.read.parquet(staged).select("neighbor_id").collect().map(_.getLong(0))
+        assert(ids.length == ids.distinct.length && ids.toSet == live,
+          s"trial $trial: compacted rows != live set")
+      }
+      graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+    }
+  }
 }
