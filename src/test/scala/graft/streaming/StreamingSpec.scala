@@ -785,4 +785,44 @@ class StreamingSpec extends SparkSpec {
       graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
     }
   }
+
+  test("random dedup-stream sequences: index state equals the delivery-order model") {
+    // fourth maintenance family under a random-history generator: random
+    // insert batches from a small text pool (within-batch dups, cross-batch
+    // dups, nulls) with a random batch re-delivered; the external index
+    // must end exactly at the model state — for each digest, the min id of
+    // the FIRST delivered batch containing it — and the replay must be a
+    // zero-survivor no-op
+    val rng = new scala.util.Random(78L)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    for (trial <- 0 until 2) {
+      val dir = Files.createTempDirectory(s"graft-dedup-rand-$trial").toString
+      var model = Map.empty[String, Long] // digest-text -> first-winner id
+      var nextId = 0L
+      var lastBatch: Seq[(Long, String)] = Nil
+      for (_ <- 0 until 4) {
+        lastBatch = (0 until (1 + rng.nextInt(6))).map { _ =>
+          val t = if (rng.nextInt(8) == 0) null else pool(rng.nextInt(pool.size))
+          nextId += 1
+          (nextId, t)
+        }
+        val fresh = lastBatch.filter(_._2 != null).groupBy(_._2)
+          .collect { case (t, rows) if !model.contains(t) => t -> rows.map(_._1).min }
+        model ++= fresh
+        val n = DedupStream.applyBatch(
+          spark, lastBatch.toDF("doc_id", "text"), s"$dir/index", "doc_id", "text", _ => ())
+        assert(n == fresh.size, s"trial $trial: survivor count != new-digest count")
+      }
+      // at-least-once: the last batch re-delivers whole; every digest is
+      // now stored, so zero new survivors and no index mutation
+      val replayN = DedupStream.applyBatch(
+        spark, lastBatch.toDF("doc_id", "text"), s"$dir/index", "doc_id", "text", _ => ())
+      assert(replayN == 0L, s"trial $trial: replay added digests")
+      val idx = spark.read.parquet(s"$dir/index")
+        .collect().map(r => r.getAs[Long]("keep_id")).toSet
+      assert(idx == model.values.toSet,
+        s"trial $trial: index $idx != model ${model.values.toSet}")
+      graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+    }
+  }
 }
