@@ -232,6 +232,18 @@ class ClusterStreamSpec extends SparkSpec {
       assert(assignments(map) == want,
         s"model portable=${m.portable} trial=$trial nBatches=$nBatches " +
           s"replay=$replayed diverged from the batch CC")
+      // durable compaction of both structures preserves the fixpoint, and
+      // a post-compaction replay of a random batch still converges
+      ClusterMap.maybeCompact(spark, map, maxMergeRatio = 0.01)
+      SignatureIndex.compact(spark, sig)
+      assert(assignments(map) == want,
+        s"trial=$trial compaction changed assignments")
+      val again = rng.nextInt(nBatches)
+      ClusterStream.applyBatch(
+        spark, part(again).select(lit("INSERT").as("tg_op"), col("id"), col("text")),
+        corpusDf, sig, map, "id", "text")
+      assert(assignments(map) == want,
+        s"trial=$trial replay against the compacted generation diverged")
       graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
     }
   }

@@ -786,6 +786,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("random PQ CDC op sequences probe like a same-model rebuild") {
+    // IVF-PQ analogue of the random LSH property: cells and codebooks are
+    // FROZEN at the seed build (appends encode under them), so the mutated
+    // index's probe surface must equal a fresh same-model index over the
+    // surviving vectors for any random op history with replay — with the
+    // auto-compaction policy firing mid-history whenever churn crosses it
+    import graft.ann.Ann
+    val rng = new scala.util.Random(90L)
+    def vec(v: Long) =
+      Array.tabulate(16)(j => (math.cos((v % 5) * 3 + j) + 0.05 * math.sin(v * 13 + j)).toFloat)
+    for (trial <- 0 until 2) {
+      val dir = graft.util.TempDirs.scratch(s"pq-cdc-rand-$trial").toString
+      var version = Map.empty[Long, Long]
+      var live = Set.empty[Long]
+      (0L until 30L).foreach { i =>
+        if (rng.nextBoolean()) { live += i; version += i -> i }
+      }
+      def cur(i: Long) = vec(version(i))
+      val seed = live.toSeq.sorted.map(i => (i, cur(i))).toDF("vec_id", "embedding")
+      val cells = Ann.trainIvfCells(seed, "vec_id", "embedding", nlists = 4)
+      val books = Ann.pqTrain(seed, "vec_id", "embedding", m = 4, codeK = 8)
+      Ann.writePqIndex(seed, s"$dir/index", "vec_id", "embedding", cells, books)
+      var lastBatch: Seq[(String, Long, Array[Float])] = Nil
+      for (b <- 0 until 4) {
+        val touched = (0L until 30L).filter(_ => rng.nextInt(3) == 0)
+        lastBatch = touched.map { i =>
+          if (live.contains(i)) {
+            if (rng.nextBoolean()) { live -= i; ("DELETE", i, null: Array[Float]) }
+            else { version += i -> (version(i) + 31L * (b + 1)); ("UPDATE", i, cur(i)) }
+          } else { live += i; version += i -> (i + 31L * (b + 1)); ("INSERT", i, cur(i)) }
+        }
+        if (lastBatch.nonEmpty)
+          AnnStream.applyCdcPqBatch(
+            lastBatch.toDF("tg_op", "vec_id", "embedding"),
+            s"$dir/index", "vec_id", "embedding", autoCompactRatio = Some(0.1))
+      }
+      if (lastBatch.nonEmpty)
+        AnnStream.applyCdcPqBatch(
+          lastBatch.toDF("tg_op", "vec_id", "embedding"),
+          s"$dir/index", "vec_id", "embedding", autoCompactRatio = Some(0.1))
+
+      val finalVecs = live.toSeq.sorted.map(i => (i, cur(i))).toDF("vec_id", "embedding")
+      if (live.nonEmpty) {
+        val queries = finalVecs.limit(4)
+        def rows(p: String) =
+          Ann.pqTopKIndexedResumed(p, queries, "vec_id", "embedding", 5, nprobe = 4)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rebuilt = s"$dir/rebuilt"
+        Ann.writePqIndex(finalVecs, rebuilt, "vec_id", "embedding", cells, books)
+        assert(rows(s"$dir/index") == rows(rebuilt),
+          s"trial $trial: mutated PQ probe diverged from the same-model rebuild (live=$live)")
+      }
+      graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("random dedup-stream sequences: index state equals the delivery-order model") {
     // fourth maintenance family under a random-history generator: random
     // insert batches from a small text pool (within-batch dups, cross-batch
