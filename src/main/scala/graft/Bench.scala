@@ -96,7 +96,12 @@ object Bench {
         // applyBatch cost q_composed_cdc already times (its extra probe legs
         // are individually timed by q_ann_* / q_bm25_* rows)
         "q_composed_full",
-        "q_events_sessions_stream", "q_classifier")
+        "q_events_sessions_stream", "q_classifier",
+      // correctness row whose plan INCLUDES the one-time layout prep (three
+      // key-partitioned table rewrites); the honest timing is the
+      // incremental_changes_per_sec_partitioned headline below, whose prep
+      // is amortized outside the timed loop like the bucketed snapshot twin
+      "q_cdc_partitioned")
     // triage knob: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries
     // (and skips the throughput metrics) for quick regression bisection
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -224,8 +229,52 @@ object Bench {
       nChanges / ((System.nanoTime() - t2) / 1e9)
     }.max
 
+    // Incremental over the key-range partitioned layout (the production
+    // answer to the scan-bounded floor, ARCHITECTURE.md "sf1 incremental
+    // floor"): layout prep outside the timing (one-time, amortized across
+    // every subsequent batch), batch key-CLUSTERED in the top of the key
+    // space — the production CDC shape (churn concentrates in recent keys;
+    // pgsync's all-day workload). Fixed width in KEY units means partition
+    // count grows with the corpus while this batch keeps touching a constant
+    // ~2 directories, which is what makes the headline ~flat in corpus size.
+    // The unpartitioned/uniform headline above remains the documented scan
+    // floor for layouts without key locality.
+    import graft.cdc.IncrementalEngine.PartitionPrune
+    import graft.sources.Layout
+    val pdir = graft.util.TempDirs.scratch("bench-cdc-part").toString
+    Layout.keyPartitionedWrite(load("orders"), "o_orderkey", 16384, s"$pdir/orders")
+    Layout.keyPartitionedWrite(load("lineitem"), "l_orderkey", 16384, s"$pdir/lineitem")
+    Layout.keyPartitionedWrite(load("customer"), "c_custkey", 2048, s"$pdir/customer")
+    val pload: String => org.apache.spark.sql.DataFrame = {
+      case t @ ("orders" | "lineitem" | "customer") => spark.read.parquet(s"$pdir/$t")
+      case t                                        => load(t)
+    }
+    val maxKey = load("orders").agg(max(col("o_orderkey"))).head().getLong(0)
+    val pbatch = load("orders")
+      .filter(col("o_orderkey") > maxKey - 5000)
+      .select(
+        lit("UPDATE").as("tg_op"), lit("orders").as("tbl"),
+        lit(null).cast("string").as("old"),
+        to_json(struct(col("o_orderkey"))).as("new"),
+        col("o_orderkey").as("txid")
+      )
+      .cache()
+    val nPChanges = pbatch.count()
+    val pengine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), graft.catalog.Catalog.testData, pload,
+      partitionPrune = Map(
+        "orders"   -> PartitionPrune("_kp", 16384),
+        "lineitem" -> PartitionPrune("_kp", 16384),
+        "customer" -> PartitionPrune("_kp", 2048)
+      ))
+    val changesPartSec = (0 until runs).map { _ =>
+      val t3 = System.nanoTime()
+      pengine.process(pbatch, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
+      nPChanges / ((System.nanoTime() - t3) / 1e9)
+    }.max
+
     emit(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"incremental_changes_per_sec_partitioned":$changesPartSec%.0f,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}"""
     )
   }
 }

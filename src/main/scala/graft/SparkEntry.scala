@@ -702,6 +702,38 @@ object SparkEntry {
       new IncrementalEngine(SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
         .process(changes, Lineage.empty(s))
     }),
+    // ---- CDC at the key-partitioned source layout: the affected-key set
+    // prunes partitions on every payload re-read (the layout answer to the
+    // scan-bounded incremental floor; PlanSpec asserts the three partition
+    // filters, this row grades that the layout never changes answers) ------
+    "q_cdc_partitioned" -> ((s, dir) => {
+      val base = loader(s, dir)
+      val scratch = graft.util.TempDirs.scratch("cdcpart").toString
+      graft.sources.Layout.keyPartitionedWrite(base("orders"), "o_orderkey", 2048, s"$scratch/orders")
+      graft.sources.Layout.keyPartitionedWrite(base("lineitem"), "l_orderkey", 2048, s"$scratch/lineitem")
+      graft.sources.Layout.keyPartitionedWrite(base("customer"), "c_custkey", 256, s"$scratch/customer")
+      val load: String => DataFrame = {
+        case t @ ("orders" | "lineitem" | "customer") => s.read.parquet(s"$scratch/$t")
+        case t                                        => base(t)
+      }
+      val changes = load("lineitem")
+        .filter(pmod(col("l_partkey"), lit(50)) === 0)
+        .select(
+          lit("UPDATE").as("tg_op"),
+          lit("lineitem").as("tbl"),
+          lit(null).cast("string").as("old"),
+          to_json(struct(col("l_orderkey"), col("l_linenumber"))).as("new"),
+          col("l_orderkey").as("txid")
+        )
+      new IncrementalEngine(
+        SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load,
+        partitionPrune = Map(
+          "orders"   -> IncrementalEngine.PartitionPrune("_kp", 2048),
+          "lineitem" -> IncrementalEngine.PartitionPrune("_kp", 2048),
+          "customer" -> IncrementalEngine.PartitionPrune("_kp", 256)
+        )
+      ).process(changes, Lineage.empty(s))
+    }),
     // ---- U1 plugin surface: per-doc rewrite + drop chain -------------------
     "q_plugin" -> ((s, dir) => {
       val docs = assembled(s, dir,
@@ -1957,6 +1989,36 @@ object SparkEntry {
   private val clusterRebuildOracle: String =
     clusterCcOracleOver("id_a % 7 <> 3 AND id_b % 7 <> 3", "d.doc_id % 7 <> 3")
 
+  /** Ground truth for the child-change CDC batch — shared by q_cdc_child
+    * (flat layout) and q_cdc_partitioned (key-partitioned layout): layout
+    * must never change answers, so both rows grade against the identical
+    * SQL.
+    */
+  private val cdcChildOracle: String =
+    """WITH affected AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey % 50 = 0),
+         li AS (
+           SELECT l_orderkey,
+                  list(json_object('l_linenumber', l_linenumber, 'l_quantity', l_quantity,
+                                   'l_extendedprice', l_extendedprice, 'l_returnflag', l_returnflag)
+                       ORDER BY l_linenumber, l_quantity, l_extendedprice, l_returnflag) AS items,
+                  list(DISTINCT CAST(l_linenumber AS VARCHAR) ORDER BY CAST(l_linenumber AS VARCHAR)) AS lns
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT 'index' AS op,
+                CAST(o.o_orderkey AS VARCHAR) AS _id,
+                CAST(json_object('o_orderkey', o.o_orderkey, 'o_custkey', o.o_custkey,
+                            'o_orderstatus', o.o_orderstatus, 'o_totalprice', o.o_totalprice,
+                            'lineitems', COALESCE(to_json(li.items), '[]'::JSON),
+                            'customer', json_object('c_name', c.c_name, 'c_mktsegment', c.c_mktsegment),
+                            '_meta', json_object('orders', json_object('o_orderkey', [CAST(o.o_orderkey AS VARCHAR)]),
+                                                 'lineitem', json_object('l_orderkey', [CAST(o.o_orderkey AS VARCHAR)],
+                                                                         'l_linenumber', li.lns),
+                                                 'customer', json_object('c_custkey', [CAST(c.c_custkey AS VARCHAR)]))
+                            ) AS VARCHAR) AS doc
+         FROM affected a
+         JOIN orders o ON o.o_orderkey = a.l_orderkey
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN li ON li.l_orderkey = o.o_orderkey"""
+
   def oracleSql: Map[String, String] = Map(
     "q_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
@@ -2469,30 +2531,10 @@ object SparkEntry {
                 CAST(keys.key AS VARCHAR) AS _id,
                 d.doc
          FROM keys LEFT JOIN docs d ON d.o_orderkey = keys.key""",
-    "q_cdc_child" ->
-      """WITH affected AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey % 50 = 0),
-         li AS (
-           SELECT l_orderkey,
-                  list(json_object('l_linenumber', l_linenumber, 'l_quantity', l_quantity,
-                                   'l_extendedprice', l_extendedprice, 'l_returnflag', l_returnflag)
-                       ORDER BY l_linenumber, l_quantity, l_extendedprice, l_returnflag) AS items,
-                  list(DISTINCT CAST(l_linenumber AS VARCHAR) ORDER BY CAST(l_linenumber AS VARCHAR)) AS lns
-           FROM lineitem GROUP BY l_orderkey)
-         SELECT 'index' AS op,
-                CAST(o.o_orderkey AS VARCHAR) AS _id,
-                CAST(json_object('o_orderkey', o.o_orderkey, 'o_custkey', o.o_custkey,
-                            'o_orderstatus', o.o_orderstatus, 'o_totalprice', o.o_totalprice,
-                            'lineitems', COALESCE(to_json(li.items), '[]'::JSON),
-                            'customer', json_object('c_name', c.c_name, 'c_mktsegment', c.c_mktsegment),
-                            '_meta', json_object('orders', json_object('o_orderkey', [CAST(o.o_orderkey AS VARCHAR)]),
-                                                 'lineitem', json_object('l_orderkey', [CAST(o.o_orderkey AS VARCHAR)],
-                                                                         'l_linenumber', li.lns),
-                                                 'customer', json_object('c_custkey', [CAST(c.c_custkey AS VARCHAR)]))
-                            ) AS VARCHAR) AS doc
-         FROM affected a
-         JOIN orders o ON o.o_orderkey = a.l_orderkey
-         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-         LEFT JOIN li ON li.l_orderkey = o.o_orderkey""",
+    "q_cdc_child" -> cdcChildOracle,
+    // same ops at the key-partitioned layout — layout must never change
+    // answers, so the ground truth is the flat-layout SQL verbatim
+    "q_cdc_partitioned" -> cdcChildOracle,
     "q_plugin" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS _id, o_orderkey, o_orderstatus
          FROM orders WHERE o_orderkey % 10 <> 0""",

@@ -40,13 +40,27 @@ import org.apache.spark.sql.types.StringType
   *   key range over a huge sorted/partitioned table (row groups prune), a
   *   cost when they span the full key space (the bench's synthetic batches
   *   do, hence default off — enable for key-clustered production feeds).
+  * @param partitionPrune per-table key-range partition layout specs
+  *   ([[Layout.keyPartitionedWrite]] output): when a payload table is
+  *   directory-partitioned by `floor(key / width)`, reassembly derives the
+  *   partition values the affected-key set touches and pushes them as a
+  *   STATIC partition filter, so the payload re-read lists and scans ONLY the
+  *   touched directories. This is the layout answer to the scan-bounded
+  *   incremental floor: without it an oversized affected set re-reads the
+  *   root/child/dim tables whole (scan-only but corpus-sized); with it the
+  *   re-read is bounded by the batch's key spread, independent of corpus
+  *   size. Supported table positions — the root, root-keyed children
+  *   (partitioned by the FK, same key domain), and single-hop one_to_one
+  *   dims (partitioned by their PK; touched values derived from the pruned
+  *   root rows' FK column) — are validated at construction.
   */
 final class IncrementalEngine(
     root: Node,
     catalog: Catalog,
     load: String => DataFrame,
     inSetThreshold: Int = 1000,
-    rangeBracket: Boolean = false
+    rangeBracket: Boolean = false,
+    partitionPrune: Map[String, IncrementalEngine.PartitionPrune] = Map.empty
 ) {
 
   private val rootPks = DocAssembler.primaryKeys(root, catalog)
@@ -246,6 +260,73 @@ final class IncrementalEngine(
       else None
     }.toMap
 
+  /** Single-hop one_to_one dims: tables whose EVERY tree position is one
+    * direct single-column hop to the root that is NOT on the root PK
+    * (customer via `orders.o_custkey = customer.c_custkey`). Their affected
+    * key set is not the root id set but the restricted root rows' FK values,
+    * so partition pruning for them derives from a batch-sized probe of the
+    * (already pruned) root scan. Value: (FK column on the root, key column
+    * on the dim).
+    */
+  private val rootDimCols: Map[String, (String, String)] =
+    chains.toSeq.flatMap { case (t, cs) =>
+      val dims = cs.map {
+        case hop :: Nil
+            if hop.toTable == root.table && hop.toCols != rootPks &&
+              hop.toCols.size == 1 && hop.fromCols.size == 1 =>
+          Some((hop.toCols.head, hop.fromCols.head))
+        case _ => None
+      }
+      if (dims.forall(_.isDefined) && dims.flatten.distinct.size == 1)
+        Some(t -> dims.head.get)
+      else None
+    }.toMap
+
+  // Partition-prune specs are validated eagerly: a typo'd table or an
+  // unsupported tree position must fail at engine construction, not
+  // silently scan unpruned (or worse, prune the wrong rows) per batch.
+  partitionPrune.keys.foreach { t =>
+    require(
+      t == root.table || rootKeyedChildCols.contains(t) || rootDimCols.contains(t),
+      s"partitionPrune($t): only the root, root-keyed children, and single-hop " +
+        "one_to_one dims support affected-set partition pruning"
+    )
+  }
+  require(
+    partitionPrune.isEmpty || rootPks.size == 1,
+    "partitionPrune requires a single-column root primary key (the affected " +
+      "ids must cast back to the partitioning key)"
+  )
+  // The partitioning key must be integral: touched partitions are
+  // floor(key / width) and non-numeric keys would derive an empty (thus
+  // row-dropping) partition filter.
+  partitionPrune.keys.foreach { t =>
+    val keyCol =
+      if (t == root.table) rootPks.head
+      else rootKeyedChildCols.get(t).map(_.head).getOrElse(rootDimCols(t)._2)
+    val dt = load(t).schema(keyCol).dataType
+    require(
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+      s"partitionPrune($t): key column $keyCol must be integral, got $dt"
+    )
+  }
+
+  /** Ceiling on literal partition values pushed as a static filter. A batch
+    * touching more partitions than this spans most of the corpus anyway, so
+    * the filter would prune little while bloating the plan — fall back to
+    * the unpruned scan.
+    */
+  private val PartitionLiteralCap = 4096
+
+  /** Affected-id count up to which touched partitions are derived from ONE
+    * driver collect of the cached affected set (≈0.5 MB — the engine's
+    * bounded-collect ceiling class) instead of one distinct job per pruned
+    * table.
+    */
+  private val PartitionIdCollectCap = 65536
+
   /** Above `inSetThreshold` affected ids, fall back from literal IN-set scan
     * filters to broadcast semi-joins. Small sets profit from row-group
     * pruning at the scan; large literal lists cost more in plan
@@ -285,8 +366,62 @@ final class IncrementalEngine(
         if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
       })
 
-    def restrict(base: DataFrame, keyCol: String): DataFrame = {
-      val dt = base.schema(keyCol).dataType
+    // Touched partition values per pruned table, memoized per batch,
+    // derived DRIVER-SIDE from one bounded id collect (`Math.floorDiv`
+    // matches the layout's floor(key / width) for the |key| < 2^53 range
+    // parquet stats are exact in anyway): the affected set is batch-sized
+    // by construction, so up to the established bounded-collect ceiling
+    // (65 536 ids ≈ 0.5 MB) ONE collect of the already-cached set serves
+    // every pruned table — per-table distributed distinct jobs measured as
+    // most of the partitioned path's per-batch overhead at sf0.1. Larger
+    // sets fall back to one tiny distinct job per distinct width.
+    // `Some(vals)` → static partition filter; `None` → unpruned scan (cap
+    // exceeded — the batch spans most of the corpus anyway).
+    lazy val idsForPartVals: Option[Array[String]] = ids.orElse {
+      val c = affected.select(col("_id")).limit(PartitionIdCollectCap + 1).collect()
+      if (c.length > PartitionIdCollectCap) None else Some(c.map(_.getString(0)))
+    }
+    val partValsMemo = scala.collection.mutable.Map.empty[String, Option[Seq[Long]]]
+    def affectedPartVals(table: String, pp: IncrementalEngine.PartitionPrune): Option[Seq[Long]] =
+      partValsMemo.getOrElseUpdate(
+        table, {
+          val vals: Seq[Long] = idsForPartVals match {
+            case Some(vs) =>
+              vs.toSeq
+                .flatMap(v => scala.util.Try(Math.floorDiv(v.toLong, pp.width)).toOption)
+                .distinct
+            case None =>
+              affected
+                .select(pp.of(col("_id")).as("__p"))
+                .filter(col("__p").isNotNull)
+                .distinct()
+                .limit(PartitionLiteralCap + 1)
+                .collect()
+                .map(_.getLong(0))
+                .toSeq
+          }
+          if (vals.size > PartitionLiteralCap) None else Some(vals)
+        }
+      )
+    def partFilter(
+        base: DataFrame,
+        pp: IncrementalEngine.PartitionPrune,
+        vals: Option[Seq[Long]]
+    ): DataFrame =
+      // references ONLY the directory column, so Catalyst plants it as a
+      // static PartitionFilters entry: untouched directories are skipped at
+      // file-listing time, before any footer or row group is read
+      vals.fold(base)(vs =>
+        base.filter(col(pp.partCol).cast(org.apache.spark.sql.types.LongType).isin(vs: _*))
+      )
+
+    def restrict(base: DataFrame, keyCol: String, table: String): DataFrame = {
+      val prunedBase = partitionPrune.get(table) match {
+        case Some(pp) if !rootDimCols.contains(table) =>
+          partFilter(base, pp, affectedPartVals(table, pp))
+        case _ => base
+      }
+      val dt = prunedBase.schema(keyCol).dataType
       ids match {
         case Some(vals) =>
           val lits: Seq[Any] = dt match {
@@ -295,19 +430,42 @@ final class IncrementalEngine(
             case org.apache.spark.sql.types.ShortType   => vals.map(_.toShort).toSeq
             case _                                      => vals.toSeq
           }
-          base.filter(col(keyCol).isin(lits: _*))
+          prunedBase.filter(col(keyCol).isin(lits: _*))
         case None =>
           // oversized sets: broadcast semi-join; optionally bracketed by a
           // pushable min/max range on the key (see `rangeBracket`).
           val typed = affected.select(col("_id").cast(dt).as(keyCol))
           val ranged =
-            if (!rangeBracket) base
-            else keyRange(dt).fold(base) { case (lo, hi) =>
-              base.filter(col(keyCol).between(lit(lo), lit(hi)))
+            if (!rangeBracket) prunedBase
+            else keyRange(dt).fold(prunedBase) { case (lo, hi) =>
+              prunedBase.filter(col(keyCol).between(lit(lo), lit(hi)))
             }
           ranged.join(broadcast(typed), Seq(keyCol), "left_semi")
       }
     }
+
+    // Pruned dims derive their touched partitions from the RESTRICTED root
+    // rows' FK values — the root partition filter above bounds this probe to
+    // the touched root directories, so it is one batch-sized job per batch.
+    // full-schema restrict (the root partition filter needs the directory
+    // column); Catalyst prunes the read down to pk+fk via the projection in
+    // dimPartVals
+    lazy val dimKeySource: DataFrame =
+      restrict(load(root.table), rootPks.head, root.table)
+    def dimPartVals(t: String, pp: IncrementalEngine.PartitionPrune, rootFk: String): Option[Seq[Long]] =
+      partValsMemo.getOrElseUpdate(
+        t, {
+          val vals = dimKeySource
+            .select(pp.of(col(rootFk)).as("__p"))
+            .filter(col("__p").isNotNull)
+            .distinct()
+            .limit(PartitionLiteralCap + 1)
+            .collect()
+            .map(_.getLong(0))
+            .toSeq
+          if (vals.size > PartitionLiteralCap) None else Some(vals)
+        }
+      )
 
     // The root restriction is applied at the ROOT POSITION ONLY (via
     // rootScanFilter) — restricting every load of root.table would also
@@ -316,16 +474,24 @@ final class IncrementalEngine(
     // correct at every tree position by construction (rootKeyedChildCols
     // only admits tables whose every chain is the same root-keyed hop).
     val rootRestrict: DataFrame => DataFrame = base =>
-      if (rootPks.size == 1) restrict(base, rootPks.head)
+      if (rootPks.size == 1) restrict(base, rootPks.head, root.table)
       else base.join(broadcast(affected), rootIdExpr === col("_id"), "left_semi")
     val filteredLoad: String => DataFrame = t =>
-      rootKeyedChildCols.get(t) match {
-        // t == root.table means a self-referencing child scan: the root
-        // position is handled by rootScanFilter, and the child scan must
-        // stay unfiltered (its rows belong to other roots' documents)
-        case Some(fkCols) if t != root.table && rootPks.size == 1 && fkCols.size == 1 =>
-          restrict(load(t), fkCols.head)
-        case _ => load(t)
+      partitionPrune.get(t).flatMap(pp => rootDimCols.get(t).map((pp, _))) match {
+        // pruned dim: partition filter only — row exactness is the LEFT
+        // join's job; every FK value of a restricted root row keeps its dim
+        // row by construction of the touched-partition set
+        case Some((pp, (rootFk, _))) if t != root.table =>
+          partFilter(load(t), pp, dimPartVals(t, pp, rootFk))
+        case _ =>
+          rootKeyedChildCols.get(t) match {
+            // t == root.table means a self-referencing child scan: the root
+            // position is handled by rootScanFilter, and the child scan must
+            // stay unfiltered (its rows belong to other roots' documents)
+            case Some(fkCols) if t != root.table && rootPks.size == 1 && fkCols.size == 1 =>
+              restrict(load(t), fkCols.head, t)
+            case _ => load(t)
+          }
       }
     DocAssembler.assemble(root, filteredLoad, catalog, rootScanFilter = rootRestrict)
   }
@@ -354,5 +520,26 @@ final class IncrementalEngine(
       .join(docs, Seq("_id"), "left_anti")
       .select(lit("delete").as("op"), col("_id"), lit(null).cast(StringType).as("doc"))
     indexOps.unionAll(deleteOps)
+  }
+}
+
+object IncrementalEngine {
+
+  /** Key-range partition layout of one payload table, as written by
+    * [[graft.sources.Layout.keyPartitionedWrite]]: directory column
+    * `partCol = floor(key / width)`. Kept concrete (numeric key ranges)
+    * rather than a generic key→partition function so the literal-id fast
+    * path can compute touched partitions driver-side with no job; a
+    * date-partitioned layout needs only a different derivation when one
+    * actually exists.
+    */
+  final case class PartitionPrune(partCol: String, width: Long) {
+    require(width > 0, "partition width must be positive")
+
+    /** The partition value a key falls in — MUST match the write-side
+      * expression in [[graft.sources.Layout.keyPartitionedWrite]].
+      */
+    def of(key: Column): Column =
+      floor(key.cast(org.apache.spark.sql.types.LongType) / width)
   }
 }

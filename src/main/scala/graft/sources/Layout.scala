@@ -86,6 +86,41 @@ object Layout {
       .parquet(path)
   }
 
+  /** Write `df` partitioned by fixed-width key ranges: directory column
+    * `partCol = floor(keyCol / width)`. This is the CDC-side counterpart of
+    * [[zorderWrite]]: where Z-order bounds row-group spans for range
+    * predicates, a key-range directory layout lets an affected-KEY SET prune
+    * whole partitions at file-listing time — the incremental engine derives
+    * the touched partition values from a change batch and pushes them as a
+    * static `PartitionFilters` entry, so a 5 000-change batch over a 100 TB
+    * table reads only the directories its keys fall in instead of scanning
+    * the corpus (the production analogue of pgsync's narrow re-sync filters,
+    * `sync.py:1443-1493`, attacked with layout instead of per-chunk SQL).
+    *
+    * `width` is fixed in KEY units, not partition count: partition count then
+    * grows with the corpus while a key-clustered batch keeps touching a
+    * constant number of directories — which is exactly what makes incremental
+    * throughput flat in corpus size. Pick `width` so a partition is a healthy
+    * parquet file at the deployment's scale (bigger corpus → same width, more
+    * partitions). The `repartition(partCol)` keeps it to ~one file per
+    * directory instead of one per shuffle task.
+    */
+  def keyPartitionedWrite(
+      df: DataFrame,
+      keyCol: String,
+      width: Long,
+      path: String,
+      partCol: String = "_kp"
+  ): Unit = {
+    require(width > 0, "partition width must be positive")
+    df.withColumn(partCol, floor(col(keyCol).cast("long") / width))
+      .repartition(col(partCol))
+      .write
+      .mode("overwrite")
+      .partitionBy(partCol)
+      .parquet(path)
+  }
+
   /** Round-trip helper for the graded query: Z-order `df` on `cols` into a
     * scratch dir, read it back, and apply `filter` — results must equal the
     * filter over the original frame (layout must never change answers),

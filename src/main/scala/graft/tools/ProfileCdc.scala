@@ -128,6 +128,58 @@ object ProfileCdc {
       spark.catalog.clearCache()
       batch.count()
     }
+
+    // ---- the partitioned-layout twin (the floor's named remedy): same
+    // 5000-change batch size, key-CLUSTERED (top of the key space — the
+    // production churn shape), A/B'd across four cells: {flat, partitioned}
+    // layout × {affectedRoots+reassemble staged, full process}. The
+    // partitioned cell must be ~flat sf0.1 → sf1 because the batch touches a
+    // constant ~2 directories regardless of corpus size.
+    import graft.cdc.IncrementalEngine.PartitionPrune
+    import graft.sources.Layout
+    val pdir = graft.util.TempDirs.scratch("profile-cdc-part").toString
+    time("part: layout prep (one-time)") {
+      Layout.keyPartitionedWrite(load("orders"), "o_orderkey", 16384, s"$pdir/orders")
+      Layout.keyPartitionedWrite(load("lineitem"), "l_orderkey", 16384, s"$pdir/lineitem")
+      Layout.keyPartitionedWrite(load("customer"), "c_custkey", 2048, s"$pdir/customer")
+    }
+    val pload: String => org.apache.spark.sql.DataFrame = {
+      case t @ ("orders" | "lineitem" | "customer") => spark.read.parquet(s"$pdir/$t")
+      case t                                        => load(t)
+    }
+    val maxKey = load("orders").agg(max(col("o_orderkey"))).head().getLong(0)
+    val cbatch = load("orders")
+      .filter(col("o_orderkey") > maxKey - 5000)
+      .select(
+        lit("UPDATE").as("tg_op"), lit("orders").as("tbl"),
+        lit(null).cast("string").as("old"),
+        to_json(struct(col("o_orderkey"))).as("new"),
+        col("o_orderkey").as("txid"))
+      .cache()
+    println(s"[profile] clustered batch rows: ${cbatch.count()}")
+    val flatEngine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
+    val partEngine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, pload,
+      partitionPrune = Map(
+        "orders"   -> PartitionPrune("_kp", 16384),
+        "lineitem" -> PartitionPrune("_kp", 16384),
+        "customer" -> PartitionPrune("_kp", 2048)))
+    for ((label, eng) <- Seq("flat" -> flatEngine, "part" -> partEngine); i <- 1 to 3) {
+      val aff = time(s"$label$i: clustered affectedRoots build+count") {
+        val a = eng.affectedRoots(cbatch, Lineage.empty(spark)).cache()
+        a.count(); a
+      }
+      time(s"$label$i: clustered reassemble noop") {
+        eng.reassemble(aff).write.mode("overwrite").format("noop").save()
+      }
+      spark.catalog.clearCache()
+      time(s"$label$i: clustered full process noop") {
+        eng.process(cbatch, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
+      }
+      spark.catalog.clearCache()
+      cbatch.count()
+    }
     spark.stop()
   }
 }

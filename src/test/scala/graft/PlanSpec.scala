@@ -100,6 +100,60 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("GreaterThanOrEqual(o_orderkey,5)") && s.contains("LessThanOrEqual(o_orderkey,9)"))
   }
 
+  test("partition-pruned reassembly plants static partition filters on root, child, AND dim scans") {
+    import graft.cdc.IncrementalEngine.PartitionPrune
+    import graft.sources.Layout
+    val load = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdcpart").toString
+    Layout.keyPartitionedWrite(load("orders"), "o_orderkey", 128, s"$dir/orders")
+    Layout.keyPartitionedWrite(load("lineitem"), "l_orderkey", 128, s"$dir/lineitem")
+    Layout.keyPartitionedWrite(load("customer"), "c_custkey", 16, s"$dir/customer")
+    val pload: String => DataFrame = {
+      case t @ ("orders" | "lineitem" | "customer") => spark.read.parquet(s"$dir/$t")
+      case t                                        => load(t)
+    }
+    val prune = Map(
+      "orders"   -> PartitionPrune("_kp", 128),
+      "lineitem" -> PartitionPrune("_kp", 128),
+      "customer" -> PartitionPrune("_kp", 16)
+    )
+    // threshold 0 forces the oversized (broadcast semi-join) path — the one
+    // the scan-bounded incremental floor blames: without layout pruning it
+    // re-reads all three payload tables whole
+    val engine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, pload,
+      inSetThreshold = 0, partitionPrune = prune)
+    val changes = graft.cdc.Changes.of(
+      spark,
+      Seq(
+        ("UPDATE", "orders", null, """{"o_orderkey": 5}""", 1L),
+        ("UPDATE", "orders", null, """{"o_orderkey": 900}""", 2L)
+      )
+    )
+    val doc = engine.reassemble(engine.affectedRoots(changes, Lineage.empty(spark)))
+    val scans = doc.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    for (t <- Seq("orders", "lineitem", "customer")) {
+      val s = scans.find(x => x.contains(s"/$t"))
+      assert(s.isDefined, s"no scan of $t in:\n${scans.mkString("\n---\n")}")
+      assert(
+        s.get.contains("PartitionFilters") &&
+          !s.get.replaceAll("\\s", "").contains("PartitionFilters:[]") &&
+          s.get.contains("_kp"),
+        s"$t payload scan is not partition-pruned:\n${s.get}"
+      )
+    }
+    // layout must never change answers: ops at the partitioned layout equal
+    // ops at the flat layout (the same invariance the zorder row grades)
+    val base = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
+    val got = engine.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    val want = base.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(got == want)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("changeRows restricts the corpus scan to the affected ids, never shuffles it") {
     val load = Tables.load(spark, sf) _
     val batch = graft.cdc.Changes.of(
