@@ -69,6 +69,23 @@ object ClusterMap {
     StructField("bucket", IntegerType)
   ))
 
+  /** Member read schema including the synthetic-label marker: `syn = 1`
+    * rows materialize a pair endpoint that WON a contraction without ever
+    * being ingested (the no-split machinery needs the row so a later
+    * demotion can be pointered — see the foreignWinners write in
+    * [[applyBatch]]); `syn = 0` (or NULL, for files written before the
+    * marker existed — pre-marker maps surface exactly as they always did)
+    * is a real ingested document. Passed EXPLICITLY to the reader so a
+    * directory mixing pre/post-marker files resolves deterministically
+    * instead of by file sampling.
+    */
+  private val MemberReadSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("root", LongType),
+    StructField("syn", IntegerType),
+    StructField("bucket", IntegerType)
+  ))
+
   private val MergeSchema = StructType(Seq(
     StructField("from_root", LongType),
     StructField("to_root", LongType),
@@ -94,12 +111,16 @@ object ClusterMap {
   private def hasMembers(spark: SparkSession, dataDir: String): Boolean =
     IndexState.stagingHasData(spark, dataDir)
 
-  /** Raw member rows of a resolved data directory (un-merged roots). */
+  /** Raw member rows of a resolved data directory (un-merged roots), with
+    * the synthetic marker normalized to 0/1.
+    */
   private def readMembersAt(spark: SparkSession, dataDir: String): DataFrame =
     if (!hasMembers(spark, dataDir))
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], MemberSchema)
-    else spark.read.parquet(dataDir).select(col("id"), col("root"), col("bucket"))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], MemberReadSchema)
+    else
+      spark.read.schema(MemberReadSchema).parquet(dataDir)
+        .select(col("id"), col("root"), coalesce(col("syn"), lit(0)).as("syn"), col("bucket"))
 
   /** Pointer-log rows a merge log may hold before [[mergeClosure]] falls
     * back from the driver-side resolution to the distributed fixpoint. The
@@ -218,17 +239,40 @@ object ClusterMap {
     * or any other dedup family). Every step is batch-sized: endpoint
     * lookups prune member buckets, the contraction graph has one node per
     * TOUCHED cluster, and writes append one file group per batch.
+    *
+    * PRE-FIX MAPS: the no-split guarantee holds by induction from "every
+    * referenced root has a member row", which the foreignWinners write
+    * below establishes going FORWARD. A map persisted before that write
+    * existed can still hold foreign roots referenced only via other rows'
+    * `root` values; a later batch demoting such a root writes no pointer
+    * and the component splits silently. There is no incremental heal —
+    * run [[rebuild]] (one-time, from the surviving pair set) before
+    * relying on the guarantee for a pre-fix map.
     */
   def applyBatch(
       spark: SparkSession,
       path: String,
       pairs: DataFrame,
       newIds: DataFrame,
-      maxIter: Int = 10
+      maxIter: Int = 10,
+      stageTimer: Option[(String, Double) => Unit] = None
   ): Unit = {
+    // Sub-operator attribution (labels: resolve / contract / cc / ptr-write
+    // / member-write) — the seed call feeds the WHOLE corpus pair set
+    // through here, and "which of the five is superlinear on a clone-heavy
+    // corpus" is a scaling question the operator-level timer can't answer.
+    // Profiling checkpoints `contracted` so the contract/cc boundary is
+    // real; unprofiled runs keep the lazy plan (one materialization fewer).
+    def staged[T](label: String)(f: => T): T = stageTimer match {
+      case None => f
+      case Some(report) =>
+        val t0 = System.nanoTime()
+        val r = f
+        report(label, (System.nanoTime() - t0) / 1e9)
+        r
+    }
     val dataDir = IndexState.dataPath(spark, path)
     val buckets = readBuckets(spark, path)
-    val closure = mergeClosure(spark, dataDir)
 
     val endpoints = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id")))
@@ -239,24 +283,33 @@ object ClusterMap {
     // contraction, the merge-pointer predicate AND the foreign-winner
     // predicate — one bucket-pruned member scan per batch instead of three
     // (the round-11 shape re-probed storage for losers and winners).
-    val cur = endpoints
-      .join(lookupStored(spark, dataDir, buckets, endpoints)
-        .withColumnRenamed("root", "stored"), Seq("id"), "left_outer")
-      .join(closure.withColumnRenamed("from_root", "stored"), Seq("stored"), "left_outer")
-      .select(
-        col("id"),
-        col("stored"),
-        coalesce(col("to_root"), col("stored"), col("id")).as("cur_root"))
-      .localCheckpoint(true)
+    val cur = staged("resolve") {
+      val closure = mergeClosure(spark, dataDir)
+      endpoints
+        .join(lookupStored(spark, dataDir, buckets, endpoints)
+          .withColumnRenamed("root", "stored"), Seq("id"), "left_outer")
+        .join(closure.withColumnRenamed("from_root", "stored"), Seq("stored"), "left_outer")
+        .select(
+          col("id"),
+          col("stored"),
+          coalesce(col("to_root"), col("stored"), col("id")).as("cur_root"))
+        .localCheckpoint(true)
+    }
     try {
-      val contracted = pairs
+      val contractedLazy = pairs
         .join(cur.select(col("id").as("id_a"), col("cur_root").as("ra")), Seq("id_a"))
         .join(cur.select(col("id").as("id_b"), col("cur_root").as("rb")), Seq("id_b"))
         .select(col("ra").as("id_a"), col("rb").as("id_b"))
         .filter(col("id_a") =!= col("id_b"))
         .distinct()
+      val contracted =
+        if (stageTimer.isEmpty) contractedLazy
+        else staged("contract")(contractedLazy.localCheckpoint(true))
 
-      val labels = Dedup.connectedComponents(contracted, maxIter)
+      val labels = staged("cc")(Dedup.connectedComponents(contracted, maxIter))
+      if (stageTimer.isDefined)
+        try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(contracted)
+        catch { case scala.util.control.NonFatal(_) => () }
 
       // The contraction nodes that exist in storage, WITHOUT a second member
       // scan: a node is a cur_root, and a cur_root is storage-referenced iff
@@ -284,8 +337,10 @@ object ClusterMap {
       val merges = losing
         .join(storedNodes, Seq("id"))
         .select(col("id").as("from_root"), col("keep_id").as("to_root"), lit(seq).as("seq"))
-      if (!merges.isEmpty)
-        merges.coalesce(1).write.mode("append").parquet(s"$dataDir/$MergesDir")
+      staged("ptr-write") {
+        if (!merges.isEmpty)
+          merges.coalesce(1).write.mode("append").parquet(s"$dataDir/$MergesDir")
+      }
 
       // Foreign winners — pair endpoints never ingested that just became the
       // canonical root of a stored component — are materialized as member
@@ -299,50 +354,72 @@ object ClusterMap {
       val foreignWinners = winners
         .join(newIds.select(col("id")), Seq("id"), "left_anti")
         .join(storedNodes, Seq("id"), "left_anti")
-        .select(col("id"), col("id").as("root"))
+        .select(col("id"), col("id").as("root"), lit(1).as("syn"))
 
-      newIds
-        .select(col("id"))
-        .join(labels, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("keep_id"), col("id")).as("root"))
-        .unionByName(foreignWinners)
-        .select(
-          col("id"),
-          col("root"),
-          pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
-        // pinned partition count (the writeBm25Postings rationale): a bare
-        // repartition(col) lets AQE coalesce the batch-sized shuffle to ~1
-        // task, which then writes every touched bucket dir SERIALLY
-        .repartition(buckets, col("bucket"))
-        .write
-        .mode("append")
-        .partitionBy("bucket")
-        .parquet(dataDir)
+      staged("member-write") {
+        newIds
+          .select(col("id"))
+          .join(labels, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("keep_id"), col("id")).as("root"), lit(0).as("syn"))
+          .unionByName(foreignWinners)
+          .select(
+            col("id"),
+            col("root"),
+            col("syn"),
+            pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
+          // pinned partition count (the writeBm25Postings rationale): a bare
+          // repartition(col) lets AQE coalesce the batch-sized shuffle to ~1
+          // task, which then writes every touched bucket dir SERIALLY
+          .repartition(buckets, col("bucket"))
+          .write
+          .mode("append")
+          .partitionBy("bucket")
+          .parquet(dataDir)
+      }
     } finally {
       try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(cur)
       catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
+  /** All member rows fully resolved and replay-collapsed — `(id, root,
+    * syn)`, INCLUDING synthetic winner labels (`syn = 1`: pair endpoints
+    * never ingested that [[applyBatch]] materialized so a later demotion
+    * can be pointered). `min(syn)` makes a label that was later genuinely
+    * ingested real. This is the frame compaction and rebuild must persist
+    * from: dropping a still-canonical synthetic root from storage would
+    * resurrect the silent-split class the marker exists to prevent.
+    */
+  private def resolvedMembers(spark: SparkSession, dataDir: String): DataFrame = {
+    val closure = mergeClosure(spark, dataDir)
+    readMembersAt(spark, dataDir)
+      .join(closure.withColumnRenamed("from_root", "root"), Seq("root"), "left_outer")
+      .select(col("id"), coalesce(col("to_root"), col("root")).as("root"), col("syn"))
+      .groupBy(col("id"))
+      .agg(min(col("root")).as("root"), min(col("syn")).as("syn"))
+  }
+
   /** Every ingested document's fully-resolved cluster root `(id, root)` —
     * the arriving-data equivalent of [[Dedup.connectedComponents]] over the
     * cumulative pair list (plus `(id, id)` singletons). Duplicate member
     * rows from at-least-once replays collapse by min — the resolved root
-    * is monotonically non-increasing, so min is the freshest. A pair
-    * endpoint never passed through `newIds` that WON a contraction appears
-    * here too (it is a live cluster label — [[applyBatch]] materializes it
-    * so a later demotion can be pointered); restrict to the live corpus
-    * with [[assignmentsLive]] when only real documents should surface.
+    * is monotonically non-increasing, so min is the freshest.
+    *
+    * Synthetic winner labels (pair endpoints that were never ingested but
+    * won a contraction — [[applyBatch]] materializes them for the no-split
+    * contract) are FILTERED here: an aggregate over this surface counts
+    * only real documents. They can still appear as `root` VALUES (a cluster
+    * label need not be a live doc); maps written before the `syn` marker
+    * existed surface as they always did (pre-marker synthetic rows are
+    * indistinguishable from singletons — [[rebuild]] from the surviving
+    * pair set is the one-time cure, see the pre-fix note on [[applyBatch]]).
+    * Use [[assignmentsLive]] to additionally restrict to a live corpus
+    * (dropping DELETEd docs).
     */
-  def assignments(spark: SparkSession, path: String): DataFrame = {
-    val dataDir = IndexState.dataPath(spark, path)
-    val closure = mergeClosure(spark, dataDir)
-    readMembersAt(spark, dataDir)
-      .join(closure.withColumnRenamed("from_root", "root"), Seq("root"), "left_outer")
-      .select(col("id"), coalesce(col("to_root"), col("root")).as("root"))
-      .groupBy(col("id"))
-      .agg(min(col("root")).as("root"))
-  }
+  def assignments(spark: SparkSession, path: String): DataFrame =
+    resolvedMembers(spark, IndexState.dataPath(spark, path))
+      .filter(col("syn") === 0)
+      .select(col("id"), col("root"))
 
   /** [[assignments]] restricted to a LIVE corpus (single BIGINT `id`
     * column) — the read-side half of the no-split contract: DELETE events
@@ -391,11 +468,15 @@ object ClusterMap {
     val nMembers = readMembersAt(spark, dataDir).count()
     if (nMembers == 0L || nMerges.toDouble / nMembers < maxMergeRatio) return false
     val buckets = readBuckets(spark, path)
+    // resolvedMembers, NOT assignments: synthetic winner rows must survive
+    // compaction — a still-canonical synthetic root dropped from storage
+    // would be un-pointerable at its later demotion (the silent-split class)
     IndexState.compactAndSwap(spark, path, staging =>
-      assignments(spark, path)
+      resolvedMembers(spark, dataDir)
         .select(
           col("id"),
           col("root"),
+          col("syn"),
           pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
         .repartition(col("bucket"))
         .write
@@ -434,14 +515,28 @@ object ClusterMap {
     val labels = Dedup.connectedComponents(
       pairs.select(col("id_a"), col("id_b")).filter(col("id_a") =!= col("id_b")),
       maxIter)
+    // pair endpoints outside `ids` that won their component are materialized
+    // as synthetic rows, same as [[applyBatch]]'s foreignWinners: the rebuilt
+    // map must uphold the invariant that every referenced root has a member
+    // row, or the next demotion of such a root splits silently
+    val distinctIds = ids.select(col("id")).distinct()
+    val foreignWinners = labels
+      .filter(col("keep_id") === col("id"))
+      .select(col("id"))
+      .join(distinctIds, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("root"), lit(1).as("syn"))
     IndexState.compactAndSwap(spark, path, staging =>
-      ids
-        .select(col("id"))
-        .distinct()
+      distinctIds
         .join(labels, Seq("id"), "left_outer")
         .select(
           col("id"),
           coalesce(col("keep_id"), col("id")).as("root"),
+          lit(0).as("syn"))
+        .unionByName(foreignWinners)
+        .select(
+          col("id"),
+          col("root"),
+          col("syn"),
           pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
         .repartition(col("bucket"))
         .write

@@ -97,7 +97,11 @@ object ClusterStream {
     }
     staged("merge")(ClusterMap.applyBatch(
       spark, clusterPath, pairs,
-      corpus.select(col(id).cast("long").as("id"))))
+      corpus.select(col(id).cast("long").as("id")),
+      // sub-operator decomposition of the seed's one corpus-scale merge:
+      // resolve / contract / cc / ptr-write / member-write
+      stageTimer = stageTimer.map(report =>
+        (l: String, s: Double) => report(s"merge/$l", s))))
   }
 
   /** Source-table text for the candidate ids only: batch-sized sets become
@@ -201,7 +205,10 @@ object ClusterStream {
               catch { case scala.util.control.NonFatal(_) => () }
             }
           }
-          try staged("merge")(ClusterMap.applyBatch(spark, clusterPath, pairs, newIds))
+          try staged("merge")(ClusterMap.applyBatch(
+            spark, clusterPath, pairs, newIds,
+            stageTimer = stageTimer.map(report =>
+              (l: String, s: Double) => report(s"merge/$l", s))))
           finally {
             try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(pairs)
             catch { case scala.util.control.NonFatal(_) => () }

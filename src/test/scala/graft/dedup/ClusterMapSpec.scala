@@ -220,18 +220,25 @@ class ClusterMapSpec extends SparkSpec {
     val path = graft.util.TempDirs.scratch("cmap-foreign-winner").toString
     ClusterMap.init(spark, path, buckets = 4)
     // batch N: foreign id 5 (never in newIds) wins the contraction — stored
-    // members 10, 11 get root 5, and 5 is materialized as a member row so a
-    // later demotion is pointer-able
+    // members 10, 11 get root 5, and 5 is materialized as a SYNTHETIC member
+    // row so a later demotion is pointer-able. The default read surface
+    // filters the synthetic row: 5 appears only as a root VALUE, and a
+    // cluster-size aggregate over assignments counts only ingested docs.
     ClusterMap.applyBatch(spark, path, pairsDf((10L, 5L), (11L, 5L)), idsDf(10L, 11L))
-    assert(asMap(ClusterMap.assignments(spark, path)) ==
-      Map(5L -> 5L, 10L -> 5L, 11L -> 5L))
-    // batch N+1: 5 loses to new doc 3 (still not in newIds). Without the
-    // materialized row no pointer would be written and members 10, 11 would
-    // silently keep the stale root 5 while 3 starts a fresh component.
+    val a1 = ClusterMap.assignments(spark, path)
+    assert(asMap(a1) == Map(10L -> 5L, 11L -> 5L),
+      "synthetic winner label must not surface as a member row")
+    assert(
+      a1.groupBy("root").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(5L -> 2L),
+      "cluster sizes over the default surface count only ingested docs")
+    // batch N+1: 5 loses to new doc 3. Without the materialized synthetic
+    // row no pointer would be written and members 10, 11 would silently
+    // keep the stale root 5 while 3 starts a fresh component.
     ClusterMap.applyBatch(spark, path, pairsDf((3L, 5L)), idsDf(3L))
     assert(
       asMap(ClusterMap.assignments(spark, path)) ==
-        Map(3L -> 3L, 5L -> 3L, 10L -> 3L, 11L -> 3L),
+        Map(3L -> 3L, 10L -> 3L, 11L -> 3L),
       "stored members must follow their dethroned foreign root into the merged component")
   }
 
@@ -253,18 +260,19 @@ class ClusterMapSpec extends SparkSpec {
     val path = graft.util.TempDirs.scratch("cmap-foreign-chain").toString
     ClusterMap.init(spark, path, buckets = 4)
     ClusterMap.applyBatch(spark, path, pairsDf((10L, 5L)), idsDf(10L))
-    // 5 wins AGAIN from its materialized row (cur_root resolves through
-    // storage, not the bare endpoint) — no duplicate pointer machinery
+    // 5 wins AGAIN from its materialized synthetic row (cur_root resolves
+    // through storage, not the bare endpoint) — no duplicate pointer
+    // machinery; 5 itself stays filtered from the default surface
     ClusterMap.applyBatch(spark, path, pairsDf((5L, 20L)), idsDf(20L))
     assert(asMap(ClusterMap.assignments(spark, path)) ==
-      Map(5L -> 5L, 10L -> 5L, 20L -> 5L))
+      Map(10L -> 5L, 20L -> 5L))
     // replay batch 2 whole (at-least-once): converges, no state corruption
     ClusterMap.applyBatch(spark, path, pairsDf((5L, 20L)), idsDf(20L))
     assert(asMap(ClusterMap.assignments(spark, path)) ==
-      Map(5L -> 5L, 10L -> 5L, 20L -> 5L))
+      Map(10L -> 5L, 20L -> 5L))
     // finally 3 dethrones 5: one downward pointer moves the whole component
     ClusterMap.applyBatch(spark, path, pairsDf((3L, 5L)), idsDf(3L))
     assert(asMap(ClusterMap.assignments(spark, path)) ==
-      Map(3L -> 3L, 5L -> 3L, 10L -> 3L, 20L -> 3L))
+      Map(3L -> 3L, 10L -> 3L, 20L -> 3L))
   }
 }
