@@ -238,7 +238,7 @@ object Retrieval {
       // stay below 2^53, so double accumulation of the longs is exact
       // regardless of order)
       val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
-      writeBm25Stats(spark, path, s.getLong(0), s.getLong(1), buckets)
+      writeBm25Stats(spark, path, s.getLong(0), s.getLong(1), buckets, statsSeq = 0L)
       // impacts derive from the postings JUST WRITTEN (a pruned columnar
       // re-scan) rather than re-running the (id, dl, term) aggregation
       // over the token frame — one corpus shuffle saved per build
@@ -419,16 +419,26 @@ object Retrieval {
       .write.mode(mode).partitionBy("bucket").parquet(s"$dataDir/$TermDfDir")
   }
 
+  /** `statsSeq` is the mutation seq these counters COVER: every postings/
+    * doclens row with `seq <= statsSeq` is counted in `n_docs`/`dl_sum`,
+    * rows with a higher seq are not (they can exist only as the orphan tail
+    * of an append that crashed between its postings write and this stats
+    * overwrite). Appends advance it to their own seq; deletes and
+    * compaction carry it — under the single-writer at-least-once contract
+    * only the LAST batch can be orphaned, and its replay runs before any
+    * later mutation, so "counted iff seq <= statsSeq" stays exact.
+    */
   private def writeBm25Stats(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       nDocs: Long,
       dlSum: Long,
-      buckets: Int
+      buckets: Int,
+      statsSeq: Long
   ): Unit = {
     import spark.implicits._
-    Seq((nDocs, dlSum, buckets))
-      .toDF("n_docs", "dl_sum", "buckets")
+    Seq((nDocs, dlSum, buckets, statsSeq))
+      .toDF("n_docs", "dl_sum", "buckets", "stats_seq")
       .coalesce(1)
       .write
       .mode("overwrite")
@@ -438,12 +448,17 @@ object Retrieval {
   private val StatsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("dl_sum", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("buckets", org.apache.spark.sql.types.IntegerType)))
+    org.apache.spark.sql.types.StructField("buckets", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("stats_seq", org.apache.spark.sql.types.LongType)))
 
+  /** `(n_docs, dl_sum, buckets, stats_seq)`. A pre-marker stats file reads
+    * `stats_seq` as null → Long.MaxValue, i.e. "every row covered" — exactly
+    * the assumption the pre-marker delete leg made.
+    */
   private def readBm25Stats(
       spark: org.apache.spark.sql.SparkSession,
       path: String
-  ): (Long, Long, Int) = {
+  ): (Long, Long, Int, Long) = {
     // every probe and mutation opens the index through this read, so an
     // interrupted compaction swap self-heals here (IndexState.recoverSwap)
     IndexState.recoverSwap(spark, path)
@@ -462,10 +477,12 @@ object Retrieval {
         val rows = spark.read.schema(StatsSchema).parquet(p).collect()
         if (rows.nonEmpty) {
           val st = rows(0)
+          val seqIdx = st.fieldIndex("stats_seq")
           return (
             st.getLong(st.fieldIndex("n_docs")),
             st.getLong(st.fieldIndex("dl_sum")),
-            st.getInt(st.fieldIndex("buckets"))
+            st.getInt(st.fieldIndex("buckets")),
+            if (st.isNullAt(seqIdx)) Long.MaxValue else st.getLong(seqIdx)
           )
         }
         // listable but no rows yet: the same window, fall through to retry
@@ -502,7 +519,7 @@ object Retrieval {
     // an empty batch is not a mutation: no seq bump (which would stale the
     // compaction refusal memo for nothing) and no empty file group on disk
     if (docs.isEmpty) return
-    val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
+    val (nDocs, dlSum, buckets, _) = readBm25Stats(spark, path)
     val seq = IndexState.bumpSeq(spark, path)
     // Same single-tokenization + DISK_ONLY discipline as [[writeBm25Index]]
     // (batch-sized here, but the same no-memory-pinning rule applies).
@@ -522,19 +539,22 @@ object Retrieval {
       val (bn, bs) = if (s.isNullAt(0) || s.isNullAt(1)) (0L, 0L) else (s.getLong(0), s.getLong(1))
       // per-batch impact caps (superset carriers of the global cap — the
       // probe re-caps the visible union) + this batch's df deltas, frozen
-      // with the post-append avgdl. Written BEFORE the stats overwrite:
-      // readers key off stats, so stats-last keeps the whole append
-      // atomic-by-convention — a crash inside this window leaves the new
-      // postings AND sidecar rows invisible-in-effect (stale n_docs/avgdl
-      // describe the pre-append corpus for both probes alike) instead of
-      // postings the exact probe sees but the pruned probe permanently
-      // misses.
+      // with the post-append avgdl. Written BEFORE the stats overwrite so
+      // the exact and pruned probes never see asymmetric sidecars: a crash
+      // inside this window leaves the new postings AND impact rows behind
+      // with stale pre-append stats. That tail is not fully invisible (both
+      // probes match the orphan postings, scored with stale n_docs/avgdl),
+      // but it IS replay-safe: stats_seq still names the pre-append seq, so
+      // the replayed batch's delete leg tombstones the orphans WITHOUT
+      // decrementing stats for rows the stats never counted, and the
+      // replayed append then lands exactly once (spec: "a crash between
+      // postings and stats replays without stats drift").
       if (bn > 0L)
         writeBm25Impacts(
           posted, data, buckets,
           avgdl = (dlSum + bs).toDouble / (nDocs + bn), seq = seq,
           org.apache.spark.sql.SaveMode.Append)
-      writeBm25Stats(spark, path, nDocs + bn, dlSum + bs, buckets)
+      writeBm25Stats(spark, path, nDocs + bn, dlSum + bs, buckets, statsSeq = seq)
     } finally { withDl.unpersist(); posted.unpersist(); () }
   }
 
@@ -553,7 +573,7 @@ object Retrieval {
     * reclaim the tombstoned rows' space.
     */
   def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession, path: String, ids: DataFrame): Unit = {
-    val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
+    val (nDocs, dlSum, buckets, statsSeq) = readBm25Stats(spark, path)
     val del = ids.select(col("id").cast("long").as("id")).distinct()
     val bucketKeys = del
       .select(pmod(xxhash64(col("id")), lit(buckets.toLong)).as("b"))
@@ -568,13 +588,26 @@ object Retrieval {
     val live = IndexState
       .visibleAt(dlens, data, "id")
       .join(del, Seq("id"), "left_semi")
+    // Decrement ONLY rows the stats cover (seq <= stats_seq). Rows above
+    // stats_seq are the orphan tail of an append that crashed before its
+    // stats overwrite — the counters never included them, so decrementing
+    // would leave stats permanently low after the crashed batch replays.
+    // They are still TOMBSTONED below (the delete means the doc, not a
+    // generation), which is also what keeps the replayed append exactly-once.
+    val counted = live
+      .filter(col("seq") <= statsSeq)
       .groupBy(col("id"))
       .agg(max_by(col("dl"), col("seq")).as("dl"))
-    val s = live.agg(count(lit(1)).as("n"), sum(col("dl")).as("d")).collect()(0)
-    if (s.isNullAt(1) || s.getLong(0) == 0L) return // nothing live to delete
+    val s = counted.agg(count(lit(1)).as("n"), sum(col("dl")).as("d")).collect()(0)
+    val (dn, dd) = if (s.isNullAt(1)) (0L, 0L) else (s.getLong(0), s.getLong(1))
+    // nothing live at all (neither counted nor orphan): double-delete no-op
+    if (dn == 0L && live.isEmpty) return
     val seq = IndexState.bumpSeq(spark, path)
-    IndexState.appendTombstones(live.select(col("id")), path, seq)
-    writeBm25Stats(spark, path, nDocs - s.getLong(0), dlSum - s.getLong(1), buckets)
+    IndexState.appendTombstones(live.select(col("id")).distinct(), path, seq)
+    // stats_seq does NOT advance on delete: the counters still describe
+    // coverage up to the last append, and advancing here would wrongly
+    // mark a concurrent orphan tail as covered
+    writeBm25Stats(spark, path, nDocs - dn, dlSum - dd, buckets, statsSeq)
   }
 
   /** Rewrite a mutated index without its tombstoned rows: surviving
@@ -598,8 +631,11 @@ object Retrieval {
       .visibleAt(spark.read.parquet(s"$data/$DoclensDir"), data, "id")
       .repartition(col("dbucket"))
       .write.mode("overwrite").partitionBy("dbucket").parquet(s"$stagingPath/$DoclensDir")
-    val (n, d, b) = readBm25Stats(spark, path)
-    writeBm25Stats(spark, stagingPath, n, d, b)
+    val (n, d, b, statsSeq) = readBm25Stats(spark, path)
+    // carry stats_seq: surviving rows keep their seq stamps, so the
+    // covered/orphan boundary is unchanged by the rewrite
+    writeBm25Stats(spark, stagingPath, n, d, b,
+      if (statsSeq == Long.MaxValue) IndexState.readSeq(spark, path) else statsSeq)
     // refresh the impact sidecars globally: exact df again (delete drift
     // gone), caps re-derived per term over the surviving postings with the
     // current avgdl — reading the COMPACTED copy just written, so the
@@ -631,7 +667,7 @@ object Retrieval {
     require(maxDeadRatio > 0 && maxDeadRatio <= 1, s"maxDeadRatio must be in (0,1], got $maxDeadRatio")
     val dead = IndexState.tombstoneCount(spark, path)
     if (dead == 0L) return false
-    val (live, _, _) = readBm25Stats(spark, path)
+    val (live, _, _, _) = readBm25Stats(spark, path)
     // A fully-deleted index (live == 0) is NOT compacted: rewriting an
     // empty visible set would swap in a directory with no parquet part
     // files, which later reads cannot infer a schema from. Probes on the
@@ -713,7 +749,7 @@ object Retrieval {
       b: Double = 0.75
   ): DataFrame = {
     val spark = queries.sparkSession
-    val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
+    val (nDocs, dlSum, buckets, _) = readBm25Stats(spark, path)
     val avgdl = dlSum.toDouble / nDocs
     val qterms = queries
       .select(
@@ -780,7 +816,7 @@ object Retrieval {
       cap: Int = ImpactCap
   ): DataFrame = {
     val spark = queries.sparkSession
-    val (nDocs, dlSum, buckets) = readBm25Stats(spark, path)
+    val (nDocs, dlSum, buckets, _) = readBm25Stats(spark, path)
     val qterms = queries
       .select(
         col(qid).as("qid"),

@@ -267,6 +267,61 @@ class RetrievalSpec extends SparkSpec {
       .foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
   }
 
+  test("bm25 append crash between postings and stats replays without stats drift") {
+    // the advisor-named corner: an append that crashed AFTER its postings/
+    // doclens/impact writes but BEFORE the stats overwrite leaves an orphan
+    // tail; the replayed batch's delete leg (the CDC upsert shape) must
+    // tombstone the orphans WITHOUT decrementing stats the crash never
+    // incremented, or the counters end permanently low by one batch
+    val base = Seq(
+      (1L, "spark spark filler"),
+      (2L, "window join window"),
+      (3L, "spark other words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "spark window replay"),
+      (5L, "join filler filler join")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark filler"), (200L, "window join")).toDF("qid", "qtext")
+    val dir = graft.util.TempDirs.scratch("bm25-crash-replay").toString
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def probe(p: String) = Retrieval.bm25TopKIndexedBatch(p, queries, "qid", "qtext", 10)
+    def stats(p: String) = spark.read.parquet(s"$p/_graft_stats")
+      .select("n_docs", "dl_sum").collect().map(r => (r.getLong(0), r.getLong(1))).head
+    Retrieval.writeBm25Index(base, "doc_id", "text", dir, buckets = 8)
+    val preStats = spark.read.parquet(s"$dir/_graft_stats").collect().head
+    // append lands whole, then the crash is simulated by restoring the
+    // PRE-append stats file (counters + stats_seq of the base build) —
+    // byte-equivalent to dying between writeBm25Postings and writeBm25Stats
+    Retrieval.appendBm25Index(batch, "doc_id", "text", dir)
+    Seq((preStats.getLong(0), preStats.getLong(1), preStats.getInt(2), preStats.getLong(3)))
+      .toDF("n_docs", "dl_sum", "buckets", "stats_seq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_stats")
+    // at-least-once recovery replays the batch through the upsert shape
+    Retrieval.deleteFromBm25Index(spark, dir, batch.select(col("doc_id").as("id")))
+    Retrieval.appendBm25Index(batch, "doc_id", "text", dir)
+    val rebuiltDir = graft.util.TempDirs.scratch("bm25-crash-rebuild").toString
+    Retrieval.writeBm25Index(base.union(batch), "doc_id", "text", rebuiltDir, buckets = 8)
+    assert(stats(dir) == stats(rebuiltDir),
+      "replay after a mid-append crash must leave stats equal to a fresh rebuild")
+    assert(rows(probe(dir)) == rows(probe(rebuiltDir)),
+      "replay after a mid-append crash must probe equal to a fresh rebuild")
+    // pre-marker stats files (no stats_seq column) read as everything-
+    // covered: a normal delete still decrements exactly as before the marker
+    val (pn, pd) = stats(dir)
+    Seq((pn, pd, 8)).toDF("n_docs", "dl_sum", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_stats")
+    Retrieval.deleteFromBm25Index(spark, dir, Seq(5L).toDF("id"))
+    val survivorsDir = graft.util.TempDirs.scratch("bm25-crash-survivors").toString
+    Retrieval.writeBm25Index(base.union(batch).filter(col("doc_id") =!= 5L),
+      "doc_id", "text", survivorsDir, buckets = 8)
+    assert(stats(dir) == stats(survivorsDir), "pre-marker stats file must keep exact deletes")
+    assert(rows(probe(dir)) == rows(probe(survivorsDir)))
+    Seq(dir, rebuiltDir, survivorsDir)
+      .foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
+  }
+
   test("bm25 auto-compaction: fires at the dead-ratio threshold, swaps atomically, probes unchanged") {
     val docs = Seq(
       (1L, "spark spark spark"),
