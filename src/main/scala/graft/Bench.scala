@@ -96,6 +96,10 @@ object Bench {
         // applyBatch cost q_composed_cdc already times (its extra probe legs
         // are individually timed by q_ann_* / q_bm25_* rows)
         "q_composed_full",
+        // fresh-seed correctness row (independent post-compaction oracle):
+        // its plan is seed-build-dominated; the pruned probe itself is the
+        // q_bm25_pruned timed row
+        "q_composed_bm25_compacted",
         "q_events_sessions_stream", "q_classifier",
       // correctness row whose plan INCLUDES the one-time layout prep (three
       // key-partitioned table rewrites); the honest timing is the

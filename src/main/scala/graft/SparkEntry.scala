@@ -626,6 +626,32 @@ object SparkEntry {
             graft.dedup.ClusterMap.assignments(s, s"${sc.root}/cluster")))
         .unionByName(fact("media", "n_rows", count(lit(1)), media))
     }),
+    // ---- POST-COMPACTION pruned probe against GROUND TRUTH: a FRESH
+    // two-consumer scenario (not the session cache — compaction would erase
+    // the df drift the cached composed rows' oracles model) takes the same
+    // change batch, compacts the BM25 index (exact df restored, caps
+    // re-derived over survivors), and probes through the production pruned
+    // path. The oracle derives the same answer FROM SCRATCH over the post
+    // corpus — tokenize → per-term top-cap by (impact DESC, id) → exact-df
+    // BM25 — sharing none of the engine's mutation bookkeeping, so the
+    // approximation contract itself ("pruned = impact-capped exact-df BM25
+    // after compaction") stays externally checked while the composed rows
+    // model the in-between drift states. ---------------------------------
+    "q_composed_bm25_compacted" -> ((s, dir) => {
+      val sc = composedScenario(s, dir, full = false)
+      sc.activatePost()
+      sc.pipeline.applyBatch(sc.changeBatch())
+      // the batch's deletes + update-tombstones make dead > 0; any positive
+      // threshold this small must fire
+      val compacted = graft.functions.Retrieval
+        .maybeCompactBm25Index(s, s"${sc.root}/bm25", maxDeadRatio = 1e-9)
+      require(compacted, "the composed change batch must force a BM25 compaction")
+      val queries = sc.media(true).filter(col("doc_id") < 3)
+      graft.functions.Retrieval.bm25TopKIndexedPrunedBatch(
+        s"${sc.root}/bm25",
+        queries.select(col("doc_id").as("qid"), col("text").as("qtext")),
+        "qid", "qtext", 10)
+    }),
     // ---- skewed-key aggregation via two-phase salting ----------------------
     // l_returnflag has 3 values — every row funnels through 3 reducers in a
     // naive groupBy; the salted path spreads each hot key over 16 (key,salt)
@@ -1476,7 +1502,12 @@ object SparkEntry {
         graft.dedup.ClusterMap
           .assignments(s, path)
           .select(col("id").as("doc_id"), col("root").as("keep_id"))
-      } finally { pairs.unpersist(); () }
+      } finally {
+        pairs.unpersist()
+        // the pair operator's own eager checkpoint (under the cache above)
+        try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(pairs)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }),
     // ---- top-k per group: bounded-heap aggregate, not a window sort --------
     "q_topk_per_group" -> ((s, dir) =>
@@ -2240,6 +2271,66 @@ object SparkEntry {
          UNION ALL
          SELECT 'ann', qid, neighbor_id, CAST(round(10000 * cos) AS BIGINT)
          FROM ann_ranked WHERE rank <= 10"""
+    },
+    // INDEPENDENT ground truth for the post-compaction pruned probe: the
+    // bm25PrunedSql derivation over the POST corpus — tokenize, impact-cap
+    // per term, exact df — with NO replay of the engine's seed/batch cap
+    // freezing or df drift (compaction erased them). If the engine's cap or
+    // drift semantics ever went wrong in a way composedBm25PrunedCtes
+    // faithfully mirrors, this row still catches it.
+    "q_composed_bm25_compacted" -> {
+      val cap = graft.functions.Retrieval.ImpactCap
+      s"""WITH media AS (
+           SELECT d.doc_id, d.text
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         post AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 8 THEN 'updated ' || text ELSE text END AS text
+           FROM media WHERE doc_id % 10 <> 7
+           UNION ALL
+           SELECT doc_id + 100000000, 'clone ' || text
+           FROM media WHERE doc_id % 10 = 9),
+         q AS (SELECT doc_id AS qid, text FROM post WHERE doc_id < 3),
+         qterms AS (
+           SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+           FROM q),
+         dl AS (
+           SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+           FROM post),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+           FROM post),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         imp AS (
+           SELECT t.doc_id, t.term, t.tf, d.dl,
+                  CAST(round(1000000.0 * (t.tf * 2.2)
+                             / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS BIGINT)
+                    AS imp_micro
+           FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s),
+         kept AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY term ORDER BY imp_micro DESC, doc_id) AS rn
+             FROM imp)
+           WHERE rn <= $cap),
+         scored AS (
+           SELECT qt.qid, t.doc_id AS id,
+                  CAST(sum(CAST(round(
+                    1000000.0 * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)))
+                  ) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM kept t JOIN dfreq f USING (term)
+                CROSS JOIN stats s JOIN qterms qt ON qt.term = t.term
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, id, score_micro,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id)
+                       AS BIGINT) AS rank
+           FROM scored)
+         SELECT qid, id, score_micro, rank FROM ranked WHERE rank <= 10"""
     },
     // ALL SIX SURFACES from scratch: the q_composed_cdc replay (doc + BM25 +
     // LSH over the post corpus) extended with the PQ replay (q_ann_ivfpq
