@@ -399,6 +399,16 @@ object Dedup {
     * long comparisons beat k 32-char string comparisons). Band key = band
     * index ":" concat of the band's min hashes.
     * Output: (id_a, id_b, jaccard_milli).
+    *
+    * EXECUTION SEMANTICS: the returned frame is EAGERLY materialized
+    * (`localCheckpoint(true)`) — the call runs the whole pipeline at call
+    * time and hands back the pair-set-sized result, so the shingle/banding
+    * intermediates can be released before the caller's downstream plan
+    * runs. The checkpoint blocks are reclaimed by the context cleaner once
+    * the frame is unreferenced; a long-lived caller that is DONE with the
+    * pairs can release them immediately via
+    * `GraftColumnBridge.unpersistLocalCheckpoint` (see
+    * [[graft.streaming.ClusterStream.seed]]).
     */
   def minhashLshPortable(
       docs: DataFrame,

@@ -95,13 +95,20 @@ object ClusterStream {
           .select(col("id_a"), col("id_b"))
       else inBatchPairs(docs, "id", "t", m)
     }
-    staged("merge")(ClusterMap.applyBatch(
+    try staged("merge")(ClusterMap.applyBatch(
       spark, clusterPath, pairs,
       corpus.select(col(id).cast("long").as("id")),
       // sub-operator decomposition of the seed's one corpus-scale merge:
       // resolve / contract / cc / ptr-write / member-write
       stageTimer = stageTimer.map(report =>
         (l: String, s: Double) => report(s"merge/$l", s))))
+    finally {
+      // both pair operators return eagerly-checkpointed frames; the seed is
+      // done with them after the merge — release instead of waiting for the
+      // context cleaner (corpus-scale seeds hold pair-set-sized blocks)
+      try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(pairs)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Source-table text for the candidate ids only: batch-sized sets become

@@ -87,6 +87,35 @@ object MutationScale {
     val bmProbeAfter = minOf3(bmProbe())
     val bmProbePrunedAfter = minOf3(bmProbePruned())
 
+    // ---- impact-growth DEFAULT excursion (Bm25Stream's shipped
+    // impactGrowthMultiple = 64): drive the hot terms to the knee with 64
+    // append-only micro-batches (every batch re-appends the same 200 base
+    // docs under fresh ids, so common terms gain one sidecar generation per
+    // batch), time the pruned probe AT the excursion, fire the default
+    // policy, time it after — the measured probe-cost factor the default
+    // multiple actually costs, which the wiring spec (multiple=3) cannot
+    // show. The probe queries are the same hot docs, so they pay the full
+    // cap x 64 per-term volume.
+    val growthSeed = docs.filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).cache()
+    growthSeed.count()
+    val (bmGrowthAppends, _) = time {
+      (1 to 64).foreach { i =>
+        Retrieval.appendBm25Index(
+          growthSeed.select(
+            (col("doc_id") + lit(2000000000L) + lit(i.toLong * 1000000L)).as("doc_id"),
+            col("text")),
+          "doc_id", "text", bmIdx)
+      }
+    }
+    bmProbePruned() // untimed warm-up at the excursion shape
+    val bmProbePrunedExcursion = minOf3(bmProbePruned())
+    val (bmGrowthCompact, growthFired) =
+      time(Retrieval.maybeCompactBm25ByImpactGrowth(spark, bmIdx))
+    require(growthFired, "expected 64 append batches to trip the default growth policy")
+    val bmProbePrunedPostGrowth = minOf3(bmProbePruned())
+    growthSeed.unpersist()
+
     // ---- LSH vector index ---------------------------------------------------
     val emb = load("embeddings")
     val nVecs = emb.count()
@@ -174,7 +203,9 @@ object MutationScale {
         f""""probe_dead10_sec":$bmProbeDead10%.3f,"delete10b_sec":$bmDel2%.3f,"probe_dead20_sec":$bmProbeDead20%.3f,""" +
         f""""compact_sec":$bmCompact%.3f,"probe_after_compact_sec":$bmProbeAfter%.3f,""" +
         f""""probe_pruned_clean_sec":$bmProbePrunedClean%.3f,"probe_pruned_dead20_sec":$bmProbePrunedDead20%.3f,""" +
-        f""""probe_pruned_after_compact_sec":$bmProbePrunedAfter%.3f},""" +
+        f""""probe_pruned_after_compact_sec":$bmProbePrunedAfter%.3f,""" +
+        f""""growth_appends64_sec":$bmGrowthAppends%.3f,"probe_pruned_excursion64_sec":$bmProbePrunedExcursion%.3f,""" +
+        f""""growth_compact_sec":$bmGrowthCompact%.3f,"probe_pruned_post_growth_sec":$bmProbePrunedPostGrowth%.3f},""" +
         f""""lsh":{"build_sec":$annBuild%.3f,"probe_clean_sec":$annProbeClean%.3f,"delete10_sec":$annDel1%.3f,""" +
         f""""probe_dead10_sec":$annProbeDead10%.3f,"delete10b_sec":$annDel2%.3f,"probe_dead20_sec":$annProbeDead20%.3f,""" +
         f""""compact_sec":$annCompact%.3f,"probe_after_compact_sec":$annProbeAfter%.3f},""" +

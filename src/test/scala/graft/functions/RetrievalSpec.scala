@@ -210,6 +210,51 @@ class RetrievalSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("bm25 impact-growth SHIPPED default (64): an append-only feed is bounded at the knee and stays probe-exact") {
+    // the wiring spec above exercises multiple=3; this one drives the
+    // DEFAULT policy (Bm25Stream.applyBatch's impactGrowthMultiple = 64)
+    // through enough hot-term batches to trip it, asserting the per-term
+    // generation excursion never exceeds 64 (so the pruned probe's volume
+    // is bounded at cap x 64 rows per term at the default — the stated
+    // production bound), that the feed genuinely reached the knee before
+    // the policy fired (no earlier leg can fire: append-only means zero
+    // tombstones), and that the probe stays exact throughout
+    val dir = graft.util.TempDirs.scratch("bm25-growth-default").toString
+    val base = Seq((1L, "spark spark spark"), (2L, "spark window join")).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark")).toDF("qid", "qtext")
+    def termdfMultiple(): Double = {
+      val p = s"${graft.sources.IndexState.dataPath(spark, dir)}/${Retrieval.TermDfDir}"
+      spark.read.parquet(p)
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getLong(0).toDouble
+    }
+    Retrieval.writeBm25Index(base, "doc_id", "text", dir, buckets = 8)
+    var maxSeen = 1.0
+    val appended = (10L until 80L).map { i =>
+      val batch = Seq(("INSERT", i, s"spark doc $i")).toDF("tg_op", "id", "text")
+      graft.streaming.Bm25Stream.applyBatch(
+        spark, batch, dir, "id", "text", autoCompactRatio = Some(0.2))
+      val m = termdfMultiple()
+      maxSeen = math.max(maxSeen, m)
+      assert(m <= 64.0, s"batch $i left the hot term at $m generations — the default never fired")
+      (i, s"spark doc $i")
+    }
+    assert(maxSeen >= 60.0,
+      s"excursion peaked at $maxSeen — the feed never approached the default knee, the spec is vacuous")
+    assert(termdfMultiple() < 64.0 && maxSeen <= 64.0)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pruned = rows(Retrieval.bm25TopKIndexedPrunedBatch(dir, queries, "qid", "qtext", 10))
+    assert(pruned == rows(Retrieval.bm25TopKIndexedBatch(dir, queries, "qid", "qtext", 10)),
+      "pruned must equal the exact probe after the default-policy feed")
+    val rebuiltDir = graft.util.TempDirs.scratch("bm25-growth-default-rebuild").toString
+    Retrieval.writeBm25Index(base.union(appended.toDF("doc_id", "text")),
+      "doc_id", "text", rebuiltDir, buckets = 8)
+    assert(pruned == rows(Retrieval.bm25TopKIndexedPrunedBatch(rebuiltDir, queries, "qid", "qtext", 10)),
+      "pruned must equal a fresh rebuild's probe after the default-policy feed")
+    Seq(dir, rebuiltDir).foreach(d => graft.util.TempDirs.delete(java.nio.file.Paths.get(d)))
+  }
+
   test("bm25 persisted index deletes: probe equals a rebuild without the docs, bit-for-bit") {
     val docs = Seq(
       (1L, "spark spark spark"),
