@@ -249,10 +249,16 @@ object Bench {
     Layout.keyPartitionedWrite(load("orders"), "o_orderkey", 16384, s"$pdir/orders")
     Layout.keyPartitionedWrite(load("lineitem"), "l_orderkey", 16384, s"$pdir/lineitem")
     Layout.keyPartitionedWrite(load("customer"), "c_custkey", 2048, s"$pdir/customer")
-    val pload: String => org.apache.spark.sql.DataFrame = {
-      case t @ ("orders" | "lineitem" | "customer") => spark.read.parquet(s"$pdir/$t")
-      case t                                        => load(t)
-    }
+    // memoized relations (the ProfileCdc rationale): partition discovery on
+    // a many-directory tree is paid per spark.read.parquet CALL, and the
+    // engine loads each table several times per batch — one relation per
+    // table per run, as a production session would hold
+    val ploadCache = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+    val pload: String => org.apache.spark.sql.DataFrame = t =>
+      ploadCache.getOrElseUpdate(t, t match {
+        case "orders" | "lineitem" | "customer" => spark.read.parquet(s"$pdir/$t")
+        case _                                  => load(t)
+      })
     val maxKey = load("orders").agg(max(col("o_orderkey"))).head().getLong(0)
     val pbatch = load("orders")
       .filter(col("o_orderkey") > maxKey - 5000)

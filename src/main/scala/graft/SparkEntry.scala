@@ -738,10 +738,14 @@ object SparkEntry {
       graft.sources.Layout.keyPartitionedWrite(base("orders"), "o_orderkey", 2048, s"$scratch/orders")
       graft.sources.Layout.keyPartitionedWrite(base("lineitem"), "l_orderkey", 2048, s"$scratch/lineitem")
       graft.sources.Layout.keyPartitionedWrite(base("customer"), "c_custkey", 256, s"$scratch/customer")
-      val load: String => DataFrame = {
-        case t @ ("orders" | "lineitem" | "customer") => s.read.parquet(s"$scratch/$t")
-        case t                                        => base(t)
-      }
+      // memoized relations: partition discovery is per read.parquet CALL and
+      // the engine loads each table several times per batch
+      val loadCache = scala.collection.mutable.Map.empty[String, DataFrame]
+      val load: String => DataFrame = t =>
+        loadCache.getOrElseUpdate(t, t match {
+          case "orders" | "lineitem" | "customer" => s.read.parquet(s"$scratch/$t")
+          case _                                  => base(t)
+        })
       val changes = load("lineitem")
         .filter(pmod(col("l_partkey"), lit(50)) === 0)
         .select(
