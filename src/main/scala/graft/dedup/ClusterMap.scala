@@ -255,7 +255,8 @@ object ClusterMap {
       pairs: DataFrame,
       newIds: DataFrame,
       maxIter: Int = 10,
-      stageTimer: Option[(String, Double) => Unit] = None
+      stageTimer: Option[(String, Double) => Unit] = None,
+      ccInMemPairs: Int = Dedup.InMemCcPairs
   ): Unit = {
     // Sub-operator attribution (labels: resolve / contract / cc / ptr-write
     // / member-write) — the seed call feeds the WHOLE corpus pair set
@@ -306,7 +307,7 @@ object ClusterMap {
         if (stageTimer.isEmpty) contractedLazy
         else staged("contract")(contractedLazy.localCheckpoint(true))
 
-      val labels = staged("cc")(Dedup.connectedComponents(contracted, maxIter))
+      val labels = staged("cc")(Dedup.connectedComponents(contracted, maxIter, ccInMemPairs))
       if (stageTimer.isDefined)
         try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(contracted)
         catch { case scala.util.control.NonFatal(_) => () }
@@ -512,9 +513,11 @@ object ClusterMap {
   ): Boolean = {
     val buckets = readBuckets(spark, path)
     IndexState.bumpSeq(spark, path)
+    // rebuild is seed-shaped: the whole surviving pair set contracts at
+    // once, so it takes the seed-scale driver union-find ceiling
     val labels = Dedup.connectedComponents(
       pairs.select(col("id_a"), col("id_b")).filter(col("id_a") =!= col("id_b")),
-      maxIter)
+      maxIter, Dedup.SeedCcPairs)
     // pair endpoints outside `ids` that won their component are materialized
     // as synthetic rows, same as [[applyBatch]]'s foreignWinners: the rebuilt
     // map must uphold the invariant that every referenced root has a member

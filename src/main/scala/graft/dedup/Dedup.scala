@@ -1267,8 +1267,12 @@ object Dedup {
     * transitive closure.
     * Input: (id_a, id_b); output: (id, keep_id).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame =
-    connectedComponentsWithStatus(pairs, maxIter) match {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 10,
+      inMemThreshold: Int = InMemCcPairs
+  ): DataFrame =
+    connectedComponentsWithStatus(pairs, maxIter, inMemThreshold) match {
       case (labels, converged) =>
         if (!converged)
           log.warn(
@@ -1288,7 +1292,22 @@ object Dedup {
     * the driver, the engine's bounded-collect ceiling class; corpus-scale
     * pair sets take the distributed loop unchanged.
     */
-  private val InMemCcPairs = 65536
+  private[graft] val InMemCcPairs = 65536
+
+  /** The SEED-scale driver ceiling: a from-scratch seed/rebuild contraction
+    * over a whole (test-scale) corpus is round-latency-bound in the
+    * distributed loop — each propagation round costs two fixed-latency
+    * shuffles regardless of data, and a 10× corpus grows the pair set past
+    * [[InMemCcPairs]] while its components stay shallow (measured: seed
+    * merge/cc 0.04 s → 2.34 s at 10×, the one superlinear seed stage). A
+    * million (id_a, id_b) rows collect at ~50 MB — a deliberate, one-per-
+    * seed exception to the 65 536 bounded-collect ceiling class, taken
+    * only by [[graft.dedup.ClusterMap]]'s seed-shaped entry points. At
+    * true corpus scale the pair set blows past this too and the
+    * distributed loop is then genuinely data-bound, which is the right
+    * tool there.
+    */
+  private[graft] val SeedCcPairs = 1 << 20
 
   /** As [[connectedComponents]], but also returns whether label propagation
     * converged within `maxIter` — callers that must not split clusters can

@@ -101,7 +101,12 @@ object ClusterStream {
       // sub-operator decomposition of the seed's one corpus-scale merge:
       // resolve / contract / cc / ptr-write / member-write
       stageTimer = stageTimer.map(report =>
-        (l: String, s: Double) => report(s"merge/$l", s))))
+        (l: String, s: Double) => report(s"merge/$l", s)),
+      // seed-scale contraction: the whole corpus pair set arrives at once
+      // with shallow components — the distributed CC loop is round-latency-
+      // bound there (merge/cc 0.04 -> 2.34 s at 10x corpus), so the driver
+      // union-find ceiling is raised to the seed class (Dedup.SeedCcPairs)
+      ccInMemPairs = graft.dedup.Dedup.SeedCcPairs))
     finally {
       // both pair operators return eagerly-checkpointed frames; the seed is
       // done with them after the merge — release instead of waiting for the

@@ -338,6 +338,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("seed-ceiling driver CC equals the distributed loop above the batch ceiling") {
+    // the seed/rebuild contraction class: a pair set ABOVE the 65 536 batch
+    // ceiling (so the default path would take the distributed loop) but
+    // within Dedup.SeedCcPairs — 100k random edges over 30k nodes, driver
+    // union-find vs distributed min-label must agree exactly
+    val rnd = new scala.util.Random(41)
+    val edges = Vector.fill(100000)((rnd.nextInt(30000).toLong, rnd.nextInt(30000).toLong))
+      .filter(p => p._1 != p._2)
+    assert(edges.size > Dedup.InMemCcPairs)
+    val pairs = edges.toDF("id_a", "id_b").repartition(8)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (fastDf, fastConverged) =
+      Dedup.connectedComponentsWithStatus(pairs, maxIter = 40, inMemThreshold = Dedup.SeedCcPairs)
+    assert(fastConverged)
+    val fast = asMap(fastDf)
+    val dist = asMap(Dedup.connectedComponentsWithStatus(pairs, 40, inMemThreshold = 0)._1)
+    assert(fast == dist, "seed-ceiling union-find != distributed min-label")
+  }
+
   test("corpus-cleaning composition: near-dup pairs → components → keep-filtered corpus") {
     import graft.functions.{TextFunctions => TF}
     // exact + near dups planted; pipeline keeps one representative per component
