@@ -50,9 +50,13 @@ import org.apache.spark.sql.types.StringType
   *   root/child/dim tables whole (scan-only but corpus-sized); with it the
   *   re-read is bounded by the batch's key spread, independent of corpus
   *   size. Supported table positions — the root, root-keyed children
-  *   (partitioned by the FK, same key domain), and single-hop one_to_one
-  *   dims (partitioned by their PK; touched values derived from the pruned
-  *   root rows' FK column) — are validated at construction.
+  *   (partitioned by the FK, same key domain), single-hop one_to_one dims
+  *   (partitioned by their PK; touched values derived from the pruned root
+  *   rows' FK column), and many-to-many far sides behind a root-keyed
+  *   through table (partitioned by the join key; touched values derived
+  *   from the pruned THROUGH scan's far-FK column) — are validated at
+  *   construction, along with a sampled layout-consistency check that the
+  *   directory values really are floor(key/width) of the assumed key column.
   */
 final class IncrementalEngine(
     root: Node,
@@ -129,8 +133,19 @@ final class IncrementalEngine(
     // keys per (table, pk), one walk-up per chain) — cache it once instead
     // of recomputing the feed per branch. The previous batch's cache is
     // released here, bounding a long-running stream to one live batch cache
-    // (micro-batches are sequential).
-    lastBatchCache.foreach(_.unpersist())
+    // (micro-batches are sequential). SAME-FRAME GUARD: the cache manager is
+    // keyed by plan, so when the incoming frame IS the previous batch (a
+    // redelivered/replayed batch, or a bench re-processing one frame),
+    // unpersisting "the previous batch" would drop this frame's own
+    // still-valid cache and re-materialize its plan — possibly a
+    // corpus-derived scan — inside the caller's timed window.
+    lastBatchCache match {
+      case Some(prev)
+          if (prev eq rawChanges) ||
+            prev.queryExecution.analyzed.sameResult(rawChanges.queryExecution.analyzed) =>
+        ()
+      case other => other.foreach(_.unpersist())
+    }
     val changes = rawChanges.cache()
     lastBatchCache = Some(changes)
 
@@ -282,14 +297,44 @@ final class IncrementalEngine(
       else None
     }.toMap
 
+  /** Far side of a many-to-many: tables whose EVERY tree position is exactly
+    * two single-column hops to the root — one to a through table, one from
+    * the through table to the root on the root PKs — with the through table
+    * itself root-keyed-restrictable. Their touched-partition set derives
+    * from the RESTRICTED through scan's far-side FK values (the dim pattern
+    * one hop further out): every supplier a pruned lineitem row references
+    * keeps its partition by construction, and the join does row exactness.
+    * At 100 TB the through table is often the biggest table in the tree, so
+    * this is the J4/q_through topology's answer to the same scan floor the
+    * root-keyed path closes. Value: (through table, far-side FK column ON
+    * the through table, key column on the far table).
+    */
+  private val throughFarCols: Map[String, (String, String, String)] =
+    chains.toSeq.flatMap { case (t, cs) =>
+      val fars = cs.map {
+        case farHop :: rootHop :: Nil
+            if rootHop.toTable == root.table && rootHop.toCols == rootPks &&
+              farHop.toTable == rootHop.fromTable &&
+              farHop.fromCols.size == 1 && farHop.toCols.size == 1 &&
+              rootKeyedChildCols.contains(farHop.toTable) =>
+          Some((farHop.toTable, farHop.toCols.head, farHop.fromCols.head))
+        case _ => None
+      }
+      if (fars.forall(_.isDefined) && fars.flatten.distinct.size == 1)
+        Some(t -> fars.head.get)
+      else None
+    }.toMap
+
   // Partition-prune specs are validated eagerly: a typo'd table or an
   // unsupported tree position must fail at engine construction, not
   // silently scan unpruned (or worse, prune the wrong rows) per batch.
   partitionPrune.keys.foreach { t =>
     require(
-      t == root.table || rootKeyedChildCols.contains(t) || rootDimCols.contains(t),
-      s"partitionPrune($t): only the root, root-keyed children, and single-hop " +
-        "one_to_one dims support affected-set partition pruning"
+      t == root.table || rootKeyedChildCols.contains(t) || rootDimCols.contains(t) ||
+        throughFarCols.contains(t),
+      s"partitionPrune($t): only the root, root-keyed children, single-hop " +
+        "one_to_one dims, and many-to-many far sides behind a root-keyed " +
+        "through table support affected-set partition pruning"
     )
   }
   require(
@@ -297,13 +342,24 @@ final class IncrementalEngine(
     "partitionPrune requires a single-column root primary key (the affected " +
       "ids must cast back to the partitioning key)"
   )
+  /** The key column the prune derivation assumes the table's layout is
+    * partitioned on at its tree position — the root PK, a child's root FK, a
+    * dim's PK, or a far side's join key.
+    */
+  private def pruneKeyCol(t: String): String =
+    if (t == root.table) rootPks.head
+    else
+      rootKeyedChildCols
+        .get(t)
+        .map(_.head)
+        .orElse(rootDimCols.get(t).map(_._2))
+        .getOrElse(throughFarCols(t)._3)
+
   // The partitioning key must be integral: touched partitions are
   // floor(key / width) and non-numeric keys would derive an empty (thus
   // row-dropping) partition filter.
   partitionPrune.keys.foreach { t =>
-    val keyCol =
-      if (t == root.table) rootPks.head
-      else rootKeyedChildCols.get(t).map(_.head).getOrElse(rootDimCols(t)._2)
+    val keyCol = pruneKeyCol(t)
     val dt = load(t).schema(keyCol).dataType
     require(
       dt == org.apache.spark.sql.types.LongType ||
@@ -311,6 +367,46 @@ final class IncrementalEngine(
         dt == org.apache.spark.sql.types.ShortType,
       s"partitionPrune($t): key column $keyCol must be integral, got $dt"
     )
+  }
+
+  /** Rows sampled per pruned table by the construction-time layout check —
+    * one `limit` job reading from one partition directory, where a layout
+    * written on a DIFFERENT column than the tree position's key fails
+    * immediately (within a directory the wrong key is ~uniform over the full
+    * key space, so floor(key/width) == partValue only by coincidence).
+    */
+  private val LayoutSampleRows = 256
+
+  // Layout-consistency guard: the prune spec names only (partCol, width) —
+  // nothing structural ties the DIRECTORY values to the key column the
+  // derivation assumes (a layout keyPartitionedWrite-ed on l_partkey probed
+  // with root orderkeys passes every schema check and silently drops rows).
+  // Sample rows of each pruned table and require partCol == floor(key/width)
+  // — cheap, eager, and independent of how the layout was produced (covers
+  // hand-built layouts a [[graft.sources.Layout.keyPartitionSpec]] sidecar
+  // could not vouch for).
+  partitionPrune.foreach { case (t, pp) =>
+    val keyCol = pruneKeyCol(t)
+    val sample = load(t)
+      .select(
+        col(keyCol).cast(org.apache.spark.sql.types.LongType).as("__k"),
+        col(pp.partCol).cast(org.apache.spark.sql.types.LongType).as("__p")
+      )
+      .limit(LayoutSampleRows)
+      .collect()
+    sample.foreach { r =>
+      val ok =
+        if (r.isNullAt(0) || r.isNullAt(1)) r.isNullAt(0) && r.isNullAt(1)
+        else pp.ofLong(r.getLong(0)) == r.getLong(1)
+      require(
+        ok,
+        s"partitionPrune($t): sampled row has ${pp.partCol}=${if (r.isNullAt(1)) "null" else r.getLong(1)} " +
+          s"but floor($keyCol/${pp.width})=${if (r.isNullAt(0)) "null" else pp.ofLong(r.getLong(0))} — " +
+          s"the layout is not partitioned by floor($keyCol / ${pp.width}); pruning it on " +
+          s"$keyCol would silently drop rows (re-write with Layout.keyPartitionedWrite on $keyCol, " +
+          "or fix the width)"
+      )
+    }
   }
 
   /** Ceiling on literal partition values pushed as a static filter. A batch
@@ -367,9 +463,13 @@ final class IncrementalEngine(
       })
 
     // Touched partition values per pruned table, memoized per batch,
-    // derived DRIVER-SIDE from one bounded id collect (`Math.floorDiv`
-    // matches the layout's floor(key / width) for the |key| < 2^53 range
-    // parquet stats are exact in anyway): the affected set is batch-sized
+    // derived DRIVER-SIDE from one bounded id collect. The driver expression
+    // mirrors the write side EXACTLY ([[IncrementalEngine.PartitionPrune.of]]
+    // is floor of a DOUBLE division — Spark's `/` on integral inputs is
+    // double division), so driver- and write-side partition values agree for
+    // EVERY long, including |key| ≥ 2^53 where exact integer division
+    // (floorDiv) and the double floor can disagree and a mismatched filter
+    // would silently drop the row's directory: the affected set is batch-sized
     // by construction, so up to the established bounded-collect ceiling
     // (65 536 ids ≈ 0.5 MB) ONE collect of the already-cached set serves
     // every pruned table — per-table distributed distinct jobs measured as
@@ -388,7 +488,7 @@ final class IncrementalEngine(
           val vals: Seq[Long] = idsForPartVals match {
             case Some(vs) =>
               vs.toSeq
-                .flatMap(v => scala.util.Try(Math.floorDiv(v.toLong, pp.width)).toOption)
+                .flatMap(v => scala.util.Try(pp.ofLong(v.toLong)).toOption)
                 .distinct
             case None =>
               affected
@@ -467,6 +567,37 @@ final class IncrementalEngine(
         }
       )
 
+    // Pruned many-to-many far sides derive their touched partitions from the
+    // RESTRICTED through scan's far-FK values — the dim pattern one hop
+    // further out. The through restriction (its own partition filter plus
+    // the affected-id isin/semi-join) bounds the probe to the batch's
+    // through rows, so this too is one batch-sized job per batch.
+    val throughSourceMemo = scala.collection.mutable.Map.empty[String, DataFrame]
+    def throughKeySource(through: String): DataFrame =
+      throughSourceMemo.getOrElseUpdate(
+        through,
+        restrict(load(through), rootKeyedChildCols(through).head, through)
+      )
+    def farPartVals(
+        t: String,
+        pp: IncrementalEngine.PartitionPrune,
+        through: String,
+        throughFarFk: String
+    ): Option[Seq[Long]] =
+      partValsMemo.getOrElseUpdate(
+        t, {
+          val vals = throughKeySource(through)
+            .select(pp.of(col(throughFarFk)).as("__p"))
+            .filter(col("__p").isNotNull)
+            .distinct()
+            .limit(PartitionLiteralCap + 1)
+            .collect()
+            .map(_.getLong(0))
+            .toSeq
+          if (vals.size > PartitionLiteralCap) None else Some(vals)
+        }
+      )
+
     // The root restriction is applied at the ROOT POSITION ONLY (via
     // rootScanFilter) — restricting every load of root.table would also
     // filter self-referencing child scans of the same table and drop their
@@ -483,6 +614,13 @@ final class IncrementalEngine(
         // row by construction of the touched-partition set
         case Some((pp, (rootFk, _))) if t != root.table =>
           partFilter(load(t), pp, dimPartVals(t, pp, rootFk))
+        // pruned many-to-many far side: partition filter only (same
+        // exactness contract as dims, probed from the restricted through
+        // scan instead of the root scan)
+        case _ if t != root.table && partitionPrune.contains(t) && throughFarCols.contains(t) =>
+          val pp = partitionPrune(t)
+          val (through, throughFarFk, _) = throughFarCols(t)
+          partFilter(load(t), pp, farPartVals(t, pp, through, throughFarFk))
         case _ =>
           rootKeyedChildCols.get(t) match {
             // t == root.table means a self-referencing child scan: the root
@@ -541,5 +679,14 @@ object IncrementalEngine {
       */
     def of(key: Column): Column =
       floor(key.cast(org.apache.spark.sql.types.LongType) / width)
+
+    /** Driver-side twin of [[of]]: Spark's `/` on integral inputs is DOUBLE
+      * division, so the exact mirror is floor of a double quotient — NOT
+      * `Math.floorDiv`, which disagrees with the write expression for
+      * |key| ≥ 2^53 and would derive a filter that misses the directory the
+      * row was actually written to.
+      */
+    def ofLong(key: Long): Long =
+      Math.floor(key.toDouble / width.toDouble).toLong
   }
 }

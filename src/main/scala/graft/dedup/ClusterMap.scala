@@ -207,10 +207,13 @@ object ClusterMap {
     cl
   }
 
-  /** Member rows for the probe `ids` only — `(id, root)`, root NOT yet
-    * merge-resolved. The probe's distinct bucket values (≤ nBuckets longs,
-    * driver-collected — the engine's bounded-collect convention) become a
-    * static partition filter, so the scan plans only the probed buckets.
+  /** Member rows for the probe `ids` only — `(id, root, syn)`, root NOT yet
+    * merge-resolved, `syn` normalized to 0/1 (explicit [[MemberReadSchema]]
+    * read, so pre-marker files surface as real rows the way every other read
+    * path resolves them). The probe's distinct bucket values (≤ nBuckets
+    * longs, driver-collected — the engine's bounded-collect convention)
+    * become a static partition filter, so the scan plans only the probed
+    * buckets.
     */
   private def lookupStored(
       spark: SparkSession,
@@ -219,17 +222,18 @@ object ClusterMap {
       ids: DataFrame
   ): DataFrame = {
     if (!hasMembers(spark, dataDir))
-      return ids.limit(0).select(col("id"), col("id").as("root"))
+      return ids.limit(0).select(col("id"), col("id").as("root"), lit(0).as("syn"))
     val probeBuckets = ids
       .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
       .distinct()
       .collect()
       .map(_.getInt(0))
     spark.read
+      .schema(MemberReadSchema)
       .parquet(dataDir)
       .filter(col("bucket").isin(probeBuckets.map(Integer.valueOf): _*))
       .join(ids.select(col("id")), Seq("id"))
-      .select(col("id"), col("root"))
+      .select(col("id"), col("root"), coalesce(col("syn"), lit(0)).as("syn"))
   }
 
   /** Apply one arriving batch: `newIds` are the batch's document ids (one
@@ -434,15 +438,21 @@ object ClusterMap {
   def assignmentsLive(spark: SparkSession, path: String, liveIds: DataFrame): DataFrame =
     assignments(spark, path).join(liveIds.select(col("id")), Seq("id"))
 
-  /** Bucket-pruned [[assignments]] for a probe id set. */
+  /** Bucket-pruned [[assignments]] for a probe id set. Same id surface as
+    * [[assignments]]: synthetic-only labels (never-ingested contraction
+    * winners, `min(syn) = 1`) do not resolve — the two read surfaces must
+    * agree on which ids exist.
+    */
   def resolve(spark: SparkSession, path: String, ids: DataFrame): DataFrame = {
     val dataDir = IndexState.dataPath(spark, path)
     val closure = mergeClosure(spark, dataDir)
     lookupStored(spark, dataDir, readBuckets(spark, path), ids)
       .join(closure.withColumnRenamed("from_root", "root"), Seq("root"), "left_outer")
-      .select(col("id"), coalesce(col("to_root"), col("root")).as("root"))
+      .select(col("id"), coalesce(col("to_root"), col("root")).as("root"), col("syn"))
       .groupBy(col("id"))
-      .agg(min(col("root")).as("root"))
+      .agg(min(col("root")).as("root"), min(col("syn")).as("syn"))
+      .filter(col("syn") === 0)
+      .select(col("id"), col("root"))
   }
 
   /** Durable path compression: when the merge log reaches `maxMergeRatio`

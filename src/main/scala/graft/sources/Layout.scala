@@ -105,6 +105,12 @@ object Layout {
     * partitions). The `repartition(partCol)` keeps it to ~one file per
     * directory instead of one per shuffle task.
     */
+  /** Sidecar directory recording how a [[keyPartitionedWrite]] layout was
+    * produced (underscore prefix: Spark's file listing treats it as
+    * metadata, not data).
+    */
+  val KeySpecDir = "_graft_layout"
+
   def keyPartitionedWrite(
       df: DataFrame,
       keyCol: String,
@@ -119,6 +125,31 @@ object Layout {
       .mode("overwrite")
       .partitionBy(partCol)
       .parquet(path)
+    // persist WHICH column the layout was keyed on: a prune spec derived
+    // from the sidecar cannot name the wrong key column, the failure class
+    // the incremental engine's sampled layout check guards against for
+    // hand-typed specs
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((keyCol, width, partCol))
+      .toDF("key_col", "width", "part_col")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/$KeySpecDir")
+  }
+
+  /** Read a [[keyPartitionedWrite]] layout's sidecar: `(keyCol, width,
+    * partCol)`. Construct prune specs from THIS rather than re-typing the
+    * write parameters — a transposed width or key column in a hand-typed
+    * spec prunes the wrong directories.
+    */
+  def keyPartitionSpec(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): (String, Long, String) = {
+    val r = spark.read.parquet(s"$path/$KeySpecDir").collect()(0)
+    (r.getString(0), r.getLong(1), r.getString(2))
   }
 
   /** Round-trip helper for the graded query: Z-order `df` on `cols` into a

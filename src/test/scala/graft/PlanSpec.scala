@@ -154,6 +154,83 @@ class PlanSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("through-topology pruning plants static partition filters on root, through, AND far-side scans") {
+    import graft.cdc.IncrementalEngine.PartitionPrune
+    import graft.sources.Layout
+    val load = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdcthrough").toString
+    // many-to-many: part ↔ supplier through lineitem; the through table is
+    // partitioned on its ROOT FK (root key domain), the far side on its own
+    // join key — its touched partitions derive from the pruned through scan
+    Layout.keyPartitionedWrite(load("part"), "p_partkey", 64, s"$dir/part")
+    Layout.keyPartitionedWrite(load("lineitem"), "l_partkey", 64, s"$dir/lineitem")
+    Layout.keyPartitionedWrite(load("supplier"), "s_suppkey", 4, s"$dir/supplier")
+    val pload: String => DataFrame = {
+      case t @ ("part" | "lineitem" | "supplier") => spark.read.parquet(s"$dir/$t")
+      case t                                      => load(t)
+    }
+    val engine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.through), Catalog.testData, pload,
+      inSetThreshold = 0,
+      partitionPrune = Map(
+        "part"     -> PartitionPrune("_kp", 64),
+        "lineitem" -> PartitionPrune("_kp", 64),
+        "supplier" -> PartitionPrune("_kp", 4)
+      ))
+    val changes = graft.cdc.Changes.of(
+      spark,
+      Seq(
+        ("UPDATE", "part", null, """{"p_partkey": 5}""", 1L),
+        ("UPDATE", "part", null, """{"p_partkey": 150}""", 2L)
+      )
+    )
+    val doc = engine.reassemble(engine.affectedRoots(changes, Lineage.empty(spark)))
+    val scans = doc.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    for (t <- Seq("part", "lineitem", "supplier")) {
+      val s = scans.find(x => x.contains(s"/$t"))
+      assert(s.isDefined, s"no scan of $t in:\n${scans.mkString("\n---\n")}")
+      assert(
+        s.get.contains("PartitionFilters") &&
+          !s.get.replaceAll("\\s", "").contains("PartitionFilters:[]") &&
+          s.get.contains("_kp"),
+        s"$t payload scan is not partition-pruned:\n${s.get}"
+      )
+    }
+    // layout must never change answers
+    val base = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.through), Catalog.testData, load)
+    val got = engine.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    val want = base.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
+  test("a layout partitioned on the WRONG column fails at engine construction, not per batch") {
+    import graft.cdc.IncrementalEngine.PartitionPrune
+    import graft.sources.Layout
+    val load = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdcbadlayout").toString
+    // flagship tree position needs lineitem partitioned on l_orderkey; lay
+    // it out on l_partkey instead — every schema/dtype check passes, only
+    // the sampled floor(key/width)==partValue consistency check can catch it
+    Layout.keyPartitionedWrite(load("lineitem"), "l_partkey", 128, s"$dir/lineitem")
+    // the sidecar records what the layout was REALLY keyed on
+    assert(Layout.keyPartitionSpec(spark, s"$dir/lineitem") == (("l_partkey", 128L, "_kp")))
+    val pload: String => DataFrame = {
+      case "lineitem" => spark.read.parquet(s"$dir/lineitem")
+      case t          => load(t)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      new IncrementalEngine(
+        SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, pload,
+        partitionPrune = Map("lineitem" -> PartitionPrune("_kp", 128)))
+    }
+    assert(ex.getMessage.contains("not partitioned by"), ex.getMessage)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("changeRows restricts the corpus scan to the affected ids, never shuffles it") {
     val load = Tables.load(spark, sf) _
     val batch = graft.cdc.Changes.of(

@@ -241,4 +241,36 @@ class CdcSpec extends SparkSpec {
       }
     }
   }
+
+  test("re-processing the SAME batch frame keeps its cache; a new frame releases it") {
+    reset()
+    // the batch plan increments an accumulator on materialization, so cache
+    // churn is directly observable: the engine's previous-batch unpersist
+    // must NOT fire when the incoming frame IS the previous batch (replay /
+    // re-process) — dropping its own still-valid cache re-materializes the
+    // feed plan inside the caller's timed window (at a corpus-derived bench
+    // feed, a corpus-sized scan)
+    val acc = spark.sparkContext.longAccumulator("batch-materializations")
+    val rdd = spark.sparkContext
+      .parallelize(Seq(("INSERT", "book", null: String, """{"id": 1}""", 1L)), 1)
+      .map { r => acc.add(1); org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5) }
+    val batch = spark.createDataFrame(rdd, Changes.schema)
+    val engine = new IncrementalEngine(schema, cat, load)
+    assert(engine.process(batch, Lineage.empty(spark)).collect().nonEmpty)
+    val afterFirst = acc.value
+    assert(afterFirst > 0, "the batch plan must have materialized at least once")
+    assert(engine.process(batch, Lineage.empty(spark)).collect().nonEmpty)
+    assert(
+      acc.value == afterFirst,
+      s"same-frame re-process re-materialized the batch plan (acc $afterFirst -> ${acc.value})"
+    )
+    // the bounded-lifetime discipline still holds: a genuinely NEW batch
+    // releases the previous batch's cache
+    val batch2 = Changes.of(spark, Seq(("INSERT", "book", null, """{"id": 2}""", 2L)))
+    engine.process(batch2, Lineage.empty(spark)).collect()
+    assert(
+      batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "a new batch must release the previous batch's cache"
+    )
+  }
 }

@@ -275,4 +275,20 @@ class ClusterMapSpec extends SparkSpec {
     assert(asMap(ClusterMap.assignments(spark, path)) ==
       Map(3L -> 3L, 10L -> 3L, 20L -> 3L))
   }
+
+  test("resolve() agrees with assignments on which ids exist: synthetic labels do not resolve") {
+    val path = graft.util.TempDirs.scratch("cmap-resolve-syn").toString
+    ClusterMap.init(spark, path, buckets = 4)
+    // foreign 5 wins a contraction: 10, 11 root 5, and 5 is materialized as
+    // a SYNTHETIC member row only — assignments filters it, so the
+    // bucket-pruned probe surface must too (the two read surfaces listing
+    // different ids is the split the default-surface hardening closed)
+    ClusterMap.applyBatch(spark, path, pairsDf((10L, 5L), (11L, 5L)), idsDf(10L, 11L))
+    assert(asMap(ClusterMap.resolve(spark, path, idsDf(5L, 10L))) == Map(10L -> 5L),
+      "a never-ingested synthetic label must not resolve")
+    // once 5 is genuinely ingested both surfaces include it (min(syn) = 0)
+    ClusterMap.applyBatch(spark, path, pairsDf(), idsDf(5L))
+    assert(asMap(ClusterMap.resolve(spark, path, idsDf(5L, 10L))) ==
+      Map(5L -> 5L, 10L -> 5L))
+  }
 }
