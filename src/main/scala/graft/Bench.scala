@@ -101,11 +101,13 @@ object Bench {
         // q_bm25_pruned timed row
         "q_composed_bm25_compacted",
         "q_events_sessions_stream", "q_classifier",
-      // correctness row whose plan INCLUDES the one-time layout prep (three
-      // key-partitioned table rewrites); the honest timing is the
-      // incremental_changes_per_sec_partitioned headline below, whose prep
-      // is amortized outside the timed loop like the bucketed snapshot twin
-      "q_cdc_partitioned")
+      // correctness rows whose plans INCLUDE the one-time layout prep (three
+      // key-partitioned table rewrites each); q_cdc_partitioned is re-timed
+      // below with the prep amortized outside the loop (like the bucketed
+      // snapshot twin) and appended to the per-query map, so the pruned
+      // path's plan regressions pin to a row instead of hiding inside the
+      // incremental_changes_per_sec_partitioned headline
+      "q_cdc_partitioned", "q_cdc_through_partitioned")
     // triage knob: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries
     // (and skips the throughput metrics) for quick regression bisection
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -140,9 +142,11 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results
+    def queriesJson(rs: Seq[(String, Double)]): String = rs
+      .sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val qs = queriesJson(results)
     val total = results.map(_._2).sum
 
     // Emission contract (round-7 verdict: the driver's stdout capture
@@ -283,8 +287,31 @@ object Bench {
       nPChanges / ((System.nanoTime() - t3) / 1e9)
     }.max
 
+    // timed q_cdc_partitioned row, prep amortized (the SparkEntry row stays
+    // excluded above because its plan re-writes the layout every run): the
+    // SAME child-change batch shape as q_cdc_child, run at the partitioned
+    // layout already prepared for the headline, so the two layouts stay
+    // comparable per-round as per-query rows
+    val cchanges = pload("lineitem")
+      .filter(pmod(col("l_partkey"), lit(50)) === 0)
+      .select(
+        lit("UPDATE").as("tg_op"), lit("lineitem").as("tbl"),
+        lit(null).cast("string").as("old"),
+        to_json(struct(col("l_orderkey"), col("l_linenumber"))).as("new"),
+        col("l_orderkey").as("txid")
+      )
+      .cache()
+    cchanges.count()
+    val cdcPartSec = (0 until runs).map { _ =>
+      val t4 = System.nanoTime()
+      pengine.process(cchanges, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t4) / 1e9
+    }.min
+    val timedQs = queriesJson(results :+ ("q_cdc_partitioned" -> cdcPartSec))
+    val timedTotal = total + cdcPartSec
+
     emit(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"incremental_changes_per_sec_partitioned":$changesPartSec%.0f,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$timedTotal%.3f,"unit":"sec","queries":$timedQs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"incremental_changes_per_sec_partitioned":$changesPartSec%.0f,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}"""
     )
   }
 }

@@ -764,6 +764,68 @@ object SparkEntry {
         )
       ).process(changes, Lineage.empty(s))
     }),
+    // ---- CDC at a key-partitioned MANY-TO-MANY layout: the far side's
+    // touched partitions derive from the restricted through scan (the dim
+    // pattern one hop out) — at 100 TB the through table is often the
+    // biggest table in the tree, and this row grades that pruning it plus
+    // its far side never changes answers. Output is the q_through projection
+    // over the recompute-and-diff ops (byte-level doc parity across layouts
+    // is PlanSpec's through-topology equality assertion). ------------------
+    "q_cdc_through_partitioned" -> ((s, dir) => {
+      val base = loader(s, dir)
+      val scratch = graft.util.TempDirs.scratch("cdcthr").toString
+      graft.sources.Layout.keyPartitionedWrite(base("part"), "p_partkey", 64, s"$scratch/part")
+      graft.sources.Layout.keyPartitionedWrite(base("lineitem"), "l_partkey", 64, s"$scratch/lineitem")
+      graft.sources.Layout.keyPartitionedWrite(base("supplier"), "s_suppkey", 4, s"$scratch/supplier")
+      val loadCache = scala.collection.mutable.Map.empty[String, DataFrame]
+      val load: String => DataFrame = t =>
+        loadCache.getOrElseUpdate(t, t match {
+          case "part" | "lineitem" | "supplier" => s.read.parquet(s"$scratch/$t")
+          case _                                => base(t)
+        })
+      // through-table changes: the FK walk-up (payload l_partkey → part)
+      // resolves the affected roots, the reassembly re-reads all three
+      // tables partition-pruned
+      val changes = load("lineitem")
+        .filter(pmod(col("l_partkey"), lit(50)) === 0)
+        .select(
+          lit("UPDATE").as("tg_op"),
+          lit("lineitem").as("tbl"),
+          lit(null).cast("string").as("old"),
+          to_json(struct(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))).as("new"),
+          col("l_orderkey").as("txid")
+        )
+      val ops = new IncrementalEngine(
+        SchemaDef.parseNodes(Fixtures.through), Catalog.testData, load,
+        partitionPrune = Map(
+          "part"     -> IncrementalEngine.PartitionPrune("_kp", 64),
+          "lineitem" -> IncrementalEngine.PartitionPrune("_kp", 64),
+          "supplier" -> IncrementalEngine.PartitionPrune("_kp", 4)
+        )
+      ).process(changes, Lineage.empty(s))
+      val sup = from_json(
+        get_json_object(col("doc"), "$.suppliers"),
+        org.apache.spark.sql.types.DataTypes.createArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "s_suppkey", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              "s_name", org.apache.spark.sql.types.StringType)
+          ))
+        )
+      )
+      ops.select(
+        col("op"),
+        col("_id"),
+        get_json_object(col("doc"), "$.p_partkey").cast("long").as("p_partkey"),
+        get_json_object(col("doc"), "$.p_name").as("p_name"),
+        coalesce(size(sup), lit(0)).cast("long").as("n_suppliers"),
+        coalesce(
+          concat_ws(",", transform(sup, x => x("s_suppkey").cast("string"))),
+          lit("")
+        ).as("supp_keys")
+      )
+    }),
     // ---- U1 plugin surface: per-doc rewrite + drop chain -------------------
     "q_plugin" -> ((s, dir) => {
       val docs = assembled(s, dir,
@@ -2627,6 +2689,26 @@ object SparkEntry {
                 d.doc
          FROM keys LEFT JOIN docs d ON d.o_orderkey = keys.key""",
     "q_cdc_child" -> cdcChildOracle,
+    "q_cdc_through_partitioned" ->
+      // recompute-and-diff over the many-to-many tree: every changed
+      // lineitem's part re-assembles with its CURRENT supplier list (no
+      // deletes — changed through rows always reference live parts); the
+      // supplier list mirrors q_through's ordering contract
+      """WITH affected AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 50 = 0),
+           sup AS (
+             SELECT l.l_partkey AS pk,
+                    list(CAST(s.s_suppkey AS VARCHAR) ORDER BY s.s_suppkey, s.s_name) AS sks
+             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             GROUP BY l.l_partkey)
+         SELECT 'index' AS op,
+                CAST(p.p_partkey AS VARCHAR) AS _id,
+                p.p_partkey,
+                p.p_name,
+                COALESCE(len(sup.sks), 0) AS n_suppliers,
+                COALESCE(array_to_string(sup.sks, ','), '') AS supp_keys
+         FROM affected a
+         JOIN part p ON p.p_partkey = a.l_partkey
+         LEFT JOIN sup ON sup.pk = p.p_partkey""",
     // same ops at the key-partitioned layout — layout must never change
     // answers, so the ground truth is the flat-layout SQL verbatim
     "q_cdc_partitioned" -> cdcChildOracle,
