@@ -1082,6 +1082,37 @@ object Ann {
     refineCentroidsLocal(v, seeds, refine)
   }
 
+  /** Train the IVF cells AND the PQ codebooks of a persisted IVF-PQ index
+    * from ONE corpus prefix collect (first-k-by-id seed sets nest, so one
+    * TakeOrdered job serves both models) — callers seeding a full index
+    * ([[writePqIndex]]) should prefer this over separate [[trainIvfCells]] +
+    * [[pqTrain]] calls, which each run their own full-corpus TakeOrdered.
+    * Training is prefix-bounded either way; with `refine = pqRefine = 0`
+    * (the defaults) the remaining corpus-sized work in a seed build is the
+    * encode+write pass only.
+    */
+  def trainIvfPqModels(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      nlists: Int = 16,
+      m: Int = 8,
+      codeK: Int = 16,
+      refine: Int = 0,
+      pqRefine: Int = 0
+  ): (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
+    val v = corpus.select(col(id).as("cid"), col(vec).as("cv")).filter(col("cv").isNotNull)
+    val prefix = collectSeedVectors(
+      v.orderBy(col("cid")).limit(math.max(nlists, codeK)).select(col("cv"))
+    ).map(_._2)
+    val cells = refineCentroidsLocal(
+      v,
+      prefix.take(nlists).zipWithIndex.map { case (sv, i) => (i.toLong, sv) },
+      refine
+    )
+    (cells, pqTrainFromSeeds(v, prefix.take(codeK), m, pqRefine))
+  }
+
   /** Cluster-balanced curation subset: up to `perCell` vectors per coarse
     * cell, picked in portable md5(id) hash order — the standard diversity
     * sampler (cap the dominant modes of the corpus, keep every rare one;

@@ -250,8 +250,8 @@ final class SyncPipeline(
       case c: AnnLshConsumer =>
         Ann.writeLshIndex(src, c.indexPath, pk, c.vecCol, c.planes, c.dim)
       case c: AnnPqConsumer =>
-        val cells = Ann.trainIvfCells(src, pk, c.vecCol, c.nlists)
-        val books = Ann.pqTrain(src, pk, c.vecCol, c.m, c.codeK)
+        // one corpus prefix collect trains both models (seed sets nest)
+        val (cells, books) = Ann.trainIvfPqModels(src, pk, c.vecCol, c.nlists, c.m, c.codeK)
         Ann.writePqIndex(src, c.indexPath, pk, c.vecCol, cells, books)
       case c: DedupConsumer =>
         // the seed corpus is just the first (big) batch: registers every

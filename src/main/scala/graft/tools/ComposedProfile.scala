@@ -62,10 +62,17 @@ object ComposedProfile {
       graft.functions.Retrieval.writeBm25Index(src, "doc_id", "text", s"$root/bm25", 16))
     timed("lsh seed build")(
       Ann.writeLshIndex(src, s"$root/ann", "doc_id", "embedding", 6, 64))
+    // decomposed (r13 verdict: the seed build measured 2.14x at 10x data —
+    // attribute WHICH leg grows): model training is prefix-bounded (one
+    // TakeOrdered collect, shared by both models), encode+write is the one
+    // corpus-sized pass (map-side codes + repartition(cell) shuffle + write)
     timed("pq seed build") {
-      val cells = Ann.trainIvfCells(src, "doc_id", "embedding", nlists = 16)
-      val books = Ann.pqTrain(src, "doc_id", "embedding", m = 8, codeK = 16)
-      Ann.writePqIndex(src, s"$root/pq", "doc_id", "embedding", cells, books)
+      val (cells, books) = timed("pq seed build/models") {
+        Ann.trainIvfPqModels(src, "doc_id", "embedding", nlists = 16, m = 8, codeK = 16)
+      }
+      timed("pq seed build/encode+write") {
+        Ann.writePqIndex(src, s"$root/pq", "doc_id", "embedding", cells, books)
+      }
     }
     timed("dedup seed")(
       graft.streaming.DedupStream.applyBatch(
