@@ -274,13 +274,17 @@ object Bench {
       )
       .cache()
     val nPChanges = pbatch.count()
+    // prune specs derived from the layouts' sidecars, not re-typed: the
+    // sidecar names what the layout was really keyed on, so a transposed
+    // width/key here is structurally impossible (and the engine's sampled
+    // layout check would catch a stale one)
+    val pruneSpecs = Seq("orders", "lineitem", "customer").map { t =>
+      val (_, w, pc) = Layout.keyPartitionSpec(spark, s"$pdir/$t")
+      t -> PartitionPrune(pc, w)
+    }.toMap
     val pengine = new IncrementalEngine(
       SchemaDef.parseNodes(Fixtures.flagship), graft.catalog.Catalog.testData, pload,
-      partitionPrune = Map(
-        "orders"   -> PartitionPrune("_kp", 16384),
-        "lineitem" -> PartitionPrune("_kp", 16384),
-        "customer" -> PartitionPrune("_kp", 2048)
-      ))
+      partitionPrune = pruneSpecs)
     val changesPartSec = (0 until runs).map { _ =>
       val t3 = System.nanoTime()
       pengine.process(pbatch, Lineage.empty(spark)).write.mode("overwrite").format("noop").save()

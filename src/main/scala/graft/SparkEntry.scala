@@ -757,11 +757,11 @@ object SparkEntry {
         )
       new IncrementalEngine(
         SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load,
-        partitionPrune = Map(
-          "orders"   -> IncrementalEngine.PartitionPrune("_kp", 2048),
-          "lineitem" -> IncrementalEngine.PartitionPrune("_kp", 2048),
-          "customer" -> IncrementalEngine.PartitionPrune("_kp", 256)
-        )
+        // specs from the layouts' sidecars — the no-mismatch construction
+        partitionPrune = Seq("orders", "lineitem", "customer").map { t =>
+          val (_, w, pc) = graft.sources.Layout.keyPartitionSpec(s, s"$scratch/$t")
+          t -> IncrementalEngine.PartitionPrune(pc, w)
+        }.toMap
       ).process(changes, Lineage.empty(s))
     }),
     // ---- CDC at a key-partitioned MANY-TO-MANY layout: the far side's
@@ -797,11 +797,10 @@ object SparkEntry {
         )
       val ops = new IncrementalEngine(
         SchemaDef.parseNodes(Fixtures.through), Catalog.testData, load,
-        partitionPrune = Map(
-          "part"     -> IncrementalEngine.PartitionPrune("_kp", 64),
-          "lineitem" -> IncrementalEngine.PartitionPrune("_kp", 64),
-          "supplier" -> IncrementalEngine.PartitionPrune("_kp", 4)
-        )
+        partitionPrune = Seq("part", "lineitem", "supplier").map { t =>
+          val (_, w, pc) = graft.sources.Layout.keyPartitionSpec(s, s"$scratch/$t")
+          t -> IncrementalEngine.PartitionPrune(pc, w)
+        }.toMap
       ).process(changes, Lineage.empty(s))
       val sup = from_json(
         get_json_object(col("doc"), "$.suppliers"),

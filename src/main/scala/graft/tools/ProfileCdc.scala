@@ -169,10 +169,10 @@ object ProfileCdc {
       SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
     val partEngine = new IncrementalEngine(
       SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, pload,
-      partitionPrune = Map(
-        "orders"   -> PartitionPrune("_kp", 16384),
-        "lineitem" -> PartitionPrune("_kp", 16384),
-        "customer" -> PartitionPrune("_kp", 2048)))
+      partitionPrune = Seq("orders", "lineitem", "customer").map { t =>
+        val (_, w, pc) = Layout.keyPartitionSpec(spark, s"$pdir/$t")
+        t -> PartitionPrune(pc, w)
+      }.toMap)
     for ((label, eng) <- Seq("flat" -> flatEngine, "part" -> partEngine); i <- 1 to 3) {
       val aff = time(s"$label$i: clustered affectedRoots build+count") {
         val a = eng.affectedRoots(cbatch, Lineage.empty(spark)).cache()
