@@ -273,4 +273,30 @@ class CdcSpec extends SparkSpec {
       "a new batch must release the previous batch's cache"
     )
   }
+
+  test("PartitionPrune.ofLong mirrors the Spark write expression over the full long range") {
+    import graft.cdc.IncrementalEngine.PartitionPrune
+    // the driver-side derivation and the write-side directory expression
+    // MUST agree for every key, or a static partition filter can miss the
+    // directory a row was written to — including |key| >= 2^53, where exact
+    // integer division (floorDiv) and floor-of-double-quotient disagree
+    val rnd = new scala.util.Random(7)
+    val keys: Seq[Long] =
+      Seq(0L, 1L, -1L, 42L, -42L, Long.MaxValue, Long.MinValue + 1,
+        1L << 53, (1L << 53) + 1, -(1L << 53) - 3, (1L << 62) + 12345L) ++
+        Seq.fill(300)(rnd.nextLong())
+    for (width <- Seq(1L, 3L, 2048L, 16384L, 1L << 40)) {
+      val pp = PartitionPrune("_kp", width)
+      keys.toDF("k")
+        .select(col("k"), pp.of(col("k")).as("p"))
+        .collect()
+        .foreach { r =>
+          assert(
+            pp.ofLong(r.getLong(0)) == r.getLong(1),
+            s"driver/write divergence at key=${r.getLong(0)} width=$width: " +
+              s"driver=${pp.ofLong(r.getLong(0))} spark=${r.getLong(1)}"
+          )
+        }
+    }
+  }
 }
