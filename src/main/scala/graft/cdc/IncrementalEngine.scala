@@ -297,17 +297,19 @@ final class IncrementalEngine(
       else None
     }.toMap
 
-  /** Far side of a many-to-many: tables whose EVERY tree position is exactly
-    * two single-column hops to the root — one to a through table, one from
-    * the through table to the root on the root PKs — with the through table
-    * itself root-keyed-restrictable. Their touched-partition set derives
-    * from the RESTRICTED through scan's far-side FK values (the dim pattern
-    * one hop further out): every supplier a pruned lineitem row references
-    * keeps its partition by construction, and the join does row exactness.
-    * At 100 TB the through table is often the biggest table in the tree, so
-    * this is the J4/q_through topology's answer to the same scan floor the
-    * root-keyed path closes. Value: (through table, far-side FK column ON
-    * the through table, key column on the far table).
+  /** Tables two single-column hops from the root — one hop to a root-keyed
+    * mid table, one from the mid table to the root on the root PKs. Their
+    * touched-partition set derives from the RESTRICTED mid-table scan's
+    * far-side FK values (the dim pattern one hop further out): every far row
+    * a pruned mid row references keeps its partition by construction, and
+    * the join does row exactness. This is one shape with two instances:
+    * the many-to-many far side behind a through table (part↔supplier
+    * through lineitem — at 100 TB the through table is often the biggest
+    * table in the tree, so this is the J4/q_through answer to the same scan
+    * floor the root-keyed path closes) AND the nested one_to_one dim of a
+    * root-keyed child (orders→lineitem→part; PlanSpec pins both). Value:
+    * (mid table, far-side FK column ON the mid table, key column on the far
+    * table).
     */
   private val throughFarCols: Map[String, (String, String, String)] =
     chains.toSeq.flatMap { case (t, cs) =>

@@ -207,6 +207,59 @@ class PlanSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("nested one_to_one dim behind a root-keyed child prunes via the far-side derivation") {
+    import graft.cdc.IncrementalEngine.PartitionPrune
+    import graft.sources.Layout
+    val load = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdcnested").toString
+    // orders → lineitem (one_to_many) → part (one_to_one): the same 2-hop
+    // chain shape as the many-to-many far side, so part's touched partitions
+    // derive from the restricted lineitem scan's l_partkey values — the
+    // deep-tree dim is prunable with zero extra machinery
+    Layout.keyPartitionedWrite(load("orders"), "o_orderkey", 128, s"$dir/orders")
+    Layout.keyPartitionedWrite(load("lineitem"), "l_orderkey", 128, s"$dir/lineitem")
+    Layout.keyPartitionedWrite(load("part"), "p_partkey", 16, s"$dir/part")
+    val pload: String => DataFrame = {
+      case t @ ("orders" | "lineitem" | "part") => spark.read.parquet(s"$dir/$t")
+      case t                                    => load(t)
+    }
+    val engine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.nested), Catalog.testData, pload,
+      inSetThreshold = 0,
+      partitionPrune = Map(
+        "orders"   -> PartitionPrune("_kp", 128),
+        "lineitem" -> PartitionPrune("_kp", 128),
+        "part"     -> PartitionPrune("_kp", 16)
+      ))
+    val changes = graft.cdc.Changes.of(
+      spark,
+      Seq(
+        ("UPDATE", "orders", null, """{"o_orderkey": 5}""", 1L),
+        ("UPDATE", "orders", null, """{"o_orderkey": 900}""", 2L)
+      )
+    )
+    val doc = engine.reassemble(engine.affectedRoots(changes, Lineage.empty(spark)))
+    val scans = doc.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    for (t <- Seq("orders", "lineitem", "part")) {
+      val s = scans.find(x => x.contains(s"/$t"))
+      assert(s.isDefined, s"no scan of $t in:\n${scans.mkString("\n---\n")}")
+      assert(
+        s.get.contains("PartitionFilters") &&
+          !s.get.replaceAll("\\s", "").contains("PartitionFilters:[]") &&
+          s.get.contains("_kp"),
+        s"$t payload scan is not partition-pruned:\n${s.get}"
+      )
+    }
+    val base = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.nested), Catalog.testData, load)
+    val got = engine.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    val want = base.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("a layout partitioned on the WRONG column fails at engine construction, not per batch") {
     import graft.cdc.IncrementalEngine.PartitionPrune
     import graft.sources.Layout
