@@ -29,7 +29,8 @@ final class GraftSync(
     load: String => DataFrame,
     indexDir: String,
     val plugins: Seq[DocTransform] = Nil,
-    guardUnchangedUpdates: Boolean = false
+    guardUnchangedUpdates: Boolean = false,
+    tuning: IncrementalEngine.Tuning = IncrementalEngine.Tuning()
 ) {
 
   /** Base-table → view-node remap (C9, `pgsync/sync.py:1843-1852`): a node
@@ -51,7 +52,7 @@ final class GraftSync(
   }
 
   val state = new MaterializedIndex(spark, indexDir)
-  private val sync = new StreamSync(schema.root, catalog, load, state, plugins)
+  private val sync = new StreamSync(schema.root, catalog, load, state, plugins, tuning)
   val engine: IncrementalEngine = sync.engine
 
   /** This sync's display/index name (doc `index`, falling back to the root
@@ -386,10 +387,11 @@ object GraftSync {
       load: String => DataFrame,
       indexDir: String,
       plugins: Seq[DocTransform] = Nil,
-      guardUnchangedUpdates: Boolean = false
+      guardUnchangedUpdates: Boolean = false,
+      tuning: IncrementalEngine.Tuning = IncrementalEngine.Tuning()
   ): GraftSync =
     new GraftSync(spark, SchemaDef.parse(schemaJson), catalog, load, indexDir, plugins,
-      guardUnchangedUpdates)
+      guardUnchangedUpdates, tuning)
 
   /** Load a config document holding ONE schema or an ARRAY of schemas (one
     * per index — `pgsync/utils.py:204-300` `config_loader` yields one doc

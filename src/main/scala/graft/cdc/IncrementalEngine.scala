@@ -665,6 +665,18 @@ final class IncrementalEngine(
 
 object IncrementalEngine {
 
+  /** Engine tuning bundle for the user-facing sync surfaces
+    * ([[graft.GraftSync]] / [[graft.streaming.StreamSync]]): the same knobs
+    * the engine constructor takes, so a deployment at a key-partitioned
+    * layout gets affected-set partition pruning through the facade instead
+    * of only through a hand-built engine.
+    */
+  final case class Tuning(
+      inSetThreshold: Int = 1000,
+      rangeBracket: Boolean = false,
+      partitionPrune: Map[String, PartitionPrune] = Map.empty
+  )
+
   /** Key-range partition layout of one payload table, as written by
     * [[graft.sources.Layout.keyPartitionedWrite]]: directory column
     * `partCol = floor(key / width)`. Kept concrete (numeric key ranges)

@@ -35,10 +35,13 @@ final class StreamSync(
     catalog: Catalog,
     load: String => DataFrame,
     state: MaterializedIndex,
-    plugins: Seq[graft.transform.DocTransform] = Nil
+    plugins: Seq[graft.transform.DocTransform] = Nil,
+    tuning: IncrementalEngine.Tuning = IncrementalEngine.Tuning()
 ) {
 
-  val engine = new IncrementalEngine(root, catalog, load)
+  val engine = new IncrementalEngine(
+    root, catalog, load,
+    tuning.inSetThreshold, tuning.rangeBracket, tuning.partitionPrune)
 
   /** Plugins run on every indexed document — snapshot AND incremental — as
     * in the reference (`sync.py:1571-1574`); a dropped doc contributes

@@ -462,4 +462,46 @@ class GraftSyncSpec extends SparkSpec {
     val ids = sync.documents().select(col("_id")).as[String].collect().toSet
     assert(ids == Set("1"))
   }
+
+  test("engine tuning passes through the facade: partition pruning at a key-partitioned layout") {
+    import graft.cdc.IncrementalEngine
+    import graft.sources.{Layout, Tables}
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("sync-part").toString
+    Layout.keyPartitionedWrite(base("orders"), "o_orderkey", 128, s"$dir/orders")
+    Layout.keyPartitionedWrite(base("lineitem"), "l_orderkey", 128, s"$dir/lineitem")
+    val pload: String => DataFrame = {
+      case t @ ("orders" | "lineitem") => spark.read.parquet(s"$dir/$t")
+      case t                           => base(t)
+    }
+    val flagship =
+      """{"database": "db", "index": "orders_idx",
+          "nodes": {"table": "orders", "columns": ["o_orderkey", "o_totalprice"],
+            "children": [{"table": "lineitem", "label": "items",
+              "columns": ["l_linenumber"],
+              "relationship": {"type": "one_to_many", "variant": "object"}}]}}"""
+    // prune specs from the layout sidecars, through the facade
+    val tuning = IncrementalEngine.Tuning(
+      partitionPrune = Seq("orders", "lineitem").map { t =>
+        val (_, w, pc) = Layout.keyPartitionSpec(spark, s"$dir/$t")
+        t -> IncrementalEngine.PartitionPrune(pc, w)
+      }.toMap)
+    val pruned = GraftSync(
+      spark, flagship, Catalog.testData, pload,
+      Files.createTempDirectory("graft-sync-part").toString, tuning = tuning)
+    val flat = GraftSync(
+      spark, flagship, Catalog.testData, base,
+      Files.createTempDirectory("graft-sync-flat").toString)
+    pruned.snapshot(); flat.snapshot()
+    val batch = Changes.of(spark, Seq(
+      (Changes.Update, "orders", null, """{"o_orderkey": 7}""", 1L),
+      (Changes.Update, "orders", null, """{"o_orderkey": 9}""", 2L)))
+    // layout + tuning must never change answers: same docs as the flat sync
+    // after the same batch
+    pruned.applyChanges(batch); flat.applyChanges(batch)
+    val got = pruned.state.docs.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val want = flat.state.docs.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == want && got.contains("7"))
+  }
 }
