@@ -825,6 +825,56 @@ object SparkEntry {
         ).as("supp_keys")
       )
     }),
+    // ---- CDC at a HASH-BUCKETED layout with TEXT keys: key-range layouts
+    // can't index uuid/text primary keys (the reference special-cases uuid
+    // filters, querybuilder.py:81-98) — the hash layout buckets them by
+    // pmod(xxhash64(key), n) and the affected-set derivation prunes with the
+    // same bounded driver collect. The tables are re-keyed text derivations
+    // of the base tables so the DuckDB oracle recomputes the same docs from
+    // scratch; the prune specs come from sidecar AUTO-DISCOVERY (layoutRoot),
+    // the zero-wiring production configuration. --------------------------
+    "q_cdc_hashbucket" -> ((s, dir) => {
+      val base = loader(s, dir)
+      val scratch = graft.util.TempDirs.scratch("cdchash").toString
+      val ordersT = base("orders").select(
+        concat(lit("ord-"), col("o_orderkey")).as("o_orderkey"),
+        concat(lit("cus-"), col("o_custkey")).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val lineitemT = base("lineitem").select(
+        concat(lit("ord-"), col("l_orderkey")).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_partkey"))
+      val customerT = base("customer").select(
+        concat(lit("cus-"), col("c_custkey")).as("c_custkey"),
+        col("c_name"), col("c_mktsegment"))
+      graft.sources.Layout.hashBucketedWrite(ordersT, Seq("o_orderkey"), 64, s"$scratch/orders")
+      graft.sources.Layout.hashBucketedWrite(lineitemT, Seq("l_orderkey"), 64, s"$scratch/lineitem")
+      graft.sources.Layout.hashBucketedWrite(customerT, Seq("c_custkey"), 16, s"$scratch/customer")
+      val loadCache = scala.collection.mutable.Map.empty[String, DataFrame]
+      val load: String => DataFrame = t =>
+        loadCache.getOrElseUpdate(t, s.read.parquet(s"$scratch/$t"))
+      val cat = graft.catalog.Catalog(Map(
+        "orders" -> graft.catalog.TableMeta("orders", Seq("o_orderkey"),
+          Seq(graft.catalog.ForeignKey(
+            "orders", Seq("o_custkey"), "customer", Seq("c_custkey")))),
+        "customer" -> graft.catalog.TableMeta("customer", Seq("c_custkey")),
+        "lineitem" -> graft.catalog.TableMeta("lineitem", Seq("l_orderkey", "l_linenumber"),
+          Seq(graft.catalog.ForeignKey(
+            "lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey"))))))
+      val changes = load("lineitem")
+        .filter(pmod(col("l_partkey"), lit(50)) === 0)
+        .select(
+          lit("UPDATE").as("tg_op"),
+          lit("lineitem").as("tbl"),
+          lit(null).cast("string").as("old"),
+          to_json(struct(col("l_orderkey"), col("l_linenumber"))).as("new"),
+          col("l_linenumber").cast("long").as("txid")
+        )
+      new IncrementalEngine(
+        SchemaDef.parseNodes(Fixtures.flagship), cat, load,
+        layoutRoot = Some(scratch)
+      ).process(changes, Lineage.empty(s))
+    }),
     // ---- U1 plugin surface: per-doc rewrite + drop chain -------------------
     "q_plugin" -> ((s, dir) => {
       val docs = assembled(s, dir,
@@ -2115,6 +2165,48 @@ object SparkEntry {
          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          LEFT JOIN li ON li.l_orderkey = o.o_orderkey"""
 
+  /** Ground truth for q_cdc_hashbucket: the SAME recompute-and-diff as
+    * [[cdcChildOracle]] over the text-RE-KEYED derivations of the base
+    * tables ('ord-'/'cus-' prefixes) — hash-bucket layout + text keys must
+    * never change answers, so the oracle rebuilds the docs from scratch in
+    * the re-keyed domain.
+    */
+  private val cdcHashOracle: String =
+    """WITH lineitem_t AS (
+           SELECT 'ord-' || l_orderkey AS l_orderkey, l_linenumber, l_quantity,
+                  l_extendedprice, l_returnflag, l_partkey
+           FROM lineitem),
+         orders_t AS (
+           SELECT 'ord-' || o_orderkey AS o_orderkey, 'cus-' || o_custkey AS o_custkey,
+                  o_orderstatus, o_totalprice
+           FROM orders),
+         customer_t AS (
+           SELECT 'cus-' || c_custkey AS c_custkey, c_name, c_mktsegment
+           FROM customer),
+         affected AS (SELECT DISTINCT l_orderkey FROM lineitem_t WHERE l_partkey % 50 = 0),
+         li AS (
+           SELECT l_orderkey,
+                  list(json_object('l_linenumber', l_linenumber, 'l_quantity', l_quantity,
+                                   'l_extendedprice', l_extendedprice, 'l_returnflag', l_returnflag)
+                       ORDER BY l_linenumber, l_quantity, l_extendedprice, l_returnflag) AS items,
+                  list(DISTINCT CAST(l_linenumber AS VARCHAR) ORDER BY CAST(l_linenumber AS VARCHAR)) AS lns
+           FROM lineitem_t GROUP BY l_orderkey)
+         SELECT 'index' AS op,
+                o.o_orderkey AS _id,
+                CAST(json_object('o_orderkey', o.o_orderkey, 'o_custkey', o.o_custkey,
+                            'o_orderstatus', o.o_orderstatus, 'o_totalprice', o.o_totalprice,
+                            'lineitems', COALESCE(to_json(li.items), '[]'::JSON),
+                            'customer', json_object('c_name', c.c_name, 'c_mktsegment', c.c_mktsegment),
+                            '_meta', json_object('orders', json_object('o_orderkey', [o.o_orderkey]),
+                                                 'lineitem', json_object('l_orderkey', [o.o_orderkey],
+                                                                         'l_linenumber', li.lns),
+                                                 'customer', json_object('c_custkey', [c.c_custkey]))
+                            ) AS VARCHAR) AS doc
+         FROM affected a
+         JOIN orders_t o ON o.o_orderkey = a.l_orderkey
+         LEFT JOIN customer_t c ON o.o_custkey = c.c_custkey
+         LEFT JOIN li ON li.l_orderkey = o.o_orderkey"""
+
   def oracleSql: Map[String, String] = Map(
     "q_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
@@ -2711,6 +2803,7 @@ object SparkEntry {
     // same ops at the key-partitioned layout — layout must never change
     // answers, so the ground truth is the flat-layout SQL verbatim
     "q_cdc_partitioned" -> cdcChildOracle,
+    "q_cdc_hashbucket" -> cdcHashOracle,
     "q_plugin" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS _id, o_orderkey, o_orderstatus
          FROM orders WHERE o_orderkey % 10 <> 0""",

@@ -40,23 +40,33 @@ import org.apache.spark.sql.types.StringType
   *   key range over a huge sorted/partitioned table (row groups prune), a
   *   cost when they span the full key space (the bench's synthetic batches
   *   do, hence default off — enable for key-clustered production feeds).
-  * @param partitionPrune per-table key-range partition layout specs
-  *   ([[Layout.keyPartitionedWrite]] output): when a payload table is
-  *   directory-partitioned by `floor(key / width)`, reassembly derives the
-  *   partition values the affected-key set touches and pushes them as a
-  *   STATIC partition filter, so the payload re-read lists and scans ONLY the
-  *   touched directories. This is the layout answer to the scan-bounded
-  *   incremental floor: without it an oversized affected set re-reads the
-  *   root/child/dim tables whole (scan-only but corpus-sized); with it the
-  *   re-read is bounded by the batch's key spread, independent of corpus
-  *   size. Supported table positions — the root, root-keyed children
-  *   (partitioned by the FK, same key domain), single-hop one_to_one dims
-  *   (partitioned by their PK; touched values derived from the pruned root
-  *   rows' FK column), and many-to-many far sides behind a root-keyed
-  *   through table (partitioned by the join key; touched values derived
-  *   from the pruned THROUGH scan's far-FK column) — are validated at
-  *   construction, along with a sampled layout-consistency check that the
-  *   directory values really are floor(key/width) of the assumed key column.
+  * @param partitionPrune per-table partition layout specs
+  *   ([[Layout.keyPartitionedWrite]] key ranges or
+  *   [[Layout.hashBucketedWrite]] hash buckets — the latter covers uuid/text
+  *   and composite keys): when a payload table is directory-partitioned by a
+  *   key expression, reassembly derives the partition values the
+  *   affected-key set touches and pushes them as a STATIC partition filter,
+  *   so the payload re-read lists and scans ONLY the touched directories.
+  *   This is the layout answer to the scan-bounded incremental floor:
+  *   without it an oversized affected set re-reads the root/child/dim tables
+  *   whole (scan-only but corpus-sized); with it the re-read is bounded by
+  *   the batch's key spread, independent of corpus size. Supported table
+  *   positions — the root, root-keyed children (partitioned by the FK, same
+  *   key domain), single-hop one_to_one dims (partitioned by their PK;
+  *   touched values derived from the pruned root rows' FK column), and
+  *   many-to-many far sides behind a root-keyed through table (partitioned
+  *   by the join key; touched values derived from the pruned THROUGH scan's
+  *   far-FK column) — are validated at construction, along with a sampled
+  *   layout-consistency check that the directory values really are the
+  *   layout expression of the assumed key column(s).
+  * @param layoutRoot directory whose per-table `_graft_layout` sidecars are
+  *   auto-discovered into prune specs (table = child directory name, the
+  *   convention every call site uses). Discovered specs are accepted only
+  *   when the sidecar's key columns ARE the table's tree-position key and
+  *   every construction-time constraint holds — a layout partitioned on a
+  *   non-key column is silently left unpruned rather than failing the
+  *   engine, because discovery is opportunistic; explicit `partitionPrune`
+  *   entries stay strict AND win over discovered ones.
   */
 final class IncrementalEngine(
     root: Node,
@@ -64,7 +74,8 @@ final class IncrementalEngine(
     load: String => DataFrame,
     inSetThreshold: Int = 1000,
     rangeBracket: Boolean = false,
-    partitionPrune: Map[String, IncrementalEngine.PartitionPrune] = Map.empty
+    partitionPrune: Map[String, IncrementalEngine.PartitionPrune] = Map.empty,
+    layoutRoot: Option[String] = None
 ) {
 
   private val rootPks = DocAssembler.primaryKeys(root, catalog)
@@ -327,48 +338,129 @@ final class IncrementalEngine(
       else None
     }.toMap
 
-  // Partition-prune specs are validated eagerly: a typo'd table or an
-  // unsupported tree position must fail at engine construction, not
-  // silently scan unpruned (or worse, prune the wrong rows) per batch.
-  partitionPrune.keys.foreach { t =>
-    require(
-      t == root.table || rootKeyedChildCols.contains(t) || rootDimCols.contains(t) ||
-        throughFarCols.contains(t),
-      s"partitionPrune($t): only the root, root-keyed children, single-hop " +
-        "one_to_one dims, and many-to-many far sides behind a root-keyed " +
-        "through table support affected-set partition pruning"
-    )
-  }
-  require(
-    partitionPrune.isEmpty || rootPks.size == 1,
-    "partitionPrune requires a single-column root primary key (the affected " +
-      "ids must cast back to the partitioning key)"
-  )
-  /** The key column the prune derivation assumes the table's layout is
-    * partitioned on at its tree position — the root PK, a child's root FK, a
-    * dim's PK, or a far side's join key.
+  /** The key column(s) the prune derivation assumes the table's layout is
+    * partitioned on at its tree position — the root PKs, a child's root FK
+    * columns, a dim's PK, or a far side's join key. `None` when no position
+    * supports pruning the table.
     */
-  private def pruneKeyCol(t: String): String =
-    if (t == root.table) rootPks.head
+  private def positionKeyCols(t: String): Option[Seq[String]] =
+    if (t == root.table) Some(rootPks)
     else
       rootKeyedChildCols
         .get(t)
-        .map(_.head)
-        .orElse(rootDimCols.get(t).map(_._2))
-        .getOrElse(throughFarCols(t)._3)
+        .orElse(rootDimCols.get(t).map(d => Seq(d._2)))
+        .orElse(throughFarCols.get(t).map(f => Seq(f._3)))
 
-  // The partitioning key must be integral: touched partitions are
-  // floor(key / width) and non-numeric keys would derive an empty (thus
-  // row-dropping) partition filter.
-  partitionPrune.keys.foreach { t =>
-    val keyCol = pruneKeyCol(t)
-    val dt = load(t).schema(keyCol).dataType
-    require(
-      dt == org.apache.spark.sql.types.LongType ||
-        dt == org.apache.spark.sql.types.IntegerType ||
-        dt == org.apache.spark.sql.types.ShortType,
-      s"partitionPrune($t): key column $keyCol must be integral, got $dt"
-    )
+  private lazy val rootKeyDts: Seq[org.apache.spark.sql.types.DataType] =
+    rootPks.map(p => load(root.table).schema(p).dataType)
+
+  /** Why `pp` cannot prune `t`, or `None` if it can. One predicate serving
+    * both the strict explicit-spec validation (objection → construction
+    * failure) and opportunistic sidecar discovery (objection → table left
+    * unpruned).
+    */
+  private def pruneObjection(t: String, pp: IncrementalEngine.PartitionPrune): Option[String] =
+    positionKeyCols(t) match {
+      case None =>
+        Some(
+          "only the root, root-keyed children, single-hop one_to_one dims, " +
+            "and many-to-many far sides behind a root-keyed through table " +
+            "support affected-set partition pruning"
+        )
+      case Some(keyCols) =>
+        pp match {
+          case _: IncrementalEngine.KeyRangePrune =>
+            // key ranges need ONE integral key: touched partitions are
+            // floor(key / width), and the affected ids must cast back to it
+            if (rootPks.size != 1)
+              Some(
+                "key-range pruning requires a single-column root primary key " +
+                  "(the affected ids must cast back to the partitioning key); " +
+                  "hash-bucket the layout instead (Layout.hashBucketedWrite)"
+              )
+            else {
+              val dt = load(t).schema(keyCols.head).dataType
+              if (
+                dt == org.apache.spark.sql.types.LongType ||
+                dt == org.apache.spark.sql.types.IntegerType ||
+                dt == org.apache.spark.sql.types.ShortType
+              ) None
+              else
+                Some(
+                  s"key column ${keyCols.head} must be integral for key-range " +
+                    s"pruning, got $dt; hash-bucket the layout instead " +
+                    "(Layout.hashBucketedWrite)"
+                )
+            }
+          case _: IncrementalEngine.HashBucketPrune =>
+            val dts = keyCols.map(c => load(t).schema(c).dataType)
+            dts.find(!IncrementalEngine.PartitionPrune.supportedHashKeyType(_)) match {
+              case Some(bad) =>
+                Some(s"hash-bucket pruning supports long/int/short/string keys, got $bad")
+              case None if t == root.table || rootKeyedChildCols.contains(t) =>
+                // root-id domain: the derivation parses `_id` strings back to
+                // the ROOT PK dtypes and hashes those values — the layout key
+                // dtypes must be exactly that domain
+                if (dts != rootKeyDts)
+                  Some(
+                    s"layout key dtypes $dts must equal the root primary-key " +
+                      s"dtypes $rootKeyDts (the affected ids are parsed back " +
+                      "in the root key domain)"
+                  )
+                else None
+              case None =>
+                // dim/far positions: the probe column the touched-bucket
+                // derivation hashes must carry the same dtype the layout
+                // hashed (xxhash64 of 42L and "42" differ)
+                val probeDt = rootDimCols
+                  .get(t)
+                  .map { case (rootFk, _) => load(root.table).schema(rootFk).dataType }
+                  .getOrElse {
+                    val (through, throughFarFk, _) = throughFarCols(t)
+                    load(through).schema(throughFarFk).dataType
+                  }
+                if (probeDt != dts.head)
+                  Some(
+                    s"probe column dtype $probeDt must equal the layout key " +
+                      s"dtype ${dts.head}"
+                  )
+                else None
+            }
+        }
+    }
+
+  // Sidecar auto-discovery (opt-in via layoutRoot): accept a discovered
+  // layout only when its RECORDED key columns are the tree position's key
+  // and every constraint the explicit path enforces holds — discovery is
+  // opportunistic, so a non-conforming layout leaves its table unpruned
+  // instead of failing the engine.
+  private val discoveredPrune: Map[String, IncrementalEngine.PartitionPrune] =
+    layoutRoot.fold(Map.empty[String, IncrementalEngine.PartitionPrune]) { dir =>
+      val spark = load(root.table).sparkSession
+      graft.sources.Layout.discoverLayouts(spark, dir).flatMap { case (t, lay) =>
+        val layKeyCols = lay match {
+          case graft.sources.Layout.KeyRangeLayout(k, _, _)    => Seq(k)
+          case graft.sources.Layout.HashBucketLayout(ks, _, _) => ks
+        }
+        val pp = IncrementalEngine.PartitionPrune.fromLayout(lay)
+        if (positionKeyCols(t).contains(layKeyCols) && pruneObjection(t, pp).isEmpty)
+          Some(t -> pp)
+        else None
+      }
+    }
+
+  /** Effective prune specs: discovered sidecars, overridden by explicit
+    * entries.
+    */
+  private val prune: Map[String, IncrementalEngine.PartitionPrune] =
+    discoveredPrune ++ partitionPrune
+
+  // Explicit partition-prune specs are validated eagerly AND strictly: a
+  // typo'd table or an unsupported tree position must fail at engine
+  // construction, not silently scan unpruned (or worse, prune the wrong
+  // rows) per batch.
+  partitionPrune.foreach { case (t, pp) =>
+    pruneObjection(t, pp).foreach(msg => require(false, s"partitionPrune($t): $msg"))
   }
 
   /** Rows sampled per pruned table by the construction-time layout check —
@@ -379,35 +471,62 @@ final class IncrementalEngine(
     */
   private val LayoutSampleRows = 256
 
-  // Layout-consistency guard: the prune spec names only (partCol, width) —
-  // nothing structural ties the DIRECTORY values to the key column the
-  // derivation assumes (a layout keyPartitionedWrite-ed on l_partkey probed
-  // with root orderkeys passes every schema check and silently drops rows).
-  // Sample rows of each pruned table and require partCol == floor(key/width)
-  // — cheap, eager, and independent of how the layout was produced (covers
-  // hand-built layouts a [[graft.sources.Layout.keyPartitionSpec]] sidecar
-  // could not vouch for).
-  partitionPrune.foreach { case (t, pp) =>
-    val keyCol = pruneKeyCol(t)
-    val sample = load(t)
-      .select(
-        col(keyCol).cast(org.apache.spark.sql.types.LongType).as("__k"),
-        col(pp.partCol).cast(org.apache.spark.sql.types.LongType).as("__p")
-      )
-      .limit(LayoutSampleRows)
-      .collect()
-    sample.foreach { r =>
-      val ok =
-        if (r.isNullAt(0) || r.isNullAt(1)) r.isNullAt(0) && r.isNullAt(1)
-        else pp.ofLong(r.getLong(0)) == r.getLong(1)
-      require(
-        ok,
-        s"partitionPrune($t): sampled row has ${pp.partCol}=${if (r.isNullAt(1)) "null" else r.getLong(1)} " +
-          s"but floor($keyCol/${pp.width})=${if (r.isNullAt(0)) "null" else pp.ofLong(r.getLong(0))} — " +
-          s"the layout is not partitioned by floor($keyCol / ${pp.width}); pruning it on " +
-          s"$keyCol would silently drop rows (re-write with Layout.keyPartitionedWrite on $keyCol, " +
-          "or fix the width)"
-      )
+  // Layout-consistency guard: the prune spec names only the directory
+  // column and the layout parameter — nothing structural ties the DIRECTORY
+  // values to the key column(s) the derivation assumes (a layout written on
+  // l_partkey probed with root orderkeys passes every schema check and
+  // silently drops rows). Sample rows of each pruned table and require the
+  // directory value == the layout expression of the assumed key column(s) —
+  // cheap, eager, and independent of how the layout was produced (covers
+  // hand-built layouts a [[graft.sources.Layout.layoutSpec]] sidecar could
+  // not vouch for).
+  prune.foreach { case (t, pp) =>
+    val keyCols = positionKeyCols(t).get
+    pp match {
+      case kr: IncrementalEngine.KeyRangePrune =>
+        val keyCol = keyCols.head
+        val sample = load(t)
+          .select(
+            col(keyCol).cast(org.apache.spark.sql.types.LongType).as("__k"),
+            col(kr.partCol).cast(org.apache.spark.sql.types.LongType).as("__p")
+          )
+          .limit(LayoutSampleRows)
+          .collect()
+        sample.foreach { r =>
+          val ok =
+            if (r.isNullAt(0) || r.isNullAt(1)) r.isNullAt(0) && r.isNullAt(1)
+            else kr.ofLong(r.getLong(0)) == r.getLong(1)
+          require(
+            ok,
+            s"partitionPrune($t): sampled row has ${kr.partCol}=${if (r.isNullAt(1)) "null" else r.getLong(1)} " +
+              s"but floor($keyCol/${kr.width})=${if (r.isNullAt(0)) "null" else kr.ofLong(r.getLong(0))} — " +
+              s"the layout is not partitioned by floor($keyCol / ${kr.width}); pruning it on " +
+              s"$keyCol would silently drop rows (re-write with Layout.keyPartitionedWrite on $keyCol, " +
+              "or fix the width)"
+          )
+        }
+      case hb: IncrementalEngine.HashBucketPrune =>
+        val dts = keyCols.map(c => load(t).schema(c).dataType)
+        val sample = load(t)
+          .select(
+            keyCols.map(col) :+
+              col(hb.partCol).cast(org.apache.spark.sql.types.LongType).as("__p"): _*
+          )
+          .limit(LayoutSampleRows)
+          .collect()
+        sample.foreach { r =>
+          val vals: Seq[Any] = keyCols.indices.map(i => if (r.isNullAt(i)) null else r.get(i))
+          val expect = hb.ofValues(vals, dts)
+          require(
+            !r.isNullAt(keyCols.size) && r.getLong(keyCols.size) == expect,
+            s"partitionPrune($t): sampled row has ${hb.partCol}=" +
+              s"${if (r.isNullAt(keyCols.size)) "null" else r.getLong(keyCols.size)} but " +
+              s"pmod(xxhash64(${keyCols.mkString(", ")}), ${hb.nBuckets})=$expect — the " +
+              s"layout is not hash-bucketed by (${keyCols.mkString(", ")}); pruning it " +
+              "would silently drop rows (re-write with Layout.hashBucketedWrite on these " +
+              "key columns, or fix the bucket count)"
+          )
+        }
     }
   }
 
@@ -466,35 +585,49 @@ final class IncrementalEngine(
 
     // Touched partition values per pruned table, memoized per batch,
     // derived DRIVER-SIDE from one bounded id collect. The driver expression
-    // mirrors the write side EXACTLY ([[IncrementalEngine.PartitionPrune.of]]
-    // is floor of a DOUBLE division — Spark's `/` on integral inputs is
-    // double division), so driver- and write-side partition values agree for
-    // EVERY long, including |key| ≥ 2^53 where exact integer division
-    // (floorDiv) and the double floor can disagree and a mismatched filter
-    // would silently drop the row's directory: the affected set is batch-sized
-    // by construction, so up to the established bounded-collect ceiling
-    // (65 536 ids ≈ 0.5 MB) ONE collect of the already-cached set serves
-    // every pruned table — per-table distributed distinct jobs measured as
-    // most of the partitioned path's per-batch overhead at sf0.1. Larger
-    // sets fall back to one tiny distinct job per distinct width.
-    // `Some(vals)` → static partition filter; `None` → unpruned scan (cap
-    // exceeded — the batch spans most of the corpus anyway).
+    // mirrors the write side EXACTLY — key ranges via
+    // [[IncrementalEngine.KeyRangePrune.ofLong]] (floor of a DOUBLE division,
+    // Spark's `/` on integral inputs, exact for EVERY long including
+    // |key| ≥ 2^53 where floorDiv disagrees), hash buckets via Spark's own
+    // interpreted XxHash64Function over the id parsed back to the root PK
+    // dtypes — so driver- and write-side partition values agree for every
+    // supported key: the affected set is batch-sized by construction, so up
+    // to the established bounded-collect ceiling (65 536 ids ≈ 0.5 MB) ONE
+    // collect of the already-cached set serves every pruned table —
+    // per-table distributed distinct jobs measured as most of the
+    // partitioned path's per-batch overhead at sf0.1. Larger sets fall back
+    // to one tiny distinct job per distinct spec. `Some(vals)` → static
+    // partition filter; `None` → unpruned scan (cap exceeded — the batch
+    // spans most of the corpus anyway).
     lazy val idsForPartVals: Option[Array[String]] = ids.orElse {
       val c = affected.select(col("_id")).limit(PartitionIdCollectCap + 1).collect()
       if (c.length > PartitionIdCollectCap) None else Some(c.map(_.getString(0)))
     }
+    // the affected `_id` cast back to the typed root-key domain, for the
+    // distributed fallback (composite ids split on the delimiter first)
+    def idKeyExprs: Seq[Column] =
+      if (rootPks.size == 1) Seq(col("_id").cast(rootKeyDts.head))
+      else {
+        val parts =
+          split(col("_id"), java.util.regex.Pattern.quote(DocAssembler.IdDelimiter))
+        rootKeyDts.zipWithIndex.map { case (dt, i) => parts.getItem(i).cast(dt) }
+      }
     val partValsMemo = scala.collection.mutable.Map.empty[String, Option[Seq[Long]]]
     def affectedPartVals(table: String, pp: IncrementalEngine.PartitionPrune): Option[Seq[Long]] =
       partValsMemo.getOrElseUpdate(
         table, {
-          val vals: Seq[Long] = idsForPartVals match {
-            case Some(vs) =>
+          val vals: Seq[Long] = (pp, idsForPartVals) match {
+            case (kr: IncrementalEngine.KeyRangePrune, Some(vs)) =>
               vs.toSeq
-                .flatMap(v => scala.util.Try(pp.ofLong(v.toLong)).toOption)
+                .flatMap(v => scala.util.Try(kr.ofLong(v.toLong)).toOption)
                 .distinct
-            case None =>
+            case (hb: IncrementalEngine.HashBucketPrune, Some(vs)) =>
+              vs.toSeq
+                .flatMap(v => hb.ofIdString(v, rootKeyDts, DocAssembler.IdDelimiter))
+                .distinct
+            case (_, None) =>
               affected
-                .select(pp.of(col("_id")).as("__p"))
+                .select(pp.partValue(idKeyExprs).as("__p"))
                 .filter(col("__p").isNotNull)
                 .distinct()
                 .limit(PartitionLiteralCap + 1)
@@ -518,8 +651,12 @@ final class IncrementalEngine(
       )
 
     def restrict(base: DataFrame, keyCol: String, table: String): DataFrame = {
-      val prunedBase = partitionPrune.get(table) match {
-        case Some(pp) if !rootDimCols.contains(table) =>
+      // structural guard (not just call-site discipline): dim and
+      // through-far tables derive their touched partitions from probe
+      // columns in THEIR key domain — affectedPartVals here would
+      // floor/hash ROOT ids by the wrong spec and memoize the wrong values
+      val prunedBase = prune.get(table) match {
+        case Some(pp) if !rootDimCols.contains(table) && !throughFarCols.contains(table) =>
           partFilter(base, pp, affectedPartVals(table, pp))
         case _ => base
       }
@@ -546,19 +683,35 @@ final class IncrementalEngine(
       }
     }
 
+    // The root restriction is applied at the ROOT POSITION ONLY (via
+    // rootScanFilter) — restricting every load of root.table would also
+    // filter self-referencing child scans of the same table and drop their
+    // rows. Root-keyed child tables are restricted via load: their filter is
+    // correct at every tree position by construction (rootKeyedChildCols
+    // only admits tables whose every chain is the same root-keyed hop).
+    // Composite-PK roots take the partition filter (hash-bucket layouts
+    // accept composite keys) plus the `_id`-concat semi-join.
+    val rootRestrict: DataFrame => DataFrame = base =>
+      if (rootPks.size == 1) restrict(base, rootPks.head, root.table)
+      else {
+        val pruned = prune
+          .get(root.table)
+          .fold(base)(pp => partFilter(base, pp, affectedPartVals(root.table, pp)))
+        pruned.join(broadcast(affected), rootIdExpr === col("_id"), "left_semi")
+      }
+
     // Pruned dims derive their touched partitions from the RESTRICTED root
     // rows' FK values — the root partition filter above bounds this probe to
     // the touched root directories, so it is one batch-sized job per batch.
     // full-schema restrict (the root partition filter needs the directory
     // column); Catalyst prunes the read down to pk+fk via the projection in
     // dimPartVals
-    lazy val dimKeySource: DataFrame =
-      restrict(load(root.table), rootPks.head, root.table)
+    lazy val dimKeySource: DataFrame = rootRestrict(load(root.table))
     def dimPartVals(t: String, pp: IncrementalEngine.PartitionPrune, rootFk: String): Option[Seq[Long]] =
       partValsMemo.getOrElseUpdate(
         t, {
           val vals = dimKeySource
-            .select(pp.of(col(rootFk)).as("__p"))
+            .select(pp.partValue(Seq(col(rootFk))).as("__p"))
             .filter(col("__p").isNotNull)
             .distinct()
             .limit(PartitionLiteralCap + 1)
@@ -573,12 +726,23 @@ final class IncrementalEngine(
     // RESTRICTED through scan's far-FK values — the dim pattern one hop
     // further out. The through restriction (its own partition filter plus
     // the affected-id isin/semi-join) bounds the probe to the batch's
-    // through rows, so this too is one batch-sized job per batch.
+    // through rows, so this too is one batch-sized job per batch. At a
+    // composite-PK root the row restriction would need a concat probe — the
+    // partition filter alone still bounds the probe to the batch's buckets,
+    // and any superset of the affected through rows keeps the far-side
+    // derivation exact.
     val throughSourceMemo = scala.collection.mutable.Map.empty[String, DataFrame]
     def throughKeySource(through: String): DataFrame =
       throughSourceMemo.getOrElseUpdate(
         through,
-        restrict(load(through), rootKeyedChildCols(through).head, through)
+        if (rootPks.size == 1)
+          restrict(load(through), rootKeyedChildCols(through).head, through)
+        else
+          prune
+            .get(through)
+            .fold(load(through))(pp =>
+              partFilter(load(through), pp, affectedPartVals(through, pp))
+            )
       )
     def farPartVals(
         t: String,
@@ -589,7 +753,7 @@ final class IncrementalEngine(
       partValsMemo.getOrElseUpdate(
         t, {
           val vals = throughKeySource(through)
-            .select(pp.of(col(throughFarFk)).as("__p"))
+            .select(pp.partValue(Seq(col(throughFarFk))).as("__p"))
             .filter(col("__p").isNotNull)
             .distinct()
             .limit(PartitionLiteralCap + 1)
@@ -600,17 +764,8 @@ final class IncrementalEngine(
         }
       )
 
-    // The root restriction is applied at the ROOT POSITION ONLY (via
-    // rootScanFilter) — restricting every load of root.table would also
-    // filter self-referencing child scans of the same table and drop their
-    // rows. Root-keyed child tables are restricted via load: their filter is
-    // correct at every tree position by construction (rootKeyedChildCols
-    // only admits tables whose every chain is the same root-keyed hop).
-    val rootRestrict: DataFrame => DataFrame = base =>
-      if (rootPks.size == 1) restrict(base, rootPks.head, root.table)
-      else base.join(broadcast(affected), rootIdExpr === col("_id"), "left_semi")
     val filteredLoad: String => DataFrame = t =>
-      partitionPrune.get(t).flatMap(pp => rootDimCols.get(t).map((pp, _))) match {
+      prune.get(t).flatMap(pp => rootDimCols.get(t).map((pp, _))) match {
         // pruned dim: partition filter only — row exactness is the LEFT
         // join's job; every FK value of a restricted root row keeps its dim
         // row by construction of the touched-partition set
@@ -619,8 +774,8 @@ final class IncrementalEngine(
         // pruned many-to-many far side: partition filter only (same
         // exactness contract as dims, probed from the restricted through
         // scan instead of the root scan)
-        case _ if t != root.table && partitionPrune.contains(t) && throughFarCols.contains(t) =>
-          val pp = partitionPrune(t)
+        case _ if t != root.table && prune.contains(t) && throughFarCols.contains(t) =>
+          val pp = prune(t)
           val (through, throughFarFk, _) = throughFarCols(t)
           partFilter(load(t), pp, farPartVals(t, pp, through, throughFarFk))
         case _ =>
@@ -630,6 +785,14 @@ final class IncrementalEngine(
             // stay unfiltered (its rows belong to other roots' documents)
             case Some(fkCols) if t != root.table && rootPks.size == 1 && fkCols.size == 1 =>
               restrict(load(t), fkCols.head, t)
+            // composite-keyed root-keyed child at a hash-bucket layout:
+            // partition filter only — exactness is the assembler join's job
+            // (a child row with an unaffected FK never meets a restricted
+            // root row), and the affected ids' buckets keep every affected
+            // FK's rows by construction
+            case Some(_) if t != root.table && prune.contains(t) =>
+              val pp = prune(t)
+              partFilter(load(t), pp, affectedPartVals(t, pp))
             case _ => load(t)
           }
       }
@@ -670,22 +833,68 @@ object IncrementalEngine {
     * the engine constructor takes, so a deployment at a key-partitioned
     * layout gets affected-set partition pruning through the facade instead
     * of only through a hand-built engine.
+    *
+    * @param layoutRoot directory whose per-table `_graft_layout` sidecars
+    *   ([[graft.sources.Layout]] writes) are auto-discovered into prune
+    *   specs — the zero-wiring configuration: a deployment cannot prune a
+    *   SUBSET of its tables by forgetting a hand-built spec. Explicit
+    *   `partitionPrune` entries win over discovered ones.
     */
   final case class Tuning(
       inSetThreshold: Int = 1000,
       rangeBracket: Boolean = false,
-      partitionPrune: Map[String, PartitionPrune] = Map.empty
+      partitionPrune: Map[String, PartitionPrune] = Map.empty,
+      layoutRoot: Option[String] = None
   )
 
-  /** Key-range partition layout of one payload table, as written by
-    * [[graft.sources.Layout.keyPartitionedWrite]]: directory column
-    * `partCol = floor(key / width)`. Kept concrete (numeric key ranges)
-    * rather than a generic key→partition function so the literal-id fast
-    * path can compute touched partitions driver-side with no job; a
-    * date-partitioned layout needs only a different derivation when one
-    * actually exists.
+  /** Partition layout of one payload table, for affected-set partition
+    * pruning. Two concrete layouts — fixed-width key ranges
+    * ([[graft.sources.Layout.keyPartitionedWrite]]) and hash buckets
+    * ([[graft.sources.Layout.hashBucketedWrite]]) — rather than a generic
+    * key→partition function, so the literal-id fast path can compute touched
+    * partitions driver-side with no job.
     */
-  final case class PartitionPrune(partCol: String, width: Long) {
+  sealed trait PartitionPrune {
+    def partCol: String
+
+    /** Partition value of the tree position's typed key column(s), in layout
+      * key order — MUST match the write-side directory expression.
+      */
+    def partValue(keys: Seq[Column]): Column
+  }
+
+  object PartitionPrune {
+
+    /** Back-compat constructor: a bare `(partCol, width)` spec is a
+      * key-range layout.
+      */
+    def apply(partCol: String, width: Long): KeyRangePrune =
+      KeyRangePrune(partCol, width)
+
+    /** Prune spec for a sidecar-described layout. */
+    def fromLayout(l: graft.sources.Layout.TableLayout): PartitionPrune = l match {
+      case graft.sources.Layout.KeyRangeLayout(_, w, pc)   => KeyRangePrune(pc, w)
+      case graft.sources.Layout.HashBucketLayout(_, n, pc) => HashBucketPrune(pc, n)
+    }
+
+    /** Key dtypes whose driver-side hash mirrors the Spark expression
+      * exactly (the xxhash64 input width differs per type, so the set is
+      * explicit rather than "anything castable").
+      */
+    def supportedHashKeyType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.StringType =>
+        true
+      case _ => false
+    }
+  }
+
+  /** Key-range partition layout: directory column `partCol = floor(key /
+    * width)`. Single integral key; prefer it when churn is key-clustered
+    * (adjacent keys share directories, so a clustered batch touches a
+    * constant few).
+    */
+  final case class KeyRangePrune(partCol: String, width: Long) extends PartitionPrune {
     require(width > 0, "partition width must be positive")
 
     /** The partition value a key falls in — MUST match the write-side
@@ -693,6 +902,11 @@ object IncrementalEngine {
       */
     def of(key: Column): Column =
       floor(key.cast(org.apache.spark.sql.types.LongType) / width)
+
+    override def partValue(keys: Seq[Column]): Column = {
+      require(keys.size == 1, "key-range layouts have a single key column")
+      of(keys.head)
+    }
 
     /** Driver-side twin of [[of]]: Spark's `/` on integral inputs is DOUBLE
       * division, so the exact mirror is floor of a double quotient — NOT
@@ -702,5 +916,81 @@ object IncrementalEngine {
       */
     def ofLong(key: Long): Long =
       Math.floor(key.toDouble / width.toDouble).toLong
+  }
+
+  /** Hash-bucket partition layout: directory column `partCol =
+    * pmod(xxhash64(key cols…), nBuckets)`. Prunes ANY key shape — uuid/text
+    * keys (pgsync special-cases uuid filters, `querybuilder.py:81-98`) and
+    * composite primary keys (`sync.py:885-896`) included — with the same
+    * bounded driver derivation as key ranges: the driver-side mirror is
+    * Spark's own interpreted `XxHash64Function` (the implementation the
+    * codegen'd write expression is pinned against in Spark itself), so
+    * driver- and write-side bucket values agree for every supported key.
+    */
+  final case class HashBucketPrune(partCol: String, nBuckets: Int) extends PartitionPrune {
+    require(nBuckets > 0, "bucket count must be positive")
+
+    override def partValue(keys: Seq[Column]): Column =
+      pmod(xxhash64(keys: _*), lit(nBuckets.toLong))
+
+    /** Driver-side twin of [[partValue]] over EXTERNAL row values (String /
+      * boxed integrals, in layout key order; nulls skipped exactly like the
+      * Spark expression skips null children). Seed 42 is
+      * `functions.xxhash64`'s fixed seed.
+      */
+    def ofValues(
+        vals: Seq[Any],
+        dts: Seq[org.apache.spark.sql.types.DataType]
+    ): Long = {
+      var h = 42L
+      vals.zip(dts).foreach { case (v, dt) =>
+        if (v != null) {
+          // normalize by the DECLARED dtype, never the runtime box: the hash
+          // width is the dtype's (an Int hashes 4 bytes, a Long 8), and
+          // Scala's weak-lub widening can hand a caller's Int over in a Long
+          // box — trusting the box would silently hash the wrong width
+          val cv: Any = dt match {
+            case org.apache.spark.sql.types.StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+            case org.apache.spark.sql.types.LongType    => v.asInstanceOf[Number].longValue()
+            case org.apache.spark.sql.types.IntegerType => v.asInstanceOf[Number].intValue()
+            case org.apache.spark.sql.types.ShortType   => v.asInstanceOf[Number].shortValue()
+            case other =>
+              throw new IllegalArgumentException(s"unsupported hash key dtype $other")
+          }
+          h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(cv, dt, h)
+        }
+      }
+      val m = h % nBuckets
+      if (m < 0) m + nBuckets else m
+    }
+
+    /** Bucket of a root `_id` string: split on the id delimiter, parse each
+      * part back to its root-PK dtype (the value the write side hashed —
+      * hashing the STRING "42" and the LONG 42 differ), hash. `None` for ids
+      * that cannot be a key in this domain (wrong arity, unparseable part) —
+      * such ids match no root row, so deriving no partition for them is
+      * exact.
+      */
+    def ofIdString(
+        id: String,
+        dts: Seq[org.apache.spark.sql.types.DataType],
+        delimiter: String
+    ): Option[Long] = {
+      val parts =
+        if (dts.size == 1) Array(id)
+        else id.split(java.util.regex.Pattern.quote(delimiter), -1)
+      if (parts.length != dts.size) None
+      else
+        try {
+          val vals: Seq[Any] = parts.toSeq.zip(dts).map {
+            case (s, org.apache.spark.sql.types.LongType)    => java.lang.Long.valueOf(s)
+            case (s, org.apache.spark.sql.types.IntegerType) => java.lang.Integer.valueOf(s)
+            case (s, org.apache.spark.sql.types.ShortType)   => java.lang.Short.valueOf(s)
+            case (s, _)                                      => s
+          }
+          Some(ofValues(vals, dts))
+        } catch { case _: NumberFormatException => None }
+    }
   }
 }

@@ -504,4 +504,56 @@ class GraftSyncSpec extends SparkSpec {
     val want = flat.state.docs.collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(got == want && got.contains("7"))
   }
+
+  test("pruning engages from the layout directory ALONE through the facade (sidecar auto-discovery)") {
+    import graft.cdc.IncrementalEngine
+    import graft.sources.{Layout, Tables}
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("sync-discover").toString
+    Layout.keyPartitionedWrite(base("orders"), "o_orderkey", 128, s"$dir/orders")
+    Layout.hashBucketedWrite(base("lineitem"), Seq("l_orderkey"), 32, s"$dir/lineitem")
+    val ploadCache = scala.collection.mutable.Map.empty[String, DataFrame]
+    val pload: String => DataFrame = t =>
+      ploadCache.getOrElseUpdate(t, t match {
+        case "orders" | "lineitem" => spark.read.parquet(s"$dir/$t")
+        case _                     => base(t)
+      })
+    val flagship =
+      """{"database": "db", "index": "orders_idx",
+          "nodes": {"table": "orders", "columns": ["o_orderkey", "o_totalprice"],
+            "children": [{"table": "lineitem", "label": "items",
+              "columns": ["l_linenumber"],
+              "relationship": {"type": "one_to_many", "variant": "object"}}]}}"""
+    // NO per-table spec wiring: just the layout root — the engine discovers
+    // the sidecars (one key-range, one hash-bucket) and prunes both tables
+    val pruned = GraftSync(
+      spark, flagship, Catalog.testData, pload,
+      Files.createTempDirectory("graft-sync-disc").toString,
+      tuning = IncrementalEngine.Tuning(layoutRoot = Some(dir)))
+    val flat = GraftSync(
+      spark, flagship, Catalog.testData, base,
+      Files.createTempDirectory("graft-sync-disc-flat").toString)
+    pruned.snapshot(); flat.snapshot()
+    val batch = Changes.of(spark, Seq(
+      (Changes.Update, "orders", null, """{"o_orderkey": 7}""", 1L),
+      (Changes.Update, "orders", null, """{"o_orderkey": 9}""", 2L)))
+    // the discovered specs really reach the plan: both payload scans carry
+    // static partition filters
+    val affected = pruned.engine.affectedRoots(batch, graft.cdc.Lineage.empty(spark))
+    val planStr = pruned.engine.reassemble(affected).queryExecution.executedPlan.toString
+    for ((t, pc) <- Seq("orders" -> "_kp", "lineitem" -> "_hb")) {
+      val s = planStr.linesIterator
+        .find(l => l.contains("FileScan") && l.contains(s"/$t"))
+        .getOrElse(fail(s"no scan of $t in:\n$planStr"))
+      assert(
+        !s.replaceAll("\\s", "").contains("PartitionFilters:[]") && s.contains(pc),
+        s"$t scan not pruned via discovery:\n$s")
+    }
+    // and discovery never changes answers
+    pruned.applyChanges(batch); flat.applyChanges(batch)
+    val got = pruned.state.docs.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val want = flat.state.docs.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == want && got.contains("7"))
+  }
 }

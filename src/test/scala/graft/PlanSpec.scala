@@ -284,6 +284,234 @@ class PlanSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("hash-bucket pruning plants static partition filters at a TEXT-keyed layout (root, child, dim)") {
+    import graft.cdc.IncrementalEngine.HashBucketPrune
+    import graft.sources.Layout
+    import graft.catalog.{ForeignKey, TableMeta}
+    // uuid/text primary keys are everywhere in the reference's world
+    // (querybuilder.py:81-98 special-cases uuid filters) — key-range layouts
+    // can't index them, hash buckets prune them with the same bounded
+    // affected-set derivation
+    val base = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdchash").toString
+    val ordersT = base("orders").select(
+      concat(lit("ord-"), col("o_orderkey")).as("o_orderkey"),
+      concat(lit("cus-"), col("o_custkey")).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    val lineitemT = base("lineitem").select(
+      concat(lit("ord-"), col("l_orderkey")).as("l_orderkey"),
+      col("l_linenumber"), col("l_quantity"))
+    val customerT = base("customer").select(
+      concat(lit("cus-"), col("c_custkey")).as("c_custkey"),
+      col("c_name"), col("c_mktsegment"))
+    Layout.hashBucketedWrite(ordersT, Seq("o_orderkey"), 32, s"$dir/orders")
+    Layout.hashBucketedWrite(lineitemT, Seq("l_orderkey"), 32, s"$dir/lineitem")
+    Layout.hashBucketedWrite(customerT, Seq("c_custkey"), 8, s"$dir/customer")
+    val cat = Catalog(Map(
+      "orders" -> TableMeta("orders", Seq("o_orderkey"),
+        Seq(ForeignKey("orders", Seq("o_custkey"), "customer", Seq("c_custkey")))),
+      "customer" -> TableMeta("customer", Seq("c_custkey")),
+      "lineitem" -> TableMeta("lineitem", Seq("l_orderkey", "l_linenumber"),
+        Seq(ForeignKey("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey"))))))
+    val tree = SchemaDef.parseNodes(
+      """{"table": "orders", "columns": ["o_orderkey", "o_custkey", "o_orderstatus"],
+         "children": [
+           {"table": "lineitem", "label": "lineitems",
+            "columns": ["l_linenumber", "l_quantity"],
+            "relationship": {"type": "one_to_many", "variant": "object"}},
+           {"table": "customer", "label": "customer", "columns": ["c_name"],
+            "relationship": {"type": "one_to_one", "variant": "object"}}]}""")
+    val flatLoad: String => DataFrame = {
+      case "orders" => ordersT; case "lineitem" => lineitemT; case "customer" => customerT
+      case t        => base(t)
+    }
+    val ploadCache = scala.collection.mutable.Map.empty[String, DataFrame]
+    val pload: String => DataFrame = t =>
+      ploadCache.getOrElseUpdate(t, spark.read.parquet(s"$dir/$t"))
+    val engine = new IncrementalEngine(
+      tree, cat, pload,
+      inSetThreshold = 0,
+      partitionPrune = Map(
+        "orders"   -> HashBucketPrune("_hb", 32),
+        "lineitem" -> HashBucketPrune("_hb", 32),
+        "customer" -> HashBucketPrune("_hb", 8)
+      ))
+    val changes = graft.cdc.Changes.of(
+      spark,
+      Seq(
+        ("UPDATE", "orders", null, """{"o_orderkey": "ord-5"}""", 1L),
+        ("UPDATE", "orders", null, """{"o_orderkey": "ord-900"}""", 2L)
+      )
+    )
+    val doc = engine.reassemble(engine.affectedRoots(changes, Lineage.empty(spark)))
+    val scans = doc.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    for (t <- Seq("orders", "lineitem", "customer")) {
+      val s = scans.find(x => x.contains(s"/$t"))
+      assert(s.isDefined, s"no scan of $t in:\n${scans.mkString("\n---\n")}")
+      assert(
+        s.get.contains("PartitionFilters") &&
+          !s.get.replaceAll("\\s", "").contains("PartitionFilters:[]") &&
+          s.get.contains("_hb"),
+        s"$t payload scan is not partition-pruned:\n${s.get}"
+      )
+    }
+    // layout must never change answers
+    val flat = new IncrementalEngine(tree, cat, flatLoad)
+    val got = engine.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    val want = flat.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
+  test("hash-bucket pruning covers a COMPOSITE-PK root layout") {
+    import graft.cdc.IncrementalEngine.HashBucketPrune
+    import graft.sources.Layout
+    // composite-PK roots (arity handling sync.py:885-896; lineitem `_id` =
+    // l_orderkey|l_linenumber) get no key-range pruning — the hash layout
+    // buckets the key TUPLE and the derivation parses the `_id` back into it
+    val load = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdchashcomp").toString
+    Layout.hashBucketedWrite(
+      load("lineitem"), Seq("l_orderkey", "l_linenumber"), 16, s"$dir/lineitem")
+    val ploadCache = scala.collection.mutable.Map.empty[String, DataFrame]
+    val pload: String => DataFrame = {
+      case "lineitem" => ploadCache.getOrElseUpdate("lineitem", spark.read.parquet(s"$dir/lineitem"))
+      case t          => load(t)
+    }
+    val engine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.compositePk), Catalog.testData, pload,
+      inSetThreshold = 0,
+      partitionPrune = Map("lineitem" -> HashBucketPrune("_hb", 16)))
+    val changes = graft.cdc.Changes.of(
+      spark,
+      Seq(
+        ("UPDATE", "lineitem", null, """{"l_orderkey": 5, "l_linenumber": 2}""", 1L),
+        ("UPDATE", "lineitem", null, """{"l_orderkey": 900, "l_linenumber": 1}""", 2L)
+      )
+    )
+    val doc = engine.reassemble(engine.affectedRoots(changes, Lineage.empty(spark)))
+    val scans = doc.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val s = scans.find(_.contains("/lineitem"))
+    assert(s.isDefined, scans.mkString("\n---\n"))
+    assert(
+      s.get.contains("PartitionFilters") &&
+        !s.get.replaceAll("\\s", "").contains("PartitionFilters:[]") &&
+        s.get.contains("_hb"),
+      s"composite-root payload scan is not partition-pruned:\n${s.get}"
+    )
+    val flat = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.compositePk), Catalog.testData, load)
+    val got = engine.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    val want = flat.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
+  test("a hash layout bucketed on the WRONG column fails at engine construction") {
+    import graft.cdc.IncrementalEngine.HashBucketPrune
+    import graft.sources.Layout
+    val load = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdcbadhash").toString
+    // flagship tree position needs lineitem bucketed on l_orderkey; bucket
+    // it on l_partkey instead — schema and dtype checks all pass, only the
+    // sampled directory==hash(key) consistency check can catch it
+    Layout.hashBucketedWrite(load("lineitem"), Seq("l_partkey"), 32, s"$dir/lineitem")
+    val pload: String => DataFrame = {
+      case "lineitem" => spark.read.parquet(s"$dir/lineitem")
+      case t          => load(t)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      new IncrementalEngine(
+        SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, pload,
+        partitionPrune = Map("lineitem" -> HashBucketPrune("_hb", 32)))
+    }
+    assert(ex.getMessage.contains("not hash-bucketed by"), ex.getMessage)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
+  test("layout sidecar readers fail with the convention named, not a raw path error") {
+    import graft.sources.Layout
+    val dir = graft.util.TempDirs.scratch("plan-nosidecar").toString
+    val ex = intercept[IllegalArgumentException] {
+      Layout.layoutSpec(spark, s"$dir/never-written")
+    }
+    assert(ex.getMessage.contains(Layout.KeySpecDir), ex.getMessage)
+    // and the typed key-range reader refuses a hash sidecar loudly
+    Layout.hashBucketedWrite(
+      Tables.load(spark, sf)("supplier"), Seq("s_suppkey"), 4, s"$dir/supplier")
+    val ex2 = intercept[IllegalArgumentException] {
+      Layout.keyPartitionSpec(spark, s"$dir/supplier")
+    }
+    assert(ex2.getMessage.contains("not a key-range layout"), ex2.getMessage)
+    assert(
+      Layout.layoutSpec(spark, s"$dir/supplier") ==
+        Layout.HashBucketLayout(Seq("s_suppkey"), 4, "_hb"))
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
+  test("layoutRoot auto-discovery prunes every conforming sidecar'd table and skips the rest") {
+    import graft.sources.Layout
+    val load = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdcdiscover").toString
+    // mixed layout kinds under one root; customer's layout is keyed on a
+    // NON-key column — discovery must leave it unpruned (opportunistic, not
+    // failing) while pruning the conforming two
+    Layout.keyPartitionedWrite(load("orders"), "o_orderkey", 128, s"$dir/orders")
+    Layout.hashBucketedWrite(load("lineitem"), Seq("l_orderkey"), 32, s"$dir/lineitem")
+    Layout.keyPartitionedWrite(load("customer"), "c_nationkey", 8, s"$dir/customer")
+    val ploadCache = scala.collection.mutable.Map.empty[String, DataFrame]
+    val pload: String => DataFrame = t =>
+      ploadCache.getOrElseUpdate(t, t match {
+        case "orders" | "lineitem" | "customer" => spark.read.parquet(s"$dir/$t")
+        case _                                  => load(t)
+      })
+    val engine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, pload,
+      inSetThreshold = 0, layoutRoot = Some(dir))
+    val changes = graft.cdc.Changes.of(
+      spark,
+      Seq(
+        ("UPDATE", "orders", null, """{"o_orderkey": 5}""", 1L),
+        ("UPDATE", "orders", null, """{"o_orderkey": 900}""", 2L)
+      )
+    )
+    val doc = engine.reassemble(engine.affectedRoots(changes, Lineage.empty(spark)))
+    // per-SCAN lines, not collectLeaves: AQE wraps the whole plan in one
+    // leaf, and this test needs to tell a pruned scan from the deliberately
+    // unpruned customer scan in the same plan
+    val planStr = doc.queryExecution.executedPlan.toString
+    def scanLine(t: String): String =
+      planStr.linesIterator
+        .find(l => l.contains("FileScan") && l.contains(s"/$t"))
+        .getOrElse(fail(s"no scan of $t in:\n$planStr"))
+    for ((t, pc) <- Seq("orders" -> "_kp", "lineitem" -> "_hb")) {
+      val s = scanLine(t)
+      assert(
+        s.contains("PartitionFilters") &&
+          !s.replaceAll("\\s", "").contains("PartitionFilters:[]") &&
+          s.contains(pc),
+        s"$t payload scan is not partition-pruned:\n$s"
+      )
+    }
+    assert(
+      scanLine("customer").replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"non-conforming customer layout must stay unpruned:\n${scanLine("customer")}"
+    )
+    // discovery must never change answers either
+    val flat = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
+    val got = engine.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    val want = flat.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("changeRows restricts the corpus scan to the affected ids, never shuffles it") {
     val load = Tables.load(spark, sf) _
     val batch = graft.cdc.Changes.of(

@@ -299,4 +299,74 @@ class CdcSpec extends SparkSpec {
         }
     }
   }
+
+  test("HashBucketPrune driver mirrors match the Spark write expression across key shapes") {
+    import graft.cdc.IncrementalEngine.HashBucketPrune
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    // same contract as the key-range pin above, for hash buckets: ofValues
+    // (typed values, the sampled layout check) and ofIdString (the `_id`
+    // parse-back, the affected-set derivation) must both agree with the
+    // write-side pmod(xxhash64(...), n) for every supported key shape —
+    // long, int, uuid/text, and composite keys
+    val rnd = new scala.util.Random(11)
+    val hb = HashBucketPrune("_hb", 64)
+
+    val longs = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue + 1) ++
+      Seq.fill(200)(rnd.nextLong())
+    longs.toDF("k").select(col("k"), hb.partValue(Seq(col("k"))).as("p"))
+      .collect().foreach { r =>
+        val (k, p) = (r.getLong(0), r.getLong(1))
+        assert(hb.ofValues(Seq(k), Seq(LongType)) == p, s"ofValues long $k")
+        assert(hb.ofIdString(k.toString, Seq(LongType), "|").contains(p), s"ofIdString long $k")
+      }
+
+    // int keys hash on 4-byte width — they must NOT be folded into longs
+    val ints = Seq(0, 1, -1, Int.MaxValue, Int.MinValue) ++ Seq.fill(200)(rnd.nextInt())
+    ints.toDF("k").select(col("k"), hb.partValue(Seq(col("k"))).as("p"))
+      .collect().foreach { r =>
+        val (k, p) = (r.getInt(0), r.getLong(1))
+        assert(hb.ofValues(Seq(k), Seq(IntegerType)) == p, s"ofValues int $k")
+        assert(hb.ofIdString(k.toString, Seq(IntegerType), "|").contains(p), s"ofIdString int $k")
+      }
+
+    // text keys (uuid-shaped plus edge strings; a single-key id is NOT split,
+    // so a delimiter character inside it is safe)
+    val strs = Seq("", "a", "ord-1", "|", "a|b", "Ünïcode-Ω≈") ++
+      Seq.fill(200)(new java.util.UUID(rnd.nextLong(), rnd.nextLong()).toString)
+    strs.toDF("k").select(col("k"), hb.partValue(Seq(col("k"))).as("p"))
+      .collect().foreach { r =>
+        val (k, p) = (r.getString(0), r.getLong(1))
+        assert(hb.ofValues(Seq(k), Seq(StringType)) == p, s"ofValues str $k")
+        assert(hb.ofIdString(k, Seq(StringType), "|").contains(p), s"ofIdString str $k")
+      }
+
+    // composite (long, int) — the concat `_id` splits back on the delimiter
+    Seq.fill(200)((rnd.nextLong(), rnd.nextInt())).toDF("a", "b")
+      .select(col("a"), col("b"), hb.partValue(Seq(col("a"), col("b"))).as("p"))
+      .collect().foreach { r =>
+        val (a, b, p) = (r.getLong(0), r.getInt(1), r.getLong(2))
+        assert(hb.ofValues(Seq(a, b), Seq(LongType, IntegerType)) == p, s"ofValues ($a,$b)")
+        assert(
+          hb.ofIdString(s"$a|$b", Seq(LongType, IntegerType), "|").contains(p),
+          s"ofIdString ($a,$b)")
+      }
+
+    // composite (string, long) — mixed dtypes in one id
+    Seq.fill(200)((new java.util.UUID(rnd.nextLong(), rnd.nextLong()).toString, rnd.nextLong()))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), hb.partValue(Seq(col("a"), col("b"))).as("p"))
+      .collect().foreach { r =>
+        val (a, b, p) = (r.getString(0), r.getLong(1), r.getLong(2))
+        assert(hb.ofValues(Seq(a, b), Seq(StringType, LongType)) == p, s"ofValues ($a,$b)")
+        assert(
+          hb.ofIdString(s"$a|$b", Seq(StringType, LongType), "|").contains(p),
+          s"ofIdString ($a,$b)")
+      }
+
+    // ids that cannot be keys in the domain derive NO partition (they match
+    // no root row, so deriving nothing for them is exact, not lossy)
+    assert(hb.ofIdString("not-a-number", Seq(LongType), "|").isEmpty)
+    assert(hb.ofIdString("1|2|3", Seq(LongType, IntegerType), "|").isEmpty)
+    assert(hb.ofIdString("7", Seq(LongType, IntegerType), "|").isEmpty)
+  }
 }
