@@ -107,16 +107,35 @@ object Bench {
       // snapshot twin) and appended to the per-query map, so the pruned
       // path's plan regressions pin to a row instead of hiding inside the
       // incremental_changes_per_sec_partitioned headline
-      "q_cdc_partitioned", "q_cdc_through_partitioned")
+      "q_cdc_partitioned", "q_cdc_through_partitioned",
+      // same prep-in-plan shape (three hash-bucketed table rewrites)
+      "q_cdc_hashbucket")
     // triage knob: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries
     // (and skips the throughput metrics) for quick regression bisection
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // sf1 capture-drift instruments (the dual-capture protocol's open
+    // question: back-to-back full-set rows drift up to 2.7×): per-query GC
+    // time is always recorded (attribution — a row whose wall time moves
+    // with its GC delta is heap-state noise, not engine cost), and
+    // SPARK_GRAFT_BENCH_SETTLE=1 additionally forces a full GC + settle
+    // pause before each query (the hypothesis test — if settling collapses
+    // the drift, the drift is JVM heap/GC accumulation across the sequence)
+    val settle = sys.env.get("SPARK_GRAFT_BENCH_SETTLE").contains("1")
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    val gcPerQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.toSeq
       .filterNot(q => benchExcluded(q._1))
       .filter(q => only.forall(_.contains(q._1)))
       .sortBy(_._1)
       .map { case (name, fn) =>
+      if (settle) { System.gc(); Thread.sleep(200) }
+      val gc0 = gcMs()
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         // release any eager localCheckpoint blocks the plan carries
@@ -140,6 +159,7 @@ object Bench {
         spark.catalog.clearCache() // per-query caches must not skew the next timing
         dt
       }
+      gcPerQuery(name) = gcMs() - gc0
       name -> times.min
     }
     def queriesJson(rs: Seq[(String, Double)]): String = rs
@@ -314,8 +334,14 @@ object Bench {
     val timedQs = queriesJson(results :+ ("q_cdc_partitioned" -> cdcPartSec))
     val timedTotal = total + cdcPartSec
 
+    // `value` = everything timed this round (including rows appended after
+    // the per-query loop); `value_common` = the stable per-query set only,
+    // so cross-round totals stay comparable when a round appends a new
+    // timed row (appending changed `value`'s composition in r14 and made
+    // the raw trend line unreadable without judge-side recomputation)
+    val gcJson = gcPerQuery.map { case (k, v) => "\"" + k + s"\":$v" }.mkString("{", ",", "}")
     emit(
-      f"""{"metric":"total","value":$timedTotal%.3f,"unit":"sec","queries":$timedQs,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"incremental_changes_per_sec_partitioned":$changesPartSec%.0f,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$timedTotal%.3f,"value_common":$total%.3f,"unit":"sec","queries":$timedQs,"gc_ms":$gcJson,"settle":$settle,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"incremental_changes_per_sec_partitioned":$changesPartSec%.0f,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}"""
     )
   }
 }

@@ -159,6 +159,11 @@ object MutationScale {
     require(pqCompacted, "expected the 20%-dead policy to compact")
     val pqProbeAfter = minOf3(pqProbe())
 
+    // ---- ANN training-quality cell: recall@50 vs exact ([[RecallScale]]) ---
+    // measures what the shipped refine=0 seed default costs vs a small Lloyd
+    // refinement and a full-probe contrast, on THIS corpus
+    val recallJson = RecallScale.jsonOf(RecallScale.measure(emb, annQueries))
+
     // ---- streaming near-dup cluster maintenance ---------------------------
     // different mutation verbs than the tombstone families: seed = corpus
     // build of signature index + union-find, apply = one 10%-of-corpus
@@ -212,6 +217,7 @@ object MutationScale {
         f""""ivfpq":{"build_sec":$pqBuild%.3f,"probe_clean_sec":$pqProbeClean%.3f,"delete10_sec":$pqDel1%.3f,""" +
         f""""probe_dead10_sec":$pqProbeDead10%.3f,"delete10b_sec":$pqDel2%.3f,"probe_dead20_sec":$pqProbeDead20%.3f,""" +
         f""""compact_sec":$pqCompact%.3f,"probe_after_compact_sec":$pqProbeAfter%.3f},""" +
+        s""""recall_at50":$recallJson,""" +
         f""""cluster":{"seed_sec":$cSeed%.3f,"apply_batch10_sec":$cApply%.3f,"assignments_sec":$cAssignSec%.3f,""" +
         f""""replay_batch10_sec":$cReplay%.3f,"compact_sec":$cCompact%.3f,"assignments_after_compact_sec":$cAssignAfter%.3f,""" +
         s""""apply_stages":{${cStages.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")}}}}"""
