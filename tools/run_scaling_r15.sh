@@ -46,6 +46,8 @@ fi
 #         any cross-round sf1 read) ------------------------------------------
 $RUN graft.tools.CountRows /root/testdata/sf0.1 $SUPERLINEAR > $OUT/cnt01.log 2>/dev/null
 $RUN graft.tools.CountRows $OUT/sf1 $SUPERLINEAR > $OUT/cnt1.log 2>/dev/null
+$RUN graft.tools.CountRows $OUT/bdup5k $BDUPQ > $OUT/cntb01.log 2>/dev/null
+$RUN graft.tools.CountRows $OUT/bdup50k $BDUPQ > $OUT/cntb1.log 2>/dev/null
 python3 tools/sf1_provenance.py $OUT/sf1 $OUT/sf1_provenance_r15.json
 
 # ---- 3. bounded-dup benches + recall cells ----------------------------------
