@@ -284,6 +284,62 @@ class PlanSpec extends SparkSpec {
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 
+  test("through-topology pruning composes with HASH-BUCKET layouts (root, through, far-side scans)") {
+    import graft.cdc.IncrementalEngine.HashBucketPrune
+    import graft.sources.Layout
+    val load = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdcthroughhash").toString
+    // same many-to-many tree as the key-range through test (part ↔ supplier
+    // through lineitem), but every table hash-bucketed: the far-side
+    // derivation computes partition values via pp.partValue over the
+    // RESTRICTED through scan, a distributed expression — so the hash
+    // layout composes with zero extra machinery, and this pins it
+    Layout.hashBucketedWrite(load("part"), Seq("p_partkey"), 32, s"$dir/part")
+    Layout.hashBucketedWrite(load("lineitem"), Seq("l_partkey"), 32, s"$dir/lineitem")
+    Layout.hashBucketedWrite(load("supplier"), Seq("s_suppkey"), 8, s"$dir/supplier")
+    val pload: String => DataFrame = {
+      case t @ ("part" | "lineitem" | "supplier") => spark.read.parquet(s"$dir/$t")
+      case t                                      => load(t)
+    }
+    // specs read back from the sidecars (fromLayout covers the hash kind)
+    val prune = Seq("part", "lineitem", "supplier").map { t =>
+      t -> IncrementalEngine.PartitionPrune.fromLayout(Layout.layoutSpec(spark, s"$dir/$t"))
+    }.toMap
+    assert(prune("part") == HashBucketPrune("_hb", 32))
+    val engine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.through), Catalog.testData, pload,
+      inSetThreshold = 0,
+      partitionPrune = prune)
+    val changes = graft.cdc.Changes.of(
+      spark,
+      Seq(
+        ("UPDATE", "part", null, """{"p_partkey": 5}""", 1L),
+        ("UPDATE", "part", null, """{"p_partkey": 150}""", 2L)
+      )
+    )
+    val doc = engine.reassemble(engine.affectedRoots(changes, Lineage.empty(spark)))
+    val scans = doc.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    for (t <- Seq("part", "lineitem", "supplier")) {
+      val s = scans.find(x => x.contains(s"/$t"))
+      assert(s.isDefined, s"no scan of $t in:\n${scans.mkString("\n---\n")}")
+      assert(
+        s.get.contains("PartitionFilters") &&
+          !s.get.replaceAll("\\s", "").contains("PartitionFilters:[]") &&
+          s.get.contains("_hb"),
+        s"$t payload scan is not partition-pruned:\n${s.get}"
+      )
+    }
+    // layout must never change answers
+    val base = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.through), Catalog.testData, load)
+    val got = engine.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    val want = base.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
   test("hash-bucket pruning plants static partition filters at a TEXT-keyed layout (root, child, dim)") {
     import graft.cdc.IncrementalEngine.HashBucketPrune
     import graft.sources.Layout
