@@ -67,6 +67,11 @@ import org.apache.spark.sql.types.StringType
   *   non-key column is silently left unpruned rather than failing the
   *   engine, because discovery is opportunistic; explicit `partitionPrune`
   *   entries stay strict AND win over discovered ones.
+  * @param partitionIdCollectCap affected-id count up to which touched
+  *   partitions are derived from one bounded driver collect of the cached
+  *   affected set; larger sets fall back to one distinct job per distinct
+  *   prune spec (tunable like `inSetThreshold`, chiefly so tests can reach
+  *   the fallback at small batch sizes)
   */
 final class IncrementalEngine(
     root: Node,
@@ -75,7 +80,8 @@ final class IncrementalEngine(
     inSetThreshold: Int = 1000,
     rangeBracket: Boolean = false,
     partitionPrune: Map[String, IncrementalEngine.PartitionPrune] = Map.empty,
-    layoutRoot: Option[String] = None
+    layoutRoot: Option[String] = None,
+    partitionIdCollectCap: Int = 65536
 ) {
 
   private val rootPks = DocAssembler.primaryKeys(root, catalog)
@@ -354,6 +360,17 @@ final class IncrementalEngine(
   private lazy val rootKeyDts: Seq[org.apache.spark.sql.types.DataType] =
     rootPks.map(p => load(root.table).schema(p).dataType)
 
+  /** Whether a root `_id` string can be AMBIGUOUS to parse back into key
+    * values: a composite key with a string component whose VALUE contains
+    * the id delimiter splits into more parts than the key arity, and the
+    * true split is unknowable from the id alone. Single keys are never
+    * split, and non-string components cannot contain the delimiter, so only
+    * this shape is affected. Both touched-bucket derivations consult this to
+    * fall back to the unpruned scan rather than hash a mis-split tuple.
+    */
+  private lazy val rootKeyDelimiterAmbiguous: Boolean =
+    rootPks.size > 1 && rootKeyDts.contains(org.apache.spark.sql.types.StringType)
+
   /** Why `pp` cannot prune `t`, or `None` if it can. One predicate serving
     * both the strict explicit-spec validation (objection → construction
     * failure) and opportunistic sidecar discovery (objection → table left
@@ -368,7 +385,20 @@ final class IncrementalEngine(
             "support affected-set partition pruning"
         )
       case Some(keyCols) =>
-        pp match {
+        // the frame the engine actually scans must carry both the key and
+        // the directory column — load(t) serving a FLAT copy of a table
+        // whose layout directory has a sidecar is a legitimate deployment
+        // shape (partial layout adoption), and discovery must leave it
+        // unpruned rather than crash the sample guard on a missing column
+        val fields = load(t).schema.fieldNames.toSet
+        val absent = (keyCols :+ pp.partCol).filterNot(fields.contains)
+        if (absent.nonEmpty)
+          Some(
+            s"load($t) has no column(s) ${absent.mkString(", ")} — the frame " +
+              "the engine scans is not the partitioned layout the spec describes"
+          )
+        else
+          pp match {
           case _: IncrementalEngine.KeyRangePrune =>
             // key ranges need ONE integral key: touched partitions are
             // floor(key / width), and the affected ids must cast back to it
@@ -429,40 +459,6 @@ final class IncrementalEngine(
         }
     }
 
-  // Sidecar auto-discovery (opt-in via layoutRoot): accept a discovered
-  // layout only when its RECORDED key columns are the tree position's key
-  // and every constraint the explicit path enforces holds — discovery is
-  // opportunistic, so a non-conforming layout leaves its table unpruned
-  // instead of failing the engine.
-  private val discoveredPrune: Map[String, IncrementalEngine.PartitionPrune] =
-    layoutRoot.fold(Map.empty[String, IncrementalEngine.PartitionPrune]) { dir =>
-      val spark = load(root.table).sparkSession
-      graft.sources.Layout.discoverLayouts(spark, dir).flatMap { case (t, lay) =>
-        val layKeyCols = lay match {
-          case graft.sources.Layout.KeyRangeLayout(k, _, _)    => Seq(k)
-          case graft.sources.Layout.HashBucketLayout(ks, _, _) => ks
-        }
-        val pp = IncrementalEngine.PartitionPrune.fromLayout(lay)
-        if (positionKeyCols(t).contains(layKeyCols) && pruneObjection(t, pp).isEmpty)
-          Some(t -> pp)
-        else None
-      }
-    }
-
-  /** Effective prune specs: discovered sidecars, overridden by explicit
-    * entries.
-    */
-  private val prune: Map[String, IncrementalEngine.PartitionPrune] =
-    discoveredPrune ++ partitionPrune
-
-  // Explicit partition-prune specs are validated eagerly AND strictly: a
-  // typo'd table or an unsupported tree position must fail at engine
-  // construction, not silently scan unpruned (or worse, prune the wrong
-  // rows) per batch.
-  partitionPrune.foreach { case (t, pp) =>
-    pruneObjection(t, pp).foreach(msg => require(false, s"partitionPrune($t): $msg"))
-  }
-
   /** Rows sampled per pruned table by the construction-time layout check —
     * one `limit` job reading from one partition directory, where a layout
     * written on a DIFFERENT column than the tree position's key fails
@@ -471,16 +467,23 @@ final class IncrementalEngine(
     */
   private val LayoutSampleRows = 256
 
-  // Layout-consistency guard: the prune spec names only the directory
-  // column and the layout parameter — nothing structural ties the DIRECTORY
-  // values to the key column(s) the derivation assumes (a layout written on
-  // l_partkey probed with root orderkeys passes every schema check and
-  // silently drops rows). Sample rows of each pruned table and require the
-  // directory value == the layout expression of the assumed key column(s) —
-  // cheap, eager, and independent of how the layout was produced (covers
-  // hand-built layouts a [[graft.sources.Layout.layoutSpec]] sidecar could
-  // not vouch for).
-  prune.foreach { case (t, pp) =>
+  /** Layout-consistency guard: the prune spec names only the directory
+    * column and the layout parameter — nothing structural ties the DIRECTORY
+    * values to the key column(s) the derivation assumes (a layout written on
+    * l_partkey probed with root orderkeys passes every schema check and
+    * silently drops rows). Sample rows of the table and return why the
+    * directory value != the layout expression of the assumed key column(s),
+    * or `None` if the sample is consistent — cheap, eager, and independent
+    * of how the layout was produced (covers hand-built layouts a
+    * [[graft.sources.Layout.layoutSpec]] sidecar could not vouch for). Like
+    * [[pruneObjection]], one predicate serves both the strict explicit-spec
+    * validation and opportunistic discovery; call only after
+    * [[pruneObjection]] passes (it assumes the columns exist).
+    */
+  private def sampleObjection(
+      t: String,
+      pp: IncrementalEngine.PartitionPrune
+  ): Option[String] = {
     val keyCols = positionKeyCols(t).get
     pp match {
       case kr: IncrementalEngine.KeyRangePrune =>
@@ -492,19 +495,20 @@ final class IncrementalEngine(
           )
           .limit(LayoutSampleRows)
           .collect()
-        sample.foreach { r =>
+        sample.iterator.flatMap { r =>
           val ok =
             if (r.isNullAt(0) || r.isNullAt(1)) r.isNullAt(0) && r.isNullAt(1)
             else kr.ofLong(r.getLong(0)) == r.getLong(1)
-          require(
-            ok,
-            s"partitionPrune($t): sampled row has ${kr.partCol}=${if (r.isNullAt(1)) "null" else r.getLong(1)} " +
-              s"but floor($keyCol/${kr.width})=${if (r.isNullAt(0)) "null" else kr.ofLong(r.getLong(0))} — " +
-              s"the layout is not partitioned by floor($keyCol / ${kr.width}); pruning it on " +
-              s"$keyCol would silently drop rows (re-write with Layout.keyPartitionedWrite on $keyCol, " +
-              "or fix the width)"
-          )
-        }
+          if (ok) None
+          else
+            Some(
+              s"sampled row has ${kr.partCol}=${if (r.isNullAt(1)) "null" else r.getLong(1)} " +
+                s"but floor($keyCol/${kr.width})=${if (r.isNullAt(0)) "null" else kr.ofLong(r.getLong(0))} — " +
+                s"the layout is not partitioned by floor($keyCol / ${kr.width}); pruning it on " +
+                s"$keyCol would silently drop rows (re-write with Layout.keyPartitionedWrite on $keyCol, " +
+                "or fix the width)"
+            )
+        }.nextOption()
       case hb: IncrementalEngine.HashBucketPrune =>
         val dts = keyCols.map(c => load(t).schema(c).dataType)
         val sample = load(t)
@@ -514,20 +518,67 @@ final class IncrementalEngine(
           )
           .limit(LayoutSampleRows)
           .collect()
-        sample.foreach { r =>
+        sample.iterator.flatMap { r =>
           val vals: Seq[Any] = keyCols.indices.map(i => if (r.isNullAt(i)) null else r.get(i))
           val expect = hb.ofValues(vals, dts)
-          require(
-            !r.isNullAt(keyCols.size) && r.getLong(keyCols.size) == expect,
-            s"partitionPrune($t): sampled row has ${hb.partCol}=" +
-              s"${if (r.isNullAt(keyCols.size)) "null" else r.getLong(keyCols.size)} but " +
-              s"pmod(xxhash64(${keyCols.mkString(", ")}), ${hb.nBuckets})=$expect — the " +
-              s"layout is not hash-bucketed by (${keyCols.mkString(", ")}); pruning it " +
-              "would silently drop rows (re-write with Layout.hashBucketedWrite on these " +
-              "key columns, or fix the bucket count)"
+          if (!r.isNullAt(keyCols.size) && r.getLong(keyCols.size) == expect) None
+          else
+            Some(
+              s"sampled row has ${hb.partCol}=" +
+                s"${if (r.isNullAt(keyCols.size)) "null" else r.getLong(keyCols.size)} but " +
+                s"pmod(xxhash64(${keyCols.mkString(", ")}), ${hb.nBuckets})=$expect — the " +
+                s"layout is not hash-bucketed by (${keyCols.mkString(", ")}); pruning it " +
+                "would silently drop rows (re-write with Layout.hashBucketedWrite on these " +
+                "key columns, or fix the bucket count)"
+            )
+        }.nextOption()
+    }
+  }
+
+  // Sidecar auto-discovery (opt-in via layoutRoot): accept a discovered
+  // layout only when its RECORDED key columns are the tree position's key
+  // and every constraint the explicit path enforces holds — INCLUDING the
+  // sampled construction-time consistency check. Discovery is opportunistic,
+  // so a non-conforming layout (wrong position, missing columns in the
+  // frame load() serves, stale sidecar over re-written data) leaves its
+  // table unpruned instead of failing the engine. Tables with an explicit
+  // spec are skipped — the explicit entry overrides and is validated
+  // strictly below.
+  private val discoveredPrune: Map[String, IncrementalEngine.PartitionPrune] =
+    layoutRoot.fold(Map.empty[String, IncrementalEngine.PartitionPrune]) { dir =>
+      val spark = load(root.table).sparkSession
+      graft.sources.Layout
+        .discoverLayouts(spark, dir)
+        .filterNot { case (t, _) => partitionPrune.contains(t) }
+        .flatMap { case (t, lay) =>
+          val layKeyCols = lay match {
+            case graft.sources.Layout.KeyRangeLayout(k, _, _)    => Seq(k)
+            case graft.sources.Layout.HashBucketLayout(ks, _, _) => ks
+          }
+          val pp = IncrementalEngine.PartitionPrune.fromLayout(lay)
+          if (
+            positionKeyCols(t).contains(layKeyCols) &&
+            pruneObjection(t, pp).isEmpty && sampleObjection(t, pp).isEmpty
           )
+            Some(t -> pp)
+          else None
         }
     }
+
+  /** Effective prune specs: discovered sidecars, overridden by explicit
+    * entries.
+    */
+  private val prune: Map[String, IncrementalEngine.PartitionPrune] =
+    discoveredPrune ++ partitionPrune
+
+  // Explicit partition-prune specs are validated eagerly AND strictly: a
+  // typo'd table, an unsupported tree position, or a layout whose sampled
+  // directory values contradict the spec must fail at engine construction,
+  // not silently scan unpruned (or worse, prune the wrong rows) per batch.
+  partitionPrune.foreach { case (t, pp) =>
+    pruneObjection(t, pp)
+      .orElse(sampleObjection(t, pp))
+      .foreach(msg => require(false, s"partitionPrune($t): $msg"))
   }
 
   /** Ceiling on literal partition values pushed as a static filter. A batch
@@ -540,9 +591,10 @@ final class IncrementalEngine(
   /** Affected-id count up to which touched partitions are derived from ONE
     * driver collect of the cached affected set (≈0.5 MB — the engine's
     * bounded-collect ceiling class) instead of one distinct job per pruned
-    * table.
+    * table. Constructor-tunable (like `inSetThreshold`) so the distinct-job
+    * fallback is reachable at test batch sizes.
     */
-  private val PartitionIdCollectCap = 65536
+  private val PartitionIdCollectCap = partitionIdCollectCap
 
   /** Above `inSetThreshold` affected ids, fall back from literal IN-set scan
     * filters to broadcast semi-joins. Small sets profit from row-group
@@ -616,26 +668,52 @@ final class IncrementalEngine(
     def affectedPartVals(table: String, pp: IncrementalEngine.PartitionPrune): Option[Seq[Long]] =
       partValsMemo.getOrElseUpdate(
         table, {
-          val vals: Seq[Long] = (pp, idsForPartVals) match {
+          val vals: Option[Seq[Long]] = (pp, idsForPartVals) match {
             case (kr: IncrementalEngine.KeyRangePrune, Some(vs)) =>
-              vs.toSeq
-                .flatMap(v => scala.util.Try(kr.ofLong(v.toLong)).toOption)
-                .distinct
+              Some(
+                vs.toSeq
+                  .flatMap(v => scala.util.Try(kr.ofLong(v.toLong)).toOption)
+                  .distinct
+              )
             case (hb: IncrementalEngine.HashBucketPrune, Some(vs)) =>
-              vs.toSeq
-                .flatMap(v => hb.ofIdString(v, rootKeyDts, DocAssembler.IdDelimiter))
-                .distinct
+              val parsed =
+                vs.toSeq.map(v => hb.ofIdString(v, rootKeyDts, DocAssembler.IdDelimiter))
+              // at a delimiter-ambiguous key domain a failed parse may BE a
+              // real root row whose string key value contains the delimiter —
+              // its true bucket is unknowable from the id, so pruning on the
+              // parseable subset would skip that row's directory and emit a
+              // spurious delete; the whole batch falls back to the unpruned
+              // scan instead. At every other domain a failed parse matches no
+              // root row, so dropping it is exact.
+              if (rootKeyDelimiterAmbiguous && parsed.contains(None)) None
+              else Some(parsed.flatten.distinct)
             case (_, None) =>
-              affected
-                .select(pp.partValue(idKeyExprs).as("__p"))
+              // distributed twin of the driver parse: at a delimiter-ambiguous
+              // domain a mis-arity id maps to sentinel -1 (partValue is a pmod,
+              // never negative) and poisons the derivation the same way
+              val pv = {
+                val base = pp.partValue(idKeyExprs)
+                if (!rootKeyDelimiterAmbiguous) base
+                else {
+                  val parts = split(
+                    col("_id"),
+                    java.util.regex.Pattern.quote(DocAssembler.IdDelimiter),
+                    -1
+                  )
+                  when(size(parts) === lit(rootPks.size), base).otherwise(lit(-1L))
+                }
+              }
+              val collected = affected
+                .select(pv.as("__p"))
                 .filter(col("__p").isNotNull)
                 .distinct()
                 .limit(PartitionLiteralCap + 1)
                 .collect()
                 .map(_.getLong(0))
                 .toSeq
+              if (collected.contains(-1L)) None else Some(collected)
           }
-          if (vals.size > PartitionLiteralCap) None else Some(vals)
+          vals.filter(_.size <= PartitionLiteralCap)
         }
       )
     def partFilter(
@@ -968,9 +1046,13 @@ object IncrementalEngine {
     /** Bucket of a root `_id` string: split on the id delimiter, parse each
       * part back to its root-PK dtype (the value the write side hashed —
       * hashing the STRING "42" and the LONG 42 differ), hash. `None` for ids
-      * that cannot be a key in this domain (wrong arity, unparseable part) —
-      * such ids match no root row, so deriving no partition for them is
-      * exact.
+      * that cannot be parsed in this domain (wrong arity, unparseable part).
+      * At non-string and single-key domains a `None` id matches no root row,
+      * so deriving no partition for it is exact; at a COMPOSITE key with a
+      * string component, a wrong-arity id may be a real key whose string
+      * value contains the delimiter — the caller must fall back to the
+      * unpruned scan, never drop the id (the engine's `affectedPartVals`
+      * does exactly that).
       */
     def ofIdString(
         id: String,

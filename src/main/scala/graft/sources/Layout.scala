@@ -225,7 +225,14 @@ object Layout {
             e
           )
       }
-    val r = side.collect()(0)
+    val rows = side.collect()
+    if (rows.isEmpty)
+      throw new IllegalArgumentException(
+        s"empty $KeySpecDir sidecar at $path — the layout write was likely " +
+          "aborted mid-flight; re-write the layout (keyPartitionedWrite/" +
+          "hashBucketedWrite) or pass the prune spec explicitly"
+      )
+    val r = rows(0)
     if (side.schema.fieldNames.contains("width"))
       KeyRangeLayout(r.getString(0), r.getLong(1), r.getString(2))
     else

@@ -159,11 +159,6 @@ object MutationScale {
     require(pqCompacted, "expected the 20%-dead policy to compact")
     val pqProbeAfter = minOf3(pqProbe())
 
-    // ---- ANN training-quality cell: recall@50 vs exact ([[RecallScale]]) ---
-    // measures what the shipped refine=0 seed default costs vs a small Lloyd
-    // refinement and a full-probe contrast, on THIS corpus
-    val recallJson = RecallScale.jsonOf(RecallScale.measure(emb, annQueries))
-
     // ---- streaming near-dup cluster maintenance ---------------------------
     // different mutation verbs than the tombstone families: seed = corpus
     // build of signature index + union-find, apply = one 10%-of-corpus
@@ -201,6 +196,14 @@ object MutationScale {
       graft.dedup.SignatureIndex.compact(spark, cSig)
     }
     val cAssignAfter = minOf3(cAssign())
+
+    // ---- ANN training-quality cell: recall@50 vs exact ([[RecallScale]]) ---
+    // measures what the shipped refine=0 seed default costs vs a small Lloyd
+    // refinement and a full-probe contrast, on THIS corpus. Runs AFTER every
+    // timed family: its five full topK jobs + cached brute-force scan churn
+    // heap/cache state, and placing it mid-campaign would perturb the
+    // single-shot timings that are compared across rounds.
+    val recallJson = RecallScale.jsonOf(RecallScale.measure(emb, annQueries))
 
     val json =
       f"""{"sf":"$dir","load_before":$loadBefore%.2f,"n_docs":$nDocs,"n_vecs":$nVecs,"delete_batch_rows":$nDel1,""" +

@@ -491,11 +491,24 @@ class PlanSpec extends SparkSpec {
 
   test("layout sidecar readers fail with the convention named, not a raw path error") {
     import graft.sources.Layout
+    import spark.implicits._
     val dir = graft.util.TempDirs.scratch("plan-nosidecar").toString
     val ex = intercept[IllegalArgumentException] {
       Layout.layoutSpec(spark, s"$dir/never-written")
     }
     assert(ex.getMessage.contains(Layout.KeySpecDir), ex.getMessage)
+    // a ZERO-ROW sidecar (aborted mid-flight write) is as informative as a
+    // missing one — not a raw ArrayIndexOutOfBounds
+    Seq.empty[(Seq[String], Long, String)]
+      .toDF("key_cols", "n_buckets", "part_col")
+      .write.parquet(s"$dir/aborted/${Layout.KeySpecDir}")
+    val exEmpty = intercept[IllegalArgumentException] {
+      Layout.layoutSpec(spark, s"$dir/aborted")
+    }
+    assert(
+      exEmpty.getMessage.contains("empty") &&
+        exEmpty.getMessage.contains(Layout.KeySpecDir),
+      exEmpty.getMessage)
     // and the typed key-range reader refuses a hash sidecar loudly
     Layout.hashBucketedWrite(
       Tables.load(spark, sf)("supplier"), Seq("s_suppkey"), 4, s"$dir/supplier")
@@ -565,6 +578,119 @@ class PlanSpec extends SparkSpec {
     val want = flat.process(changes, Lineage.empty(spark))
       .orderBy("op", "_id").collect().toSeq
     assert(got == want && got.nonEmpty)
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
+  test("a delimiter-bearing composite string key never loses its bucket — both derivations fall back") {
+    import graft.cdc.IncrementalEngine.HashBucketPrune
+    import graft.sources.Layout
+    import graft.catalog.TableMeta
+    // a composite (string, long) root key whose STRING value contains the id
+    // delimiter makes the `_id` parse ambiguous ("x|5" + 5 → "x|5|5" splits
+    // into three parts) — both touched-bucket derivations must fall back to
+    // the unpruned scan for that batch, never skip the row's directory
+    // (which would surface as a spurious delete of a live document)
+    val base = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdchashdelim").toString
+    val ordersT = base("orders").select(
+      when(col("o_orderkey") === 5, lit("x|5"))
+        .otherwise(concat(lit("k"), col("o_orderkey"))).as("k1"),
+      col("o_orderkey").as("k2"),
+      col("o_orderstatus"), col("o_totalprice"))
+    Layout.hashBucketedWrite(ordersT, Seq("k1", "k2"), 8, s"$dir/orders")
+    val cat = Catalog(Map("orders" -> TableMeta("orders", Seq("k1", "k2"))))
+    val tree = SchemaDef.parseNodes(
+      """{"table": "orders", "columns": ["k1", "k2", "o_orderstatus"]}""")
+    val ploadCache = scala.collection.mutable.Map.empty[String, DataFrame]
+    val pload: String => DataFrame = t =>
+      ploadCache.getOrElseUpdate(t, spark.read.parquet(s"$dir/$t"))
+    val flat = new IncrementalEngine(tree, cat, (_: String) => ordersT)
+    val ambiguous = graft.cdc.Changes.of(
+      spark,
+      Seq(
+        ("UPDATE", "orders", null, """{"k1": "x|5", "k2": 5}""", 1L),
+        ("UPDATE", "orders", null, """{"k1": "k9", "k2": 9}""", 2L)
+      ))
+    val want = flat.process(ambiguous, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(want.exists(_.getAs[String]("_id") == "x|5|5"), want.toString)
+    // driver-parse path: the batch-sized id collect parses ids back to key
+    // values; the unparseable id must poison the derivation, not be dropped
+    val driverEng = new IncrementalEngine(
+      tree, cat, pload,
+      partitionPrune = Map("orders" -> HashBucketPrune("_hb", 8)))
+    val gotDriver = driverEng.process(ambiguous, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(gotDriver == want, s"driver derivation dropped the delimiter-bearing key:\n$gotDriver\nvs\n$want")
+    // distributed path (caps forced to 0 → per-table distinct job): the
+    // mis-arity sentinel must poison it the same way
+    val distEng = new IncrementalEngine(
+      tree, cat, pload,
+      inSetThreshold = 0, partitionIdCollectCap = 0,
+      partitionPrune = Map("orders" -> HashBucketPrune("_hb", 8)))
+    val gotDist = distEng.process(ambiguous, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(gotDist == want, s"distributed derivation dropped the delimiter-bearing key:\n$gotDist\nvs\n$want")
+    // the fallback is PER BATCH, not a standing downgrade: a batch with no
+    // ambiguous id still plants the static partition filter
+    val clean = graft.cdc.Changes.of(
+      spark, Seq(("UPDATE", "orders", null, """{"k1": "k9", "k2": 9}""", 3L)))
+    val doc = driverEng.reassemble(driverEng.affectedRoots(clean, Lineage.empty(spark)))
+    val s = doc.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("/orders"))
+    assert(
+      s.isDefined && s.get.contains("PartitionFilters") &&
+        !s.get.replaceAll("\\s", "").contains("PartitionFilters:[]") &&
+        s.get.contains("_hb"),
+      s"clean batch lost pruning:\n${s.getOrElse("no orders scan")}"
+    )
+    graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
+  }
+
+  test("discovery leaves a sidecar'd table unpruned when load() is flat or the sidecar is stale") {
+    import graft.sources.Layout
+    import spark.implicits._
+    val load = Tables.load(spark, sf) _
+    val dir = graft.util.TempDirs.scratch("plan-cdcdiscoverskip").toString
+    // (a) conforming customer layout ON DISK, but the engine's load() serves
+    // the FLAT frame (partial layout adoption) — no _hb column reaches the
+    // scan; discovery must skip it, not crash the sample guard on a missing
+    // column
+    Layout.hashBucketedWrite(load("customer"), Seq("c_custkey"), 8, s"$dir/customer")
+    // (b) STALE sidecar: orders data re-written with a directory column that
+    // contradicts the recorded layout — the sampled consistency check must
+    // reject it opportunistically instead of failing construction
+    load("orders").withColumn("_hb", lit(0L)).write.parquet(s"$dir/orders")
+    Seq((Seq("o_orderkey"), 32L, "_hb"))
+      .toDF("key_cols", "n_buckets", "part_col")
+      .coalesce(1).write.parquet(s"$dir/orders/${Layout.KeySpecDir}")
+    val pload: String => DataFrame = {
+      case "orders" => spark.read.parquet(s"$dir/orders")
+      case t        => load(t)
+    }
+    val engine = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, pload,
+      layoutRoot = Some(dir))
+    val changes = graft.cdc.Changes.of(
+      spark, Seq(("UPDATE", "orders", null, """{"o_orderkey": 5}""", 1L)))
+    val doc = engine.reassemble(engine.affectedRoots(changes, Lineage.empty(spark)))
+    // neither skipped table carries a partition filter on the bogus column
+    val planStr = doc.queryExecution.executedPlan.toString
+    val ordersScan = planStr.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/orders"))
+      .getOrElse(fail(s"no orders scan in:\n$planStr"))
+    assert(
+      ordersScan.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"stale-sidecar orders scan must stay unpruned:\n$ordersScan"
+    )
+    // and the skipped layouts never change answers
+    val flat = new IncrementalEngine(
+      SchemaDef.parseNodes(Fixtures.flagship), Catalog.testData, load)
+    val got = engine.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    val flatWant = flat.process(changes, Lineage.empty(spark))
+      .orderBy("op", "_id").collect().toSeq
+    assert(got == flatWant && got.nonEmpty)
     graft.util.TempDirs.delete(java.nio.file.Paths.get(dir))
   }
 

@@ -363,10 +363,15 @@ class CdcSpec extends SparkSpec {
           s"ofIdString ($a,$b)")
       }
 
-    // ids that cannot be keys in the domain derive NO partition (they match
-    // no root row, so deriving nothing for them is exact, not lossy)
+    // ids that cannot be keys in a NUMERIC domain derive NO partition (they
+    // match no root row, so deriving nothing for them is exact, not lossy)
     assert(hb.ofIdString("not-a-number", Seq(LongType), "|").isEmpty)
     assert(hb.ofIdString("1|2|3", Seq(LongType, IntegerType), "|").isEmpty)
     assert(hb.ofIdString("7", Seq(LongType, IntegerType), "|").isEmpty)
+    // at a composite STRING-bearing domain, a wrong-arity id may be a real
+    // key whose value contains the delimiter — ofIdString still returns
+    // None, and the ENGINE must fall back to the unpruned scan rather than
+    // drop the id (PlanSpec pins the end-to-end fallback on both paths)
+    assert(hb.ofIdString("x|5|5", Seq(StringType, LongType), "|").isEmpty)
   }
 }
