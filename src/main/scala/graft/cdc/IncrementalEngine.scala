@@ -922,7 +922,8 @@ object IncrementalEngine {
       inSetThreshold: Int = 1000,
       rangeBracket: Boolean = false,
       partitionPrune: Map[String, PartitionPrune] = Map.empty,
-      layoutRoot: Option[String] = None
+      layoutRoot: Option[String] = None,
+      partitionIdCollectCap: Int = 65536
   )
 
   /** Partition layout of one payload table, for affected-set partition

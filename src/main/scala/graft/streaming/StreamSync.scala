@@ -42,7 +42,7 @@ final class StreamSync(
   val engine = new IncrementalEngine(
     root, catalog, load,
     tuning.inSetThreshold, tuning.rangeBracket, tuning.partitionPrune,
-    tuning.layoutRoot)
+    tuning.layoutRoot, tuning.partitionIdCollectCap)
 
   /** Plugins run on every indexed document — snapshot AND incremental — as
     * in the reference (`sync.py:1571-1574`); a dropped doc contributes
