@@ -240,28 +240,40 @@ final class SyncPipeline(
     * current source-table state — the composed `pull()`
     * (`sync.py:1895-1945`): after seed, every probe surface answers for the
     * full corpus and [[start]] maintains all of them incrementally.
+    *
+    * The snapshot and the N index builds are INDEPENDENT (each writes only
+    * its own directory from the same immutable source state), so they are
+    * submitted as overlapping Spark jobs from a driver pool — the
+    * [[graft.GraftSync.runAll]] snapshot-phase shape: one build's shuffle
+    * tail or driver-side planning gap back-fills with another's scan work
+    * instead of leaving the executors idle. Per-surface CONTENT is
+    * byte-identical to the sequential order (nothing reads a sibling's
+    * output), which is what keeps the composed oracle rows green.
     */
   def seed(): Unit = {
-    sync.snapshot()
     val src = load(table)
-    consumers.foreach {
-      case c: Bm25Consumer =>
-        Retrieval.writeBm25Index(src, pk, c.textCol, c.indexPath, c.buckets)
-      case c: AnnLshConsumer =>
-        Ann.writeLshIndex(src, c.indexPath, pk, c.vecCol, c.planes, c.dim)
-      case c: AnnPqConsumer =>
-        // one corpus prefix collect trains both models (seed sets nest)
-        val (cells, books) = Ann.trainIvfPqModels(src, pk, c.vecCol, c.nlists, c.m, c.codeK)
-        Ann.writePqIndex(src, c.indexPath, pk, c.vecCol, cells, books)
-      case c: DedupConsumer =>
-        // the seed corpus is just the first (big) batch: registers every
-        // digest, first writer wins, survivors reported like any batch
-        DedupStream.applyBatch(
-          spark, src.select(col(pk), col(c.textCol)), c.indexPath, pk, c.textCol, c.onSurvivors)
-        ()
-      case c: ClusterConsumer =>
-        ClusterStream.seed(src, c.sigPath, c.indexPath, pk, c.textCol, c.model, c.mapBuckets)
-    }
+    runOverlapped(
+      ("seed: docs" -> (() => sync.snapshot())) +:
+        consumers.map(c => s"seed: ${c.name}" -> (() => seedConsumer(c, src))))
+  }
+
+  private def seedConsumer(c: Consumer, src: DataFrame): Unit = c match {
+    case c: Bm25Consumer =>
+      Retrieval.writeBm25Index(src, pk, c.textCol, c.indexPath, c.buckets)
+    case c: AnnLshConsumer =>
+      Ann.writeLshIndex(src, c.indexPath, pk, c.vecCol, c.planes, c.dim)
+    case c: AnnPqConsumer =>
+      // one corpus prefix collect trains both models (seed sets nest)
+      val (cells, books) = Ann.trainIvfPqModels(src, pk, c.vecCol, c.nlists, c.m, c.codeK)
+      Ann.writePqIndex(src, c.indexPath, pk, c.vecCol, cells, books)
+    case c: DedupConsumer =>
+      // the seed corpus is just the first (big) batch: registers every
+      // digest, first writer wins, survivors reported like any batch
+      DedupStream.applyBatch(
+        spark, src.select(col(pk), col(c.textCol)), c.indexPath, pk, c.textCol, c.onSurvivors)
+      ()
+    case c: ClusterConsumer =>
+      ClusterStream.seed(src, c.sigPath, c.indexPath, pk, c.textCol, c.model, c.mapBuckets)
   }
 
   /** Apply one raw change batch to EVERY consumer — the batch-mode form.
@@ -269,15 +281,58 @@ final class SyncPipeline(
     * consumers' payload columns and is cached across consumers (each
     * streaming query in [[start]] necessarily derives its own — separate
     * checkpoints mean separate plans — but batch mode shares the pass).
+    *
+    * The doc sync and the per-consumer applies then run as OVERLAPPING
+    * Spark jobs (the [[seed]] rationale): each mutates only its own index
+    * directory from the same immutable source state and the shared cached
+    * `rows`, so per-surface content equals the sequential order, while a
+    * consumer's driver-side sidecar reads/commits back-fill with the
+    * others' executor work. A failed surface still fails the batch (first
+    * failure rethrown after every job settles — no sibling is left
+    * mid-write), and at-least-once replay converges per consumer exactly
+    * as before: each surface is delete-first/first-writer-wins idempotent
+    * on its OWN protocol, never dependent on a sibling's batch state.
     */
   def applyBatch(batch: DataFrame): Unit = {
-    sync.applyChanges(batch)
-    if (consumers.isEmpty) return
+    if (consumers.isEmpty) { sync.applyChanges(batch); return }
     val payloads = consumers.map(_.payloadColumn).distinct
     val rows = changeRows(batch, load, table, pk, payloads).cache()
-    try consumers.foreach(c =>
-      applyConsumerRows(c, rows.select(col("tg_op"), col(pk), col(c.payloadColumn))))
+    try runOverlapped(
+      ("apply: docs" -> (() => sync.applyChanges(batch))) +:
+        consumers.map(c =>
+          s"apply: ${c.name}" ->
+            (() => applyConsumerRows(c, rows.select(col("tg_op"), col(pk), col(c.payloadColumn))))))
     finally { rows.unpersist(); () }
+  }
+
+  /** Run labeled independent jobs concurrently from a bounded driver pool;
+    * job descriptions are thread-local, so each job group stays readable in
+    * the UI. Every job settles before the first failure (if any) is
+    * rethrown — siblings are never abandoned mid-write, so a batch failure
+    * leaves each consumer either fully applied or untouched, the same
+    * per-consumer states the sequential loop could leave and the replay
+    * protocols already converge from.
+    */
+  private def runOverlapped(labeled: Seq[(String, () => Unit)]): Unit = {
+    if (labeled.sizeIs <= 1) { labeled.foreach(_._2()); return }
+    val sc = spark.sparkContext
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(labeled.size)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val settled = labeled
+        .map { case (label, f) =>
+          Future {
+            sc.setJobDescription(s"pipeline $label")
+            try f()
+            finally sc.setJobDescription(null)
+          }
+        }
+        .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
+    } finally pool.shutdown()
   }
 
   private def applyConsumerBatch(c: Consumer, batch: DataFrame): Unit =
