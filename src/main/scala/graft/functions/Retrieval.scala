@@ -229,15 +229,27 @@ object Retrieval {
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
-      writeBm25Postings(
-        withDl, postingsOf(withDl), path, buckets, seq = 0L,
-        org.apache.spark.sql.SaveMode.Overwrite)
-      // the sidecar stores the integer dl SUM, not the average: integer sums
+      // The one-time build writes into a FRESH directory that no probe can
+      // open until the seq marker lands (readBm25Stats fails without the
+      // stats sidecar), so unlike the APPEND path there is no crash-ordering
+      // contract between the sub-writes — the stats aggregate OVERLAPS the
+      // postings/doclens writes (independent consumers of the persisted
+      // token frame), and the two impact sidecar writes below overlap each
+      // other (sibling directories). postings→doclens itself stays ordered
+      // everywhere: the doclens dir NESTS inside the postings dir, so the
+      // postings Overwrite would race a concurrent doclens staging dir away.
+      //
+      // The sidecar stores the integer dl SUM, not the average: integer sums
       // update exactly under append AND delete, and avgdl = dl_sum/n_docs
       // reproduces the in-memory avg bit-for-bit (token-length partial sums
       // stay below 2^53, so double accumulation of the longs is exact
       // regardless of order)
-      val s = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0)
+      val (s, _) = inParallel(
+        withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")).collect()(0),
+        writeBm25Postings(
+          withDl, postingsOf(withDl), path, buckets, seq = 0L,
+          org.apache.spark.sql.SaveMode.Overwrite)
+      )
       writeBm25Stats(spark, path, s.getLong(0), s.getLong(1), buckets, statsSeq = 0L)
       // impacts derive from the postings JUST WRITTEN (a pruned columnar
       // re-scan) rather than re-running the (id, dl, term) aggregation
@@ -247,9 +259,25 @@ object Retrieval {
           spark.read.parquet(path).select(col("id"), col("dl"), col("term"), col("tf")),
           path, buckets,
           avgdl = s.getLong(1).toDouble / s.getLong(0), seq = 0L,
-          org.apache.spark.sql.SaveMode.Overwrite, cap = impactCap)
+          org.apache.spark.sql.SaveMode.Overwrite, cap = impactCap, overlap = true)
       IndexState.writeSeq(spark, path, 0L)
     } finally { withDl.unpersist(); () }
+  }
+
+  /** Run two independent jobs as concurrent Spark jobs (the
+    * [[graft.sinks.MaterializedIndex]] `inParallel` shape): both consume
+    * already-persisted or re-scannable inputs, so overlapping hides one
+    * write's IO/commit tail behind the other's compute. Only used where the
+    * two outputs have no crash-ordering contract between them (one-time
+    * builds into fresh directories, compaction rewrites into staging).
+    */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
   }
 
   /** The (id, dl, term, tf) posting rows of a tokenized corpus/batch frame
@@ -282,6 +310,11 @@ object Retrieval {
       seq: Long,
       mode: org.apache.spark.sql.SaveMode
   ): Unit = {
+    // the two writes are ORDERED even where no crash contract binds them:
+    // the doclens sidecar nests INSIDE the postings directory, and the
+    // postings Overwrite deletes the whole tree — a concurrent doclens
+    // write would race its own staging dir away (measured: _temporary
+    // FileNotFound under overlap)
     posted
       .withColumn("seq", lit(seq))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
@@ -388,7 +421,8 @@ object Retrieval {
       mode: org.apache.spark.sql.SaveMode,
       cap: Int = ImpactCap,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      overlap: Boolean = false
   ): Unit = {
     val scored = posted.select(
       col("term"), col("id").cast("long").as("id"), col("tf"), col("dl"),
@@ -405,18 +439,21 @@ object Retrieval {
           .select(col("term"), col("_e.id").as("id"))
         scored.join(topIds, Seq("term", "id"), "left_semi")
       }
-    capped
+    def impacts(): Unit = capped
       .withColumn("seq", lit(seq))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(buckets, col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$dataDir/$ImpactsDir")
-    posted
+    def termdf(): Unit = posted
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .withColumn("seq", lit(seq))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(buckets, col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$dataDir/$TermDfDir")
+    // same overlap contract as [[writeBm25Postings]]: build/compact only
+    if (overlap) { inParallel(impacts(), termdf()); () }
+    else { impacts(); termdf() }
   }
 
   /** `statsSeq` is the mutation seq these counters COVER: every postings/
@@ -623,6 +660,8 @@ object Retrieval {
       stagingPath: String
   ): Unit = {
     val data = IndexState.dataPath(spark, path)
+    // ordered, not overlapped: the doclens target nests inside the postings
+    // target, and the postings Overwrite deletes the whole staging tree
     IndexState
       .visibleAt(spark.read.parquet(data), data, "id")
       .repartition(col("bucket"))
@@ -644,7 +683,7 @@ object Retrieval {
       writeBm25Impacts(
         spark.read.parquet(stagingPath).select(col("id"), col("dl"), col("term"), col("tf")),
         stagingPath, b, avgdl = d.toDouble / n, seq = IndexState.readSeq(spark, path),
-        org.apache.spark.sql.SaveMode.Overwrite)
+        org.apache.spark.sql.SaveMode.Overwrite, overlap = true)
     IndexState.writeSeq(spark, stagingPath, IndexState.readSeq(spark, path))
   }
 

@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.assemble.DocAssembler
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Phase attribution INSIDE the snapshot path (ProfileLifecycle reports it
+  * as one number): assembly→persist materialization, the docs bucket write,
+  * the lineage bucket write — the three costs `MaterializedIndex.initialize`
+  * composes. `runMain graft.tools.ProfileSnapshot <sfDir>`.
+  */
+object ProfileSnapshot {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[snapshot] $label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val load = graft.sources.Tables.load(spark, sfDir) _
+    val docs = DocAssembler.assemble(
+      graft.schema.SchemaDef.parseNodes(graft.Fixtures.flagship), load,
+      graft.catalog.Catalog.testData)
+
+    // reference points
+    timed("assemble->noop") {
+      docs.write.mode("overwrite").format("noop").save()
+    }
+    val payload = docs.columns.filterNot(_ == DocAssembler.IdColumn).map(col).toIndexedSeq
+    timed("assembleJson->noop") {
+      docs.select(col(DocAssembler.IdColumn), to_json(struct(payload: _*)).as("doc"))
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    // the initialize() phases
+    val cached = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed("persist materialize")(cached.count())
+    val nBuckets = 64
+    def bucketOf(id: org.apache.spark.sql.Column) =
+      pmod(xxhash64(id), lit(nBuckets)).cast("int")
+    val out = graft.util.TempDirs.scratch("prof-snap").toString
+    val flat = cached.select(
+      col(DocAssembler.IdColumn), to_json(struct(payload: _*)).as("doc"))
+    timed("docs write") {
+      flat.withColumn("bucket", bucketOf(col(DocAssembler.IdColumn)))
+        .repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/docs")
+    }
+    timed("lineage write") {
+      graft.cdc.Lineage.fromDocs(cached)
+        .withColumn("bucket", bucketOf(col("root_id")))
+        .repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/lineage")
+    }
+    cached.unpersist()
+    spark.stop()
+  }
+}
