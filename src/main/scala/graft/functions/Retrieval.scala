@@ -558,17 +558,21 @@ object Retrieval {
     if (docs.isEmpty) return
     val (nDocs, dlSum, buckets, _) = readBm25Stats(spark, path)
     val seq = IndexState.bumpSeq(spark, path)
-    // Same single-tokenization + DISK_ONLY discipline as [[writeBm25Index]]
-    // (batch-sized here, but the same no-memory-pinning rule applies).
+    // Same single-tokenization discipline as [[writeBm25Index]], but
+    // MEMORY_AND_DISK, not DISK_ONLY: the no-memory-pinning rule targets
+    // CORPUS-sized frames, and an append batch is bounded by the feed's
+    // chunk size (the reference's 5 000) — forcing a disk write+read round
+    // trip per persist per micro-batch was pure fixed overhead on the
+    // steady-state CDC path (two persists × every batch).
     val withDl = docs
       .select(col(id).as("id"), TextFunctions.tokens(lower(col(text))).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The (id, dl, term) aggregation feeds BOTH the postings write and the
-    // impact/termdf sidecars — persist it once (same DISK_ONLY rationale)
-    // instead of paying the batch's groupBy twice per append.
+    // impact/termdf sidecars — persist it once (same rationale) instead of
+    // paying the batch's groupBy twice per append.
     val posted = postingsOf(withDl)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val data = IndexState.dataPath(spark, path)
       writeBm25Postings(withDl, posted, data, buckets, seq, org.apache.spark.sql.SaveMode.Append)
