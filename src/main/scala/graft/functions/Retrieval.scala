@@ -264,21 +264,14 @@ object Retrieval {
     } finally { withDl.unpersist(); () }
   }
 
-  /** Run two independent jobs as concurrent Spark jobs (the
-    * [[graft.sinks.MaterializedIndex]] `inParallel` shape): both consume
-    * already-persisted or re-scannable inputs, so overlapping hides one
-    * write's IO/commit tail behind the other's compute. Only used where the
-    * two outputs have no crash-ordering contract between them (one-time
-    * builds into fresh directories, compaction rewrites into staging).
+  /** Run two independent jobs as concurrent Spark jobs ([[graft.util.Par]]:
+    * dedicated pool, both branches settle before a failure rethrows — a
+    * failing stats aggregate can no longer abandon the postings write
+    * mid-flight for a retry to race). Only used where the two outputs have
+    * no crash-ordering contract between them (one-time builds into fresh
+    * directories, compaction rewrites into staging).
     */
-  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fa = Future(a)
-    val fb = Future(b)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-  }
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = graft.util.Par.both(a, b)
 
   /** The (id, dl, term, tf) posting rows of a tokenized corpus/batch frame
     * (the shared derivation of the postings write and the impact sidecar).
