@@ -169,12 +169,56 @@ object Bench {
     val qs = queriesJson(results)
     val total = results.map(_._2).sum
 
+    // Digest line sizing: the driver's stdout tail window is 2000 chars and
+    // sbt's "[success] Total time: …" footer (~70 chars) lands after the
+    // digest, so the digest itself must stay comfortably under the window.
+    val DigestBudget = 1750
+    // The most expensive rows first (ties by name for determinism), as many
+    // as fit the budget; the omitted tail rows are the sub-0.x-second ones
+    // whose round-over-round signal is noise-dominated anyway. `extras` is
+    // the pre-rendered scalar block (headline throughputs) of the final form.
+    def digestJson(
+        rs: Seq[(String, Double)],
+        value: Double,
+        valueCommon: Double,
+        extras: String,
+        sf: String
+    ): String = {
+      val head =
+        f"""{"metric":"total","value":$value%.3f,"value_common":$valueCommon%.3f,"unit":"sec","queries":{"""
+      def tail(omitted: Int) =
+        s"""},"queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json"$extras,"sf":"$sf"}"""
+      val entries = rs.sortBy { case (k, v) => (-v, k) }
+        .map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+      val fixed = head.length + tail(entries.size).length
+      val included = scala.collection.mutable.ArrayBuffer.empty[String]
+      var len = fixed
+      entries.foreach { e =>
+        val add = e.length + (if (included.nonEmpty) 1 else 0)
+        if (len + add <= DigestBudget) { included += e; len += add }
+      }
+      head + included.mkString(",") + tail(entries.size - included.size)
+    }
+
     // Emission contract (round-7 verdict: the driver's stdout capture
     // truncated the JSON line): write the line to a FILE first
     // (BENCH_LOCAL.json, overridable via SPARK_GRAFT_BENCH_OUT), then stop
     // the session BEFORE printing so the one JSON line is the final stdout
     // with nothing after it to push it out of a tail-capture window.
-    def emit(json: String): Unit = {
+    //
+    // Round-16 fix (the r15 verdict's item 2: `parsed: null` in every
+    // BENCH_r*.json): the driver keeps only a 2000-char stdout TAIL, and the
+    // full line cannot ever fit it — the 113 query names alone are ~1.9 KB
+    // of JSON before a single value. So when the full line overflows the
+    // window, a second, parse-sized DIGEST line is printed after it: same
+    // shape ({"metric","value","value_common","unit","queries",...,"sf"}),
+    // queries trimmed to the most expensive rows that fit the window, plus
+    // the headline throughput scalars and `queries_omitted`/`queries_full`
+    // markers pointing at the complete per-query map (still printed above
+    // AND written to the file — nothing is removed from the full line).
+    // The digest is the only complete JSON object inside the tail window,
+    // which is what makes the driver's parse succeed.
+    def emit(json: String, digest: Option[String] = None): Unit = {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
@@ -183,12 +227,15 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] file emit failed: $e") }
       spark.stop()
       println(json)
+      // only when the full line cannot fit the tail window itself
+      digest.filter(_ => json.length > DigestBudget).foreach(println)
       System.out.flush()
     }
 
     if (only.isDefined) {
       emit(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}""",
+        digest = Some(digestJson(results, total, total, "", sfDir)))
       return
     }
 
@@ -340,8 +387,12 @@ object Bench {
     // timed row (appending changed `value`'s composition in r14 and made
     // the raw trend line unreadable without judge-side recomputation)
     val gcJson = gcPerQuery.map { case (k, v) => "\"" + k + s"\":$v" }.mkString("{", ",", "}")
+    val headlines =
+      f""","snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"incremental_changes_per_sec_partitioned":$changesPartSec%.0f"""
     emit(
-      f"""{"metric":"total","value":$timedTotal%.3f,"value_common":$total%.3f,"unit":"sec","queries":$timedQs,"gc_ms":$gcJson,"settle":$settle,"snapshot_docs_per_sec":$snapshotDocsSec%.0f,"snapshot_docs_per_sec_bucketed":$snapshotBucketedSec%.0f,"incremental_changes_per_sec":$changesSec%.0f,"incremental_changes_per_sec_partitioned":$changesPartSec%.0f,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$timedTotal%.3f,"value_common":$total%.3f,"unit":"sec","queries":$timedQs,"gc_ms":$gcJson,"settle":$settle$headlines,"runs":$runs,"load_before":$loadBefore%.2f,"load_after":${loadAvg()}%.2f,"sf":"$sfDir"}""",
+      digest = Some(digestJson(
+        results :+ ("q_cdc_partitioned" -> cdcPartSec), timedTotal, total, headlines, sfDir))
     )
   }
 }
