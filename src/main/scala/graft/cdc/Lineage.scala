@@ -48,6 +48,21 @@ object Lineage {
       .select(col("root_id"), col("key").as("tbl"), explode(col("value")))
       .select(col("root_id"), col("tbl"), col("key").as("pk"), explode(col("value")).as("value"))
 
+  /** [[fromDocs]] over FLAT (`_id`, doc-JSON) rows — the snapshot's
+    * write-once path derives lineage from the just-written doc buckets
+    * instead of a corpus-sized persist of the struct frame. Lossless:
+    * `_meta` is `map<string, map<string, array<string>>>` (all-string
+    * leaves, [[graft.expr.SquashMeta.dataType]]), so the to_json →
+    * from_json round trip reproduces the struct-side values exactly;
+    * `metaType` is passed from the assembled schema so the two derivations
+    * can never drift. A doc whose JSON lacks `_meta` (null map) contributes
+    * no rows, same as a null struct column under [[fromDocs]].
+    */
+  def fromDocJson(flatDocs: DataFrame, metaType: org.apache.spark.sql.types.DataType): DataFrame =
+    fromDocs(flatDocs.select(
+      col(DocAssembler.IdColumn),
+      from_json(get_json_object(col("doc"), "$._meta"), metaType).as(DocAssembler.MetaColumn)))
+
   /** Root ids whose lineage intersects `keys` (columns: tbl, pk, value).
     * `keys` is the small side (one batch of changes) — broadcast it.
     */

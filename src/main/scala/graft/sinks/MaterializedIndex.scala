@@ -171,26 +171,40 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
 
   /** Bootstrap from a full snapshot of structured docs (assemble() output:
     * `_id`, fields…, `_meta`).
+    *
+    * WRITE-ONCE SHAPE (round-16, guide §5/§6): the two consumers (docs
+    * write, lineage extraction) used to share a corpus-sized
+    * MEMORY_AND_DISK persist of the wide nested-struct frame — whose
+    * columnar-cache materialization was the single biggest cost of the
+    * snapshot (4.5 s of a 9 s q_lifecycle at sf0.1, `ProfileSnapshot`), and
+    * at 100 TB a corpus-sized executor-memory/scratch-disk pin. Now the doc
+    * write streams straight from the assembly plan (one pipelined pass:
+    * joins → `_meta` squash → to_json → bucket shuffle → parquet), and the
+    * lineage table derives from the JUST-WRITTEN doc buckets: `_meta` is a
+    * `map<string,map<string,array<string>>>` with all-string leaves, so
+    * parsing it back out of the doc JSON is lossless and the lineage rows
+    * are identical to the struct-side derivation (LineageSpec pins the
+    * equivalence). The written index IS the materialization — no cache, no
+    * second assembly pass, and the lineage pass reads the (much smaller,
+    * columnar) doc buckets instead of re-running the multi-join assembly.
     */
   def initialize(structuredDocs: DataFrame): Unit = {
-    // two consumers (docs write, lineage extraction) — without a persist the
-    // whole multi-join assembly executes twice (measured ~2× snapshot time).
-    // MEMORY_AND_DISK so an index-sized snapshot spills instead of OOMing;
-    // released before returning.
-    val cached = structuredDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val payload = cached.columns.filterNot(_ == DocAssembler.IdColumn).map(col).toIndexedSeq
-      val flat = cached.select(
-        col(DocAssembler.IdColumn),
-        to_json(struct(payload: _*)).as("doc")
-      )
-      val (d, l) = inParallel(
-        writeBuckets("docs", 0L, flat, DocAssembler.IdColumn),
-        writeBuckets("lineage", 0L, Lineage.fromDocs(cached), "root_id")
-      )
-      writeManifest(0L, (d.map(b => ("docs", b) -> 0L) ++ l.map(b => ("lineage", b) -> 0L)).toMap)
-      flipCurrent(0L)
-    } finally cached.unpersist(false)
+    val payload = structuredDocs.columns.filterNot(_ == DocAssembler.IdColumn).map(col).toIndexedSeq
+    val flat = structuredDocs.select(
+      col(DocAssembler.IdColumn),
+      to_json(struct(payload: _*)).as("doc")
+    )
+    val d = writeBuckets("docs", 0L, flat, DocAssembler.IdColumn)
+    val metaType = structuredDocs.schema(DocAssembler.MetaColumn).dataType
+    val l =
+      if (d.isEmpty) Set.empty[Int]
+      else {
+        val written = spark.read.schema(docsSchema)
+          .parquet(d.map(b => bucketDir("docs", b, 0L)).toSeq: _*)
+        writeBuckets("lineage", 0L, Lineage.fromDocJson(written, metaType), "root_id")
+      }
+    writeManifest(0L, (d.map(b => ("docs", b) -> 0L) ++ l.map(b => ("lineage", b) -> 0L)).toMap)
+    flipCurrent(0L)
   }
 
   // ---- resumable snapshot (the ctid-resume analogue) -----------------------
@@ -360,20 +374,15 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
 
   private def flipCurrent(v: Long): Unit = writeText(currentPtr, v.toString)
 
-  /** Run the docs and lineage writes as concurrent Spark jobs: both consume
-    * the same upstream (a persisted frame or the affected-bucket reads), so
-    * overlapping them hides one write's IO behind the other's compute.
-    * Spark's block manager serializes concurrent computation of a cached
-    * partition, so the shared input is still computed once.
+  /** Run the docs and lineage writes as concurrent Spark jobs
+    * ([[graft.util.Par]]: dedicated pool, both branches settle before a
+    * failure rethrows): both consume the same upstream (a persisted frame
+    * or the affected-bucket reads), so overlapping them hides one write's
+    * IO behind the other's compute. Spark's block manager serializes
+    * concurrent computation of a cached partition, so the shared input is
+    * still computed once.
     */
-  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fa = Future(a)
-    val fb = Future(b)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-  }
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = graft.util.Par.both(a, b)
 
   /** Drop version directories that are older than the newest `keepLast` AND
     * not referenced by ANY kept version's manifest — bucket inheritance (and

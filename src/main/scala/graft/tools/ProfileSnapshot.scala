@@ -40,25 +40,50 @@ object ProfileSnapshot {
         .write.mode("overwrite").format("noop").save()
     }
 
-    // the initialize() phases
-    val cached = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    timed("persist materialize")(cached.count())
+    // the initialize() phases — the round-16 WRITE-ONCE shape: docs stream
+    // straight from the assembly plan (no corpus persist), lineage derives
+    // from the just-written doc buckets (JSON _meta read-back)
     val nBuckets = 64
     def bucketOf(id: org.apache.spark.sql.Column) =
       pmod(xxhash64(id), lit(nBuckets)).cast("int")
     val out = graft.util.TempDirs.scratch("prof-snap").toString
-    val flat = cached.select(
+    val flat = docs.select(
       col(DocAssembler.IdColumn), to_json(struct(payload: _*)).as("doc"))
-    timed("docs write") {
+    timed("docs write (pipelined)") {
       flat.withColumn("bucket", bucketOf(col(DocAssembler.IdColumn)))
         .repartition(nBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/docs")
     }
-    timed("lineage write") {
-      graft.cdc.Lineage.fromDocs(cached)
+    val metaType = docs.schema(DocAssembler.MetaColumn).dataType
+    timed("lineage read-back write") {
+      graft.cdc.Lineage.fromDocJson(
+          spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              DocAssembler.IdColumn, org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(
+              "doc", org.apache.spark.sql.types.StringType))))
+            .parquet(s"$out/docs"),
+          metaType)
         .withColumn("bucket", bucketOf(col("root_id")))
         .repartition(nBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/lineage")
+    }
+
+    // the PRE-round-16 shape, for the before/after attribution record
+    val cached = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed("old: persist materialize")(cached.count())
+    val flatCached = cached.select(
+      col(DocAssembler.IdColumn), to_json(struct(payload: _*)).as("doc"))
+    timed("old: docs write") {
+      flatCached.withColumn("bucket", bucketOf(col(DocAssembler.IdColumn)))
+        .repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/docs_old")
+    }
+    timed("old: lineage write") {
+      graft.cdc.Lineage.fromDocs(cached)
+        .withColumn("bucket", bucketOf(col("root_id")))
+        .repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/lineage_old")
     }
     cached.unpersist()
     spark.stop()

@@ -374,4 +374,36 @@ class CdcSpec extends SparkSpec {
     // drop the id (PlanSpec pins the end-to-end fallback on both paths)
     assert(hb.ofIdString("x|5|5", Seq(StringType, LongType), "|").isEmpty)
   }
+
+  test("lineage fromDocJson == fromDocs: the snapshot's JSON read-back derivation is lossless") {
+    // the write-once snapshot (MaterializedIndex.initialize) derives lineage
+    // by parsing _meta back out of the written doc JSON instead of holding a
+    // corpus-sized persist of the struct frame; this pins the equivalence on
+    // the awkward shapes — multiple tables/pks, values with JSON-escaped
+    // characters, an empty meta map, a null meta, unicode
+    val metaType = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+    val structured = Seq(
+      ("1", Map("orders" -> Map("o_orderkey" -> Seq("1")),
+                "lineitem" -> Map("l_orderkey" -> Seq("1", "2"), "l_linenumber" -> Seq("9")))),
+      ("2", Map("t\"x" -> Map("p\\k" -> Seq("a\"b", "c\\d", "e\nf")))),
+      ("3", Map.empty[String, Map[String, Seq[String]]]),
+      ("4", null.asInstanceOf[Map[String, Map[String, Seq[String]]]]),
+      ("5", Map("ünïcode" -> Map("ключ" -> Seq("väl", "值"))))
+    ).toDF(DocAssembler.IdColumn, DocAssembler.MetaColumn)
+      // a payload column so the doc JSON has more than _meta (the real shape)
+      .withColumn("body", concat(lit("text-"), col(DocAssembler.IdColumn)))
+    val flat = structured.select(
+      col(DocAssembler.IdColumn),
+      to_json(struct(col("body"), col(DocAssembler.MetaColumn))).as("doc"))
+    val expected = Lineage.fromDocs(structured)
+      .collect().map(_.toSeq.mkString(" ")).sorted
+    val actual = Lineage.fromDocJson(flat, metaType)
+      .collect().map(_.toSeq.mkString(" ")).sorted
+    assert(actual.toSeq == expected.toSeq)
+    assert(expected.nonEmpty)
+  }
 }
