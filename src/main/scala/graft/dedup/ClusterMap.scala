@@ -282,6 +282,31 @@ object ClusterMap {
     val endpoints = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id")))
       .distinct()
+
+    // FUSED DRIVER SHAPE (round-16, guide §2.6 + fewer driver jobs): the
+    // endpoint set of a micro-batch is bounded, so collect it ONCE —
+    // overlapped with the merge-log closure, the other independent driver
+    // job — and derive everything the resolve phase used to re-probe for
+    // from that one collect: the probe buckets (driver floorMod instead of
+    // a second distinct job), the endpoint relation (a driver-local
+    // relation every consumer join broadcasts — no localCheckpoint job),
+    // and, after the bucket-pruned member scan resolves the stored roots
+    // (ONE job, collected batch-sized), the merge-pointer and
+    // foreign-winner predicates as driver-side set tests (the
+    // `merges.isEmpty` job disappears). Oversized endpoint sets
+    // (corpus-scale seeds past the bounded-collect ceiling) keep the
+    // distributed shape below, unchanged.
+    val (endpointHead, closure) = staged("resolve-head")(graft.util.Par.both(
+      endpoints.limit(InMemClosureRows + 1).collect(),
+      mergeClosure(spark, dataDir)))
+
+    if (endpointHead.length <= InMemClosureRows) {
+      applyBatchFused(
+        spark, dataDir, path, buckets, pairs, newIds, maxIter, stageTimer, ccInMemPairs,
+        endpointHead, closure)
+      return
+    }
+
     // current root per endpoint: stored root → pointer closure; absent
     // (a batch id, or a pair endpoint never ingested) → the id itself.
     // Eagerly checkpointed (batch-sized): the resolved frame feeds the
@@ -289,7 +314,6 @@ object ClusterMap {
     // predicate — one bucket-pruned member scan per batch instead of three
     // (the round-11 shape re-probed storage for losers and winners).
     val cur = staged("resolve") {
-      val closure = mergeClosure(spark, dataDir)
       endpoints
         .join(lookupStored(spark, dataDir, buckets, endpoints)
           .withColumnRenamed("root", "stored"), Seq("id"), "left_outer")
@@ -362,28 +386,160 @@ object ClusterMap {
         .select(col("id"), col("id").as("root"), lit(1).as("syn"))
 
       staged("member-write") {
-        newIds
-          .select(col("id"))
-          .join(labels, Seq("id"), "left_outer")
-          .select(col("id"), coalesce(col("keep_id"), col("id")).as("root"), lit(0).as("syn"))
-          .unionByName(foreignWinners)
-          .select(
-            col("id"),
-            col("root"),
-            col("syn"),
-            pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
-          // pinned partition count (the writeBm25Postings rationale): a bare
-          // repartition(col) lets AQE coalesce the batch-sized shuffle to ~1
-          // task, which then writes every touched bucket dir SERIALLY
-          .repartition(buckets, col("bucket"))
-          .write
-          .mode("append")
-          .partitionBy("bucket")
-          .parquet(dataDir)
+        writeMembers(newIds, labels, foreignWinners, buckets, dataDir)
       }
     } finally {
       try org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(cur)
       catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** The member-row append shared by both [[applyBatch]] tiers: one row per
+    * new id labeled with its component root (or itself), plus the synthetic
+    * foreign-winner rows.
+    */
+  private def writeMembers(
+      newIds: DataFrame,
+      labels: DataFrame,
+      foreignWinners: DataFrame,
+      buckets: Int,
+      dataDir: String
+  ): Unit =
+    newIds
+      .select(col("id"))
+      .join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("keep_id"), col("id")).as("root"), lit(0).as("syn"))
+      .unionByName(foreignWinners)
+      .select(
+        col("id"),
+        col("root"),
+        col("syn"),
+        pmod(col("id"), lit(buckets.toLong)).cast("int").as("bucket"))
+      // pinned partition count (the writeBm25Postings rationale): a bare
+      // repartition(col) lets AQE coalesce the batch-sized shuffle to ~1
+      // task, which then writes every touched bucket dir SERIALLY
+      .repartition(buckets, col("bucket"))
+      .write
+      .mode("append")
+      .partitionBy("bucket")
+      .parquet(dataDir)
+
+  /** The bounded-endpoint tier of [[applyBatch]]: semantics identical to the
+    * distributed tier (same resolve → contract → cc → ptr-write →
+    * member-write stages over the same values), with the batch-sized
+    * intermediates held as driver-local relations instead of checkpointed
+    * frames. `endpointHead` is the collected endpoint id set (≤
+    * [[InMemClosureRows]]); `closure` the merge-log closure frame.
+    */
+  private def applyBatchFused(
+      spark: SparkSession,
+      dataDir: String,
+      path: String,
+      buckets: Int,
+      pairs: DataFrame,
+      newIds: DataFrame,
+      maxIter: Int,
+      stageTimer: Option[(String, Double) => Unit],
+      ccInMemPairs: Int,
+      endpointHead: Array[org.apache.spark.sql.Row],
+      closure: DataFrame
+  ): Unit = {
+    import org.apache.spark.sql.Row
+    def staged[T](label: String)(f: => T): T = stageTimer match {
+      case None => f
+      case Some(report) =>
+        val t0 = System.nanoTime()
+        val r = f
+        report(label, (System.nanoTime() - t0) / 1e9)
+        r
+    }
+    val curSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("stored", LongType),
+      StructField("cur_root", LongType)))
+    // current root per endpoint (the distributed tier's `cur`), via ONE
+    // bucket-pruned member scan joined against the driver-local endpoint
+    // relation, collected batch-sized. Probe buckets derive from the
+    // already-collected ids (pmod == floorMod for positive bucket counts).
+    val curRows: Array[Row] = staged("resolve") {
+      val ids = endpointHead.map(_.getLong(0))
+      if (ids.isEmpty || !hasMembers(spark, dataDir)) {
+        // nothing stored (or no endpoints): every endpoint resolves to itself
+        ids.map(i => Row(i, null, i))
+      } else {
+        val probeBuckets = ids.map(i => java.lang.Math.floorMod(i, buckets.toLong).toInt).distinct
+        val idsLocal = spark.createDataFrame(
+          java.util.Arrays.asList(ids.map(i => Row(i)): _*),
+          StructType(Seq(StructField("id", LongType))))
+        val stored = spark.read
+          .schema(MemberReadSchema)
+          .parquet(dataDir)
+          .filter(col("bucket").isin(probeBuckets.map(Integer.valueOf): _*))
+          .join(idsLocal, Seq("id"))
+          .select(col("id"), col("root").as("stored"))
+        val resolved = idsLocal
+          .join(stored, Seq("id"), "left_outer")
+          .join(closure.withColumnRenamed("from_root", "stored"), Seq("stored"), "left_outer")
+          .select(
+            col("id"),
+            col("stored"),
+            coalesce(col("to_root"), col("stored"), col("id")).as("cur_root"))
+          .collect()
+        resolved
+      }
+    }
+    val curLocal = spark.createDataFrame(java.util.Arrays.asList(curRows: _*), curSchema)
+    // stored-referenced contraction nodes (the distributed tier's
+    // storedNodes), as a driver set — the soundness argument is unchanged
+    val storedRoots: Set[Long] =
+      curRows.iterator.filter(!_.isNullAt(1)).map(_.getLong(2)).toSet
+
+    val contracted = pairs
+      .join(curLocal.select(col("id").as("id_a"), col("cur_root").as("ra")), Seq("id_a"))
+      .join(curLocal.select(col("id").as("id_b"), col("cur_root").as("rb")), Seq("id_b"))
+      .select(col("ra").as("id_a"), col("rb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    // label rows are one per contraction NODE (≤ endpoint count — bounded
+    // by this tier's ceiling), so the collect is safe even when the cc
+    // itself ran distributed
+    val labelRows: Array[Row] = staged("cc") {
+      Dedup.connectedComponents(contracted, maxIter, ccInMemPairs).collect()
+    }
+    val labelsLocal = spark.createDataFrame(
+      java.util.Arrays.asList(labelRows: _*),
+      StructType(Seq(StructField("id", LongType), StructField("keep_id", LongType))))
+
+    val seq = IndexState.bumpSeq(spark, path)
+    // merge pointers FIRST (the distributed tier's crash-heal ordering);
+    // losing-and-stored is now a driver-side set test, and an empty pointer
+    // set skips the write without an isEmpty job
+    val mergeRows = labelRows.iterator
+      .filter(r => r.getLong(1) != r.getLong(0) && storedRoots.contains(r.getLong(0)))
+      .map(r => Row(r.getLong(0), r.getLong(1), seq))
+      .toArray
+    staged("ptr-write") {
+      if (mergeRows.nonEmpty)
+        spark.createDataFrame(java.util.Arrays.asList(mergeRows: _*), MergeSchema)
+          .coalesce(1).write.mode("append").parquet(s"$dataDir/$MergesDir")
+    }
+
+    // foreign winners (see the distributed tier): winner ∧ ¬stored is a
+    // driver-side test; ¬ingested stays an anti-join against `newIds`
+    // (corpus-sized at seeds), folded into the member-write job
+    val winnersNotStored = labelRows.iterator
+      .filter(r => r.getLong(1) == r.getLong(0) && !storedRoots.contains(r.getLong(0)))
+      .map(r => Row(r.getLong(0)))
+      .toArray
+    val foreignWinners = spark
+      .createDataFrame(
+        java.util.Arrays.asList(winnersNotStored: _*),
+        StructType(Seq(StructField("id", LongType))))
+      .join(newIds.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("root"), lit(1).as("syn"))
+
+    staged("member-write") {
+      writeMembers(newIds, labelsLocal, foreignWinners, buckets, dataDir)
     }
   }
 
