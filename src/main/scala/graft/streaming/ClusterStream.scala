@@ -84,17 +84,31 @@ object ClusterStream {
     val spark = corpus.sparkSession
     val docs = corpus.select(col(id).cast("long").as("id"), col(text).as("t"))
       .filter(col("t").isNotNull)
-    staged("sig-write")(SignatureIndex.write(docs, sigPath, "id", "t", m))
     ClusterMap.init(spark, clusterPath, mapBuckets)
-    val pairs = staged("pairs") {
-      if (m.portable)
-        Dedup.minhashLshPortableFromKeys(
-          docs, "id", "t",
-          SignatureIndex.storedKeys(spark, sigPath),
-          m.shingleN, m.threshold, m.maxBucket)
-          .select(col("id_a"), col("id_b"))
-      else inBatchPairs(docs, "id", "t", m)
-    }
+    val pairs =
+      if (m.portable) {
+        // ordered by construction: the portable pair derivation READS the
+        // just-written index back (the banding pass materialized once)
+        staged("sig-write")(SignatureIndex.write(docs, sigPath, "id", "t", m))
+        staged("pairs")(
+          Dedup.minhashLshPortableFromKeys(
+            docs, "id", "t",
+            SignatureIndex.storedKeys(spark, sigPath),
+            m.shingleN, m.threshold, m.maxBucket)
+            .select(col("id_a"), col("id_b")))
+      } else {
+        // the PROD pair operator is INDEPENDENT of the stored keys (it bands
+        // exact-text-class representatives, deliberately not the per-doc
+        // stored key set — see the scaladoc), so the seed's two corpus-scale
+        // legs overlap as concurrent jobs (guide §2.6): the sig-write's
+        // shuffle/commit tail back-fills with the pair derivation's
+        // shingle/verify scans. Under a stageTimer the two labels now time
+        // overlapping wall-clock windows — their sum exceeds the seed wall.
+        val (_, p) = graft.util.Par.both(
+          staged("sig-write")(SignatureIndex.write(docs, sigPath, "id", "t", m)),
+          staged("pairs")(inBatchPairs(docs, "id", "t", m)))
+        p
+      }
     try staged("merge")(ClusterMap.applyBatch(
       spark, clusterPath, pairs,
       corpus.select(col(id).cast("long").as("id")),
