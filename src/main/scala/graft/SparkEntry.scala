@@ -1679,11 +1679,16 @@ object SparkEntry {
     "q_curation_pipeline" -> ((s, dir) => {
       import graft.functions.{QualityRules, Sampling}
       val docs = loader(s, dir)("documents")
-      val passed = QualityRules
-        .all(docs, "doc_id", "text")
+      // the quality gate CARRIES text through its signal projection
+      // (keep = text), so the dedup hash fuses into the same corpus pass —
+      // the previous shape re-joined `docs` by id to recover text, a second
+      // full scan+shuffle of the corpus (guide §6; doc_id is the table's
+      // primary key, so filter-on-flag ≡ the old join-on-passed-ids row set
+      // and keep_id/sample/report are byte-identical — oracle-checked)
+      val kept = QualityRules
+        .all(docs, "doc_id", "text", keep = Seq("text"))
         .filter(col("pass_repetition"))
-        .select(col("doc_id"))
-      val kept = docs.join(passed, "doc_id")
+        .select(col("doc_id"), col("text"))
       val keepers = graft.dedup.Dedup.exact(kept, "doc_id", "text").select(col("keep_id"))
       val sampled = Sampling
         .hashSample(keepers, col("keep_id"), 0.5)

@@ -193,7 +193,8 @@ object QualityRules {
       id: String,
       text: String,
       minWords: Long = 50L,
-      maxWords: Long = 100000L
+      maxWords: Long = 100000L,
+      keep: Seq[String] = Nil
   ): DataFrame = {
     val sig = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expr.QualitySignals(
@@ -201,7 +202,12 @@ object QualityRules {
         RequiredStopwords
       )
     )
-    val withSig = docs.select(col(id), sig.as("__sig"))
+    // `keep` carries extra source columns through the signal projection so a
+    // downstream consumer (e.g. a dedup hash over the gated docs) fuses into
+    // the SAME corpus pass instead of re-joining the source table by id —
+    // one full scan saved per pipeline (guide §6). Names must not collide
+    // with the signal/pass columns; default Nil keeps the established shape.
+    val withSig = docs.select(col(id) +: keep.map(col) :+ sig.as("__sig"): _*)
     val s = (f: String) => col("__sig").getField(f)
     // gopher's n_lines lives at the shared slot in the fused struct
     val fields = graft.expr.QualitySignals.FieldNames
@@ -209,7 +215,7 @@ object QualityRules {
     val pr = coalesce(repetitionPass(s), lit(false))
     val pc = coalesce(c4Pass(s), lit(false))
     withSig.select(
-      (col(id) +: fields.map(f => s(f).as(f))) ++ Seq(
+      (col(id) +: keep.map(col)) ++ fields.map(f => s(f).as(f)) ++ Seq(
         pg.as("pass_gopher"),
         pr.as("pass_repetition"),
         pc.as("pass_c4"),
