@@ -48,20 +48,27 @@ object Lineage {
       .select(col("root_id"), col("key").as("tbl"), explode(col("value")))
       .select(col("root_id"), col("tbl"), col("key").as("pk"), explode(col("value")).as("value"))
 
-  /** [[fromDocs]] over FLAT (`_id`, doc-JSON) rows — the snapshot's
-    * write-once path derives lineage from the just-written doc buckets
-    * instead of a corpus-sized persist of the struct frame. Lossless:
-    * `_meta` is `map<string, map<string, array<string>>>` (all-string
-    * leaves, [[graft.expr.SquashMeta.dataType]]), so the to_json →
-    * from_json round trip reproduces the struct-side values exactly;
-    * `metaType` is passed from the assembled schema so the two derivations
-    * can never drift. A doc whose JSON lacks `_meta` (null map) contributes
-    * no rows, same as a null struct column under [[fromDocs]].
+  /** [[fromDocs]] over (`_id`, `metaJsonCol` = to_json(`_meta`)) rows — the
+    * snapshot's write-once path derives lineage from the just-written doc
+    * buckets instead of a corpus-sized persist of the struct frame (the
+    * bucket files carry `_meta` as its OWN serialized column, so this pass
+    * reads and parses only the small meta strings — the corpus-sized doc
+    * JSON column is columnar-pruned away entirely). Lossless: `_meta` is
+    * `map<string, map<string, array<string>>>` (all-string leaves,
+    * [[graft.expr.SquashMeta.dataType]]), so the to_json → from_json round
+    * trip reproduces the struct-side values exactly; `metaType` is passed
+    * from the assembled schema so the two derivations can never drift. A
+    * null meta string (null `_meta` map) contributes no rows, same as a
+    * null struct column under [[fromDocs]].
     */
-  def fromDocJson(flatDocs: DataFrame, metaType: org.apache.spark.sql.types.DataType): DataFrame =
-    fromDocs(flatDocs.select(
+  def fromMetaJson(
+      docs: DataFrame,
+      metaJsonCol: String,
+      metaType: org.apache.spark.sql.types.DataType
+  ): DataFrame =
+    fromDocs(docs.select(
       col(DocAssembler.IdColumn),
-      from_json(get_json_object(col("doc"), "$._meta"), metaType).as(DocAssembler.MetaColumn)))
+      from_json(col(metaJsonCol), metaType).as(DocAssembler.MetaColumn)))
 
   /** Root ids whose lineage intersects `keys` (columns: tbl, pk, value).
     * `keys` is the small side (one batch of changes) — broadcast it.

@@ -190,22 +190,39 @@ final class MaterializedIndex(spark: SparkSession, dir: String, nBuckets: Int = 
     */
   def initialize(structuredDocs: DataFrame): Unit = {
     val payload = structuredDocs.columns.filterNot(_ == DocAssembler.IdColumn).map(col).toIndexedSeq
+    // the v0 bucket files additionally carry `_meta` as its OWN serialized
+    // column: every doc read path projects the explicit (`_id`, doc) schema
+    // and never sees it, while the lineage pass below reads and parses ONLY
+    // the small meta strings — the corpus-sized doc JSON column is
+    // columnar-pruned away (guide §6). Later versions' bucket files (commit
+    // rewrites) do not carry the column; nothing reads it after this pass.
     val flat = structuredDocs.select(
       col(DocAssembler.IdColumn),
-      to_json(struct(payload: _*)).as("doc")
+      to_json(struct(payload: _*)).as("doc"),
+      to_json(col(DocAssembler.MetaColumn)).as(MetaSidecarColumn)
     )
     val d = writeBuckets("docs", 0L, flat, DocAssembler.IdColumn)
     val metaType = structuredDocs.schema(DocAssembler.MetaColumn).dataType
     val l =
       if (d.isEmpty) Set.empty[Int]
       else {
-        val written = spark.read.schema(docsSchema)
+        val written = spark.read
+          .schema(StructType(Seq(
+            StructField(DocAssembler.IdColumn, StringType),
+            StructField(MetaSidecarColumn, StringType))))
           .parquet(d.map(b => bucketDir("docs", b, 0L)).toSeq: _*)
-        writeBuckets("lineage", 0L, Lineage.fromDocJson(written, metaType), "root_id")
+        writeBuckets(
+          "lineage", 0L,
+          Lineage.fromMetaJson(written, MetaSidecarColumn, metaType), "root_id")
       }
     writeManifest(0L, (d.map(b => ("docs", b) -> 0L) ++ l.map(b => ("lineage", b) -> 0L)).toMap)
     flipCurrent(0L)
   }
+
+  /** Serialized-`_meta` sidecar column of the v0 doc bucket files (see
+    * [[initialize]]); invisible to every explicit-schema doc read.
+    */
+  private val MetaSidecarColumn = "_graft_meta"
 
   // ---- resumable snapshot (the ctid-resume analogue) -----------------------
   //

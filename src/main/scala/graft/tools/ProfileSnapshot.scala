@@ -48,7 +48,9 @@ object ProfileSnapshot {
       pmod(xxhash64(id), lit(nBuckets)).cast("int")
     val out = graft.util.TempDirs.scratch("prof-snap").toString
     val flat = docs.select(
-      col(DocAssembler.IdColumn), to_json(struct(payload: _*)).as("doc"))
+      col(DocAssembler.IdColumn),
+      to_json(struct(payload: _*)).as("doc"),
+      to_json(col(DocAssembler.MetaColumn)).as("_graft_meta"))
     timed("docs write (pipelined)") {
       flat.withColumn("bucket", bucketOf(col(DocAssembler.IdColumn)))
         .repartition(nBuckets, col("bucket"))
@@ -56,14 +58,14 @@ object ProfileSnapshot {
     }
     val metaType = docs.schema(DocAssembler.MetaColumn).dataType
     timed("lineage read-back write") {
-      graft.cdc.Lineage.fromDocJson(
+      graft.cdc.Lineage.fromMetaJson(
           spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField(
               DocAssembler.IdColumn, org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField(
-              "doc", org.apache.spark.sql.types.StringType))))
+              "_graft_meta", org.apache.spark.sql.types.StringType))))
             .parquet(s"$out/docs"),
-          metaType)
+          "_graft_meta", metaType)
         .withColumn("bucket", bucketOf(col("root_id")))
         .repartition(nBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/lineage")

@@ -375,7 +375,7 @@ class CdcSpec extends SparkSpec {
     assert(hb.ofIdString("x|5|5", Seq(StringType, LongType), "|").isEmpty)
   }
 
-  test("lineage fromDocJson == fromDocs: the snapshot's JSON read-back derivation is lossless") {
+  test("lineage fromMetaJson == fromDocs: the snapshot's JSON read-back derivation is lossless") {
     // the write-once snapshot (MaterializedIndex.initialize) derives lineage
     // by parsing _meta back out of the written doc JSON instead of holding a
     // corpus-sized persist of the struct frame; this pins the equivalence on
@@ -398,11 +398,11 @@ class CdcSpec extends SparkSpec {
       .withColumn("body", concat(lit("text-"), col(DocAssembler.IdColumn)))
     val flat = structured.select(
       col(DocAssembler.IdColumn),
-      to_json(struct(col("body"), col(DocAssembler.MetaColumn))).as("doc"))
+      to_json(col(DocAssembler.MetaColumn)).as("_graft_meta"))
     val expected = Lineage.fromDocs(structured)
-      .collect().map(_.toSeq.mkString(" ")).sorted
-    val actual = Lineage.fromDocJson(flat, metaType)
-      .collect().map(_.toSeq.mkString(" ")).sorted
+      .collect().map(_.toSeq.mkString(" ")).sorted
+    val actual = Lineage.fromMetaJson(flat, "_graft_meta", metaType)
+      .collect().map(_.toSeq.mkString(" ")).sorted
     assert(actual.toSeq == expected.toSeq)
     assert(expected.nonEmpty)
   }
